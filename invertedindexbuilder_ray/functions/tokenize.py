@@ -1,0 +1,194 @@
+"""Vectorized tokenizer over Arrow string columns.
+
+Semantics replicate the reference parser's verified behavior
+(SURVEY.md §8, /root/reference/src/main.c:104-123):
+
+* a token is a maximal run of bytes ``[a-zA-Z0-9]`` (every other byte,
+  including UTF-8 continuation bytes, is a separator — quirk Q3);
+* ``A-Z`` lowercased during the scan (Q3);
+* runs longer than 15 bytes are dropped whole, not truncated (Q2);
+* in *quirk* mode, a run that reaches the end of the text is dropped —
+  the reference only emits a token when a separator terminates it (Q1);
+  *clean* mode keeps trailing tokens (the sane semantics used by the
+  generic text operators).
+
+The implementation is numpy over the Arrow string buffers directly
+(zero-copy: the value buffer and offsets are viewed, never copied per
+row), so a batch of documents is tokenized with a fixed number of numpy
+kernel calls regardless of row count.  This is the hottest stage of the
+index build; do not add per-row Python here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MAX_TOKEN_LEN = 15  # reference WORD_LENGTH_MAX - 1 (include/lexicon.h:8-9)
+
+# byte -> lowercased byte for [a-zA-Z0-9], else 0 (separator)
+_LUT = np.zeros(256, dtype=np.uint8)
+for _c in range(ord("a"), ord("z") + 1):
+    _LUT[_c] = _c
+for _c in range(ord("0"), ord("9") + 1):
+    _LUT[_c] = _c
+for _c in range(ord("A"), ord("Z") + 1):
+    _LUT[_c] = _c + 32
+del _c
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """View an Arrow string/large_string array as (byte values, int64 offsets).
+
+    Nulls are treated as empty strings (their offsets span zero bytes in
+    well-formed Arrow arrays; if not, the slice is still harmless because
+    runs are cut at every document boundary).
+    """
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:
+        arr = arr.cast(pa.string())
+        off_dtype = np.int32
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
+    offsets = offsets.astype(np.int64, copy=False)
+    if buffers[2] is None:
+        data = np.empty(0, dtype=np.uint8)
+    else:
+        data = np.frombuffer(buffers[2], dtype=np.uint8)
+    return data, offsets
+
+
+def token_spans(
+    texts: pa.Array | pa.ChunkedArray,
+    *,
+    drop_trailing: bool,
+    max_len: int = MAX_TOKEN_LEN,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Find token byte-spans in a batch of strings.
+
+    Returns ``(mapped, starts, lens, row_idx)`` where ``mapped`` is the
+    lowercased byte buffer (separators zeroed), and each kept token ``i``
+    is ``mapped[starts[i]:starts[i]+lens[i]]`` belonging to input row
+    ``row_idx[i]``.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    data, offsets = _string_buffers(texts)
+    n_bytes = len(data)
+    mapped = _LUT[data]
+    if len(offsets):
+        # sliced arrays: ignore buffer bytes outside the slice window
+        mapped[: offsets[0]] = 0
+        mapped[offsets[-1] :] = 0
+    alnum = mapped != 0
+
+    # Runs must break at document boundaries: clear the "previous byte was
+    # alnum" flag at each row start, and the "next byte is alnum" flag at
+    # each row end.
+    prev_alnum = np.empty(n_bytes, dtype=bool)
+    if n_bytes:
+        prev_alnum[0] = False
+        prev_alnum[1:] = alnum[:-1]
+    row_starts = offsets[:-1]
+    row_starts_in = row_starts[row_starts < n_bytes]
+    prev_alnum[row_starts_in] = False
+
+    next_alnum = np.empty(n_bytes, dtype=bool)
+    if n_bytes:
+        next_alnum[-1] = False
+        next_alnum[:-1] = alnum[1:]
+    row_ends = offsets[1:]
+    row_end_last = row_ends[(row_ends > 0) & (row_ends <= n_bytes)] - 1
+    next_alnum[row_end_last] = False
+
+    starts = np.flatnonzero(alnum & ~prev_alnum)
+    ends = np.flatnonzero(alnum & ~next_alnum) + 1
+    lens = ends - starts
+    row_idx = np.searchsorted(offsets, starts, side="right") - 1
+
+    keep = lens <= max_len
+    if drop_trailing:
+        # quirk Q1: a run that reaches the end of its document is dropped
+        keep &= ends != offsets[row_idx + 1]
+    return mapped, starts[keep], lens[keep], row_idx[keep]
+
+
+def _pack_tokens(mapped: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Gather each token into a fixed 16-byte row (zero padded) -> (n, 16) uint8."""
+    n = len(starts)
+    if n == 0:
+        return np.empty((0, 16), dtype=np.uint8)
+    idx = starts[:, None] + np.arange(16, dtype=np.int64)[None, :]
+    np.clip(idx, 0, max(len(mapped) - 1, 0), out=idx)
+    gathered = mapped[idx]
+    mask = np.arange(16, dtype=np.int64)[None, :] < lens[:, None]
+    return np.where(mask, gathered, 0).astype(np.uint8, copy=False)
+
+
+def _packed_to_string_array(packed_unique: np.ndarray, lens: np.ndarray) -> pa.Array:
+    """Build a pa.string() array from unique packed token rows without a Python loop."""
+    if len(packed_unique) == 0:
+        return pa.array([], type=pa.string())
+    values = packed_unique[packed_unique != 0]  # row-major selection == concatenated tokens
+    offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    return pa.StringArray.from_buffers(
+        len(lens),
+        pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(values.tobytes()),
+    )
+
+
+def tokenize_to_postings(
+    texts: pa.Array | pa.ChunkedArray,
+    doc_ids: np.ndarray,
+    *,
+    drop_trailing: bool = True,
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Tokenize a batch -> per-(doc, term) postings.
+
+    Returns ``(terms, posting_doc_ids, tfs)`` where ``terms`` is a
+    ``pa.string()`` array aligned with the other two.  Postings are
+    emitted doc-major (ascending input row order) which preserves the
+    reference's ascending-doc_id posting order per term once grouped.
+    """
+    mapped, starts, lens, row_idx = token_spans(texts, drop_trailing=drop_trailing)
+    if len(starts) == 0:
+        return (
+            pa.array([], type=pa.string()),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int32),
+        )
+    packed = _pack_tokens(mapped, starts, lens)
+    keys = packed.view(np.dtype((np.void, 16))).ravel()
+    uniq_keys, inverse = np.unique(keys, return_inverse=True)
+    uniq_mat = uniq_keys.view(np.uint8).reshape(-1, 16)
+    uniq_lens = (uniq_mat != 0).sum(axis=1).astype(np.int64)
+    term_strings = _packed_to_string_array(uniq_mat, uniq_lens)
+
+    # (row, term_id) -> tf via unique on a packed int64 key
+    pair = (row_idx.astype(np.int64) << np.int64(32)) | inverse.astype(np.int64)
+    uniq_pair, tf = np.unique(pair, return_counts=True)
+    p_row = (uniq_pair >> np.int64(32)).astype(np.int64)
+    p_term = (uniq_pair & np.int64(0xFFFFFFFF)).astype(np.int64)
+
+    # doc-major ordering (np.unique sorted by (row, term_id) already)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    import pyarrow.compute as pc
+
+    terms = pc.take(term_strings, pa.array(p_term, type=pa.int64()))
+    return terms, doc_ids[p_row], tf.astype(np.int32)
+
+
+def token_counts(
+    texts: pa.Array | pa.ChunkedArray, *, drop_trailing: bool = True
+) -> np.ndarray:
+    """Per-row kept-token counts (vectorized)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    _, _, _, row_idx = token_spans(texts, drop_trailing=drop_trailing)
+    return np.bincount(row_idx, minlength=n_rows).astype(np.int64)
