@@ -1,0 +1,243 @@
+"""BM25 top-k query engine over the partitioned index.
+
+Replicates the reference's query path (/root/reference/src/query.c:232-300):
+lexicon lookup -> open posting cursors -> DAAT evaluation -> strict-``>``
+min-heap top-k (quirk Q-T) -> (rank, doc_id, url, score).
+
+Modes:
+
+* ``conjunctive`` conformance mode replicates the reference loop
+  bit-exactly, including the destructive-cursor miss quirk Q-C and the
+  stale inner variable (src/query.c:153-174).
+* ``conjunctive`` correct mode is a textbook non-consuming leapfrog
+  intersection.
+* ``disjunctive`` implements the *intended* union semantics (the
+  reference's multi-term OR ranks on uninitialized memory, defect D6 —
+  excluded from conformance per SURVEY.md §8).
+* ``wand`` is block-max WAND: rank-identical to exhaustive disjunctive
+  (asserted in tests), it just skips scoring work.  Negative-IDF terms
+  are handled by clamping upper bounds at zero.
+
+Batch evaluation over a query table runs as an actor pool:
+``queries_ds.map_batches(BatchQueryEngine, concurrency=N)`` — the index
+reader (lexicon + doc table) loads once per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..oracle import _RefHeap, _out_rank_heap, _to_rank_heap, tokenize as oracle_tokenize
+from ..stages.compress import bm25_components
+from ..state.reader import IndexReader, PostingCursor
+
+CONJUNCTIVE = 0
+DISJUNCTIVE = 1
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str, *, conformance: bool = True):
+        self.reader = IndexReader(index_dir)
+        self.conformance = conformance
+
+    # ------------------------------------------------------------------
+    def _bm25(self, tf: int, df: int, doc_id: int) -> float:
+        r = self.reader
+        idf = np.log2((r.n_docs - df + 0.5) / (df + 0.5))
+        dl = r.doc_len(doc_id)
+        return float(idf * (1.2 + 1) * tf / (1.2 * ((1 - 0.75) + 0.75 * dl / r.d_avr) + tf))
+
+    def _open_lists(self, terms: list[str]) -> list[PostingCursor]:
+        # lexicon lookup; unknown terms silently dropped (src/query.c:248-260);
+        # stable sort by df ascending (lvComparator, src/query.c:120,264)
+        lists = [c for t in terms if (c := self.reader.open_list(t)) is not None]
+        lists.sort(key=lambda c: c.df)
+        return lists
+
+    def parse_query(self, query: str) -> list[str]:
+        # query tokenizer = same alnum scanner; trailing token NOT dropped at
+        # query time (the REPL line ends with a separator in the reference)
+        return oracle_tokenize(query + " ", drop_trailing=True)
+
+    # ------------------------------------------------------------------
+    def conjunctive(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        lists = self._open_lists(terms)
+        if not lists:
+            return []
+        return (
+            self._conjunctive_conformance(lists, k)
+            if self.conformance
+            else self._conjunctive_correct(lists, k)
+        )
+
+    def _conjunctive_conformance(self, lists: list[PostingCursor], k: int):
+        max_doc = self.reader.max_doc_id
+        hp = _RefHeap()
+        did = 0
+        d = 0  # deliberately persists across iterations (reference stale local)
+        while did < max_doc:
+            did = lists[0].next_geq(did)
+            if did >= max_doc:
+                break
+            matched = True
+            for c in lists[1:]:
+                d = c.next_geq(did)
+                if d != did:
+                    matched = False
+                    break
+            if not matched and d > did:
+                did = d
+            else:
+                score = sum(self._bm25(c.curr_freq, c.df, did) for c in lists)
+                _to_rank_heap(hp, did, score, k)
+                did += 1
+        return _out_rank_heap(hp)
+
+    def _conjunctive_correct(self, lists: list[PostingCursor], k: int):
+        max_doc = self.reader.max_doc_id
+        hp = _RefHeap()
+        candidate = 0
+        while True:
+            candidate = lists[0].seek_geq(candidate)
+            if candidate >= max_doc:
+                break
+            matched = True
+            for c in lists[1:]:
+                d = c.seek_geq(candidate)
+                if d > candidate:
+                    candidate = d
+                    matched = False
+                    break
+            if matched:
+                score = sum(self._bm25(c.curr_freq, c.df, candidate) for c in lists)
+                _to_rank_heap(hp, candidate, score, k)
+                candidate += 1
+        return _out_rank_heap(hp)
+
+    # ------------------------------------------------------------------
+    def disjunctive(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """Exhaustive union: bulk-decode each list (vectorized scoring),
+        accumulate per-doc sums, rank via the reference heap in ascending
+        doc order (intended semantics)."""
+        lists = self._open_lists(terms)
+        if not lists:
+            return []
+        r = self.reader
+        docs_all, score_all = [], []
+        for c in lists:
+            docs, tfs = c.decode_all_remaining()
+            dls = r.docs.dl[docs]
+            score_all.append(bm25_components(tfs, dls.astype(np.float64), c.df, r.n_docs, r.d_avr))
+            docs_all.append(docs)
+        docs_cat = np.concatenate(docs_all)
+        scores_cat = np.concatenate(score_all)
+        uniq, inv = np.unique(docs_cat, return_inverse=True)
+        sums = np.bincount(inv, weights=scores_cat)
+        hp = _RefHeap()
+        for doc, s in zip(uniq.tolist(), sums.tolist()):
+            _to_rank_heap(hp, doc, s, k)
+        return _out_rank_heap(hp)
+
+    def wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        """Block-max WAND — rank-identical to :meth:`disjunctive`."""
+        lists = self._open_lists(terms)
+        if not lists:
+            return []
+        max_doc = self.reader.max_doc_id
+        hp = _RefHeap()
+        cursors = []
+        for c in lists:
+            if c.seek_geq(0) < max_doc:
+                cursors.append(c)
+        NEG_INF = float("-inf")
+        while cursors:
+            cursors.sort(key=lambda c: c.curr_doc)
+            theta = hp.elem[0][0] if hp.size >= k else NEG_INF
+            acc = 0.0
+            pivot_idx = -1
+            for i, c in enumerate(cursors):
+                acc += max(float(c.max_score), 0.0)
+                if acc > theta:
+                    pivot_idx = i
+                    break
+            if pivot_idx < 0:
+                break  # no doc can beat the threshold
+            pivot_doc = cursors[pivot_idx].curr_doc
+            if cursors[0].curr_doc == pivot_doc:
+                at_pivot = [c for c in cursors if c.curr_doc == pivot_doc]
+                # block-max refinement: skip full scoring when the tight
+                # per-block bound already can't beat theta
+                bm_ub = sum(max(c.block_max_geq(pivot_doc), 0.0) for c in at_pivot)
+                if hp.size < k or bm_ub > theta:
+                    score = sum(
+                        self._bm25(c.curr_freq, c.df, pivot_doc) for c in at_pivot
+                    )
+                    _to_rank_heap(hp, pivot_doc, score, k)
+                for c in at_pivot:
+                    c.advance()
+            else:
+                # advance the leading cursor up to the pivot
+                cursors[0].seek_geq(pivot_doc)
+            cursors = [c for c in cursors if c.curr_doc < max_doc]
+        return _out_rank_heap(hp)
+
+    # ------------------------------------------------------------------
+    def search(
+        self, query: str, k: int = 10, mode: int = CONJUNCTIVE, *, algorithm: str | None = None
+    ) -> list[dict]:
+        terms = self.parse_query(query)
+        if mode == CONJUNCTIVE:
+            ranked = self.conjunctive(terms, k)
+        elif algorithm == "wand":
+            ranked = self.wand(terms, k)
+        else:
+            ranked = self.disjunctive(terms, k)
+        return [
+            {
+                "rank": i + 1,
+                "doc_id": doc,
+                "url": self.reader.url(doc),
+                "score": score,
+            }
+            for i, (doc, score) in enumerate(ranked)
+        ]
+
+
+class BatchQueryEngine:
+    """Actor-pool stage: query batches -> top-k result rows.
+
+    ``queries_ds.map_batches(BatchQueryEngine, fn_constructor_kwargs=
+    {"index_dir": ...}, batch_format="pyarrow", concurrency=N)``.
+    The reader loads once per actor (warm lexicon + doc table, as the
+    reference's 12 s warm-up does once per process).
+    """
+
+    def __init__(self, index_dir: str, *, conformance: bool = True, algorithm: str | None = None):
+        self.engine = QueryEngine(index_dir, conformance=conformance)
+        self.algorithm = algorithm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, urls, scores = [], [], [], [], []
+        for row in batch.to_pylist():
+            hits = self.engine.search(
+                row["terms"],
+                int(row.get("k", 10)),
+                int(row.get("mode", CONJUNCTIVE)),
+                algorithm=self.algorithm,
+            )
+            for h in hits:
+                qids.append(row["query_id"])
+                ranks.append(h["rank"])
+                docs.append(h["doc_id"])
+                urls.append(h["url"])
+                scores.append(h["score"])
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int32()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )

@@ -1,0 +1,41 @@
+"""Documents-table adapter: ``documents.parquet`` -> (doc_id, url, text, dl).
+
+The sf testdata ``documents`` table carries its own ``doc_id``; there is
+no URL, so quirk Q4 (the 'h'-prefix doc filter) does not apply and the
+BM25 document length is just the text byte length.  ``url`` is a
+synthetic ``doc:<id>`` string so the query layer's result shape matches
+the webpages pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def _adapt(batch: pa.Table) -> pa.Table:
+    dl = pc.cast(pc.binary_length(pc.cast(batch["text"], pa.binary())), pa.int64())
+    url = pc.binary_join_element_wise(
+        pa.array(["doc:"] * batch.num_rows, pa.string()),
+        pc.cast(batch["doc_id"], pa.string()),
+        "",
+    )
+    return pa.table(
+        {
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "url": url,
+            "text": pc.cast(batch["text"], pa.string()),
+            "dl": dl,
+        }
+    )
+
+
+def load_documents(path: str) -> rd.Dataset:
+    """``path`` is a documents.parquet file or an sf directory containing one."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    return ds.map_batches(_adapt, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,115 @@
+"""End-to-end build + query conformance vs the oracle (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from invertedindexbuilder_ray import corpus, oracle
+from invertedindexbuilder_ray.pipelines import query as qmod
+from invertedindexbuilder_ray.pipelines.build import build_index
+from invertedindexbuilder_ray.sources.webpages import load_webpages
+from invertedindexbuilder_ray.state.reader import IndexReader
+
+
+@pytest.fixture(scope="session")
+def built_index(ray_session, webpages_medium, tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    src = root / "webpages"
+    src.mkdir()
+    # two files + small row groups => many row-group tasks, exercises doc_id planning
+    tbl = webpages_medium
+    pq.write_table(tbl.slice(0, 600), src / "part-000.parquet", row_group_size=150)
+    pq.write_table(tbl.slice(600), src / "part-001.parquet", row_group_size=150)
+    out = root / "index"
+    man = build_index(
+        load_webpages(str(src)),
+        str(out),
+        num_partitions=4,
+        input_fingerprint="test",
+    )
+    ora = oracle.build_index(tbl.to_pylist())
+    return str(out), man, ora
+
+
+def test_doc_stats_match(built_index):
+    out, man, ora = built_index
+    assert man.n_docs == ora.n_docs
+    assert man.sum_dl == ora.sum_dl
+    assert man.max_doc_id == ora.max_doc_id
+    assert man.d_avr == pytest.approx(ora.d_avr, rel=1e-12)
+    r = IndexReader(out)
+    for did, dl in ora.doc_lens.items():
+        assert r.doc_len(did) == dl
+        assert r.url(did) == ora.urls[did]
+
+
+def test_postings_match_oracle(built_index):
+    out, man, ora = built_index
+    r = IndexReader(out)
+    assert set(r.lexicon) == set(ora.postings)
+    for term, plist in ora.postings.items():
+        cur = r.open_list(term)
+        docs, tfs = cur.decode_all_remaining()
+        assert list(zip(docs.tolist(), tfs.tolist())) == plist, term
+        assert cur.df == len(plist)
+    assert man.stats["distinct_terms"] == len(ora.postings)
+
+
+def test_multi_block_lists_exist(built_index):
+    _, man, ora = built_index
+    assert max(len(p) for p in ora.postings.values()) > 128  # fixture guarantees
+
+
+def test_conjunctive_conformance(built_index):
+    out, _, ora = built_index
+    eng = qmod.QueryEngine(out, conformance=True)
+    for q in corpus.make_queries():
+        terms = eng.parse_query(q["terms"])
+        got = eng.conjunctive(terms, q["k"])
+        want = oracle.conjunctive_topk(ora, terms, q["k"], mode="conformance")
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-9
+        )
+
+
+def test_conjunctive_correct_mode(built_index):
+    out, _, ora = built_index
+    eng = qmod.QueryEngine(out, conformance=False)
+    for q in corpus.make_queries():
+        terms = eng.parse_query(q["terms"])
+        got = eng.conjunctive(terms, q["k"])
+        want = oracle.conjunctive_topk(ora, terms, q["k"], mode="correct")
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-9)
+
+
+def test_disjunctive_and_wand(built_index):
+    out, _, ora = built_index
+    eng = qmod.QueryEngine(out)
+    for q in corpus.make_queries():
+        terms = eng.parse_query(q["terms"])
+        got = eng.disjunctive(terms, q["k"])
+        want = oracle.disjunctive_topk(ora, terms, q["k"])
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-9)
+        # WAND must be rank-identical (same docs, same scores, same order)
+        wand = eng.wand(terms, q["k"])
+        assert [d for d, _ in wand] == [d for d, _ in got], q
+        np.testing.assert_allclose([s for _, s in wand], [s for _, s in got], rtol=1e-12)
+
+
+def test_resume_skips_completed_partitions(built_index, webpages_medium):
+    out, _, _ = built_index
+    # rebuilding over the same directory must skip every partition and
+    # never re-read the input (source is a poisoned dataset to prove it)
+    import ray.data as rd
+
+    def boom(batch):
+        raise RuntimeError("input must not be re-read on resume")
+
+    poisoned = rd.from_items([{"doc_id": 0, "url": "h", "text": "x", "dl": 1}]).map_batches(boom)
+    man2 = build_index(poisoned, out, num_partitions=4, resume=True)
+    assert all(p.get("skipped") for p in man2.partitions.values())
