@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself before importing this module;
+nothing here (or in the library) may call ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes every implemented pipeline from SURVEY.md §2 plus
+the training-data operators (dedup / similarity / text analysis);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each entry that is
+SQL-expressible (same column names, rounded floats).
 """
 
 from __future__ import annotations
@@ -20,25 +16,39 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the inverted index over the
+    documents table, then answer a batch of BM25 queries through the
+    actor-pool query stage; returns the top-k result table."""
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.catalog import index_for
+    from invertedindexbuilder_ray.pipelines.query import BatchQueryEngine
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = index_for(sf_dir)
+    queries_ds = rd.from_items(
+        [
+            {"query_id": 0, "terms": "data join merge", "mode": 0, "k": 10},
+            {"query_id": 1, "terms": "data join merge", "mode": 1, "k": 10},
+            {"query_id": 2, "terms": "spark window", "mode": 0, "k": 5},
+            {"query_id": 3, "terms": "the vector", "mode": 1, "k": 5},
+        ]
+    )
+    return queries_ds.map_batches(
+        BatchQueryEngine,
+        fn_constructor_kwargs={"index_dir": index_dir, "conformance": True},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from invertedindexbuilder_ray.pipelines.catalog import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from invertedindexbuilder_ray.pipelines.catalog import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

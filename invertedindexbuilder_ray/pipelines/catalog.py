@@ -1,0 +1,463 @@
+"""Driver-facing query catalog: named Ray pipelines + matching DuckDB oracle SQL.
+
+Each entry runs over the sf testdata tables (documents / embeddings /
+events / lineitem ...).  The Ray implementation and the SQL string must
+produce identical (column names, rounded values) results — the driver
+compares them order-insensitively at sf=0.01.
+
+Tokenization here uses the engine's *quirk* semantics (trailing-token
+drop Q1, 15-char cap Q2, byte classes Q3 — SURVEY.md §8) and the SQL
+oracles replicate them, so the whole tokenizer is cross-validated
+against an independent implementation, not just the Python oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.tokenize import tokenize_to_postings
+from ..sources.documents import load_documents
+from .build import build_index
+from .query import QueryEngine
+
+# --------------------------------------------------------------------------
+# shared pieces
+
+# DuckDB CTE replicating the quirk tokenizer over `documents`
+_SQL_TOKENS = """
+tok AS (
+    SELECT doc_id, unnest(tokens2) AS term
+    FROM (
+        SELECT doc_id,
+               CASE WHEN ends_alnum
+                    THEN tokens[1:len(tokens)-1] ELSE tokens END AS tokens2
+        FROM (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens,
+                   regexp_matches(text, '[A-Za-z0-9]$') AS ends_alnum
+            FROM documents
+        )
+    )
+),
+tok_kept AS (
+    SELECT doc_id, term FROM tok WHERE length(term) BETWEEN 1 AND 15
+)
+"""
+
+_SQL_BM25_BASE = (
+    _SQL_TOKENS
+    + """,
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_kept GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, strlen(text)::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, sum(dl) AS sumdl FROM dl),
+scores AS (
+    SELECT tf.doc_id,
+           sum(log2((st.n - df.df + 0.5) / (df.df + 0.5)) * 2.2 * tf.tf
+               / (1.2 * (0.25 + 0.75 * dl.dl / (st.sumdl / (st.n - 1))) + tf.tf)
+              ) AS raw_score,
+           count(*) AS nmatched
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    WHERE tf.term IN ({terms})
+    GROUP BY tf.doc_id
+)
+"""
+)
+
+BM25_QUERY_TERMS = ["data", "join", "merge"]
+
+
+def _postings_ds(sf_dir: str) -> rd.Dataset:
+    def to_postings(batch: pa.Table) -> pa.Table:
+        terms, doc_ids, tfs = tokenize_to_postings(
+            batch["text"], batch["doc_id"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "term": terms,
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "tf": pa.array(tfs.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return load_documents(sf_dir).map_batches(
+        to_postings, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def index_for(sf_dir: str) -> str:
+    """Build (or reuse) the inverted index for an sf dir's documents table."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/iib_index_cache/{key}"
+    if _INDEX_CACHE.get(sf_dir) != out or not os.path.exists(
+        os.path.join(out, "manifest.json")
+    ):
+        build_index(
+            load_documents(sf_dir),
+            out,
+            num_partitions=8,
+            input_fingerprint=sf_dir,
+            resume=True,
+        )
+        _INDEX_CACHE[sf_dir] = out
+    return out
+
+
+# --------------------------------------------------------------------------
+# query implementations
+
+def q_postings(sf_dir: str):
+    return _postings_ds(sf_dir)
+
+
+SQL_POSTINGS = (
+    "WITH "
+    + _SQL_TOKENS
+    + "SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_kept GROUP BY term, doc_id"
+)
+
+
+def q_term_stats(sf_dir: str):
+    return (
+        _postings_ds(sf_dir)
+        .groupby("term")
+        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="cf"))
+    )
+
+
+SQL_TERM_STATS = (
+    "WITH "
+    + _SQL_TOKENS
+    + """SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+       FROM tok_kept GROUP BY term"""
+)
+
+
+def q_doc_token_stats(sf_dir: str):
+    return (
+        _postings_ds(sf_dir)
+        .groupby("doc_id")
+        .aggregate(Sum("tf", alias_name="n_tokens"), Count(alias_name="n_terms"))
+    )
+
+
+SQL_DOC_TOKEN_STATS = (
+    "WITH "
+    + _SQL_TOKENS
+    + """SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              count(DISTINCT term)::BIGINT AS n_terms
+       FROM tok_kept GROUP BY doc_id"""
+)
+
+
+def q_doc_stats(sf_dir: str):
+    res = load_documents(sf_dir).aggregate(
+        Count(), Sum("dl"), Max("dl"), Mean("dl")
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": int(res["count()"]),
+                "sum_bytes": int(res["sum(dl)"]),
+                "max_bytes": int(res["max(dl)"]),
+                "avg_bytes": round(float(res["mean(dl)"]), 6),
+            }
+        ]
+    )
+
+
+SQL_DOC_STATS = """
+SELECT count(*)::BIGINT AS n_docs,
+       sum(strlen(text))::BIGINT AS sum_bytes,
+       max(strlen(text))::BIGINT AS max_bytes,
+       round(avg(strlen(text)), 6) AS avg_bytes
+FROM documents
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    if os.path.isdir(sf_dir):
+        path = os.path.join(sf_dir, "documents.parquet")
+    else:
+        path = sf_dir
+    return (
+        rd.read_parquet(path, columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
+SQL_LANG_COUNTS = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_top_terms(sf_dir: str):
+    return (
+        _postings_ds(sf_dir)
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="cf"))
+        .sort(["cf", "term"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_TOP_TERMS = (
+    "WITH "
+    + _SQL_TOKENS
+    + "SELECT term, count(*)::BIGINT AS cf FROM tok_kept GROUP BY term "
+    + "ORDER BY cf DESC, term LIMIT 20"
+)
+
+
+def _bm25_all(sf_dir: str, conjunctive: bool):
+    """Score ALL matching docs through the real index + query engine.
+
+    Returns every match (no top-k) so the comparison is tie-proof; top-k
+    semantics are pytest-verified against the oracle separately.
+    """
+    idx = index_for(sf_dir)
+    eng = QueryEngine(idx, conformance=False)
+    k = eng.reader.max_doc_id + 1
+    if conjunctive:
+        ranked = eng.conjunctive(BM25_QUERY_TERMS, k)
+    else:
+        ranked = eng.disjunctive(BM25_QUERY_TERMS, k)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in ranked],
+            "score": [round(s, 6) for _, s in ranked],
+        },
+        columns=["doc_id", "score"],
+    ).astype({"doc_id": "int64", "score": "float64"})
+
+
+def q_bm25_and(sf_dir: str):
+    return _bm25_all(sf_dir, conjunctive=True)
+
+
+def q_bm25_or(sf_dir: str):
+    return _bm25_all(sf_dir, conjunctive=False)
+
+
+def _sql_bm25(conjunctive: bool) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    cond = f"nmatched = {len(BM25_QUERY_TERMS)}" if conjunctive else "nmatched >= 1"
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(terms=terms)
+        + f"SELECT doc_id, round(raw_score, 6) AS score FROM scores WHERE {cond}"
+    )
+
+
+def q_events_tumbling(sf_dir: str):
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        bucket = pc.divide(us, 3_600_000_000)  # integer division: µs -> hour bucket
+        return batch.append_column("hour_bucket", pc.cast(bucket, pa.int64()))
+
+    return (
+        rd.read_parquet(path, columns=["ts", "event_type", "value"])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value_raw"))
+        .map_batches(
+            lambda b: b.append_column(
+                "sum_value", pc.round(b["sum_value_raw"], 6)
+            ).drop_columns(["sum_value_raw"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_lineitem_agg(sf_dir: str):
+    path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
+
+    def pre(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("disc_price", disc_price)
+
+    agg = (
+        rd.read_parquet(
+            path,
+            columns=[
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount",
+            ],
+        )
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty_raw"),
+            Sum("disc_price", alias_name="sum_disc_price_raw"),
+            Mean("l_quantity", alias_name="avg_qty_raw"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def post(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pc.round(b["sum_qty_raw"], 2),
+                "sum_disc_price": pc.round(b["sum_disc_price_raw"], 2),
+                "avg_qty": pc.round(b["avg_qty_raw"], 6),
+                "count_order": b["count_order"],
+            }
+        )
+
+    return agg.map_batches(post, batch_format="pyarrow")
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+KNN_N_QUERIES = 5
+KNN_K = 10
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, vectorized matmul
+    per batch, small per-query top-k groupby.  The scale path (LSH buckets)
+    is `similarity.ann_lsh`."""
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    qrows = ds.filter(expr=f"vec_id < {KNN_N_QUERIES}").take_all()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qmat_n = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qref = ray.put((qids, qmat_n))  # broadcast once, read per task
+
+    def sims(batch: pa.Table) -> pa.Table:
+        q_ids, q_n = ray.get(qref)
+        emb = batch["embedding"].combine_chunks()
+        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float64)
+        mat = mat.reshape(len(batch), -1)
+        mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        s = mat_n @ q_n.T  # (batch, nq)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        nq = len(q_ids)
+        return pa.table(
+            {
+                "qid": pa.array(np.repeat(q_ids, len(vec_ids)), pa.int64()),
+                "vec_id": pa.array(np.tile(vec_ids, nq), pa.int64()),
+                "sim": pa.array(np.round(s.T.ravel(), 6), pa.float64()),
+            }
+        )
+
+    import pandas as pd
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.vec_id != g.qid]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(KNN_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(sims, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+SQL_KNN_COSINE = f"""
+WITH q AS (
+    SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id < {KNN_N_QUERIES}
+),
+pairs AS (
+    SELECT q.qid, e.vec_id,
+           round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id != q.qid
+),
+ranked AS (
+    SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+    FROM pairs
+)
+SELECT qid, vec_id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash per batch (vectorized-ish md5), then
+    hash-grouped keep-first (min doc_id)."""
+    import pandas as pd
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["text_md5"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
+        ]
+        return batch[["doc_id", "text_md5"]]
+
+    return (
+        load_documents(sf_dir)
+        .map_batches(add_hash, batch_format="pandas")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_doc_id,
+       count(*)::BIGINT AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+
+QUERIES = {
+    "postings": (q_postings, SQL_POSTINGS),
+    "term_stats": (q_term_stats, SQL_TERM_STATS),
+    "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),
+    "bm25_all_and": (q_bm25_and, _sql_bm25(True)),
+    "bm25_all_or": (q_bm25_or, _sql_bm25(False)),
+    "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+}
