@@ -1,0 +1,175 @@
+"""Vectorized document sketches: MinHash, SimHash, rolling fingerprints.
+
+All kernels operate on a whole Arrow batch of texts at once (token spans
+come from the zero-copy tokenizer) — per-doc Python loops are limited to
+O(n_docs) bookkeeping, never per token.  Sketches are mergeable /
+deterministic (fixed seeds), so they can be computed per batch and
+combined across a 100 TB corpus without coordination.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import _FNV_OFFSET, _FNV_PRIME
+from .tokenize import _pack_tokens, token_spans
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 hash per token, doc row index per token) — clean tokenization."""
+    mapped, starts, lens, row_idx = token_spans(texts, drop_trailing=False)
+    packed = _pack_tokens(mapped, starts, lens)
+    with np.errstate(over="ignore"):
+        h = np.full(len(packed), _FNV_OFFSET, dtype=np.uint64)
+        for j in range(16):
+            h = (h ^ packed[:, j].astype(np.uint64)) * _FNV_PRIME
+    return h, row_idx
+
+
+def _doc_boundaries(row_idx: np.ndarray, n_rows: int) -> np.ndarray:
+    """Start offset of each row's token run within the flat token arrays."""
+    counts = np.bincount(row_idx, minlength=n_rows)
+    bounds = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    return bounds
+
+
+def shingle_hashes(
+    texts: pa.Array | pa.ChunkedArray, k: int = 3
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """k-token shingle hashes per doc.
+
+    Returns ``(hashes, row_idx, bounds)``: uint64 hash per shingle, its
+    doc row, and per-doc offsets into the flat arrays.  Docs with fewer
+    than k tokens produce no shingles.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    th, row_idx = _token_hashes(texts)
+    if len(th) == 0:
+        return (
+            np.empty(0, np.uint64),
+            np.empty(0, np.int64),
+            np.zeros(n_rows + 1, np.int64),
+        )
+    with np.errstate(over="ignore"):
+        sh = np.zeros(max(len(th) - k + 1, 0), dtype=np.uint64)
+        for j in range(k):
+            sh = sh * np.uint64(1099511628211) + th[j : len(th) - k + 1 + j]
+    # a shingle is valid only if all k tokens belong to the same doc
+    valid = row_idx[: len(sh)] == row_idx[k - 1 :]
+    sh = sh[valid]
+    srow = row_idx[: len(valid)][valid]
+    bounds = _doc_boundaries(srow, n_rows)
+    return sh, srow.astype(np.int64), bounds
+
+
+def minhash_signatures(
+    texts: pa.Array | pa.ChunkedArray, *, num_perm: int = 128, k: int = 3, seed: int = 7
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures over k-token shingles.
+
+    Universal hashing ``(a*x + b) mod 2^61-1`` with seeded coefficients;
+    docs with no shingles get all-max signatures (match nothing).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    sh, _srow, bounds = shingle_hashes(texts, k=k)
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    sigs = np.full((n_rows, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if len(sh) == 0:
+        return sigs
+    x = (sh % _MERSENNE61).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        # (n_shingles, num_perm); mod 2^61-1 keeps values well-distributed
+        pm = (x[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
+    starts = bounds[:-1]
+    nonempty = bounds[1:] > bounds[:-1]
+    mins = np.minimum.reduceat(pm, starts[nonempty], axis=0)
+    sigs[nonempty] = mins
+    return sigs
+
+
+def lsh_bands(sigs: np.ndarray, *, bands: int = 32) -> np.ndarray:
+    """(n_docs, bands) uint64 band hashes (rows = num_perm / bands)."""
+    n_docs, num_perm = sigs.shape
+    r = num_perm // bands
+    with np.errstate(over="ignore"):
+        out = np.zeros((n_docs, bands), dtype=np.uint64)
+        # FNV fold over each band's rows
+        for bidx in range(bands):
+            h = np.full(n_docs, _FNV_OFFSET, dtype=np.uint64)
+            for j in range(r):
+                h = (h ^ sigs[:, bidx * r + j]) * _FNV_PRIME
+            out[:, bidx] = h
+    return out
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def simhash64(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """64-bit SimHash per doc from token hashes (occurrence-weighted)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    th, row_idx = _token_hashes(texts)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if len(th) == 0:
+        return out
+    bounds = _doc_boundaries(row_idx, n_rows)
+    # (n_tokens, 64) ±1 contributions, segment-summed per doc
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int32
+    )
+    contrib = bits * 2 - 1
+    starts = bounds[:-1]
+    nonempty = bounds[1:] > bounds[:-1]
+    sums = np.add.reduceat(contrib, starts[nonempty], axis=0)
+    sig_bits = (sums > 0).astype(np.uint64)
+    vals = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out[nonempty] = vals
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.atleast_1d((a ^ b).astype(np.uint64))
+    view = x.view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(view, axis=1).sum(axis=1).astype(np.int64)
+
+
+def rolling_fingerprint(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Order-sensitive polynomial rolling hash of the token-hash stream
+    (mod 2^61-1) per doc — a whole-document fingerprint that, unlike a
+    content hash, ignores whitespace/punctuation variations."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    th, row_idx = _token_hashes(texts)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    if len(th) == 0:
+        return out
+    # Horner's scheme per doc; vectorized over docs via per-position loop
+    # bounded by the longest doc in the batch (max tokens/doc ~ few thousand)
+    bounds = _doc_boundaries(row_idx, n_rows)
+    lens = np.diff(bounds)
+    max_len = int(lens.max())
+    base = np.uint64(1_000_003)
+    acc = np.zeros(n_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            sel = lens > j
+            pos = bounds[:-1][sel] + j
+            acc[sel] = (acc[sel] * base + (th[pos] % _MERSENNE61)) % _MERSENNE61
+    out[:] = acc
+    return out

@@ -445,6 +445,115 @@ FROM documents GROUP BY md5(text)
 
 
 # --------------------------------------------------------------------------
+# training-data operators (dedup / similarity / text analysis)
+
+def q_dedup_minhash(sf_dir: str):
+    from .dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(sf_dir, threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from .dedup import simhash_dedup_pairs
+
+    return simhash_dedup_pairs(sf_dir, max_hamming=3)
+
+
+def q_dedup_ngram_jaccard(sf_dir: str):
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(sf_dir, threshold=0.5)
+
+
+EMB_NEARDUP_THRESHOLD = 0.4
+
+
+def q_embedding_neardup(sf_dir: str):
+    from .dedup import embedding_dedup_pairs
+
+    return embedding_dedup_pairs(sf_dir, threshold=EMB_NEARDUP_THRESHOLD)
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    from .similarity import ann_lsh
+
+    return ann_lsh(sf_dir, n_queries=5, top_k=10)
+
+
+def q_langid(sf_dir: str):
+    from .textpipe import langid_ds
+
+    return langid_ds(sf_dir)
+
+
+def q_quality(sf_dir: str):
+    from .textpipe import quality_ds
+
+    return quality_ds(sf_dir)
+
+
+def q_fingerprint(sf_dir: str):
+    from .textpipe import fingerprint_ds
+
+    return fingerprint_ds(sf_dir)
+
+
+# clean-mode tokens (NO trailing drop — quality metrics use every token)
+_SQL_TOKENS_CLEAN = """
+tokc AS (
+    SELECT doc_id, unnest(tokens) AS term
+    FROM (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+        FROM documents
+    )
+),
+tokc_kept AS (
+    SELECT doc_id, term FROM tokc WHERE length(term) BETWEEN 1 AND 15
+)
+"""
+
+_QUALITY_STOPLIST_SQL = ", ".join(
+    f"'{w}'" for w in [
+        "the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on", "with",
+    ]
+)
+
+SQL_QUALITY = (
+    "WITH "
+    + _SQL_TOKENS_CLEAN
+    + f""",
+tstats AS (
+    SELECT doc_id,
+           count(*)::BIGINT AS n_tokens,
+           avg(length(term)) AS mean_len,
+           sum(CASE WHEN term IN ({_QUALITY_STOPLIST_SQL}) THEN 1 ELSE 0 END)::DOUBLE
+               / count(*) AS stop_ratio
+    FROM tokc_kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t.n_tokens, 0) AS n_tokens,
+       round(coalesce(t.mean_len, 0), 6) AS mean_token_len,
+       round(length(regexp_replace(d.text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+             / nullif(strlen(d.text), 0), 6) AS alnum_ratio,
+       round(length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE
+             / nullif(strlen(d.text), 0), 6) AS digit_ratio,
+       round(coalesce(t.stop_ratio, 0), 6) AS stopword_ratio
+FROM documents d LEFT JOIN tstats t USING (doc_id)
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # registry
 
 QUERIES = {
@@ -460,4 +569,13 @@ QUERIES = {
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    # training-data ops; entries with sql=None get the driver's rows-only check
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, None),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "ann_lsh": (q_ann_lsh, None),
+    "langid": (q_langid, None),
+    "quality": (q_quality, SQL_QUALITY),
+    "fingerprint": (q_fingerprint, None),
 }

@@ -1,0 +1,93 @@
+"""Explicit partitioned hash join (the portable Ray Data join pattern).
+
+``Dataset.join`` in this Ray release intermittently mis-handles empty
+shuffle partitions (ArrowInvalid on re-execution), so the engine carries
+its own join operator built from primitives that are stable at any
+scale: tag each side, bucket by ``hash(key) % P``, union, group by
+bucket, and pandas-merge inside each group.  This is exactly the
+"explicit partitioned hash join" from the Ray guide; skewed keys are
+spread by raising ``num_partitions``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _bucket_hash(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> np.ndarray:
+    vals = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    with np.errstate(over="ignore"):
+        h = (vals.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
+def partitioned_hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    num_partitions: int = 8,
+    how: str = "inner",
+    right_suffix: str = "_r",
+) -> rd.Dataset:
+    """Join two Datasets on int64 key columns.
+
+    Output columns: all left columns, then the right columns minus its
+    key (name collisions get ``right_suffix``).  Row order is undefined.
+    """
+    def _arrow_schema(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
+        s = ds.schema().base_schema
+        if not isinstance(s, pa.Schema):
+            # pandas-block lineage: normalize to Arrow blocks first
+            ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+            s = ds.schema().base_schema
+        return ds, s
+
+    left, lschema = _arrow_schema(left)
+    right, rschema = _arrow_schema(right)
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    out_rcols = {
+        c: (c + right_suffix if c in lcols else c) for c in rcols if c != right_on
+    }
+    rtypes = {c: rschema.field(c).type for c in rcols}
+    ltypes = {c: lschema.field(c).type for c in lcols}
+    out_cols = lcols + list(out_rcols.values())
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch[c] for c in lcols}
+        cols["__r_key"] = pa.nulls(n, pa.int64())
+        for rc, out in out_rcols.items():
+            cols[out] = pa.nulls(n, rtypes[rc])
+        cols["__bucket"] = pa.array(_bucket_hash(batch[left_on], num_partitions), pa.int64())
+        cols["__side"] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: pa.nulls(n, ltypes[c]) for c in lcols}
+        cols["__r_key"] = batch[right_on].cast(pa.int64())
+        for rc, out in out_rcols.items():
+            cols[out] = batch[rc]
+        cols["__bucket"] = pa.array(_bucket_hash(batch[right_on], num_partitions), pa.int64())
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow")
+    rt = right.map_batches(pad_right, batch_format="pyarrow")
+    unioned = lt.union(rt)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0]
+        rg = g[g["__side"] == 1]
+        lpart = lg[lcols]
+        rpart = rg[["__r_key"] + list(out_rcols.values())]
+        merged = lpart.merge(rpart, left_on=left_on, right_on="__r_key", how=how)
+        return merged[out_cols]
+
+    return unioned.groupby("__bucket").map_groups(merge_group, batch_format="pandas")

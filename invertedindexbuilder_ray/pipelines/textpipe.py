@@ -1,0 +1,177 @@
+"""Text-analysis operators: language ID, quality scoring, fingerprints.
+
+Per-document heuristics a training-data pipeline runs over the corpus.
+All vectorized over Arrow batches; the language profiles live in the
+actor (compiled once per worker, not per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions import sketch
+from ..functions.hashing import _FNV_OFFSET, _FNV_PRIME
+from ..functions.tokenize import _pack_tokens, token_spans
+from ..sources.documents import load_documents
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con"],
+    "de": ["der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "auf", "ein", "nicht"],
+}
+
+QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def _word_hashes(words: list[str]) -> np.ndarray:
+    packed = np.zeros((len(words), 16), dtype=np.uint8)
+    for i, w in enumerate(words):
+        b = w.encode("ascii")[:16]
+        packed[i, : len(b)] = np.frombuffer(b, np.uint8)
+    with np.errstate(over="ignore"):
+        h = np.full(len(words), _FNV_OFFSET, dtype=np.uint64)
+        for j in range(16):
+            h = (h ^ packed[:, j].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def _docs(source: str | rd.Dataset) -> rd.Dataset:
+    return source if isinstance(source, rd.Dataset) else load_documents(source)
+
+
+class LangId:
+    """Actor-pool stage: stopword-profile language ID (n-gram-free heuristic).
+
+    ``lang_pred`` = argmax over languages of the doc's stopword-hit ratio;
+    below ``min_conf`` the prediction is "und".  Deterministic ties break
+    by language-name order.
+    """
+
+    def __init__(self, min_conf: float = 0.05):
+        self.min_conf = min_conf
+        self.langs = sorted(STOPWORDS)
+        self.hashes = {lang: _word_hashes(ws) for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        mapped, starts, lens, row_idx = token_spans(texts, drop_trailing=False)
+        packed = _pack_tokens(mapped, starts, lens)
+        with np.errstate(over="ignore"):
+            th = np.full(len(packed), _FNV_OFFSET, dtype=np.uint64)
+            for j in range(16):
+                th = (th ^ packed[:, j].astype(np.uint64)) * _FNV_PRIME
+        n_rows = batch.num_rows
+        counts = np.bincount(row_idx, minlength=n_rows).astype(np.float64)
+        ratios = np.zeros((n_rows, len(self.langs)))
+        for li, lang in enumerate(self.langs):
+            hit = np.isin(th, self.hashes[lang])
+            ratios[:, li] = np.bincount(row_idx, weights=hit, minlength=n_rows)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratios = np.where(counts[:, None] > 0, ratios / counts[:, None], 0.0)
+        best = np.argmax(ratios, axis=1)
+        conf = ratios[np.arange(n_rows), best]
+        preds = [
+            self.langs[b] if c >= self.min_conf else "und"
+            for b, c in zip(best, conf)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "lang_pred": pa.array(preds, pa.string()),
+                "confidence": pa.array(np.round(conf, 6), pa.float64()),
+            }
+        )
+
+
+def langid_ds(source: str | rd.Dataset) -> rd.Dataset:
+    return _docs(source).map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+
+class QualityScore:
+    """Per-doc quality signals: token counts, length stats, character-class
+    and stopword ratios — the usual webtext filtering features."""
+
+    def __init__(self):
+        self.stop_hashes = _word_hashes(QUALITY_STOPWORDS)
+        lut = np.zeros(256, dtype=bool)
+        for c in range(ord("a"), ord("z") + 1):
+            lut[c] = True
+        for c in range(ord("A"), ord("Z") + 1):
+            lut[c] = True
+        for c in range(ord("0"), ord("9") + 1):
+            lut[c] = True
+        self.alnum_lut = lut
+        digit = np.zeros(256, dtype=bool)
+        for c in range(ord("0"), ord("9") + 1):
+            digit[c] = True
+        self.digit_lut = digit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import _string_buffers
+
+        texts = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray
+        ) else batch["text"]
+        data, offsets = _string_buffers(texts)
+        n_rows = batch.num_rows
+        byte_counts = np.diff(offsets).astype(np.float64)
+        alnum_mask = self.alnum_lut[data] if len(data) else np.zeros(0, bool)
+        digit_mask = self.digit_lut[data] if len(data) else np.zeros(0, bool)
+        cum_a = np.concatenate([[0], np.cumsum(alnum_mask)])
+        cum_d = np.concatenate([[0], np.cumsum(digit_mask)])
+        alnum_bytes = (cum_a[offsets[1:]] - cum_a[offsets[:-1]]).astype(np.float64)
+        digit_bytes = (cum_d[offsets[1:]] - cum_d[offsets[:-1]]).astype(np.float64)
+
+        mapped, starts, lens, row_idx = token_spans(texts, drop_trailing=False)
+        packed = _pack_tokens(mapped, starts, lens)
+        with np.errstate(over="ignore"):
+            th = np.full(len(packed), _FNV_OFFSET, dtype=np.uint64)
+            for j in range(16):
+                th = (th ^ packed[:, j].astype(np.uint64)) * _FNV_PRIME
+        n_tokens = np.bincount(row_idx, minlength=n_rows).astype(np.float64)
+        tok_len_sum = np.bincount(row_idx, weights=lens, minlength=n_rows)
+        stop_hits = np.bincount(
+            row_idx, weights=np.isin(th, self.stop_hashes), minlength=n_rows
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_tok = np.where(n_tokens > 0, tok_len_sum / n_tokens, 0.0)
+            stop_ratio = np.where(n_tokens > 0, stop_hits / n_tokens, 0.0)
+            alnum_ratio = np.where(byte_counts > 0, alnum_bytes / byte_counts, 0.0)
+            digit_ratio = np.where(byte_counts > 0, digit_bytes / byte_counts, 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
+                "mean_token_len": pa.array(np.round(mean_tok, 6), pa.float64()),
+                "alnum_ratio": pa.array(np.round(alnum_ratio, 6), pa.float64()),
+                "digit_ratio": pa.array(np.round(digit_ratio, 6), pa.float64()),
+                "stopword_ratio": pa.array(np.round(stop_ratio, 6), pa.float64()),
+            }
+        )
+
+
+def quality_ds(source: str | rd.Dataset) -> rd.Dataset:
+    return _docs(source).map_batches(
+        QualityScore, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+
+def fingerprint_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """(doc_id, fingerprint): rolling token-stream hash — whitespace /
+    punctuation-insensitive exact-dup detector."""
+
+    def compute(batch: pa.Table) -> pa.Table:
+        fp = sketch.rolling_fingerprint(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "fingerprint": pa.array(fp.view(np.int64), pa.int64()),
+            }
+        )
+
+    return _docs(source).map_batches(compute, batch_format="pyarrow", zero_copy_batch=True)

@@ -81,6 +81,24 @@ def test_catalog_query_matches_oracle(ray_session, name):
     _compare(name, got, want)
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        n
+        for n, (fn, sql) in __import__(
+            "invertedindexbuilder_ray.pipelines.catalog", fromlist=["QUERIES"]
+        ).QUERIES.items()
+        if sql is None
+    ],
+)
+def test_rows_only_entries_run(ray_session, name):
+    from invertedindexbuilder_ray.pipelines.catalog import QUERIES
+
+    fn, _ = QUERIES[name]
+    got = _to_df(fn("/root/testdata/sf0.001"))
+    assert got is not None and len(got.columns) > 0
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as e
 

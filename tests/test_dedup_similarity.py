@@ -1,0 +1,178 @@
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _dup_corpus():
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = []
+    for i in range(40):
+        texts.append(" ".join(rng.choice(vocab) for _ in range(60)))
+    # exact dup, near dup (small edit), and whitespace-variant dup
+    texts.append(texts[0])
+    near = texts[1].split()
+    near[5] = "CHANGED"
+    texts.append(" ".join(near))
+    texts.append(texts[2].replace(" ", "\t").replace("w", "w"))
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def dup_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(_dup_corpus()))
+
+
+def _brute_jaccard(a: str, b: str, k: int = 3) -> float:
+    from invertedindexbuilder_ray.oracle import tokenize
+
+    ta = tokenize(a, drop_trailing=False)
+    tb = tokenize(b, drop_trailing=False)
+    sa = {tuple(ta[i : i + k]) for i in range(len(ta) - k + 1)}
+    sb = {tuple(tb[i : i + k]) for i in range(len(tb) - k + 1)}
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_finds_dups(dup_ds):
+    from invertedindexbuilder_ray.pipelines.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(dup_ds, threshold=0.5).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 40) in got  # exact dup
+    assert (1, 41) in got  # near dup
+    assert (2, 42) in got  # whitespace variant
+    # no false positives among unrelated random docs
+    rows = _dup_corpus()
+    for a, b in got:
+        assert _brute_jaccard(rows[a]["text"], rows[b]["text"]) >= 0.35, (a, b)
+
+
+def test_ngram_jaccard_exact(dup_ds):
+    from invertedindexbuilder_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(dup_ds, threshold=0.5).to_pandas()
+    rows = _dup_corpus()
+    got = {(int(a), int(b)): float(j) for a, b, j in zip(pairs.doc_a, pairs.doc_b, pairs.jaccard)}
+    assert (0, 40) in got and got[(0, 40)] == 1.0
+    for (a, b), j in got.items():
+        assert j == pytest.approx(_brute_jaccard(rows[a]["text"], rows[b]["text"]), abs=1e-6)
+
+
+def test_simhash_dups(dup_ds):
+    from invertedindexbuilder_ray.pipelines.dedup import simhash_dedup_pairs
+
+    pairs = simhash_dedup_pairs(dup_ds, max_hamming=3).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 40) in got  # identical text -> identical simhash
+    assert (2, 42) in got  # whitespace variant -> same token stream
+    for _, r in pairs.iterrows():
+        assert r.hamming <= 3
+
+
+def test_dedup_clusters(dup_ds):
+    from invertedindexbuilder_ray.pipelines.dedup import dedup_clusters, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(dup_ds, threshold=0.5)
+    labels = dedup_clusters(pairs, dup_ds).to_pandas()
+    lbl = dict(zip(labels.node, labels.lbl))
+    assert lbl[40] == min(0, lbl.get(0, 0))
+    assert lbl[40] == lbl.get(0, lbl[40])
+
+
+def test_embedding_dedup_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from invertedindexbuilder_ray.pipelines.dedup import embedding_dedup_pairs
+
+    got = embedding_dedup_pairs(SF_DIR, threshold=0.4).to_pandas()
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(e, np.float64) for e in tbl["embedding"].to_pylist()])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ii, jj = np.nonzero(sims >= 0.4)
+    want = {(int(ids[i]), int(ids[j])) for i, j in zip(ii, jj) if ids[i] < ids[j]}
+    assert len(want) > 0  # sf0.001 embeddings have pairs above 0.4
+    assert {(int(a), int(b)) for a, b in zip(got["vec_a"], got["vec_b"])} == want
+
+
+def test_ann_lsh_recall(ray_session, tmp_path_factory):
+    """Recall vs brute force on clustered embeddings (LSH's target regime;
+    the sf embeddings are near-orthogonal random vectors where any
+    sublinear ANN necessarily degrades — smoke-tested separately)."""
+    import pyarrow.parquet as pq
+
+    from invertedindexbuilder_ray.pipelines.catalog import q_knn_cosine
+    from invertedindexbuilder_ray.pipelines.similarity import ann_lsh
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((20, 64)) * 3
+    vecs = np.repeat(centers, 25, axis=0) + rng.standard_normal((500, 64)) * 0.3
+    root = tmp_path_factory.mktemp("ann")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(500), pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        root / "embeddings.parquet",
+    )
+    exact = q_knn_cosine(str(root)).to_pandas()
+    approx = ann_lsh(str(root), n_queries=5, top_k=10).to_pandas()
+    recalls = []
+    for qid in range(5):
+        e = set(exact[exact.qid == qid].vec_id)
+        a = set(approx[approx.qid == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_ann_lsh_smoke_sf(ray_session):
+    from invertedindexbuilder_ray.pipelines.similarity import ann_lsh
+
+    out = ann_lsh(SF_DIR, n_queries=3, top_k=5).to_pandas()
+    assert set(out.columns) >= {"qid", "vec_id", "sim", "rank"}
+    assert (out.groupby("qid")["rank"].max() <= 5).all()
+
+
+def test_quality_and_fingerprint(ray_session):
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.textpipe import fingerprint_ds, langid_ds, quality_ds
+
+    rows = [
+        {"doc_id": 0, "text": "The cat and the hat is on a mat"},
+        {"doc_id": 1, "text": "the  cat\tand the hat   is on a mat."},
+        {"doc_id": 2, "text": "mat a on is hat the and cat The"},
+        {"doc_id": 3, "text": "el perro y el gato en la casa de la abuela con pan"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "12345 67890 a1b2"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    q = quality_ds(ds).to_pandas().set_index("doc_id").sort_index()
+    assert q.loc[0, "n_tokens"] == 9
+    assert q.loc[4, "n_tokens"] == 0 and q.loc[4, "alnum_ratio"] == 0.0
+    assert q.loc[5, "digit_ratio"] > 0.5
+    assert 0 < q.loc[0, "stopword_ratio"] < 1
+    # fingerprints: whitespace/punct-insensitive, order-sensitive
+    fp = fingerprint_ds(ds).to_pandas().set_index("doc_id")["fingerprint"]
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+    lang = langid_ds(ds).to_pandas().set_index("doc_id")
+    assert lang.loc[0, "lang_pred"] == "en"
+    assert lang.loc[3, "lang_pred"] == "es"
+    assert lang.loc[4, "lang_pred"] == "und"
