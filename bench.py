@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with headline + per-query seconds.
+
+Headline: end-to-end inverted-index build over a deterministic
+Common-Crawl-shaped webpages corpus (input_hint schema), i.e. the
+reference's `-b` path.  ``queries`` adds BM25 query latency (p50/p99)
+and the other catalog pipelines over ``$GRAFT_SF_DIR``.
+
+    python bench.py                # ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)
+    python bench.py --scaling      # same job at 8 and 32 CPUs in fresh
+                                   # processes -> scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS,
+IIB_BENCH_DOCS (default 100000 synthetic webpages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def ensure_bench_corpus(n_docs: int, seed: int = 42) -> str:
+    """Synthesize (once) the webpages parquet corpus used for the build bench."""
+    out = f"/tmp/iib_bench_corpus/n{n_docs}_s{seed}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import pyarrow.parquet as pq
+
+    from invertedindexbuilder_ray.corpus import make_webpages_bulk
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    tbl = make_webpages_bulk(n_docs, seed)
+    shard = max(n_docs // 8, 1)
+    for i in range(0, n_docs, shard):
+        pq.write_table(
+            tbl.slice(i, shard),
+            os.path.join(out, f"part-{i // shard:03d}.parquet"),
+            row_group_size=max(shard // 4, 1),
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("IIB_BENCH_DOCS", "100000"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from invertedindexbuilder_ray.corpus import make_queries
+    from invertedindexbuilder_ray.pipelines.build import build_index
+    from invertedindexbuilder_ray.pipelines.catalog import QUERIES
+    from invertedindexbuilder_ray.pipelines.query import QueryEngine
+    from invertedindexbuilder_ray.sources.webpages import load_webpages
+
+    corpus = ensure_bench_corpus(n_docs)
+    timings: dict[str, float] = {}
+
+    # warm the page cache so we measure compute + shuffle, not first-touch IO
+    import pyarrow.parquet as pq
+
+    for f in sorted(os.listdir(corpus)):
+        if f.endswith(".parquet"):
+            pq.read_table(os.path.join(corpus, f))
+
+    # ---- headline: index build (fresh output dir every run)
+    index_dir = f"/tmp/iib_bench_index_{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    man = build_index(
+        load_webpages(corpus),
+        index_dir,
+        num_partitions=max(num_cpus * 2, 16),
+        input_fingerprint=corpus,
+    )
+    build_s = time.perf_counter() - t0
+    timings["index_build"] = round(build_s, 3)
+
+    # ---- query latency over the built index (warm engine, serial timing)
+    eng = QueryEngine(index_dir, conformance=True)
+    lat = []
+    qset = make_queries()
+    t0 = time.perf_counter()
+    for q in qset * 8:
+        s = time.perf_counter()
+        eng.search(q["terms"], q["k"], q["mode"])
+        lat.append(time.perf_counter() - s)
+    timings["query_batch"] = round(time.perf_counter() - t0, 3)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(int(len(lat) * 0.99), len(lat) - 1)]
+
+    # ---- catalog pipelines over the sf dir
+    for name in [
+        "postings", "term_stats", "bm25_all_or", "dedup_minhash",
+        "dedup_simhash", "knn_cosine", "quality", "dedup_exact",
+    ]:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "index_build_sec",
+        "value": timings["index_build"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "bench_docs": n_docs,
+        "docs_per_sec": round(man.n_docs / build_s, 1),
+        "n_docs_indexed": man.n_docs,
+        "distinct_terms": man.stats["distinct_terms"],
+        "total_postings": man.stats["total_postings"],
+        "index_bytes": man.stats["index_bytes"],
+        "query_p50_ms": round(p50 * 1000, 3),
+        "query_p99_ms": round(p99 * 1000, 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same build job at two parallelism levels in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "query_p50_ms": hi["query_p50_ms"],
+        "query_p99_ms": hi["query_p99_ms"],
+        "bench_docs": hi["bench_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -92,6 +92,49 @@ def make_webpages(n_rows: int, seed: int = SEED) -> pa.Table:
     )
 
 
+def make_webpages_bulk(n_rows: int, seed: int = SEED) -> pa.Table:
+    """Vectorized generator for BENCH-scale corpora (same input_hint shape).
+
+    Statistically similar to :func:`make_webpages` (hot terms, rare terms,
+    5% non-'h' urls, ~70% alnum-ending texts) but generated with numpy so
+    hundreds of thousands of rows synthesize in seconds.  The ``html``
+    ballast is a fixed small wrapper — the engine never reads it (column
+    pruning), it only has to exist in the schema.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pool = np.array(WORD_POOL + _HOT * (len(WORD_POOL) // 3), dtype=object)
+    n_words = rng.integers(5, 61, size=n_rows)
+    total = int(n_words.sum())
+    words = pool[rng.integers(0, len(pool), size=total)]
+    bounds = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_words, out=bounds[1:])
+    trailing_punct = rng.random(n_rows) >= 0.7
+    texts = []
+    for i in range(n_rows):
+        t = " ".join(words[bounds[i] : bounds[i + 1]])
+        texts.append(t + "." if trailing_punct[i] else t)
+    is_ftp = rng.random(n_rows) < 0.05
+    urls = [
+        (f"ftp://site{i:07d}.example.com/p{i}" if is_ftp[i]
+         else f"http://site{i:07d}.example.com/p{i}")
+        for i in range(n_rows)
+    ]
+    base = datetime.datetime(2025, 1, 1)
+    tss = [base + datetime.timedelta(seconds=int(i)) for i in range(n_rows)]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array([b"<html/>"] * n_rows, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n_rows, pa.string()),
+        },
+        schema=WEBPAGES_SCHEMA,
+    )
+
+
 def make_queries(seed: int = SEED) -> list[dict]:
     """The conformance query set (FIXTURES.md §2): mode 0=AND, 1=OR."""
     rng = random.Random(seed + 1)

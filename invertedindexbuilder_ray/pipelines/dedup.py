@@ -74,12 +74,29 @@ def _explode_bands(batch: pa.Table, *, bands: int, num_perm: int) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(group["doc_id"].to_numpy())[:MAX_BUCKET]
-    if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-    a, b = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+N_SHARDS = 64
+
+
+def _shard_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Pairs for EVERY bucket in one shard (avoids per-tiny-bucket
+    map_groups overhead: one Python call handles thousands of buckets)."""
+    df = group.sort_values(["band_key", "doc_id"])
+    keys = df["band_key"].to_numpy()
+    ids = df["doc_id"].to_numpy()
+    bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+    out_a, out_b = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        sub = ids[s:e][:MAX_BUCKET]
+        a, b = np.triu_indices(len(sub), k=1)
+        out_a.append(sub[a])
+        out_b.append(sub[b])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    )
 
 
 def minhash_candidate_pairs(
@@ -92,13 +109,19 @@ def minhash_candidate_pairs(
     parquet checkpoint instead of an object-store pin.
     """
     sigs = minhash_signature_ds(source, num_perm=num_perm, k=k).materialize()
-    bands_ds = sigs.map_batches(
-        lambda b: _explode_bands(b, bands=bands, num_perm=num_perm),
-        batch_format="pyarrow",
-    )
+
+    def explode_with_shard(b: pa.Table) -> pa.Table:
+        t = _explode_bands(b, bands=bands, num_perm=num_perm)
+        shard = (
+            t["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+            % np.uint64(N_SHARDS)
+        ).astype(np.int64)
+        return t.append_column("shard", pa.array(shard, pa.int64()))
+
+    bands_ds = sigs.map_batches(explode_with_shard, batch_format="pyarrow")
     pairs = (
-        bands_ds.groupby("band_key")
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        bands_ds.groupby("shard")
+        .map_groups(_shard_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(rd.aggregate.Count(alias_name="n_bands"))
     )
@@ -252,31 +275,53 @@ def simhash_dedup_pairs(
             keys.append(chunk * 4 + band)
             docs.append(doc_ids)
             hashes.append(h.view(np.int64))
+        bkey = np.concatenate(keys)
         return pa.table(
             {
-                "bkey": pa.array(np.concatenate(keys), pa.int64()),
+                "bkey": pa.array(bkey, pa.int64()),
+                "shard": pa.array(bkey % N_SHARDS, pa.int64()),
                 "doc_id": pa.array(np.concatenate(docs), pa.int64()),
                 "simhash": pa.array(np.concatenate(hashes), pa.int64()),
             }
         )
 
-    def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id").head(MAX_BUCKET)
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().view(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype("int64")
-        a, b = np.triu_indices(len(ids), k=1)
-        hd = sketch.hamming64(hs[a], hs[b])
-        keep = hd <= max_hamming
+    def shard_verify(group: pd.DataFrame) -> pd.DataFrame:
+        df = group.sort_values(["bkey", "doc_id"])
+        keys = df["bkey"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        hs = df["simhash"].to_numpy().view(np.uint64)
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            sub, subh = ids[s:e][:MAX_BUCKET], hs[s:e][:MAX_BUCKET]
+            a, b = np.triu_indices(len(sub), k=1)
+            hd = sketch.hamming64(subh[a], subh[b])
+            keep = hd <= max_hamming
+            out_a.append(sub[a][keep])
+            out_b.append(sub[b][keep])
+            out_h.append(hd[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
         return pd.DataFrame(
-            {"doc_a": ids[a][keep], "doc_b": ids[b][keep], "hamming": hd[keep]}
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
         )
 
     pairs = (
         sims.map_batches(explode, batch_format="pyarrow")
-        .groupby("bkey")
-        .map_groups(bucket_verify, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(shard_verify, batch_format="pandas")
     )
     # a pair can match in several bands -> dedupe
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
