@@ -53,6 +53,25 @@ def ensure_bench_corpus(n_docs: int, seed: int = 42) -> str:
     return out
 
 
+def bench_queries() -> list[dict]:
+    """Deterministic query mix over the Zipf bench vocabulary (w0, w1, ...)."""
+    specs = [
+        ("w3", 0, 10), ("w3", 1, 10),                      # hot single
+        ("w1 w17 w390", 0, 10), ("w1 w17 w390", 1, 10),    # hot+mid
+        ("w100 w2000", 0, 10), ("w100 w2000", 1, 10),      # mid
+        ("w5 w50 w500 w5000", 0, 10), ("w5 w50 w500 w5000", 1, 10),
+        ("w12345 w3", 0, 5), ("w12345 w3", 1, 5),          # tail+hot
+        ("w40000x9", 0, 5), ("w40000x9", 1, 5),            # deep tail
+        ("missingterm", 0, 5),                             # not in lexicon
+        ("w2 w7", 0, 10), ("w2 w7", 1, 10),                # two hot
+        ("w9 w99 w999 w9999", 1, 10),
+    ]
+    return [
+        {"query_id": i, "terms": t, "mode": m, "k": k}
+        for i, (t, m, k) in enumerate(specs)
+    ]
+
+
 def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,7 +92,6 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    from invertedindexbuilder_ray.corpus import make_queries
     from invertedindexbuilder_ray.pipelines.build import build_index
     from invertedindexbuilder_ray.pipelines.catalog import QUERIES
     from invertedindexbuilder_ray.pipelines.query import QueryEngine
@@ -102,12 +120,14 @@ def run_bench() -> dict:
     build_s = time.perf_counter() - t0
     timings["index_build"] = round(build_s, 3)
 
-    # ---- query latency over the built index (warm engine, serial timing)
+    # ---- query latency over the built index (warm engine, serial timing).
+    # Query mix spans the Zipf vocabulary: hot head (multi-block lists,
+    # negative IDF), mid ranks, tail, missing terms, mixed AND/OR.
     eng = QueryEngine(index_dir, conformance=True)
+    qset = bench_queries()
     lat = []
-    qset = make_queries()
     t0 = time.perf_counter()
-    for q in qset * 8:
+    for q in qset * 4:
         s = time.perf_counter()
         eng.search(q["terms"], q["k"], q["mode"])
         lat.append(time.perf_counter() - s)

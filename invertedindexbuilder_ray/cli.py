@@ -1,0 +1,125 @@
+"""CLI driver — the engine's equivalent of the reference's ``./main -b / -q``
+(/root/reference/src/main.c:310-502), runnable under ``ray job submit``:
+
+    python -m invertedindexbuilder_ray build --input DIR --out IDX \
+        [--format webpages|documents] [--partitions P] [--prefix-fraction 0.3]
+    python -m invertedindexbuilder_ray query --index IDX --terms "a b c" \
+        [--k 10] [--mode and|or] [--algorithm wand] [--conformance]
+    python -m invertedindexbuilder_ray repl --index IDX
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(
+            address="local", include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR", **kwargs,
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.build import build_index
+    from .sources.documents import load_documents
+    from .sources.webpages import load_webpages
+
+    if args.format == "webpages":
+        ds = load_webpages(args.input, prefix_fraction=args.prefix_fraction)
+    else:
+        ds = load_documents(args.input)
+    man = build_index(
+        ds,
+        args.out,
+        num_partitions=args.partitions,
+        input_fingerprint=args.input,
+        resume=not args.no_resume,
+    )
+    print(json.dumps({"n_docs": man.n_docs, **man.stats}))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.query import CONJUNCTIVE, DISJUNCTIVE, QueryEngine
+
+    eng = QueryEngine(args.index, conformance=args.conformance)
+    mode = CONJUNCTIVE if args.mode == "and" else DISJUNCTIVE
+    hits = eng.search(args.terms, args.k, mode, algorithm=args.algorithm)
+    for h in hits:
+        print(f"[{h['rank']}]\t{h['url']}\nBM25: \t{h['score']:.6f}\n")
+    if not hits:
+        print("No result found.")
+    return 0
+
+
+def cmd_repl(args) -> int:
+    """Interactive loop mirroring the reference's ``q()`` REPL."""
+    _init_ray(args.num_cpus)
+    from .pipelines.query import CONJUNCTIVE, DISJUNCTIVE, QueryEngine
+
+    eng = QueryEngine(args.index, conformance=args.conformance)
+    print("Ready. Lines:  <k> <and|or> <terms...>   (Ctrl-D to exit)")
+    for line in sys.stdin:
+        parts = line.split(None, 2)
+        if len(parts) < 3:
+            print("usage: <k> <and|or> <terms...>")
+            continue
+        k, mode_s, terms = int(parts[0]), parts[1], parts[2]
+        mode = CONJUNCTIVE if mode_s == "and" else DISJUNCTIVE
+        for h in eng.search(terms, k, mode):
+            print(f"[{h['rank']}]\t{h['url']}\nBM25: \t{h['score']:.6f}\n")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="invertedindexbuilder_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--format", choices=["webpages", "documents"], default="webpages")
+    b.add_argument("--partitions", type=int, default=16)
+    b.add_argument(
+        "--prefix-fraction", type=float, default=None,
+        help="index only the first fraction of input bytes (reference -p)",
+    )
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--terms", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["and", "or"], default="and")
+    q.add_argument("--algorithm", choices=["wand"], default=None)
+    q.add_argument("--conformance", action="store_true", default=True)
+    q.add_argument("--correct", dest="conformance", action="store_false")
+    q.set_defaults(fn=cmd_query)
+
+    r = sub.add_parser("repl")
+    r.add_argument("--index", required=True)
+    r.add_argument("--conformance", action="store_true", default=True)
+    r.set_defaults(fn=cmd_repl)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -92,22 +92,31 @@ def make_webpages(n_rows: int, seed: int = SEED) -> pa.Table:
     )
 
 
-def make_webpages_bulk(n_rows: int, seed: int = SEED) -> pa.Table:
+def make_webpages_bulk(n_rows: int, seed: int = SEED, vocab_size: int = 50_000) -> pa.Table:
     """Vectorized generator for BENCH-scale corpora (same input_hint shape).
 
-    Statistically similar to :func:`make_webpages` (hot terms, rare terms,
-    5% non-'h' urls, ~70% alnum-ending texts) but generated with numpy so
-    hundreds of thousands of rows synthesize in seconds.  The ``html``
-    ballast is a fixed small wrapper — the engine never reads it (column
-    pruning), it only has to exist in the schema.
+    Words follow a Zipf-like distribution over ``vocab_size`` distinct
+    terms — the realistic regime (MS MARCO: 3.2M docs, 19.8M terms): a
+    hot head (negative IDF, multi-block posting lists) and a long tail,
+    so query latency and lexicon size behave like webtext instead of a
+    toy vocabulary.  5% non-'h' urls and ~30% punctuation-ending texts
+    keep the parser quirks exercised.  The ``html`` ballast is a fixed
+    wrapper — the engine never reads it (column pruning).
     """
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    pool = np.array(WORD_POOL + _HOT * (len(WORD_POOL) // 3), dtype=object)
+    pool = np.array(
+        [f"w{i}" if i % 7 else f"w{i}x9" for i in range(vocab_size)], dtype=object
+    )
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = 1.0 / (ranks + 2.7) ** 1.07
+    probs /= probs.sum()
+    cdf = np.cumsum(probs)
     n_words = rng.integers(5, 61, size=n_rows)
     total = int(n_words.sum())
-    words = pool[rng.integers(0, len(pool), size=total)]
+    word_ids = np.searchsorted(cdf, rng.random(total))
+    words = pool[word_ids]
     bounds = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(n_words, out=bounds[1:])
     trailing_punct = rng.random(n_rows) >= 0.7

@@ -106,6 +106,33 @@ def build_index(rows: list[dict], *, text_only_docs: bool = False) -> OracleInde
     return idx
 
 
+SNIPPET_LENGTH = 512
+
+
+def generate_snippet(text: str, terms: list[str]) -> str:
+    """Reference snippet semantics (src/query.c:175-229), text-column based.
+
+    512-byte windows, stride 512, over the body (the reference scans after
+    the URL line; our input IS the body).  A window's score counts tokens
+    (terminated inside the window, len <= 15) equal to any query term.
+    ``max_score`` is never updated in the reference, so the LAST window
+    with score > 0 wins; windows shorter than 512 bytes are never scanned
+    (the loop guard requires a full window).  Returns "" if no window
+    scores.
+    """
+    data = text.encode("utf-8")
+    term_set = set(terms)
+    snippet = b""
+    for start in range(0, len(data), SNIPPET_LENGTH):
+        if start + SNIPPET_LENGTH >= len(data):
+            break
+        window = data[start : start + SNIPPET_LENGTH]
+        score = sum(1 for tok in tokenize(window) if tok in term_set)
+        if score > 0:
+            snippet = window[: SNIPPET_LENGTH - 1]
+    return snippet.decode("utf-8", errors="replace")
+
+
 class _Cursor:
     """Forward-only destructive posting stream (quirk Q-C).
 

@@ -44,17 +44,25 @@ POSTINGS_DIR = "postings"
 PARTS_META_DIR = "parts_meta"
 
 
+DOC_ROWS_PARTITION = -1  # hive partition holding the doc-table rows
+
+
 class TokenizePostings:
     """Actor-pool stage: (doc_id, url, text, dl) batches -> combined rows.
 
-    Emits posting rows ``(term, doc_id, tf, dl)`` plus one doc row per
-    document with ``term = null`` carrying ``(doc_id, dl, url)`` — a
-    single output stream so the corpus is scanned exactly once; the two
-    row kinds are split downstream by a null filter on the checkpoint
-    (cheap: parquet predicate pushdown).
+    Emits posting rows ``(term, doc_id, tf, dl, partition)`` plus one doc
+    row per document (``term = null``, ``partition = -1``) carrying
+    ``(doc_id, dl, url)`` — a single output stream so the corpus is
+    scanned exactly once.  ``partition = fnv(term) % P`` is assigned
+    HERE, before the checkpoint, so the checkpoint write doubles as the
+    shuffle: it is hive-partitioned on this column and each index
+    partition is then built from its own directory with no groupby
+    operator at all (a map-side shuffle through the filesystem — the
+    same layout a multi-node build would use on shared storage).
     """
 
-    def __init__(self, *, drop_trailing: bool = True):
+    def __init__(self, num_partitions: int, *, drop_trailing: bool = True):
+        self.num_partitions = num_partitions
         self.drop_trailing = drop_trailing
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -69,6 +77,7 @@ class TokenizePostings:
         # batch's doc_ids (ascending within batch by construction) maps back
         pos = np.searchsorted(doc_ids, p_docs)
         p_dls = dls[pos]
+        part = hashing.term_partition(terms, self.num_partitions).astype(np.int32)
         term_col = pa.concat_arrays([terms, pa.nulls(n_d, pa.string())])
         doc_col = pa.array(np.concatenate([p_docs, doc_ids]), pa.int64())
         tf_col = pa.concat_arrays(
@@ -78,6 +87,12 @@ class TokenizePostings:
         url_col = pa.concat_arrays(
             [pa.nulls(n_p, pa.string()), batch["url"].combine_chunks()]
         )
+        part_col = pa.array(
+            np.concatenate(
+                [part, np.full(n_d, DOC_ROWS_PARTITION, dtype=np.int32)]
+            ),
+            pa.int32(),
+        )
         return pa.table(
             {
                 "term": term_col,
@@ -85,13 +100,9 @@ class TokenizePostings:
                 "tf": tf_col,
                 "dl": dl_col,
                 "url": url_col,
+                "partition": part_col,
             }
         )
-
-
-def _add_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
-    part = hashing.term_partition(batch["term"], num_partitions)
-    return batch.append_column("partition", pa.array(part, pa.int32()))
 
 
 class BuildPartition:
@@ -104,15 +115,23 @@ class BuildPartition:
     is skipped entirely.
     """
 
-    def __init__(self, out_dir: str, n_docs: int, d_avr: float, block_max: bool):
+    def __init__(
+        self, out_dir: str, ckpt_dir: str, n_docs: int, d_avr: float,
+        block_max: bool, segment_max_postings: int = 1_000_000,
+    ):
         self.out_dir = out_dir
+        self.ckpt_dir = ckpt_dir
         self.n_docs = n_docs
         self.d_avr = d_avr
         self.block_max = block_max
+        self.segment_max_postings = segment_max_postings
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._build_one(int(pid)) for pid in batch["pid"].to_pylist()]
+        return pa.concat_tables(out)
+
+    def _build_one(self, pid: int) -> pa.Table:
         t0 = time.perf_counter()
-        pid = int(group["partition"][0].as_py())
         blob_path = os.path.join(self.out_dir, POSTINGS_DIR, f"part-{pid:05d}.bin")
         lex_path = os.path.join(self.out_dir, LEXICON_DIR, f"part-{pid:05d}.parquet")
         meta_path = os.path.join(self.out_dir, PARTS_META_DIR, f"part-{pid:05d}.json")
@@ -122,6 +141,36 @@ class BuildPartition:
             meta["skipped"] = True
             return pa.table({"partition": [pid], "metrics": [json.dumps(meta)]})
 
+        import pyarrow.dataset as pads
+
+        part_dir = os.path.join(self.ckpt_dir, f"partition={pid}")
+        if not os.path.isdir(part_dir):
+            meta = {"partition": pid, "rows": 0, "n_terms": 0, "blob_bytes": 0,
+                    "wall_s": 0.0, "skipped": False}
+            mf.atomic_write_bytes(blob_path, b"")
+            import pyarrow.parquet as pq
+
+            os.makedirs(os.path.dirname(lex_path), exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "term": pa.array([], pa.string()),
+                        "df": pa.array([], pa.int64()),
+                        "seg": pa.array([], pa.int32()),
+                        "seg_df": pa.array([], pa.int64()),
+                        "first_doc": pa.array([], pa.int64()),
+                        "partition": pa.array([], pa.int32()),
+                        "offset": pa.array([], pa.int64()),
+                        "nbytes": pa.array([], pa.int64()),
+                        "max_score": pa.array([], pa.float32()),
+                    }
+                ),
+                lex_path,
+            )
+            mf.atomic_write_json(meta_path, meta)
+            return pa.table({"partition": [pid], "metrics": [json.dumps(meta)]})
+
+        group = pads.dataset(part_dir).to_table(columns=["term", "doc_id", "tf", "dl"])
         tbl = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
         terms = tbl["term"].combine_chunks()
         doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
@@ -136,21 +185,48 @@ class BuildPartition:
         term_starts = np.concatenate([[0], changes, [len(codes)]]).astype(np.int64)
         uniq_terms = dict_arr.dictionary.to_pylist()
 
+        # heavy-hitter split: a term with df > segment_max_postings is cut
+        # into doc-range segments, each an independent list (its own delta
+        # base and skip tables).  The reader stitches segments in doc order,
+        # so no worker ever needs a whole hot list in memory; IDF/block-max
+        # still use the TERM-TOTAL df via score_dfs.
+        seg_terms: list[str] = []
+        seg_starts: list[int] = [0]
+        seg_no: list[int] = []
+        seg_total_df: list[int] = []
+        smax = self.segment_max_postings
+        for i, t in enumerate(uniq_terms):
+            s, e = int(term_starts[i]), int(term_starts[i + 1])
+            df_total = e - s
+            n_segs = max(1, (df_total + smax - 1) // smax) if smax else 1
+            size = (df_total + n_segs - 1) // n_segs
+            for j in range(n_segs):
+                seg_terms.append(t)
+                seg_starts.append(min(s + (j + 1) * size, e))
+                seg_no.append(j)
+                seg_total_df.append(df_total)
+        seg_starts_arr = np.array(seg_starts, dtype=np.int64)
+
         enc = compress.encode_term_lists(
-            uniq_terms,
-            term_starts,
+            seg_terms,
+            seg_starts_arr,
             doc_ids,
             tfs,
             doc_lens=dls,
             n_docs=self.n_docs,
             d_avr=self.d_avr,
             block_max=self.block_max,
+            score_dfs=np.array(seg_total_df, dtype=np.int64),
         )
         mf.atomic_write_bytes(blob_path, enc.blob)
+        first_docs = doc_ids[seg_starts_arr[:-1]] if len(doc_ids) else np.array([], np.int64)
         lex_tbl = pa.table(
             {
                 "term": pa.array(enc.terms, pa.string()),
-                "df": pa.array(enc.dfs, pa.int64()),
+                "df": pa.array(np.array(seg_total_df, np.int64), pa.int64()),
+                "seg": pa.array(np.array(seg_no, np.int32), pa.int32()),
+                "seg_df": pa.array(enc.dfs, pa.int64()),
+                "first_doc": pa.array(first_docs, pa.int64()),
                 "partition": pa.array(np.full(len(enc.terms), pid), pa.int32()),
                 "offset": pa.array(enc.offsets, pa.int64()),
                 "nbytes": pa.array(enc.nbytes, pa.int64()),
@@ -199,6 +275,7 @@ def build_index(
     resume: bool = True,
     tokenize_concurrency: int | None = None,
     input_fingerprint: str = "",
+    segment_max_postings: int = 1_000_000,
 ) -> IndexManifest:
     """Build a full index at ``out_dir`` from a (doc_id, url, text, dl) Dataset.
 
@@ -207,23 +284,35 @@ def build_index(
     """
     os.makedirs(out_dir, exist_ok=True)
     ckpt = os.path.join(out_dir, CKPT_DIR)
+    phase_s: dict[str, float] = {}
+    t_phase = time.perf_counter()
 
-    # ---- Phase 1: parse/tokenize -> checkpoint (skipped wholesale on resume)
+    def _lap(name: str) -> None:
+        nonlocal t_phase
+        phase_s[name] = round(time.perf_counter() - t_phase, 3)
+        t_phase = time.perf_counter()
+
+    # ---- Phase 1: parse/tokenize -> hive-partitioned checkpoint.  The write
+    # IS the shuffle: rows land in partition=<fnv(term)%P>/ dirs (doc rows in
+    # partition=-1/), so phase 3 builds each partition from its own directory
+    # with zero groupby.  Skipped wholesale on resume.
     if not (resume and mf.is_complete(ckpt)):
         combined = source_ds.map_batches(
-            TokenizePostings(drop_trailing=drop_trailing),
+            TokenizePostings(num_partitions, drop_trailing=drop_trailing),
             batch_format="pyarrow",
             zero_copy_batch=True,
             **({"concurrency": tokenize_concurrency} if tokenize_concurrency else {}),
         )
-        combined.write_parquet(ckpt)
+        combined.write_parquet(ckpt, partition_cols=["partition"])
         mf.mark_complete(ckpt)
+    _lap("parse_tokenize_ckpt")
 
-    # ---- Phase 2: docs table + global stats (tiny aggregate)
+    # ---- Phase 2: docs table + global stats (reads only partition=-1)
     docs_dir = os.path.join(out_dir, DOCS_DIR)
+    doc_rows_dir = os.path.join(ckpt, f"partition={DOC_ROWS_PARTITION}")
     docs_ds = rd.read_parquet(
-        ckpt, columns=["term", "doc_id", "dl", "url"], filter=pc.field("term").is_null()
-    ).select_columns(["doc_id", "dl", "url"])
+        doc_rows_dir, columns=["doc_id", "dl", "url"]
+    )
     if not (resume and mf.is_complete(docs_dir)):
         docs_ds.write_parquet(docs_dir)
         mf.mark_complete(docs_dir)
@@ -235,33 +324,21 @@ def build_index(
     sum_dl = int(stats["sum(dl)"] or 0)
     max_doc_id = int(stats["max(doc_id)"]) + 1 if n_docs else 0
     d_avr = (sum_dl / (n_docs - 1)) if n_docs > 1 else float(sum_dl)  # quirk Q6
+    _lap("docs_and_stats")
 
-    # ---- Phase 3: the one wide shuffle — postings by hash(term) % P
-    postings_ds = (
-        rd.read_parquet(
-            ckpt,
-            columns=["term", "doc_id", "tf", "dl"],
-            filter=~pc.field("term").is_null(),
-        )
-        .map_batches(
-            lambda b: _add_partition(b, num_partitions),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    # ---- Phase 3: per-partition encode, one task per partition directory
+    builder = BuildPartition(
+        out_dir, ckpt, n_docs, d_avr, block_max, segment_max_postings
     )
-    builder = BuildPartition(out_dir, n_docs, d_avr, block_max)
-
-    def build_partition(group: pa.Table) -> pa.Table:
-        return builder(group)
-
     metrics_rows = (
-        postings_ds.groupby("partition")
-        .map_groups(build_partition, batch_format="pyarrow")
+        rd.from_items([{"pid": p} for p in range(num_partitions)])
+        .map_batches(builder, batch_format="pyarrow", batch_size=1)
         .take_all()
     )
     partitions = {
         str(r["partition"]): json.loads(r["metrics"]) for r in metrics_rows
     }
+    _lap("shuffle_and_encode")
 
     man = IndexManifest(
         n_docs=n_docs,
@@ -276,6 +353,7 @@ def build_index(
             "total_postings": sum(p.get("rows", 0) for p in partitions.values()),
             "distinct_terms": sum(p.get("n_terms", 0) for p in partitions.values()),
             "index_bytes": sum(p.get("blob_bytes", 0) for p in partitions.values()),
+            "phase_seconds": phase_s,
         },
     )
     man.save(out_dir)

@@ -36,6 +36,25 @@ CONJUNCTIVE = 0
 DISJUNCTIVE = 1
 
 
+def _heap_topk(docs: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
+    """Exact replay of the reference rank heap over (doc-ascending) scored
+    candidates, with a safe vectorized prefilter: after the fill phase the
+    heap root only ever rises, so any later doc whose score does not
+    exceed the post-fill root can never enter — skip those in bulk
+    (hot-term queries drop from ~10^5 Python iterations to ~k + survivors).
+    """
+    hp = _RefHeap()
+    n = len(docs)
+    fill = min(k, n)
+    for i in range(fill):
+        _to_rank_heap(hp, int(docs[i]), float(scores[i]), k)
+    if n > fill:
+        root = hp.elem[0][0]
+        for i in (np.flatnonzero(scores[fill:] > root) + fill):
+            _to_rank_heap(hp, int(docs[i]), float(scores[i]), k)
+    return _out_rank_heap(hp)
+
+
 class QueryEngine:
     def __init__(self, index_dir: str, *, conformance: bool = True):
         self.reader = IndexReader(index_dir)
@@ -53,6 +72,8 @@ class QueryEngine:
         # stable sort by df ascending (lvComparator, src/query.c:120,264)
         lists = [c for t in terms if (c := self.reader.open_list(t)) is not None]
         lists.sort(key=lambda c: c.df)
+        for i, c in enumerate(lists):
+            c.order = i
         return lists
 
     def parse_query(self, query: str) -> list[str]:
@@ -65,11 +86,22 @@ class QueryEngine:
         lists = self._open_lists(terms)
         if not lists:
             return []
+        if len(lists) == 1:
+            # single-list AND scores every posting in doc order — in both
+            # conformance and correct semantics — so take the vectorized path
+            return self._score_single_list(lists[0], k)
         return (
             self._conjunctive_conformance(lists, k)
             if self.conformance
             else self._conjunctive_correct(lists, k)
         )
+
+    def _score_single_list(self, c: PostingCursor, k: int) -> list[tuple[int, float]]:
+        r = self.reader
+        docs, tfs = c.decode_all_remaining()
+        dls = r.docs.dl[docs].astype(np.float64)
+        scores = bm25_components(tfs, dls, c.df, r.n_docs, r.d_avr)
+        return _heap_topk(docs, scores, k)
 
     def _conjunctive_conformance(self, lists: list[PostingCursor], k: int):
         max_doc = self.reader.max_doc_id
@@ -95,6 +127,32 @@ class QueryEngine:
         return _out_rank_heap(hp)
 
     def _conjunctive_correct(self, lists: list[PostingCursor], k: int):
+        # dense regime (all lists comparably sized): decode + vectorized
+        # membership beats posting-at-a-time leapfrog; sparse regime (one
+        # short list): leapfrog skips most of the long lists.
+        if lists[-1].df <= 16 * lists[0].df:
+            return self._conjunctive_correct_vectorized(lists, k)
+        return self._conjunctive_correct_leapfrog(lists, k)
+
+    def _conjunctive_correct_vectorized(self, lists: list[PostingCursor], k: int):
+        r = self.reader
+        base_docs, base_tfs = lists[0].decode_all_remaining()
+        dls = r.docs.dl[base_docs].astype(np.float64)
+        total = bm25_components(base_tfs, dls, lists[0].df, r.n_docs, r.d_avr)
+        mask = np.ones(len(base_docs), dtype=bool)
+        for c in lists[1:]:
+            docs_i, tfs_i = c.decode_all_remaining()
+            pos = np.searchsorted(docs_i, base_docs)
+            ok = (pos < len(docs_i)) & (docs_i[np.minimum(pos, len(docs_i) - 1)] == base_docs)
+            mask &= ok
+            sel = np.minimum(pos, len(docs_i) - 1)
+            contrib = bm25_components(
+                tfs_i[sel], r.docs.dl[base_docs].astype(np.float64), c.df, r.n_docs, r.d_avr
+            )
+            total = total + np.where(ok, contrib, 0.0)
+        return _heap_topk(base_docs[mask], total[mask], k)
+
+    def _conjunctive_correct_leapfrog(self, lists: list[PostingCursor], k: int):
         max_doc = self.reader.max_doc_id
         hp = _RefHeap()
         candidate = 0
@@ -134,10 +192,7 @@ class QueryEngine:
         scores_cat = np.concatenate(score_all)
         uniq, inv = np.unique(docs_cat, return_inverse=True)
         sums = np.bincount(inv, weights=scores_cat)
-        hp = _RefHeap()
-        for doc, s in zip(uniq.tolist(), sums.tolist()):
-            _to_rank_heap(hp, doc, s, k)
-        return _out_rank_heap(hp)
+        return _heap_topk(uniq, sums, k)
 
     def wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         """Block-max WAND — rank-identical to :meth:`disjunctive`."""
@@ -170,8 +225,11 @@ class QueryEngine:
                 # per-block bound already can't beat theta
                 bm_ub = sum(max(c.block_max_geq(pivot_doc), 0.0) for c in at_pivot)
                 if hp.size < k or bm_ub > theta:
+                    # sum in df-ascending list order so the float result is
+                    # bit-identical to the exhaustive path's accumulation
                     score = sum(
-                        self._bm25(c.curr_freq, c.df, pivot_doc) for c in at_pivot
+                        self._bm25(c.curr_freq, c.df, pivot_doc)
+                        for c in sorted(at_pivot, key=lambda c: c.order)
                     )
                     _to_rank_heap(hp, pivot_doc, score, k)
                 for c in at_pivot:
@@ -202,6 +260,43 @@ class QueryEngine:
             }
             for i, (doc, score) in enumerate(ranked)
         ]
+
+
+def attach_snippets(
+    results: "rd.Dataset",
+    docs_source: "rd.Dataset",
+    queries: dict[int, list[str]],
+) -> "rd.Dataset":
+    """Join top-k result rows to the corpus text and compute snippets.
+
+    Replaces the reference's byte-offset rescan of the original TREC file
+    (src/query.c:175-229) with a doc_id join against the text column —
+    no raw-corpus byte offsets needed.  ``queries`` maps query_id ->
+    term list (broadcast once via ray.put).
+    """
+    import pandas as pd
+    import ray
+
+    from ..oracle import generate_snippet
+    from .joins import partitioned_hash_join
+
+    j = partitioned_hash_join(
+        results,
+        docs_source.select_columns(["doc_id", "text"]),
+        left_on="doc_id",
+        right_on="doc_id",
+    )
+    qref = ray.put(queries)
+
+    def add(batch: pd.DataFrame) -> pd.DataFrame:
+        qmap = ray.get(qref)
+        batch["snippet"] = [
+            generate_snippet(t, qmap.get(int(q), []))
+            for t, q in zip(batch["text"], batch["query_id"])
+        ]
+        return batch.drop(columns=["text"])
+
+    return j.map_batches(add, batch_format="pandas")
 
 
 class BatchQueryEngine:

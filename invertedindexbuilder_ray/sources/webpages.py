@@ -75,7 +75,10 @@ def _count_kept_batch(batch: pa.Table) -> pa.Table:
 
 def plan_doc_ids(paths: list[str]) -> list[RowGroupPlan]:
     """Prepass: per-row-group kept counts (parallel) -> doc_id bases (driver cumsum)."""
-    plans = list_row_groups(paths)
+    return plan_doc_ids_for(list_row_groups(paths))
+
+
+def plan_doc_ids_for(plans: list[RowGroupPlan]) -> list[RowGroupPlan]:
     items = [{"path": p.path, "row_group": p.row_group} for p in plans]
     counts_tbl = (
         rd.from_items(items)
@@ -134,10 +137,38 @@ class ReadWebpageRowGroup:
         )
 
 
-def load_webpages(path: str | list[str], *, concurrency: int | None = None) -> rd.Dataset:
+def prefix_sample(plans: list[RowGroupPlan], fraction: float) -> list[RowGroupPlan]:
+    """Reference ``-p`` semantics (src/main.c:244-246): truncate the input to
+    the first ``fraction`` of its BYTES — here, whole row groups until the
+    cumulative on-disk size reaches the fraction (deterministic prefix,
+    never a random sample)."""
+    sizes = []
+    for p in plans:
+        meta = pq.ParquetFile(p.path).metadata
+        sizes.append(meta.row_group(p.row_group).total_byte_size)
+    total = sum(sizes)
+    budget = total * fraction
+    out, acc = [], 0
+    for p, s in zip(plans, sizes):
+        if out and acc + s > budget:
+            break
+        out.append(p)
+        acc += s
+    return out
+
+
+def load_webpages(
+    path: str | list[str],
+    *,
+    concurrency: int | None = None,
+    prefix_fraction: float | None = None,
+) -> rd.Dataset:
     """Webpages Parquet -> Dataset of (doc_id, url, text, dl), doc_ids deterministic."""
     paths = resolve_paths(path)
-    plans = plan_doc_ids(paths)
+    plans = list_row_groups(paths)
+    if prefix_fraction is not None:
+        plans = prefix_sample(plans, prefix_fraction)
+    plans = plan_doc_ids_for(plans)
     items = [
         {"path": p.path, "row_group": p.row_group, "doc_id_base": p.doc_id_base}
         for p in plans

@@ -34,7 +34,7 @@ class PostingCursor:
 
     __slots__ = (
         "meta", "max_doc_id", "df", "max_score", "_blk", "_i",
-        "_docs", "_tfs", "curr_doc", "curr_freq", "term",
+        "_docs", "_tfs", "curr_doc", "curr_freq", "term", "order",
     )
 
     def __init__(self, buf: np.ndarray, *, block_max: bool, max_doc_id: int,
@@ -50,6 +50,7 @@ class PostingCursor:
         self._tfs = None
         self.curr_doc = EXHAUSTED   # doc at the cursor (seek semantics)
         self.curr_freq = 0
+        self.order = 0              # position in the engine's df-sorted list set
 
     # -- internals ---------------------------------------------------------
     def _load_block(self, b: int) -> None:
@@ -132,14 +133,94 @@ class PostingCursor:
             start = self._blk + 1
         else:
             start = max(self._blk + 1, 0)
-        prev = int(self.meta.last_docs[start - 1]) if start > 0 else 0
-        for b in range(start, self.meta.n_blocks):
-            d, t = self.meta.decode_block(b, prev)
-            prev = int(self.meta.last_docs[b])
+        d, t = compress.decode_all_blocks(self.meta, start)
+        parts_d.append(d)
+        parts_t.append(t)
+        return np.concatenate(parts_d), np.concatenate(parts_t)
+
+
+class SegmentedCursor:
+    """Stitches a heavy-hitter term's doc-range segments into one logical
+    posting list.  Segments are disjoint ascending doc ranges, each an
+    independently-decodable list (own delta base), so stitching is pure
+    iteration order — no delta rebasing at read time.  Exposes the same
+    interface as :class:`PostingCursor`; ``df`` is the term-total df (the
+    value BM25's ft needs), not any segment's length.
+    """
+
+    __slots__ = ("reader", "term", "df", "max_doc_id", "max_score",
+                 "entries", "_si", "_cur", "curr_doc", "curr_freq", "order")
+
+    def __init__(self, reader: "IndexReader", term: str, df: int, entries):
+        self.reader = reader
+        self.term = term
+        self.df = df
+        self.entries = entries  # sorted by seg number == ascending doc range
+        self.max_doc_id = reader.max_doc_id
+        self.max_score = max(e[4] for e in entries)
+        self._si = 0
+        self._cur = reader._open_segment(term, entries[0])
+        self.curr_doc = EXHAUSTED
+        self.curr_freq = 0
+        self.order = 0
+
+    def _next_segment(self) -> bool:
+        if self._si + 1 >= len(self.entries):
+            return False
+        self._si += 1
+        self._cur = self.reader._open_segment(self.term, self.entries[self._si])
+        return True
+
+    def next_geq(self, k: int) -> int:
+        while True:
+            d = self._cur.next_geq(k)
+            if d < self.max_doc_id:
+                self.curr_doc = d
+                self.curr_freq = self._cur.curr_freq
+                return d
+            if not self._next_segment():
+                self.curr_doc = self.max_doc_id
+                return self.max_doc_id
+
+    def seek_geq(self, k: int) -> int:
+        while True:
+            d = self._cur.seek_geq(k)
+            if d < self.max_doc_id:
+                self.curr_doc = d
+                self.curr_freq = self._cur.curr_freq
+                return d
+            if not self._next_segment():
+                self.curr_doc = self.max_doc_id
+                self.curr_freq = 0
+                return self.max_doc_id
+
+    def advance(self) -> int:
+        d = self._cur.advance()
+        if d < self.max_doc_id:
+            self.curr_doc = d
+            self.curr_freq = self._cur.curr_freq
+            return d
+        if not self._next_segment():
+            self.curr_doc = self.max_doc_id
+            self.curr_freq = 0
+            return self.max_doc_id
+        return self.seek_geq(0)
+
+    def block_max_geq(self, k: int) -> float:
+        # valid (slightly loose) bound: current segment's block bound or any
+        # later segment's whole-segment max
+        bounds = [self._cur.block_max_geq(k)]
+        bounds += [e[4] for e in self.entries[self._si + 1 :]]
+        return max(bounds) if bounds else 0.0
+
+    def decode_all_remaining(self) -> tuple[np.ndarray, np.ndarray]:
+        d0, t0 = self._cur.decode_all_remaining()
+        parts_d, parts_t = [d0], [t0]
+        for e in self.entries[self._si + 1 :]:
+            c = self.reader._open_segment(self.term, e)
+            d, t = c.decode_all_remaining()
             parts_d.append(d)
             parts_t.append(t)
-        if not parts_d:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(parts_d), np.concatenate(parts_t)
 
 
@@ -161,19 +242,24 @@ class IndexReader:
         self.max_doc_id = self.manifest.max_doc_id
         self.block_max = self.manifest.block_max
 
-        self.lexicon: dict[str, tuple[int, int, int, int, float]] = {}
+        # term -> (total_df, [(seg, pid, offset, nbytes, max_score), ...])
+        self.lexicon: dict[str, tuple[int, list[tuple[int, int, int, int, float]]]] = {}
         for path in sorted(glob.glob(os.path.join(index_dir, "lexicon", "part-*.parquet"))):
             t = pq.read_table(path)
             terms = t["term"].to_pylist()
             dfs = t["df"].to_numpy()
+            segs = t["seg"].to_numpy() if "seg" in t.column_names else np.zeros(len(terms), np.int32)
             pids = t["partition"].to_numpy()
             offs = t["offset"].to_numpy()
             nbs = t["nbytes"].to_numpy()
             ms = t["max_score"].to_numpy()
             for i, term in enumerate(terms):
-                self.lexicon[term] = (
-                    int(pids[i]), int(offs[i]), int(nbs[i]), int(dfs[i]), float(ms[i]),
-                )
+                ent = (int(segs[i]), int(pids[i]), int(offs[i]), int(nbs[i]), float(ms[i]))
+                cur = self.lexicon.get(term)
+                if cur is None:
+                    self.lexicon[term] = (int(dfs[i]), [ent])
+                else:
+                    cur[1].append(ent)
 
         self.docs = DocTable.load(os.path.join(index_dir, "docs"), self.max_doc_id)
         self._mmaps: dict[int, np.memmap] = {}
@@ -186,11 +272,17 @@ class IndexReader:
             self._mmaps[pid] = mm
         return mm
 
-    def open_list(self, term: str) -> PostingCursor | None:
+    def open_list(self, term: str):
         ent = self.lexicon.get(term)
         if ent is None:
             return None
-        pid, off, nbytes, _df, max_score = ent
+        df, segments = ent
+        if len(segments) == 1:
+            return self._open_segment(term, segments[0])
+        return SegmentedCursor(self, term, df, sorted(segments))
+
+    def _open_segment(self, term: str, seg: tuple[int, int, int, int, float]) -> PostingCursor:
+        _segno, pid, off, nbytes, max_score = seg
         buf = np.asarray(self._blob(pid)[off : off + nbytes])
         return PostingCursor(
             buf,
