@@ -98,8 +98,10 @@ _INDEX_CACHE: dict[str, str] = {}
 
 def index_for(sf_dir: str) -> str:
     """Build (or reuse) the inverted index for an sf dir's documents table."""
+    from ..state.manifest import FORMAT_VERSION
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    out = f"/tmp/iib_index_cache/{key}"
+    out = f"/tmp/iib_index_cache/v{FORMAT_VERSION}/{key}"
     if _INDEX_CACHE.get(sf_dir) != out or not os.path.exists(
         os.path.join(out, "manifest.json")
     ):
