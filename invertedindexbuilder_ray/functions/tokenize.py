@@ -117,15 +117,26 @@ def token_spans(
 
 
 def _pack_tokens(mapped: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Gather each token into a fixed 16-byte row (zero padded) -> (n, 16) uint8."""
+    """Gather each token into a fixed 16-byte row (zero padded) -> (n, 16) uint8.
+
+    Column-wise gather (16 small 1-D takes) instead of one (n, 16) int64
+    index matrix: ~4x less temporary memory, which matters on lazily
+    faulted VM memory where big fresh allocations are expensive.
+    """
     n = len(starts)
+    out = np.zeros((n, 16), dtype=np.uint8)
     if n == 0:
-        return np.empty((0, 16), dtype=np.uint8)
-    idx = starts[:, None] + np.arange(16, dtype=np.int64)[None, :]
-    np.clip(idx, 0, max(len(mapped) - 1, 0), out=idx)
-    gathered = mapped[idx]
-    mask = np.arange(16, dtype=np.int64)[None, :] < lens[:, None]
-    return np.where(mask, gathered, 0).astype(np.uint8, copy=False)
+        return out
+    limit = len(mapped)
+    for j in range(16):
+        col_idx = starts + j
+        if j > 0:
+            np.minimum(col_idx, limit - 1, out=col_idx)
+        col = mapped[col_idx]
+        if j > 0:
+            col[lens <= j] = 0  # zero padding past each token's end
+        out[:, j] = col
+    return out
 
 
 def _packed_to_string_array(packed_unique: np.ndarray, lens: np.ndarray) -> pa.Array:

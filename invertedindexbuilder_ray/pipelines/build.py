@@ -303,6 +303,11 @@ def build_index(
             zero_copy_batch=True,
             **({"concurrency": tokenize_concurrency} if tokenize_concurrency else {}),
         )
+        # The read -> tokenize -> hive-write chain fuses into single tasks, so
+        # postings NEVER cross the object store (which is a serial ~160 MB/s
+        # resource in this sandbox).  Each task emits one file per partition
+        # value; source row groups should therefore be sized so the task
+        # count stays a small multiple of the worker count.
         combined.write_parquet(ckpt, partition_cols=["partition"])
         mf.mark_complete(ckpt)
     _lap("parse_tokenize_ckpt")

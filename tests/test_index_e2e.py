@@ -101,6 +101,38 @@ def test_disjunctive_and_wand(built_index):
         np.testing.assert_allclose([s for _, s in wand], [s for _, s in got], rtol=1e-12)
 
 
+def test_partial_resume_rebuilds_identical_bytes(built_index, tmp_path):
+    """Kill-and-resume: wipe two partitions' outputs; the resumed build must
+    reproduce them byte-identically from the checkpoint (no re-parse)."""
+    import hashlib
+    import os
+    import shutil
+
+    out, man, _ = built_index
+    victims = [0, 2]
+    before = {}
+    for pid in victims:
+        blob = os.path.join(out, "postings", f"part-{pid:05d}.bin")
+        lex = os.path.join(out, "lexicon", f"part-{pid:05d}.parquet")
+        meta = os.path.join(out, "parts_meta", f"part-{pid:05d}.json")
+        before[pid] = hashlib.md5(open(blob, "rb").read()).hexdigest()
+        os.unlink(blob), os.unlink(lex), os.unlink(meta)
+
+    import ray.data as rd
+
+    def boom(batch):
+        raise RuntimeError("must not re-parse")
+
+    poisoned = rd.from_items([{"doc_id": 0, "url": "h", "text": "x", "dl": 1}]).map_batches(boom)
+    man2 = build_index(poisoned, out, num_partitions=4, resume=True)
+    for pid in victims:
+        blob = os.path.join(out, "postings", f"part-{pid:05d}.bin")
+        assert hashlib.md5(open(blob, "rb").read()).hexdigest() == before[pid]
+        assert man2.partitions[str(pid)]["skipped"] is False
+    for pid in (1, 3):
+        assert man2.partitions[str(pid)]["skipped"] is True
+
+
 def test_resume_skips_completed_partitions(built_index, webpages_medium):
     out, _, _ = built_index
     # rebuilding over the same directory must skip every partition and
