@@ -283,7 +283,7 @@ def q_events_tumbling(sf_dir: str):
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value_raw"))
         .map_batches(
             lambda b: b.append_column(
-                "sum_value", pc.round(b["sum_value_raw"], 6)
+                "sum_value", pc.round(b["sum_value_raw"], 2)
             ).drop_columns(["sum_value_raw"]),
             batch_format="pyarrow",
         )
@@ -294,7 +294,7 @@ SQL_EVENTS_TUMBLING = """
 SELECT event_type,
        (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 6) AS sum_value
+       round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -555,6 +555,24 @@ FROM documents d LEFT JOIN tstats t USING (doc_id)
 )
 
 
+def q_events_sliding(sf_dir: str):
+    from .windows import sliding_window
+
+    return sliding_window(sf_dir)
+
+
+def q_events_sessions(sf_dir: str):
+    from .windows import session_windows
+
+    return session_windows(sf_dir)
+
+
+def _sql_windows():
+    from .windows import sql_session_windows, sql_sliding_window
+
+    return sql_sliding_window(), sql_session_windows()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -581,3 +599,7 @@ QUERIES = {
     "quality": (q_quality, SQL_QUALITY),
     "fingerprint": (q_fingerprint, None),
 }
+
+_sliding_sql, _session_sql = _sql_windows()
+QUERIES["events_sliding"] = (q_events_sliding, _sliding_sql)
+QUERIES["events_sessions"] = (q_events_sessions, _session_sql)

@@ -124,7 +124,7 @@ def minhash_candidate_pairs(
         .map_groups(_shard_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(rd.aggregate.Count(alias_name="n_bands"))
-    )
+    ).materialize()  # tiny after banding; pins so the verify joins don't re-run it
     return pairs, sigs
 
 

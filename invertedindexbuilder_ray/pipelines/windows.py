@@ -1,0 +1,155 @@
+"""Windowed aggregates over the events stream table.
+
+Ray Data has no event-time windowing, so windows are expressed as batch
+transforms (the Ray guide's pattern): tumbling = bucket column + groupby;
+sliding = explode each event to its covering windows, then groupby;
+session = per-key ``map_groups`` over ts-sorted groups with a gap rule.
+Ordering assumption: events within a key fit one group (hash shuffle on
+the key); nothing assumes global ts order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+US_PER_HOUR = 3_600_000_000
+
+
+def _events(sf_dir: str) -> rd.Dataset:
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    return rd.read_parquet(path, columns=["ts", "user_id", "event_type", "value"])
+
+
+def sliding_window(
+    sf_dir: str, *, size_hours: int = 2, slide_hours: int = 1
+) -> rd.Dataset:
+    """Per (event_type, window): count + sum over sliding windows.
+
+    Each event belongs to ``size/slide`` windows; the explode happens
+    vectorized inside ``map_batches`` (no per-row flat_map).
+    """
+    n_windows = size_hours // slide_hours
+    slide_us = slide_hours * US_PER_HOUR
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = us // slide_us  # latest window whose start <= ts
+        types = batch["event_type"].combine_chunks()
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        parts = []
+        for j in range(n_windows):
+            w = base - j
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": types,
+                        "window_start": pa.array(w * slide_hours, pa.int64()),
+                        "value": pa.array(vals, pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    agg = (
+        _events(sf_dir)
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_raw"))
+    )
+    return agg.map_batches(
+        lambda b: b.append_column("sum_value", pc.round(b["sum_raw"], 2)).drop_columns(
+            ["sum_raw"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_sliding_window(size_hours: int = 2, slide_hours: int = 1) -> str:
+    n = size_hours // slide_hours
+    selects = [
+        f"""SELECT event_type,
+                   ((epoch_us(ts) // {slide_hours * US_PER_HOUR}) - {j}) * {slide_hours}
+                       AS window_start,
+                   value
+            FROM events"""
+        for j in range(n)
+    ]
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH exploded AS ({union})
+SELECT event_type, window_start::BIGINT AS window_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+FROM exploded GROUP BY event_type, window_start
+"""
+
+
+def session_windows(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
+    """Per-user sessions: a gap > ``gap_minutes`` starts a new session.
+
+    Classic keyed stream windowing as ``groupby(user).map_groups`` over
+    the ts-sorted group.
+    """
+    gap_us = gap_minutes * 60_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        us = g["ts"].astype("int64").to_numpy()
+        new_session = np.ones(len(us), dtype=bool)
+        new_session[1:] = (us[1:] - us[:-1]) > gap_us
+        sid = np.cumsum(new_session) - 1
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].to_numpy(),
+                    "session_id": sid,
+                    "us": us,
+                    "value": g["value"].to_numpy(),
+                }
+            )
+            .groupby(["user_id", "session_id"], as_index=False)
+            .agg(
+                n_events=("us", "size"),
+                start_us=("us", "min"),
+                end_us=("us", "max"),
+                sum_value=("value", "sum"),
+            )
+        )
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
+
+    return (
+        _events(sf_dir)
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def sql_session_windows(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH ordered AS (
+    SELECT user_id, epoch_us(ts) AS us, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts) > {gap_us}
+                OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+numbered AS (
+    SELECT user_id, us, value,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    FROM ordered
+)
+SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       min(us)::BIGINT AS start_us, max(us)::BIGINT AS end_us,
+       round(sum(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, session_id
+"""
