@@ -315,18 +315,34 @@ def build_index(
     # ---- Phase 2: docs table + global stats (reads only partition=-1)
     docs_dir = os.path.join(out_dir, DOCS_DIR)
     doc_rows_dir = os.path.join(ckpt, f"partition={DOC_ROWS_PARTITION}")
-    docs_ds = rd.read_parquet(
-        doc_rows_dir, columns=["doc_id", "dl", "url"]
-    )
-    if not (resume and mf.is_complete(docs_dir)):
-        docs_ds.write_parquet(docs_dir)
+    if not os.path.isdir(doc_rows_dir):
+        # every input doc was filtered out (or the corpus was empty): no doc
+        # rows were ever written — synthesize an empty docs table
+        import pyarrow.parquet as _pq
+
+        os.makedirs(docs_dir, exist_ok=True)
+        _pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
+                    "url": pa.array([], pa.string()),
+                }
+            ),
+            os.path.join(docs_dir, "empty.parquet"),
+        )
+        mf.mark_complete(docs_dir)
+    elif not (resume and mf.is_complete(docs_dir)):
+        rd.read_parquet(doc_rows_dir, columns=["doc_id", "dl", "url"]).write_parquet(
+            docs_dir
+        )
         mf.mark_complete(docs_dir)
     stats = (
         rd.read_parquet(docs_dir, columns=["doc_id", "dl"])
         .aggregate(Count(), Sum("dl"), Max("doc_id"))
-    )
-    n_docs = int(stats["count()"])
-    sum_dl = int(stats["sum(dl)"] or 0)
+    ) or {}
+    n_docs = int(stats.get("count()") or 0)
+    sum_dl = int(stats.get("sum(dl)") or 0)
     max_doc_id = int(stats["max(doc_id)"]) + 1 if n_docs else 0
     d_avr = (sum_dl / (n_docs - 1)) if n_docs > 1 else float(sum_dl)  # quirk Q6
     _lap("docs_and_stats")
