@@ -48,10 +48,17 @@ def _heap_topk(docs: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, 
     fill = min(k, n)
     for i in range(fill):
         _to_rank_heap(hp, int(docs[i]), float(scores[i]), k)
-    if n > fill:
-        root = hp.elem[0][0]
-        for i in (np.flatnonzero(scores[fill:] > root) + fill):
+    # chunked threshold refresh: a doc whose score <= the root at its chunk's
+    # start can never enter (the root only rises), so each chunk is filtered
+    # against the CURRENT root — adaptive pruning, exact replay for the rest
+    pos = fill
+    CHUNK = 8192
+    while pos < n:
+        end = min(pos + CHUNK, n)
+        root = hp.elem[0][0] if hp.size >= k else float("-inf")
+        for i in (np.flatnonzero(scores[pos:end] > root) + pos):
             _to_rank_heap(hp, int(docs[i]), float(scores[i]), k)
+        pos = end
     return _out_rank_heap(hp)
 
 
@@ -105,6 +112,13 @@ class QueryEngine:
 
     def _conjunctive_conformance(self, lists: list[PostingCursor], k: int):
         max_doc = self.reader.max_doc_id
+        # the lead list drives ~df[0] probes into every other list; when that
+        # touches most of a hot list's blocks, one bulk decode is cheaper
+        # than thousands of per-block decodes (semantics identical)
+        for c in lists[1:]:
+            meta = getattr(c, "meta", None)
+            if meta is not None and lists[0].df >= meta.n_blocks:
+                c.preload()
         hp = _RefHeap()
         did = 0
         d = 0  # deliberately persists across iterations (reference stale local)
@@ -190,8 +204,17 @@ class QueryEngine:
             docs_all.append(docs)
         docs_cat = np.concatenate(docs_all)
         scores_cat = np.concatenate(score_all)
-        uniq, inv = np.unique(docs_cat, return_inverse=True)
-        sums = np.bincount(inv, weights=scores_cat)
+        max_doc = self.reader.max_doc_id
+        if max_doc <= 16 * len(docs_cat) + (1 << 20):
+            # dense doc-id space: O(n + N) bincount beats the O(n log n) sort
+            # (bincount accumulates in input order -> identical float sums)
+            sums_dense = np.bincount(docs_cat, weights=scores_cat, minlength=max_doc)
+            present = np.bincount(docs_cat, minlength=max_doc) > 0
+            uniq = np.flatnonzero(present)
+            sums = sums_dense[uniq]
+        else:
+            uniq, inv = np.unique(docs_cat, return_inverse=True)
+            sums = np.bincount(inv, weights=scores_cat)
         return _heap_topk(uniq, sums, k)
 
     def wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:

@@ -35,6 +35,7 @@ class PostingCursor:
     __slots__ = (
         "meta", "max_doc_id", "df", "max_score", "_blk", "_i",
         "_docs", "_tfs", "curr_doc", "curr_freq", "term", "order",
+        "_preloaded",
     )
 
     def __init__(self, buf: np.ndarray, *, block_max: bool, max_doc_id: int,
@@ -51,8 +52,23 @@ class PostingCursor:
         self.curr_doc = EXHAUSTED   # doc at the cursor (seek semantics)
         self.curr_freq = 0
         self.order = 0              # position in the engine's df-sorted list set
+        self._preloaded = False
 
     # -- internals ---------------------------------------------------------
+    def preload(self) -> None:
+        """Bulk-decode the whole list once; iteration semantics unchanged.
+
+        Worth it when a caller will touch most blocks anyway (dense DAAT
+        against a hot list): one vectorized pass replaces thousands of
+        per-block decodes.  Only valid before any iteration has started.
+        """
+        if self._preloaded or self._blk >= 0:
+            return
+        self._docs, self._tfs = compress.decode_all_blocks(self.meta, 0)
+        self._blk = 0
+        self._i = 0
+        self._preloaded = True
+
     def _load_block(self, b: int) -> None:
         prev = int(self.meta.last_docs[b - 1]) if b > 0 else 0
         self._docs, self._tfs = self.meta.decode_block(b, prev)
@@ -62,6 +78,12 @@ class PostingCursor:
     def _position_geq(self, k: int) -> bool:
         """Move the (block, i) position to the first remaining posting with
         doc >= k.  Returns False when exhausted."""
+        if self._preloaded:
+            j = self._i + int(np.searchsorted(self._docs[self._i:], k))
+            if j < len(self._docs):
+                self._i = j
+                return True
+            return False
         if self._blk >= 0 and self._i < len(self._docs) and self.meta.last_docs[self._blk] >= k:
             j = self._i + int(np.searchsorted(self._docs[self._i:], k))
             if j < len(self._docs):
@@ -126,6 +148,8 @@ class PostingCursor:
 
     def decode_all_remaining(self) -> tuple[np.ndarray, np.ndarray]:
         """Bulk-decode from the current position to the end (vectorized OR path)."""
+        if self._preloaded:
+            return self._docs[self._i:], self._tfs[self._i:]
         parts_d, parts_t = [], []
         if self._blk >= 0 and self._i < len(self._docs):
             parts_d.append(self._docs[self._i:])
