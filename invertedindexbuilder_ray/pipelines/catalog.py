@@ -486,6 +486,15 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Connected components over the minhash near-dup pairs (rows-only:
+    label propagation is iterative, not SQL-expressible)."""
+    from .dedup import dedup_clusters, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(sf_dir, threshold=0.5)
+    return dedup_clusters(pairs, load_documents(sf_dir))
+
+
 def q_ann_lsh(sf_dir: str):
     from .similarity import ann_lsh
 
@@ -593,6 +602,7 @@ QUERIES = {
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, None),
+    "dedup_clusters": (q_dedup_clusters, None),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_lsh": (q_ann_lsh, None),
     "langid": (q_langid, None),

@@ -188,7 +188,11 @@ def dedup_clusters(pairs: rd.Dataset, docs: rd.Dataset, *, max_rounds: int = 10)
     """Connected components by iterative min-label propagation (all in Ray;
     no driver union-find).  Converges in <= diameter rounds; duplicate
     clusters are tiny so max_rounds=10 is generous."""
-    edges = pairs.select_columns(["doc_a", "doc_b"])
+    edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "lbl": pa.array([], pa.int64())})
+        )
 
     def sym(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -203,6 +207,7 @@ def dedup_clusters(pairs: rd.Dataset, docs: rd.Dataset, *, max_rounds: int = 10)
         )
 
     sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    del edges
     # label(node) starts as node id; each round: label = min(label, min nbr label)
     labels = sym_edges.groupby("node").aggregate(rd.aggregate.Min("nbr", alias_name="lbl"))
     labels = labels.map_batches(
