@@ -222,6 +222,10 @@ class QueryEngine:
         lists = self._open_lists(terms)
         if not lists:
             return []
+        if len(lists) == 1:
+            # single list: WAND degenerates to scoring every posting —
+            # identical result via the vectorized path
+            return self._score_single_list(lists[0], k)
         max_doc = self.reader.max_doc_id
         hp = _RefHeap()
         cursors = []
@@ -329,6 +333,11 @@ class BatchQueryEngine:
     {"index_dir": ...}, batch_format="pyarrow", concurrency=N)``.
     The reader loads once per actor (warm lexicon + doc table, as the
     reference's 12 s warm-up does once per process).
+
+    Size ``concurrency`` to at most cluster_CPUs - 1: a pool that
+    reserves every CPU slot starves the surrounding dataset tasks and
+    the pipeline can deadlock (observed in local mode at num_cpus=2,
+    concurrency=2).
     """
 
     def __init__(self, index_dir: str, *, conformance: bool = True, algorithm: str | None = None):
