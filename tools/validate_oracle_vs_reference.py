@@ -95,6 +95,31 @@ def run_queries(binary: Path, mode: int, k: int, queries: list[str]) -> list[lis
     return out
 
 
+def _duplicate_lexicon_terms() -> set[str]:
+    """Defect D7 victims: terms with >1 lexicon record.
+
+    The reference's term-map insert (`process_term`, new-entry branch)
+    memcpy's the key into a malloc'd struct WITHOUT NUL-terminating the
+    remainder, so `strlen`-based hashing sees trailing heap garbage and
+    the term later becomes unfindable -> a second term_id is allocated.
+    The string-sorted merge keeps both records (ids differ, so
+    `merge_same_term` never fires) and the query-time lexicon hashmap
+    keeps only the later one — silently dropping the earliest postings.
+    Affected set depends on heap state; detected from the built lexicon.
+    """
+    import struct
+    from collections import Counter
+
+    data = (WORK / "output" / "lexicon").read_bytes()
+    terms, p = [], 0
+    while p < len(data):
+        (length,) = struct.unpack_from("<i", data, p)
+        p += 4
+        terms.append(data[p : p + length].decode())
+        p += length + 8
+    return {t for t, n in Counter(terms).items() if n > 1}
+
+
 def main() -> int:
     from invertedindexbuilder_ray import corpus, oracle
 
@@ -114,10 +139,16 @@ def main() -> int:
     d3_terms = {
         t for t, pl in ora.postings.items() if len(pl) == 1 and pl[0][0] == 0
     }  # defect D3: tf decoded wrongly
+    d7_terms = _duplicate_lexicon_terms()  # defect D7: split term ids (see SURVEY §8)
+    print(f"excluding defect-affected terms: D4={{{last_term!r}}} D3={sorted(d3_terms)} "
+          f"D7={sorted(d7_terms)}")
 
     def ok_terms(q: str) -> bool:
         toks = oracle.tokenize(q + " ")
-        return all(t not in d3_terms and t != last_term and len(t) <= 14 for t in toks)
+        return all(
+            t not in d3_terms and t not in d7_terms and t != last_term and len(t) <= 14
+            for t in toks
+        )
 
     conj_queries = [
         "hotterm", "the web", "index query search", "hotterm rare003",
