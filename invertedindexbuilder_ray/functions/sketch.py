@@ -13,19 +13,17 @@ import numpy as np
 import pyarrow as pa
 
 from .hashing import _FNV_OFFSET, _FNV_PRIME
-from .tokenize import _pack_tokens, token_spans
+from .tokenize import token_spans
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
 def _token_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     """(uint64 hash per token, doc row index per token) — clean tokenization."""
+    from .tokenize import _span_hashes
+
     mapped, starts, lens, row_idx = token_spans(texts, drop_trailing=False)
-    packed = _pack_tokens(mapped, starts, lens)
-    with np.errstate(over="ignore"):
-        h = np.full(len(packed), _FNV_OFFSET, dtype=np.uint64)
-        for j in range(16):
-            h = (h ^ packed[:, j].astype(np.uint64)) * _FNV_PRIME
+    h, _h2 = _span_hashes(mapped, starts, lens)
     return h, row_idx
 
 

@@ -157,23 +157,48 @@ _FNV2_OFFSET = np.uint64(0x6C62272E07BB0142)
 _FNV2_PRIME = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit multiplier, independent of FNV
 
 
-def _unique_tokens(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _span_hashes(
+    mapped: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dual 64-bit hashes per token span, straight from the byte buffer —
+    no (n, 16) materialization (lazily-faulted VM memory makes big fresh
+    temporaries expensive; see BASELINE.md)."""
+    n = len(starts)
+    limit = max(len(mapped) - 1, 0)
+    with np.errstate(over="ignore"):
+        h1 = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
+        h2 = np.full(n, _FNV2_OFFSET, dtype=np.uint64)
+        max_len = int(lens.max()) if n else 0
+        for j in range(max_len):
+            col_idx = np.minimum(starts + j, limit)
+            col = mapped[col_idx].astype(np.uint64)
+            col[lens <= j] = 0  # zero padding, as in the packed form
+            h1 = (h1 ^ col) * np.uint64(1099511628211)
+            h2 = (h2 ^ col) * _FNV2_PRIME
+        pad = np.uint64(16 - max_len)
+        if pad:
+            # remaining zero-padding columns fold in a data-independent way;
+            # apply the closed form so hashes equal the 16-column version
+            for _ in range(int(pad)):
+                h1 = h1 * np.uint64(1099511628211)
+                h2 = h2 * _FNV2_PRIME
+    return h1, h2
+
+
+def _unique_tokens(
+    mapped: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
     """(unique packed rows, inverse index per token) — exact.
 
     Fast path sorts a 64-bit token hash (≈3x cheaper than sorting the
     16-byte keys); a second independent hash detects collisions inside
     equal-hash runs, falling back to the exact byte-key sort if any is
     found (probability ~2^-128 per pair — never in practice, but the
-    fallback keeps correctness unconditional).
+    fallback keeps correctness unconditional).  Only the unique
+    representatives are ever packed into 16-byte rows.
     """
-    n = len(packed)
-    with np.errstate(over="ignore"):
-        h1 = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
-        h2 = np.full(n, _FNV2_OFFSET, dtype=np.uint64)
-        for j in range(16):
-            col = packed[:, j].astype(np.uint64)
-            h1 = (h1 ^ col) * np.uint64(1099511628211)
-            h2 = (h2 ^ col) * _FNV2_PRIME
+    n = len(starts)
+    h1, h2 = _span_hashes(mapped, starts, lens)
     order = np.argsort(h1, kind="stable")
     hs1 = h1[order]
     new_run = np.empty(n, dtype=bool)
@@ -184,6 +209,7 @@ def _unique_tokens(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         hs2 = h2[order]
         collision = same & (hs2[1:] != hs2[:-1])
         if collision.any():  # pragma: no cover - astronomically unlikely
+            packed = _pack_tokens(mapped, starts, lens)
             keys = packed.view(np.dtype((np.void, 16))).ravel()
             uniq_keys, inverse = np.unique(keys, return_inverse=True)
             return uniq_keys.view(np.uint8).reshape(-1, 16), inverse
@@ -191,7 +217,8 @@ def _unique_tokens(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     inverse = np.empty(n, dtype=np.int64)
     inverse[order] = group_sorted
     rep_idx = order[np.flatnonzero(new_run)]
-    return packed[rep_idx], inverse
+    reps = _pack_tokens(mapped, starts[rep_idx], lens[rep_idx])
+    return reps, inverse
 
 
 def tokenize_to_postings(
@@ -214,8 +241,7 @@ def tokenize_to_postings(
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=np.int32),
         )
-    packed = _pack_tokens(mapped, starts, lens)
-    uniq_mat, inverse = _unique_tokens(packed)
+    uniq_mat, inverse = _unique_tokens(mapped, starts, lens)
     uniq_lens = (uniq_mat != 0).sum(axis=1).astype(np.int64)
     term_strings = _packed_to_string_array(uniq_mat, uniq_lens)
 

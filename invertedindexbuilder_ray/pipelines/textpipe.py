@@ -14,7 +14,7 @@ import ray.data as rd
 
 from ..functions import sketch
 from ..functions.hashing import _FNV_OFFSET, _FNV_PRIME
-from ..functions.tokenize import _pack_tokens, token_spans
+from ..functions.tokenize import token_spans
 from ..sources.documents import load_documents
 
 STOPWORDS = {
@@ -56,13 +56,11 @@ class LangId:
         self.hashes = {lang: _word_hashes(ws) for lang, ws in STOPWORDS.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import _span_hashes
+
         texts = batch["text"]
         mapped, starts, lens, row_idx = token_spans(texts, drop_trailing=False)
-        packed = _pack_tokens(mapped, starts, lens)
-        with np.errstate(over="ignore"):
-            th = np.full(len(packed), _FNV_OFFSET, dtype=np.uint64)
-            for j in range(16):
-                th = (th ^ packed[:, j].astype(np.uint64)) * _FNV_PRIME
+        th, _ = _span_hashes(mapped, starts, lens)
         n_rows = batch.num_rows
         counts = np.bincount(row_idx, minlength=n_rows).astype(np.float64)
         ratios = np.zeros((n_rows, len(self.langs)))
@@ -127,12 +125,10 @@ class QualityScore:
         alnum_bytes = (cum_a[offsets[1:]] - cum_a[offsets[:-1]]).astype(np.float64)
         digit_bytes = (cum_d[offsets[1:]] - cum_d[offsets[:-1]]).astype(np.float64)
 
+        from ..functions.tokenize import _span_hashes
+
         mapped, starts, lens, row_idx = token_spans(texts, drop_trailing=False)
-        packed = _pack_tokens(mapped, starts, lens)
-        with np.errstate(over="ignore"):
-            th = np.full(len(packed), _FNV_OFFSET, dtype=np.uint64)
-            for j in range(16):
-                th = (th ^ packed[:, j].astype(np.uint64)) * _FNV_PRIME
+        th, _ = _span_hashes(mapped, starts, lens)
         n_tokens = np.bincount(row_idx, minlength=n_rows).astype(np.float64)
         tok_len_sum = np.bincount(row_idx, weights=lens, minlength=n_rows)
         stop_hits = np.bincount(
