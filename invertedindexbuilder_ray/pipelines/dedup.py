@@ -184,14 +184,51 @@ def minhash_dedup_pairs(
     return j2.map_batches(verify, batch_format="pyarrow")
 
 
+SMALL_GRAPH_EDGES = 200_000
+
+
 def dedup_clusters(pairs: rd.Dataset, docs: rd.Dataset, *, max_rounds: int = 10) -> rd.Dataset:
-    """Connected components by iterative min-label propagation (all in Ray;
-    no driver union-find).  Converges in <= diameter rounds; duplicate
-    clusters are tiny so max_rounds=10 is generous."""
+    """Connected components over near-dup pairs.
+
+    Small candidate graphs (the usual case after LSH banding) collapse in
+    ONE Ray task via union-find inside ``map_groups``; larger graphs fall
+    back to iterative min-label propagation (<= diameter rounds, all in
+    Ray — never a driver-side loop over rows).
+    """
     edges = pairs.select_columns(["doc_a", "doc_b"]).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(
             pa.table({"node": pa.array([], pa.int64()), "lbl": pa.array([], pa.int64())})
+        )
+    if n_edges <= SMALL_GRAPH_EDGES:
+        def components(g: pd.DataFrame) -> pd.DataFrame:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(g["doc_a"], g["doc_b"]):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    # min label wins, matching the propagation variant
+                    lo, hi = sorted((ra, rb))
+                    parent[hi] = lo
+            nodes = sorted(parent)
+            return pd.DataFrame(
+                {"node": nodes, "lbl": [find(n) for n in nodes]}
+            ).astype("int64")
+
+        return (
+            edges.map_batches(
+                lambda t: t.append_column("g", pa.array(np.zeros(t.num_rows, np.int64))),
+                batch_format="pyarrow",
+            )
+            .groupby("g")
+            .map_groups(components, batch_format="pandas")
         )
 
     def sym(batch: pa.Table) -> pa.Table:
@@ -239,10 +276,11 @@ def dedup_clusters(pairs: rd.Dataset, docs: rd.Dataset, *, max_rounds: int = 10)
             .groupby("node")
             .aggregate(rd.aggregate.Min("lbl", alias_name="lbl"))
         ).materialize()
-        old = {r["node"]: r["lbl"] for r in labels.take_all()}
-        new = {r["node"]: r["lbl"] for r in new_labels.take_all()}
+        # labels only ever decrease, so an unchanged sum == convergence
+        old_sum = labels.sum("lbl")
+        new_sum = new_labels.sum("lbl")
         labels = new_labels
-        if old == new:
+        if old_sum == new_sum:
             break
     return labels
 
