@@ -68,15 +68,12 @@ class TokenizePostings:
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         dls = batch["dl"].to_numpy(zero_copy_only=False)
-        terms, p_docs, p_tfs = tokenize_to_postings(
-            batch["text"], doc_ids, drop_trailing=self.drop_trailing
+        terms, p_docs, p_tfs, p_rows = tokenize_to_postings(
+            batch["text"], doc_ids, drop_trailing=self.drop_trailing, return_rows=True
         )
         n_p = len(p_docs)
         n_d = batch.num_rows
-        # per-posting dl: postings are doc-major, so a searchsorted over the
-        # batch's doc_ids (ascending within batch by construction) maps back
-        pos = np.searchsorted(doc_ids, p_docs)
-        p_dls = dls[pos]
+        p_dls = dls[p_rows]  # per-posting dl via row index (no sortedness assumed)
         part = hashing.term_partition(terms, self.num_partitions).astype(np.int32)
         term_col = pa.concat_arrays([terms, pa.nulls(n_d, pa.string())])
         doc_col = pa.array(np.concatenate([p_docs, doc_ids]), pa.int64())
@@ -295,7 +292,20 @@ def build_index(
     # ---- Phase 1: parse/tokenize -> hive-partitioned checkpoint.  The write
     # IS the shuffle: rows land in partition=<fnv(term)%P>/ dirs (doc rows in
     # partition=-1/), so phase 3 builds each partition from its own directory
-    # with zero groupby.  Skipped wholesale on resume.
+    # with zero groupby.  Skipped wholesale on resume — but only for the SAME
+    # input: resuming over a different corpus must fail loudly, not silently
+    # serve a stale index.
+    if resume and mf.is_complete(ckpt) and input_fingerprint:
+        try:
+            prev = json.load(open(mf.marker_path(ckpt))).get("fingerprint", "")
+        except (OSError, ValueError):
+            prev = ""
+        if prev and prev != input_fingerprint:
+            raise ValueError(
+                f"resume requested at {out_dir} but the checkpoint was built from a "
+                f"different input (fingerprint {prev!r} != {input_fingerprint!r}); "
+                "use a fresh out_dir or resume=False"
+            )
     if not (resume and mf.is_complete(ckpt)):
         combined = source_ds.map_batches(
             TokenizePostings(num_partitions, drop_trailing=drop_trailing),
@@ -309,7 +319,7 @@ def build_index(
         # value; source row groups should therefore be sized so the task
         # count stays a small multiple of the worker count.
         combined.write_parquet(ckpt, partition_cols=["partition"])
-        mf.mark_complete(ckpt)
+        mf.mark_complete(ckpt, {"fingerprint": input_fingerprint})
     _lap("parse_tokenize_ckpt")
 
     # ---- Phase 2: docs table + global stats (reads only partition=-1)

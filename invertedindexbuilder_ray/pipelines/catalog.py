@@ -97,10 +97,17 @@ _INDEX_CACHE: dict[str, str] = {}
 
 
 def index_for(sf_dir: str) -> str:
-    """Build (or reuse) the inverted index for an sf dir's documents table."""
-    from ..state.manifest import FORMAT_VERSION
+    """Build (or reuse) the inverted index for an sf dir's documents table.
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    The cache key hashes the input file's (path, size, mtime) fingerprint,
+    so changed content lands in a fresh directory instead of silently
+    reusing a stale checkpoint."""
+    from ..state.manifest import FORMAT_VERSION
+    from .build import _fingerprint
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    fp = _fingerprint([path])
+    key = hashlib.md5(fp.encode()).hexdigest()[:12]
     out = f"/tmp/iib_index_cache/v{FORMAT_VERSION}/{key}"
     if _INDEX_CACHE.get(sf_dir) != out or not os.path.exists(
         os.path.join(out, "manifest.json")
@@ -109,7 +116,7 @@ def index_for(sf_dir: str) -> str:
             load_documents(sf_dir),
             out,
             num_partitions=8,
-            input_fingerprint=sf_dir,
+            input_fingerprint=fp,
             resume=True,
         )
         _INDEX_CACHE[sf_dir] = out
