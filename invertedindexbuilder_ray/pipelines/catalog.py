@@ -358,6 +358,64 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+SEMI_JOIN_PRICE = 400_000.0
+
+
+def _semi_anti(sf_dir: str, anti: bool):
+    """Broadcast semi/anti join: the small key side (expensive orders) is
+    ray.put once; each lineitem batch filters with a vectorized isin —
+    no shuffle (the Ray-guide pattern for small-side joins)."""
+    orders_path = os.path.join(sf_dir, "orders.parquet") if os.path.isdir(sf_dir) else sf_dir
+    li_path = os.path.join(os.path.dirname(orders_path), "lineitem.parquet")
+    keys_ds = rd.read_parquet(orders_path, columns=["o_orderkey", "o_totalprice"]).filter(
+        expr=f"o_totalprice > {SEMI_JOIN_PRICE}"
+    )
+    keys = np.array([r["o_orderkey"] for r in keys_ds.take_all()], dtype=np.int64)
+    kref = ray.put(np.sort(keys))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        member = np.searchsorted(ks, ok)
+        hit = (member < len(ks)) & (ks[np.minimum(member, max(len(ks) - 1, 0))] == ok)
+        if anti:
+            hit = ~hit
+        return batch.filter(pa.array(hit))
+
+    agg = (
+        rd.read_parquet(li_path, columns=["l_orderkey", "l_quantity"])
+        .map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Count(), Sum("l_quantity"))
+    ) or {}
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {
+                "n_rows": int(agg.get("count()") or 0),
+                "sum_qty": round(float(agg.get("sum(l_quantity)") or 0.0), 2),
+            }
+        ]
+    )
+
+
+def q_semi_join(sf_dir: str):
+    return _semi_anti(sf_dir, anti=False)
+
+
+def q_anti_join(sf_dir: str):
+    return _semi_anti(sf_dir, anti=True)
+
+
+def _sql_semi_anti(anti: bool) -> str:
+    op = "NOT IN" if anti else "IN"
+    return f"""
+SELECT count(*)::BIGINT AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey {op} (SELECT o_orderkey FROM orders WHERE o_totalprice > {SEMI_JOIN_PRICE})
+"""
+
+
 KNN_N_QUERIES = 5
 KNN_K = 10
 
@@ -620,3 +678,5 @@ QUERIES = {
 _sliding_sql, _session_sql = _sql_windows()
 QUERIES["events_sliding"] = (q_events_sliding, _sliding_sql)
 QUERIES["events_sessions"] = (q_events_sessions, _session_sql)
+QUERIES["semi_join"] = (q_semi_join, _sql_semi_anti(False))
+QUERIES["anti_join"] = (q_anti_join, _sql_semi_anti(True))
