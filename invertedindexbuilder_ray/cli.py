@@ -33,19 +33,21 @@ def _init_ray(num_cpus: int | None):
 
 def cmd_build(args) -> int:
     _init_ray(args.num_cpus)
-    from .pipelines.build import build_index
+    from .pipelines.build import _fingerprint, build_index
     from .sources.documents import load_documents
-    from .sources.webpages import load_webpages
+    from .sources.webpages import load_webpages, resolve_paths
 
     if args.format == "webpages":
         ds = load_webpages(args.input, prefix_fraction=args.prefix_fraction)
     else:
         ds = load_documents(args.input)
+    # content fingerprint (path+size+mtime per file), NOT the raw path — a
+    # changed input at the same path must invalidate the resume checkpoint
     man = build_index(
         ds,
         args.out,
         num_partitions=args.partitions,
-        input_fingerprint=args.input,
+        input_fingerprint=_fingerprint(resolve_paths(args.input)),
         resume=not args.no_resume,
     )
     print(json.dumps({"n_docs": man.n_docs, **man.stats}))

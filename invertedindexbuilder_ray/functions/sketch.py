@@ -71,8 +71,13 @@ def minhash_signatures(
 ) -> np.ndarray:
     """(n_docs, num_perm) uint64 MinHash signatures over k-token shingles.
 
-    Universal hashing ``(a*x + b) mod 2^61-1`` with seeded coefficients;
-    docs with no shingles get all-max signatures (match nothing).
+    Permutation family: ``((a*x mod 2^64) + b) mod 2^61-1`` with seeded
+    coefficients — the multiply wraps in 64 bits BEFORE the Mersenne mod,
+    so this is a fixed deterministic mixing hash, not the textbook
+    universal family (its collision bound does not formally apply; the
+    estimator is still deterministic, symmetric, and empirically
+    well-distributed).  Docs with no shingles get all-max signatures
+    (match nothing).
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()

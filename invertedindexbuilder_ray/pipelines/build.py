@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 import numpy as np
@@ -115,6 +116,7 @@ class BuildPartition:
     def __init__(
         self, out_dir: str, ckpt_dir: str, n_docs: int, d_avr: float,
         block_max: bool, segment_max_postings: int = 1_000_000,
+        resume: bool = True, ckpt_token: str = "",
     ):
         self.out_dir = out_dir
         self.ckpt_dir = ckpt_dir
@@ -122,6 +124,8 @@ class BuildPartition:
         self.d_avr = d_avr
         self.block_max = block_max
         self.segment_max_postings = segment_max_postings
+        self.resume = resume
+        self.ckpt_token = ckpt_token
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = [self._build_one(int(pid)) for pid in batch["pid"].to_pylist()]
@@ -132,18 +136,29 @@ class BuildPartition:
         blob_path = os.path.join(self.out_dir, POSTINGS_DIR, f"part-{pid:05d}.bin")
         lex_path = os.path.join(self.out_dir, LEXICON_DIR, f"part-{pid:05d}.parquet")
         meta_path = os.path.join(self.out_dir, PARTS_META_DIR, f"part-{pid:05d}.json")
-        if os.path.exists(meta_path) and os.path.exists(blob_path) and os.path.exists(lex_path):
+        # Resume skip: only when asked to resume AND the existing outputs were
+        # built from the SAME checkpoint (token = input fingerprint) — a
+        # ``resume=False`` build always re-encodes (stale-output fix, ADVICE r1).
+        if (
+            self.resume
+            and os.path.exists(meta_path)
+            and os.path.exists(blob_path)
+            and os.path.exists(lex_path)
+        ):
             with open(meta_path) as f:
                 meta = json.load(f)
-            meta["skipped"] = True
-            return pa.table({"partition": [pid], "metrics": [json.dumps(meta)]})
+            # the token gate only binds when this build knows its fingerprint;
+            # fingerprint-less resumes keep trusting existing outputs
+            if not self.ckpt_token or meta.get("ckpt_token", "") == self.ckpt_token:
+                meta["skipped"] = True
+                return pa.table({"partition": [pid], "metrics": [json.dumps(meta)]})
 
         import pyarrow.dataset as pads
 
         part_dir = os.path.join(self.ckpt_dir, f"partition={pid}")
         if not os.path.isdir(part_dir):
             meta = {"partition": pid, "rows": 0, "n_terms": 0, "blob_bytes": 0,
-                    "wall_s": 0.0, "skipped": False}
+                    "wall_s": 0.0, "skipped": False, "ckpt_token": self.ckpt_token}
             mf.atomic_write_bytes(blob_path, b"")
             import pyarrow.parquet as pq
 
@@ -243,6 +258,7 @@ class BuildPartition:
             "blob_bytes": int(len(enc.blob)),
             "wall_s": round(time.perf_counter() - t0, 4),
             "skipped": False,
+            "ckpt_token": self.ckpt_token,
         }
         mf.atomic_write_json(meta_path, meta)
         return pa.table({"partition": [pid], "metrics": [json.dumps(meta)]})
@@ -306,7 +322,19 @@ def build_index(
                 f"different input (fingerprint {prev!r} != {input_fingerprint!r}); "
                 "use a fresh out_dir or resume=False"
             )
+    if not resume:
+        # fresh build into a possibly non-empty out_dir: drop every stale
+        # artifact so nothing is appended to or served from a previous run
+        for sub in (CKPT_DIR, DOCS_DIR, POSTINGS_DIR, LEXICON_DIR, PARTS_META_DIR):
+            p = os.path.join(out_dir, sub)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
     if not (resume and mf.is_complete(ckpt)):
+        # write_parquet APPENDS into an existing directory; a checkpoint dir
+        # without its _SUCCESS marker is an interrupted phase-1 write — wipe
+        # it or a resumed build would index every row twice (ADVICE r1).
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt)
         combined = source_ds.map_batches(
             TokenizePostings(num_partitions, drop_trailing=drop_trailing),
             batch_format="pyarrow",
@@ -343,6 +371,8 @@ def build_index(
         )
         mf.mark_complete(docs_dir)
     elif not (resume and mf.is_complete(docs_dir)):
+        if os.path.isdir(docs_dir):  # incomplete previous write: never append
+            shutil.rmtree(docs_dir)
         rd.read_parquet(doc_rows_dir, columns=["doc_id", "dl", "url"]).write_parquet(
             docs_dir
         )
@@ -359,7 +389,8 @@ def build_index(
 
     # ---- Phase 3: per-partition encode, one task per partition directory
     builder = BuildPartition(
-        out_dir, ckpt, n_docs, d_avr, block_max, segment_max_postings
+        out_dir, ckpt, n_docs, d_avr, block_max, segment_max_postings,
+        resume=resume, ckpt_token=input_fingerprint,
     )
     metrics_rows = (
         rd.from_items([{"pid": p} for p in range(num_partitions)])

@@ -376,8 +376,11 @@ def _semi_anti(sf_dir: str, anti: bool):
     def filt(batch: pa.Table) -> pa.Table:
         ks = ray.get(kref)
         ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        member = np.searchsorted(ks, ok)
-        hit = (member < len(ks)) & (ks[np.minimum(member, max(len(ks) - 1, 0))] == ok)
+        if len(ks) == 0:  # no qualifying orders: semi keeps nothing, anti all
+            hit = np.zeros(len(ok), dtype=bool)
+        else:
+            member = np.searchsorted(ks, ok)
+            hit = (member < len(ks)) & (ks[np.minimum(member, len(ks) - 1)] == ok)
         if anti:
             hit = ~hit
         return batch.filter(pa.array(hit))

@@ -145,3 +145,60 @@ def test_resume_skips_completed_partitions(built_index, webpages_medium):
     poisoned = rd.from_items([{"doc_id": 0, "url": "h", "text": "x", "dl": 1}]).map_batches(boom)
     man2 = build_index(poisoned, out, num_partitions=4, resume=True)
     assert all(p.get("skipped") for p in man2.partitions.values())
+
+
+def _blob_hashes(out: str) -> dict[str, str]:
+    import hashlib
+    import os
+
+    d = os.path.join(out, "postings")
+    return {
+        f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+        for f in sorted(os.listdir(d))
+    }
+
+
+def test_kill_during_phase1_resume(ray_session, webpages_small, tmp_path):
+    """A build killed between the phase-1 checkpoint write and its _SUCCESS
+    marker must NOT append a second copy of every row on resume (the
+    write_parquet-APPEND hazard): the resumed build wipes the unmarked
+    checkpoint and reproduces the clean build exactly."""
+    import os
+    import shutil
+
+    src = tmp_path / "webpages"
+    src.mkdir()
+    pq.write_table(webpages_small, src / "part-000.parquet", row_group_size=50)
+
+    clean = str(tmp_path / "idx_clean")
+    man_clean = build_index(load_webpages(str(src)), clean, num_partitions=4)
+
+    crashed = str(tmp_path / "idx_crashed")
+    build_index(load_webpages(str(src)), crashed, num_partitions=4)
+    # simulate the kill window: phase-1 files written, marker + later phases absent
+    os.unlink(os.path.join(crashed, "postings_ckpt", "_SUCCESS"))
+    for sub in ("docs", "postings", "lexicon", "parts_meta"):
+        shutil.rmtree(os.path.join(crashed, sub))
+    os.unlink(os.path.join(crashed, "manifest.json"))
+
+    man2 = build_index(load_webpages(str(src)), crashed, num_partitions=4, resume=True)
+    assert man2.n_docs == man_clean.n_docs
+    assert man2.stats["total_postings"] == man_clean.stats["total_postings"]
+    assert _blob_hashes(crashed) == _blob_hashes(clean)
+
+
+def test_no_resume_rebuilds_everything(ray_session, webpages_small, tmp_path):
+    """resume=False over an existing out_dir must wipe and rebuild (never
+    append to the checkpoint, never serve stale skipped partitions)."""
+    src = tmp_path / "webpages"
+    src.mkdir()
+    pq.write_table(webpages_small, src / "part-000.parquet", row_group_size=50)
+
+    out = str(tmp_path / "idx")
+    man1 = build_index(load_webpages(str(src)), out, num_partitions=4)
+    before = _blob_hashes(out)
+    man2 = build_index(load_webpages(str(src)), out, num_partitions=4, resume=False)
+    assert not any(p.get("skipped") for p in man2.partitions.values())
+    assert man2.n_docs == man1.n_docs
+    assert man2.stats["total_postings"] == man1.stats["total_postings"]
+    assert _blob_hashes(out) == before
