@@ -23,6 +23,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..functions.rounding import pc_round_half_away, round_half_away
 from ..functions.tokenize import tokenize_to_postings
 from ..sources.documents import load_documents
 from .build import build_index
@@ -182,7 +183,7 @@ def q_doc_stats(sf_dir: str):
                 "n_docs": int(res["count()"]),
                 "sum_bytes": int(res["sum(dl)"]),
                 "max_bytes": int(res["max(dl)"]),
-                "avg_bytes": round(float(res["mean(dl)"]), 6),
+                "avg_bytes": round_half_away(float(res["mean(dl)"]), 6),
             }
         ]
     )
@@ -251,7 +252,7 @@ def _bm25_all(sf_dir: str, conjunctive: bool):
     return pd.DataFrame(
         {
             "doc_id": [d for d, _ in ranked],
-            "score": [round(s, 6) for _, s in ranked],
+            "score": [round_half_away(s, 6) for _, s in ranked],
         },
         columns=["doc_id", "score"],
     ).astype({"doc_id": "int64", "score": "float64"})
@@ -290,7 +291,7 @@ def q_events_tumbling(sf_dir: str):
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value_raw"))
         .map_batches(
             lambda b: b.append_column(
-                "sum_value", pc.round(b["sum_value_raw"], 2)
+                "sum_value", pc_round_half_away(b["sum_value_raw"], 2)
             ).drop_columns(["sum_value_raw"]),
             batch_format="pyarrow",
         )
@@ -338,9 +339,9 @@ def q_lineitem_agg(sf_dir: str):
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
-                "sum_qty": pc.round(b["sum_qty_raw"], 2),
-                "sum_disc_price": pc.round(b["sum_disc_price_raw"], 2),
-                "avg_qty": pc.round(b["avg_qty_raw"], 6),
+                "sum_qty": pc_round_half_away(b["sum_qty_raw"], 2),
+                "sum_disc_price": pc_round_half_away(b["sum_disc_price_raw"], 2),
+                "avg_qty": pc_round_half_away(b["avg_qty_raw"], 6),
                 "count_order": b["count_order"],
             }
         )
@@ -396,7 +397,7 @@ def _semi_anti(sf_dir: str, anti: bool):
         [
             {
                 "n_rows": int(agg.get("count()") or 0),
-                "sum_qty": round(float(agg.get("sum(l_quantity)") or 0.0), 2),
+                "sum_qty": round_half_away(float(agg.get("sum(l_quantity)") or 0.0), 2),
             }
         ]
     )
@@ -448,7 +449,7 @@ def q_knn_cosine(sf_dir: str):
             {
                 "qid": pa.array(np.repeat(q_ids, len(vec_ids)), pa.int64()),
                 "vec_id": pa.array(np.tile(vec_ids, nq), pa.int64()),
-                "sim": pa.array(np.round(s.T.ravel(), 6), pa.float64()),
+                "sim": pa.array(round_half_away(s.T.ravel(), 6), pa.float64()),
             }
         )
 

@@ -18,6 +18,7 @@ import ray
 import ray.data as rd
 
 from ..functions import sketch
+from ..functions.rounding import round_half_away
 from ..sources.documents import load_documents
 
 MAX_BUCKET = 256  # skew guard: buckets larger than this are truncated
@@ -176,7 +177,7 @@ def minhash_dedup_pairs(
             {
                 "doc_a": batch["doc_a"].filter(pa.array(keep)).cast(pa.int64()),
                 "doc_b": batch["doc_b"].filter(pa.array(keep)).cast(pa.int64()),
-                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+                "est_jaccard": pa.array(round_half_away(est[keep], 6), pa.float64()),
                 "n_bands": batch["n_bands"].filter(pa.array(keep)).cast(pa.int64()),
             }
         )
@@ -427,7 +428,7 @@ def ngram_jaccard_pairs(
             if j >= threshold:
                 da.append(batch["doc_a"][i].as_py())
                 db.append(batch["doc_b"][i].as_py())
-                jac.append(round(j, 6))
+                jac.append(round_half_away(j, 6))
         return pa.table(
             {
                 "doc_a": pa.array(da, pa.int64()),
@@ -477,7 +478,7 @@ def embedding_dedup_pairs(
             {
                 "vec_a": pa.array(a[keep], pa.int64()),
                 "vec_b": pa.array(b[keep], pa.int64()),
-                "cosine": pa.array(np.round(sims[bi, aj][keep], 6), pa.float64()),
+                "cosine": pa.array(round_half_away(sims[bi, aj][keep], 6), pa.float64()),
             }
         )
 

@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions.rounding import round_half_away
+
 LSH_BITS = 8
 LSH_SEED = 13
 
@@ -129,7 +131,7 @@ def ann_lsh(
             {
                 "qid": batch["qid"].cast(pa.int64()),
                 "vec_id": batch["vec_id"].cast(pa.int64()),
-                "sim": pa.array(np.round(sims, 6), pa.float64()),
+                "sim": pa.array(round_half_away(sims, 6), pa.float64()),
             }
         )
 

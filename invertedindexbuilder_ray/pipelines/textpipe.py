@@ -14,6 +14,7 @@ import ray.data as rd
 
 from ..functions import sketch
 from ..functions.hashing import _FNV_OFFSET, _FNV_PRIME
+from ..functions.rounding import round_half_away
 from ..functions.tokenize import token_spans
 from ..sources.documents import load_documents
 
@@ -79,7 +80,7 @@ class LangId:
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
                 "lang_pred": pa.array(preds, pa.string()),
-                "confidence": pa.array(np.round(conf, 6), pa.float64()),
+                "confidence": pa.array(round_half_away(conf, 6), pa.float64()),
             }
         )
 
@@ -143,10 +144,10 @@ class QualityScore:
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
                 "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
-                "mean_token_len": pa.array(np.round(mean_tok, 6), pa.float64()),
-                "alnum_ratio": pa.array(np.round(alnum_ratio, 6), pa.float64()),
-                "digit_ratio": pa.array(np.round(digit_ratio, 6), pa.float64()),
-                "stopword_ratio": pa.array(np.round(stop_ratio, 6), pa.float64()),
+                "mean_token_len": pa.array(round_half_away(mean_tok, 6), pa.float64()),
+                "alnum_ratio": pa.array(round_half_away(alnum_ratio, 6), pa.float64()),
+                "digit_ratio": pa.array(round_half_away(digit_ratio, 6), pa.float64()),
+                "stopword_ratio": pa.array(round_half_away(stop_ratio, 6), pa.float64()),
             }
         )
 

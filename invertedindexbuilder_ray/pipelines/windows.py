@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from ..functions.rounding import pc_round_half_away, round_half_away
+
 US_PER_HOUR = 3_600_000_000
 
 
@@ -64,9 +66,9 @@ def sliding_window(
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_raw"))
     )
     return agg.map_batches(
-        lambda b: b.append_column("sum_value", pc.round(b["sum_raw"], 2)).drop_columns(
-            ["sum_raw"]
-        ),
+        lambda b: b.append_column(
+            "sum_value", pc_round_half_away(b["sum_raw"], 2)
+        ).drop_columns(["sum_raw"]),
         batch_format="pyarrow",
     )
 
@@ -121,7 +123,7 @@ def session_windows(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
                 sum_value=("value", "sum"),
             )
         )
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 2)
         return out
 
     return (

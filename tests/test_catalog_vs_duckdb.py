@@ -55,9 +55,12 @@ def _compare(name: str, got: pd.DataFrame, want: pd.DataFrame):
     for col in g.columns:
         gv, wv = g[col], w[col]
         if gv.dtype.kind == "f" or wv.dtype.kind == "f":
+            # EXACT: the driver hashes values, so any bit difference is a
+            # fail — a tolerance here would mask rounding-mode mismatches
+            # (exactly the round-1 `quality` red cell)
             pd.testing.assert_series_equal(
                 gv.astype(float), wv.astype(float), check_names=False,
-                rtol=0, atol=1.5e-6, obj=f"{name}.{col}",
+                rtol=0, atol=0, obj=f"{name}.{col}",
             )
         else:
             assert gv.astype(str).tolist() == wv.astype(str).tolist(), f"{name}.{col}"
