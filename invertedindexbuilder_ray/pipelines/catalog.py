@@ -530,10 +530,55 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_dedup_pairs(sf_dir, max_hamming=3)
 
 
+NGRAM_JACCARD_THRESHOLD = 0.5
+
+# exact k=3-token-shingle Jaccard, shared by the pair + cluster oracles.
+# Replicates the engine's shingling (clean tokens, <=15 chars) with string
+# triples where the engine uses 64-bit shingle hashes (collision odds ~2^-64).
+_SQL_NGRAM_BASE = f"""
+filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, unnest(toks) AS tok,
+           unnest(range(1, len(toks) + 1)) AS i
+    FROM filt
+),
+sh AS (
+    SELECT DISTINCT a.doc_id,
+           a.tok || chr(1) || b.tok || chr(1) || c.tok AS shingle
+    FROM pos a
+    JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::DOUBLE AS ints
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+jpairs AS (
+    SELECT doc_a, doc_b, ints / (sa.n + sb.n - ints) AS jac
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ints / (sa.n + sb.n - ints) >= {NGRAM_JACCARD_THRESHOLD}
+)
+"""
+
+SQL_NGRAM_JACCARD = (
+    "WITH " + _SQL_NGRAM_BASE
+    + "SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM jpairs"
+)
+
+
 def q_dedup_ngram_jaccard(sf_dir: str):
     from .dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(sf_dir, threshold=0.5)
+    return ngram_jaccard_pairs(sf_dir, threshold=NGRAM_JACCARD_THRESHOLD)
 
 
 EMB_NEARDUP_THRESHOLD = 0.4
@@ -556,12 +601,32 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def q_dedup_clusters(sf_dir: str):
-    """Connected components over the minhash near-dup pairs (rows-only:
-    label propagation is iterative, not SQL-expressible)."""
-    from .dedup import dedup_clusters, minhash_dedup_pairs
+    """Connected components over the EXACT n-gram-Jaccard near-dup pairs —
+    SQL-checkable end to end (the pair set is deterministic and the
+    component labels are reproduced by a recursive CTE)."""
+    from .dedup import dedup_clusters, ngram_jaccard_pairs
 
-    pairs = minhash_dedup_pairs(sf_dir, threshold=0.5)
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=NGRAM_JACCARD_THRESHOLD)
     return dedup_clusters(pairs, load_documents(sf_dir))
+
+
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE " + _SQL_NGRAM_BASE
+    + """,
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jpairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM jpairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node::BIGINT AS node, min(r)::BIGINT AS lbl FROM reach GROUP BY node
+"""
+)
 
 
 def q_ann_lsh(sf_dir: str):
@@ -576,6 +641,50 @@ def q_langid(sf_dir: str):
     return langid_ds(sf_dir)
 
 
+def _sql_langid() -> str:
+    """DuckDB re-implementation of the stopword-profile language ID:
+    per-language stopword-hit ratios over clean tokens, argmax with
+    first-in-sorted-lang-order tie-break, < 0.05 confidence -> 'und'."""
+    from .textpipe import STOPWORDS
+
+    langs = sorted(STOPWORDS)  # matches LangId's np.argmax order
+    hit_cols = ", ".join(
+        "sum(CASE WHEN term IN ({}) THEN 1 ELSE 0 END)::DOUBLE AS h_{}".format(
+            ", ".join(f"'{w}'" for w in STOPWORDS[lang]), lang
+        )
+        for lang in langs
+    )
+    ratio_cols = ", ".join(
+        f"coalesce(h.h_{lang} / nullif(h.n_tokens, 0), 0) AS r_{lang}"
+        for lang in langs
+    )
+    best = "greatest({})".format(", ".join(f"r_{lang}" for lang in langs))
+    # first max in sorted-lang order == np.argmax over the sorted lang axis
+    pick = "CASE "
+    for lang in langs[:-1]:
+        conds = " AND ".join(
+            f"r_{lang} >= r_{other}" for other in langs if other != lang
+        )
+        pick += f"WHEN {conds} THEN '{lang}' "
+    pick += f"ELSE '{langs[-1]}' END"
+    return f"""
+WITH {_SQL_TOKENS_CLEAN},
+h AS (
+    SELECT doc_id, count(*)::DOUBLE AS n_tokens, {hit_cols}
+    FROM tokc_kept GROUP BY doc_id
+),
+r AS (
+    SELECT d.doc_id, {ratio_cols}
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+),
+scored AS (SELECT doc_id, {best} AS best, {pick} AS lang FROM r)
+SELECT doc_id,
+       CASE WHEN best >= 0.05 THEN lang ELSE 'und' END AS lang_pred,
+       round(best, 6) AS confidence
+FROM scored
+"""
+
+
 def q_quality(sf_dir: str):
     from .textpipe import quality_ds
 
@@ -583,9 +692,27 @@ def q_quality(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
-    from .textpipe import fingerprint_ds
+    """Rolling-fingerprint dup groups, SQL-checked via the normalized
+    token stream (see textpipe.fingerprint_groups_ds)."""
+    from .textpipe import fingerprint_groups_ds
 
-    return fingerprint_ds(sf_dir)
+    return fingerprint_groups_ds(sf_dir)
+
+
+SQL_FINGERPRINT = """
+WITH s AS (
+    SELECT doc_id,
+           array_to_string(
+               list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           x -> len(x) <= 15),
+               ' ') AS stream
+    FROM documents
+)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY stream) AS canon_doc_id,
+       count(*) OVER (PARTITION BY stream)::BIGINT AS n_dups
+FROM s
+"""
 
 
 # clean-mode tokens (NO trailing drop — quality metrics use every token)
@@ -670,13 +797,13 @@ QUERIES = {
     # training-data ops; entries with sql=None get the driver's rows-only check
     "dedup_minhash": (q_dedup_minhash, None),
     "dedup_simhash": (q_dedup_simhash, None),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, None),
-    "dedup_clusters": (q_dedup_clusters, None),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_lsh": (q_ann_lsh, None),
-    "langid": (q_langid, None),
+    "langid": (q_langid, _sql_langid()),
     "quality": (q_quality, SQL_QUALITY),
-    "fingerprint": (q_fingerprint, None),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
 }
 
 _sliding_sql, _session_sql = _sql_windows()

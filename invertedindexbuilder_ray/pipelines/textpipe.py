@@ -172,3 +172,28 @@ def fingerprint_ds(source: str | rd.Dataset) -> rd.Dataset:
         )
 
     return _docs(source).map_batches(compute, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprint_groups_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """Per-doc dup-group labels from the rolling fingerprint:
+    ``(doc_id, canon_doc_id, n_dups)`` where ``canon_doc_id`` is the
+    smallest doc_id sharing the fingerprint.
+
+    This is the SQL-checkable projection of the rolling hash: two docs
+    share a fingerprint iff their (clean, <=15-char) token streams are
+    identical (mod a ~2^-61 collision chance), so DuckDB can reproduce
+    the exact same grouping from the normalized token stream without
+    reimplementing the hash — the driver's hash compare then validates
+    the rolling-hash op end-to-end."""
+    fp = fingerprint_ds(source)
+
+    def grp(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "canon_doc_id": np.full(len(g), g["doc_id"].min()),
+                "n_dups": np.full(len(g), len(g)),
+            }
+        ).astype("int64")
+
+    return fp.groupby("fingerprint").map_groups(grp, batch_format="pandas")

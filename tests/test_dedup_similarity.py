@@ -176,3 +176,57 @@ def test_quality_and_fingerprint(ray_session):
     assert lang.loc[0, "lang_pred"] == "en"
     assert lang.loc[3, "lang_pred"] == "es"
     assert lang.loc[4, "lang_pred"] == "und"
+
+
+def test_skew_guard_truncation_is_audited(ray_session):
+    """A hot bucket (>MAX_BUCKET identical docs) must be truncated AND the
+    dropped pairs counted — the skew guard is auditable, never silent."""
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines import dedup
+
+    n = dedup.MAX_BUCKET + 44  # 300 identical docs -> every band bucket is hot
+    rows = [
+        {"doc_id": i, "text": "same boilerplate text repeated here often"}
+        for i in range(n)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    per_bucket = n * (n - 1) // 2 - dedup.MAX_BUCKET * (dedup.MAX_BUCKET - 1) // 2
+    audit = dedup.truncation_audit(ds).to_pandas()
+    assert len(audit) == 16  # all 16 band buckets are oversize
+    assert (audit.bucket_size == n).all()
+    assert int(audit.dropped.sum()) == 16 * per_bucket
+    # the surviving candidate pairs are still produced (capped, not zeroed)
+    pairs, _ = dedup.minhash_candidate_pairs(ds)
+    assert pairs.count() == dedup.MAX_BUCKET * (dedup.MAX_BUCKET - 1) // 2
+    # and the pair generator reports the same drop count in the worker log
+    df = pa.Table.from_pylist(
+        [
+            {"shard": 0, "band_key": 1, "doc_id": i}
+            for i in range(dedup.MAX_BUCKET + 10)
+        ]
+    ).to_pandas()
+    import logging
+
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    h = Grab()
+    dedup.logger.addHandler(h)
+    try:
+        out = dedup._bucket_pairs(df, key="band_key")
+    finally:
+        dedup.logger.removeHandler(h)
+    m = dedup.MAX_BUCKET
+    assert len(out) == m * (m - 1) // 2
+    assert any("dropping" in r for r in records), records
+
+
+def test_simhash_truncation_audit_empty_when_no_skew(dup_ds):
+    from invertedindexbuilder_ray.pipelines import dedup
+
+    audit = dedup.truncation_audit(dup_ds, mode="simhash").to_pandas()
+    assert len(audit) == 0
