@@ -426,8 +426,13 @@ KNN_K = 10
 
 def q_knn_cosine(sf_dir: str):
     """Brute-force cosine top-k: broadcast query matrix, vectorized matmul
-    per batch, small per-query top-k groupby.  The scale path (LSH buckets)
-    is `similarity.ann_lsh`."""
+    per batch, then a PER-BATCH partial top-k (each batch emits at most k
+    rows per query) so the final per-query groupby sees O(k * n_batches)
+    rows instead of all N sims — the round-1 version collected every sim
+    of a query into one unbounded pandas group.  The local and global
+    selections use the identical total order (rounded sim desc, vec_id
+    asc), so the global top-k is always contained in the union of the
+    per-batch top-ks.  The sublinear scale path is `similarity.ann_lsh`."""
     path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     qrows = ds.filter(expr=f"vec_id < {KNN_N_QUERIES}").take_all()
@@ -436,34 +441,42 @@ def q_knn_cosine(sf_dir: str):
     qmat_n = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     qref = ray.put((qids, qmat_n))  # broadcast once, read per task
 
-    def sims(batch: pa.Table) -> pa.Table:
+    def sims_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_n = ray.get(qref)
         emb = batch["embedding"].combine_chunks()
         mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float64)
         mat = mat.reshape(len(batch), -1)
         mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        s = mat_n @ q_n.T  # (batch, nq)
+        s = round_half_away(mat_n @ q_n.T, 6)  # (batch, nq); rounded BEFORE topk
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        nq = len(q_ids)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            col = s[:, qi]
+            mask = vec_ids != q_ids[qi]  # exclude self-match here, not later
+            cand = np.flatnonzero(mask)
+            order = np.lexsort((vec_ids[cand], -col[cand]))[:KNN_K]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), q_ids[qi], np.int64))
+            out_v.append(vec_ids[sel])
+            out_s.append(col[sel])
         return pa.table(
             {
-                "qid": pa.array(np.repeat(q_ids, len(vec_ids)), pa.int64()),
-                "vec_id": pa.array(np.tile(vec_ids, nq), pa.int64()),
-                "sim": pa.array(round_half_away(s.T.ravel(), 6), pa.float64()),
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
     import pandas as pd
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.vec_id != g.qid]
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(KNN_K)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
     return (
-        ds.map_batches(sims, batch_format="pyarrow")
+        ds.map_batches(sims_topk, batch_format="pyarrow")
         .groupby("qid")
         .map_groups(topk, batch_format="pandas")
     )

@@ -700,43 +700,85 @@ def _ranges(lens: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # embedding near-dup
 
-def embedding_dedup_pairs(
-    sf_dir: str, *, threshold: float = 0.95
-) -> rd.Dataset:
-    """Pairs of embeddings with cosine >= threshold (vec_a < vec_b).
+EMB_BLOCK_ROWS = 4096  # grid block height; a cell holds <= 2 blocks in memory
 
-    Sandbox variant broadcasts the full normalized matrix (ray.put once)
-    and does one matmul per batch; at 10^12 scale the same verify runs on
-    LSH-bucketed candidates (see similarity.ann_lsh)."""
+
+def embedding_dedup_pairs(
+    sf_dir: str, *, threshold: float = 0.95, block_rows: int = EMB_BLOCK_ROWS
+) -> rd.Dataset:
+    """Pairs of embeddings with cosine >= threshold (vec_a < vec_b) — EXACT.
+
+    Distributed grid self-join: rows hash to G = ceil(N/block_rows)
+    blocks; every unordered block pair {i, j} is one grid cell, each row
+    is replicated to its G covering cells, and each cell task runs one
+    bounded (<= 2*block_rows rows) matmul.  Exact all-pairs semantics
+    with NO driver-side materialization and O(block_rows^2) peak memory
+    per task — the round-1 take_all()+full-broadcast version could not
+    survive 100 TB.  Replication cost is N*G rows, i.e. N^2/block_rows —
+    the unavoidable footprint of an exact O(N^2) similarity join; the
+    approximate sublinear path is similarity.ann_lsh."""
     import os
 
     path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    rows = ds.take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((ids, mat))
+    n = ds.count()  # parquet metadata, not an execution
+    grid = max(1, -(-n // block_rows))
 
-    def find(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        emb = batch["embedding"].combine_chunks()
-        m = np.asarray(emb.values.to_numpy(zero_copy_only=False), np.float64).reshape(
-            len(batch), -1
-        )
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+    def explode(batch: pa.Table) -> pa.Table:
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        sims = m @ all_mat.T
-        bi, aj = np.nonzero(sims >= threshold)
-        a = vec_ids[bi]
-        b = all_ids[aj]
-        keep = a < b
+        blk = (vec_ids % grid).astype(np.int64)  # dense ids -> balanced blocks
+        other = np.arange(grid, dtype=np.int64)
+        lo = np.minimum(blk[:, None], other[None, :])
+        hi = np.maximum(blk[:, None], other[None, :])
+        cell = (lo * grid + hi).ravel()
+        idx = np.repeat(np.arange(len(vec_ids)), grid)
         return pa.table(
             {
-                "vec_a": pa.array(a[keep], pa.int64()),
-                "vec_b": pa.array(b[keep], pa.int64()),
-                "cosine": pa.array(round_half_away(sims[bi, aj][keep], 6), pa.float64()),
+                "cell": pa.array(cell, pa.int64()),
+                "blk": pa.array(np.repeat(blk, grid), pa.int64()),
+                "vec_id": batch["vec_id"].take(pa.array(idx)),
+                "embedding": batch["embedding"].take(pa.array(idx)),
             }
         )
 
-    return ds.map_batches(find, batch_format="pyarrow")
+    from .similarity import _emb_matrix
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        cell = g["cell"][0].as_py()
+        ci, cj = divmod(cell, grid)
+        blk = g["blk"].to_numpy(zero_copy_only=False)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        mat = _emb_matrix(g)  # normalized float64 rows
+        if ci == cj:  # diagonal cell: in-block upper triangle
+            sims = mat @ mat.T
+            r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+        else:  # off-diagonal: cross-block pairs only (in-block pairs are
+            # owned by the diagonal cells, so nothing is double-counted)
+            ri = np.flatnonzero(blk == ci)
+            rj = np.flatnonzero(blk == cj)
+            sims = mat[ri] @ mat[rj].T
+            r_, c_ = np.nonzero(sims >= threshold)
+            r, c = ri[r_], rj[c_]
+            sims_at = sims[r_, c_]
+            a, b = ids[r], ids[c]
+            return pa.table(
+                {
+                    "vec_a": pa.array(np.minimum(a, b), pa.int64()),
+                    "vec_b": pa.array(np.maximum(a, b), pa.int64()),
+                    "cosine": pa.array(round_half_away(sims_at, 6), pa.float64()),
+                }
+            )
+        a, b = ids[r], ids[c]
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(a, b), pa.int64()),
+                "vec_b": pa.array(np.maximum(a, b), pa.int64()),
+                "cosine": pa.array(round_half_away(sims[r, c], 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+    )

@@ -230,3 +230,15 @@ def test_simhash_truncation_audit_empty_when_no_skew(dup_ds):
 
     audit = dedup.truncation_audit(dup_ds, mode="simhash").to_pandas()
     assert len(audit) == 0
+
+
+def test_embedding_dedup_grid_multiblock(ray_session):
+    """Tiny block_rows forces a multi-cell grid (off-diagonal cells); the
+    result must still equal single-block brute force exactly."""
+    from invertedindexbuilder_ray.pipelines.dedup import embedding_dedup_pairs
+
+    one = embedding_dedup_pairs(SF_DIR, threshold=0.4).to_pandas()
+    many = embedding_dedup_pairs(SF_DIR, threshold=0.4, block_rows=7).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["vec_a", "vec_b", "cosine"]].to_numpy()))
+    assert key(one) == key(many)
+    assert len(one) > 0
