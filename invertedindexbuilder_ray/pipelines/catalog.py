@@ -503,21 +503,47 @@ SELECT qid, vec_id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= {KNN_K}
 
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: content-hash per batch (vectorized-ish md5), then
-    hash-grouped keep-first (min doc_id)."""
+    """Exact dedup: md5 straight off the Arrow string buffer (memoryview
+    slices, no pandas round-trip / per-row encode), then hash-sharded
+    keep-first aggregation — 64 Ray-level groups with a vectorized pandas
+    aggregate inside each, instead of a per-distinct-key Ray aggregate
+    (which walks keys in Python).  md5 is kept because the DuckDB oracle
+    can only reproduce md5."""
     import pandas as pd
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["text_md5"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]
+    from ..functions.tokenize import _string_buffers
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        data, offsets = _string_buffers(texts)
+        mv = memoryview(data)
+        digests = [
+            hashlib.md5(mv[offsets[i] : offsets[i + 1]]).digest()
+            for i in range(batch.num_rows)
         ]
-        return batch[["doc_id", "text_md5"]]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "text_md5": pa.array([d.hex() for d in digests], pa.string()),
+                "__kshard": pa.array(
+                    np.array([d[0] for d in digests], np.int64) % 64, pa.int64()
+                ),
+            }
+        )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text_md5", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
+        return out.astype({"keep_doc_id": "int64", "n_dups": "int64"})
 
     return (
         load_documents(sf_dir)
-        .map_batches(add_hash, batch_format="pandas")
-        .groupby("text_md5")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+        .map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__kshard")
+        .map_groups(agg, batch_format="pandas")
     )
 
 

@@ -4,16 +4,17 @@
 shuffle partitions (ArrowInvalid on re-execution), so the engine carries
 its own join operator built from primitives that are stable at any
 scale: tag each side, bucket by ``hash(key) % P``, union, group by
-bucket, and pandas-merge inside each group.  This is exactly the
-"explicit partitioned hash join" from the Ray guide; skewed keys are
-spread by raising ``num_partitions``.
+bucket, and an Arrow (Acero) hash join inside each group — no pandas
+round-trip.  This is exactly the "explicit partitioned hash join" from
+the Ray guide; skewed keys are spread by raising ``num_partitions``
+(callers derive it from input size, e.g. ``dedup._join_partitions``).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -81,8 +82,23 @@ def partitioned_hash_join(
     lt = left.map_batches(pad_left, batch_format="pyarrow")
     rt = right.map_batches(pad_right, batch_format="pyarrow")
     unioned = lt.union(rt)
+    join_type = {"inner": "inner", "left": "left outer"}[how]
+    # Acero rejects nested (list/struct) payload columns; fall back to a
+    # pandas merge only when the schema requires it
+    nested = any(
+        pa.types.is_nested(t) for t in list(ltypes.values()) + list(rtypes.values())
+    )
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(g: pa.Table) -> pa.Table:
+        mask_l = pc.equal(g["__side"], 0)
+        lg = g.filter(mask_l).select(lcols)
+        rg = g.filter(pc.invert(mask_l)).select(["__r_key"] + list(out_rcols.values()))
+        merged = lg.join(
+            rg, keys=[left_on], right_keys=["__r_key"], join_type=join_type
+        )
+        return merged.select(out_cols)
+
+    def merge_group_pandas(g):
         lg = g[g["__side"] == 0]
         rg = g[g["__side"] == 1]
         lpart = lg[lcols]
@@ -90,4 +106,7 @@ def partitioned_hash_join(
         merged = lpart.merge(rpart, left_on=left_on, right_on="__r_key", how=how)
         return merged[out_cols]
 
-    return unioned.groupby("__bucket").map_groups(merge_group, batch_format="pandas")
+    grouped = unioned.groupby("__bucket")
+    if nested:
+        return grouped.map_groups(merge_group_pandas, batch_format="pandas")
+    return grouped.map_groups(merge_group, batch_format="pyarrow")

@@ -25,6 +25,34 @@ import ray.data as rd
 IMAGE_FEATURE_DIM = 64
 
 
+def _binary_buffers(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """View a binary column as (flat uint8 bytes, int64 row offsets) —
+    zero-copy; nulls fall back to a per-row path (treated as empty)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    if arr.null_count:
+        chunks = [arr[i].as_py() or b"" for i in range(n)]
+        lens = np.array([len(c) for c in chunks], np.int64)
+        return (
+            np.frombuffer(b"".join(chunks), np.uint8),
+            np.concatenate([[0], np.cumsum(lens)]),
+        )
+    if pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], off_dtype)[arr.offset : arr.offset + n + 1]
+    data = (
+        np.frombuffer(buffers[2], np.uint8)
+        if buffers[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, offsets.astype(np.int64, copy=False)
+
+
 class DecodeImageStub:
     """Actor-pool stage: ``(id, payload: binary)`` -> decoded image metadata.
 
@@ -46,12 +74,14 @@ class DecodeImageStub:
             raise NotImplementedError(
                 "real image decode path requires Pillow; wire PIL.Image.open here"
             )
-        heights, widths, channels = [], [], []
-        for payload in batch["payload"]:
-            h = hashlib.sha256(payload.as_py() or b"").digest()
+        data, offsets = _binary_buffers(batch["payload"])
+        mv = memoryview(data)
+        heights, widths = [], []
+        for i in range(batch.num_rows):  # sha256 over buffer slices, no .as_py()
+            h = hashlib.sha256(mv[offsets[i] : offsets[i + 1]]).digest()
             heights.append(64 + h[0] % 192)
             widths.append(64 + h[1] % 192)
-            channels.append(3)
+        channels = [3] * batch.num_rows
         return pa.table(
             {
                 "id": batch["id"],
@@ -72,19 +102,31 @@ class ByteHistogramFeatures:
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        for payload in batch["payload"]:
-            data = np.frombuffer(payload.as_py() or b"", dtype=np.uint8)
-            if len(data) == 0:
-                feats.append(np.zeros(IMAGE_FEATURE_DIM, dtype=np.float32))
-                continue
-            hist = np.bincount(data >> 2, minlength=IMAGE_FEATURE_DIM).astype(np.float32)
-            feats.append(hist / hist.sum())
+        data, offsets = _binary_buffers(batch["payload"])
+        n = batch.num_rows
+        lens = np.diff(offsets)
+        # one bincount over the whole batch: bin = row * 64 + (byte >> 2)
+        flat = data[offsets[0] : offsets[-1]]
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hist = (
+            np.bincount(
+                row_ids * IMAGE_FEATURE_DIM + (flat.astype(np.int64) >> 2),
+                minlength=n * IMAGE_FEATURE_DIM,
+            )
+            .reshape(n, IMAGE_FEATURE_DIM)
+            .astype(np.float32)
+        )
+        sums = hist.sum(axis=1, keepdims=True)
+        feats = hist / np.where(sums == 0, 1.0, sums)  # empty payload -> zeros
         return pa.table(
             {
                 "id": batch["id"],
-                "feature": pa.array(
-                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                "feature": pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n + 1) * IMAGE_FEATURE_DIM, IMAGE_FEATURE_DIM),
+                        pa.int32(),
+                    ),
+                    pa.array(feats.ravel(), pa.float32()),
                 ),
             }
         )
