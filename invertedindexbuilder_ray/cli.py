@@ -39,6 +39,10 @@ def cmd_build(args) -> int:
 
     if args.format == "webpages":
         ds = load_webpages(args.input, prefix_fraction=args.prefix_fraction)
+    elif args.format == "trec":
+        from .sources.trec import load_trec
+
+        ds = load_trec(args.input)
     else:
         ds = load_documents(args.input)
     # content fingerprint (path+size+mtime per file), NOT the raw path — a
@@ -95,7 +99,9 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build")
     b.add_argument("--input", required=True)
     b.add_argument("--out", required=True)
-    b.add_argument("--format", choices=["webpages", "documents"], default="webpages")
+    b.add_argument(
+        "--format", choices=["webpages", "documents", "trec"], default="webpages"
+    )
     b.add_argument("--partitions", type=int, default=16)
     b.add_argument(
         "--prefix-fraction", type=float, default=None,
