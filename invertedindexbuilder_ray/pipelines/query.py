@@ -63,8 +63,16 @@ def _heap_topk(docs: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, 
 
 
 class QueryEngine:
-    def __init__(self, index_dir: str, *, conformance: bool = True):
-        self.reader = IndexReader(index_dir)
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        conformance: bool = True,
+        truncate_lexicon_14: bool = False,
+    ):
+        self.reader = IndexReader(
+            index_dir, truncate_lexicon_14=truncate_lexicon_14
+        )
         self.conformance = conformance
 
     # ------------------------------------------------------------------

@@ -258,8 +258,9 @@ class IndexReader:
     blobs, so routing is implicit); the sandbox corpus fits comfortably.
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, *, truncate_lexicon_14: bool = False):
         self.index_dir = index_dir
+        self.truncate_lexicon_14 = truncate_lexicon_14
         self.manifest = IndexManifest.load(index_dir)
         self.n_docs = self.manifest.n_docs
         self.d_avr = self.manifest.d_avr
@@ -285,6 +286,18 @@ class IndexReader:
                 else:
                     cur[1].append(ent)
 
+        if truncate_lexicon_14:
+            # Quirk Q8 conformance (opt-in): the reference loads lexicon keys
+            # into a 15-byte field and zeroes byte 14 (src/lexicon.c:56), so
+            # 15-char terms collapse onto their 14-char prefix; hashmap_set
+            # overwrites, and the file is globally term-sorted, so the
+            # lexicographically GREATEST colliding term wins.  Query lookups
+            # truncate the same way (src/query.c:251, see open_list).
+            trunc: dict[str, tuple[int, list]] = {}
+            for term in sorted(self.lexicon):
+                trunc[term[:14]] = self.lexicon[term]
+            self.lexicon = trunc
+
         self.docs = DocTable.load(os.path.join(index_dir, "docs"), self.max_doc_id)
         self._mmaps: dict[int, np.memmap] = {}
 
@@ -297,6 +310,8 @@ class IndexReader:
         return mm
 
     def open_list(self, term: str):
+        if self.truncate_lexicon_14:
+            term = term[:14]  # Q8: query-side key truncation (src/query.c:251)
         ent = self.lexicon.get(term)
         if ent is None:
             return None
