@@ -674,6 +674,12 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh(sf_dir, n_queries=5, top_k=10)
 
 
+def q_ann_ivf(sf_dir: str):
+    from .similarity import ann_ivf
+
+    return ann_ivf(sf_dir, n_queries=5, top_k=10)
+
+
 def q_langid(sf_dir: str):
     from .textpipe import langid_ds
 
@@ -799,6 +805,23 @@ FROM documents d LEFT JOIN tstats t USING (doc_id)
 )
 
 
+def q_token_count_bpe(sf_dir: str):
+    from .textpipe import bpe_token_count_ds
+
+    return bpe_token_count_ds(sf_dir)
+
+
+def _sql_token_count_bpe() -> str:
+    from .textpipe import BPE_REGEX
+
+    pat = BPE_REGEX.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '{pat}'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_events_sliding(sf_dir: str):
     from .windows import sliding_window
 
@@ -840,9 +863,11 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
     "langid": (q_langid, _sql_langid()),
     "quality": (q_quality, SQL_QUALITY),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "token_count_bpe": (q_token_count_bpe, _sql_token_count_bpe()),
 }
 
 _sliding_sql, _session_sql = _sql_windows()

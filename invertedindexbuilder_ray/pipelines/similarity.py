@@ -114,6 +114,13 @@ def ann_lsh(
         probe_ds, indexed, left_on="bucket", right_on="bucket"
     )
 
+    return _score_and_topk(joined, top_k)
+
+
+def _score_and_topk(joined: rd.Dataset, top_k: int) -> rd.Dataset:
+    """Shared ANN tail: exact cosine on (candidate row, q_emb) pairs, then
+    per-query top-k (dedup across probes, self-match excluded)."""
+
     def score(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
@@ -147,3 +154,74 @@ def ann_lsh(
         .groupby("qid")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+IVF_SEED = 29
+
+
+def ann_ivf(
+    sf_dir: str,
+    *,
+    n_queries: int = 5,
+    top_k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = IVF_SEED,
+) -> rd.Dataset:
+    """IVF approximate nearest neighbors — the second scale path.
+
+    Coarse quantizer: ``n_centroids`` vectors drawn (seeded, deterministic)
+    from a bounded prefix sample of the table — a k-means-init-style
+    codebook that needs no training pass.  Every vector is assigned to
+    its nearest centroid with ONE broadcast matmul per batch (the
+    centroid matrix rides ``ray.put``); queries probe their ``n_probe``
+    nearest centroid lists.  Exact cosine + top-k inside the probed
+    lists.  Recall/latency trade via ``n_centroids`` x ``n_probe``;
+    unlike LSH the partition count is explicit, so list sizes stay
+    ~N/n_centroids regardless of the data's angular spread."""
+    import ray
+
+    ds = _embeddings(sf_dir)
+    sample = ds.limit(max(n_centroids * 8, 64)).take_all()
+    rng = np.random.RandomState(seed)
+    pick = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cents = np.stack(
+        [np.asarray(sample[i]["embedding"], np.float64) for i in sorted(pick)]
+    )
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _emb_matrix(batch)
+        bucket = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "embedding": batch["embedding"],
+            }
+        )
+
+    indexed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    qrows = ds.filter(expr=f"vec_id < {n_queries}").take_all()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qsims = qmat @ cents.T
+    probes = []
+    for qi in range(len(qids)):
+        top_c = np.argsort(-qsims[qi])[: min(n_probe, cents.shape[0])]
+        for b in sorted(int(c) for c in top_c):
+            probes.append(
+                {"bucket": b, "qid": int(qids[qi]), "q_emb": qmat[qi].tolist()}
+            )
+    probe_ds = rd.from_items(probes)
+
+    from .joins import partitioned_hash_join
+
+    joined = partitioned_hash_join(
+        probe_ds, indexed, left_on="bucket", right_on="bucket"
+    )
+    return _score_and_topk(joined, top_k)

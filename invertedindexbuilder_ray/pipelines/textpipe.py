@@ -158,6 +158,32 @@ def quality_ds(source: str | rd.Dataset) -> rd.Dataset:
     )
 
 
+# GPT-2-style pre-tokenizer, RE2-safe (no lookahead): contraction tails,
+# space-prefixed letter/digit/punct runs, whitespace runs.  Both pyarrow
+# (count_substring_regex) and DuckDB (regexp_extract_all) execute this with
+# RE2, so the two sides agree by construction.
+BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
+
+def bpe_token_count_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """(doc_id, n_bpe_tokens): BPE-ish pre-tokenizer match counts — the
+    training-data "how many tokens is this corpus" estimator.  Fully
+    vectorized: one RE2 scan per batch via Arrow's count_substring_regex
+    (no Python per-row loop)."""
+    import pyarrow.compute as pc
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], pattern=BPE_REGEX)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_bpe_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return _docs(source).map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def fingerprint_ds(source: str | rd.Dataset) -> rd.Dataset:
     """(doc_id, fingerprint): rolling token-stream hash — whitespace /
     punctuation-insensitive exact-dup detector."""
@@ -184,16 +210,23 @@ def fingerprint_groups_ds(source: str | rd.Dataset) -> rd.Dataset:
     identical (mod a ~2^-61 collision chance), so DuckDB can reproduce
     the exact same grouping from the normalized token stream without
     reimplementing the hash — the driver's hash compare then validates
-    the rolling-hash op end-to-end."""
+    the rolling-hash op end-to-end.
+
+    Aggregation is hash-sharded (64 Ray groups, vectorized pandas
+    transform inside) — fingerprint cardinality ~ n_docs, and per-key
+    Ray groupby costs ~ms/key."""
+    from .dedup import _sharded_groupby
+
     fp = fingerprint_ds(source)
 
     def grp(g: pd.DataFrame) -> pd.DataFrame:
+        by = g.groupby("fingerprint")["doc_id"]
         return pd.DataFrame(
             {
                 "doc_id": g["doc_id"].to_numpy(),
-                "canon_doc_id": np.full(len(g), g["doc_id"].min()),
-                "n_dups": np.full(len(g), len(g)),
+                "canon_doc_id": by.transform("min").to_numpy(),
+                "n_dups": by.transform("size").to_numpy(),
             }
         ).astype("int64")
 
-    return fp.groupby("fingerprint").map_groups(grp, batch_format="pandas")
+    return _sharded_groupby(fp, ["fingerprint"], grp)

@@ -242,3 +242,47 @@ def test_embedding_dedup_grid_multiblock(ray_session):
     key = lambda df: sorted(map(tuple, df[["vec_a", "vec_b", "cosine"]].to_numpy()))
     assert key(one) == key(many)
     assert len(one) > 0
+
+
+def test_ann_ivf_recall(ray_session, tmp_path_factory):
+    """IVF recall vs brute force on clustered embeddings."""
+    import pyarrow.parquet as pq
+
+    from invertedindexbuilder_ray.pipelines.catalog import q_knn_cosine
+    from invertedindexbuilder_ray.pipelines.similarity import ann_ivf
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((20, 64)) * 3
+    vecs = np.repeat(centers, 25, axis=0) + rng.standard_normal((500, 64)) * 0.3
+    root = tmp_path_factory.mktemp("ivf")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(500), pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        root / "embeddings.parquet",
+    )
+    exact = q_knn_cosine(str(root)).to_pandas()
+    approx = ann_ivf(str(root), n_queries=5, top_k=10, n_centroids=24, n_probe=6).to_pandas()
+    recalls = []
+    for qid in range(5):
+        e = set(exact[exact.qid == qid].vec_id)
+        a = set(approx[approx.qid == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_ann_ivf_smoke_sf(ray_session):
+    from invertedindexbuilder_ray.pipelines.similarity import ann_ivf
+
+    out = ann_ivf(SF_DIR, n_queries=3, top_k=5).to_pandas()
+    assert set(out.columns) >= {"qid", "vec_id", "sim", "rank"}
+    assert (out.groupby("qid")["rank"].max() <= 5).all()
+    # determinism: same seed, same codebook, same result
+    out2 = ann_ivf(SF_DIR, n_queries=3, top_k=5).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["qid", "vec_id", "rank"]].to_numpy()))
+    assert key(out) == key(out2)
