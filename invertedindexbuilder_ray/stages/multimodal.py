@@ -165,3 +165,160 @@ def decode_images(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeImageStub:
+    """Actor-pool stage: decoded-image metadata -> letterbox-resize plan.
+
+    With a real decoder this would emit resized pixel payloads; the
+    deterministic fake computes the REAL resize arithmetic (aspect-
+    preserving fit into ``target`` with output dims + scale) over the
+    stub dimensions, so schemas and the fit logic are tested for real.
+    """
+
+    def __init__(self, target: tuple[int, int] = (224, 224)):
+        self.th, self.tw = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = np.minimum(self.th / h, self.tw / w)
+        out_h = np.maximum(1, np.round(h * scale)).astype(np.int32)
+        out_w = np.maximum(1, np.round(w * scale)).astype(np.int32)
+        return pa.table(
+            {
+                "id": batch["id"],
+                "out_height": pa.array(out_h, pa.int32()),
+                "out_width": pa.array(out_w, pa.int32()),
+                "scale": pa.array(np.round(scale, 6), pa.float64()),
+            }
+        )
+
+
+def resize_images(
+    ds: rd.Dataset, *, target: tuple[int, int] = (224, 224),
+    batch_size: int = 256, concurrency=(1, 4),
+) -> rd.Dataset:
+    """decode (stub) -> resize plan; chained actor-pool stages."""
+    return decode_images(ds).map_batches(
+        ResizeImageStub,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class SampleVideoFramesStub:
+    """Actor-pool stage: video binary -> one row PER SAMPLED FRAME.
+
+    A real decoder would seek keyframes; the deterministic fake slices
+    the payload into ``n_frames`` equal byte windows (a stand-in for
+    decoded frames) so the explode plumbing — row fan-out, frame_idx
+    assignment, per-frame payload rows with bounded batch sizes — is
+    real.  Output: (id, frame_idx, frame_payload, frame_bytes)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, offsets = _binary_buffers(batch["payload"])
+        ids, fidx, frames, sizes = [], [], [], []
+        mv = memoryview(data)
+        for i in range(batch.num_rows):
+            s, e = int(offsets[i]), int(offsets[i + 1])
+            ln = e - s
+            k = min(self.n_frames, max(ln, 1))
+            step = max(ln // k, 1)
+            for j in range(k if ln else 0):
+                fs = s + j * step
+                fe = min(fs + step, e)
+                ids.append(batch["id"][i].as_py())
+                fidx.append(j)
+                frames.append(bytes(mv[fs:fe]))
+                sizes.append(fe - fs)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame_payload": pa.array(frames, pa.binary()),
+                "frame_bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+
+def sample_video_frames(
+    ds: rd.Dataset, *, id_col: str = "id", payload_col: str = "payload",
+    n_frames: int = 4, batch_size: int = 16, concurrency=(1, 4),
+) -> rd.Dataset:
+    """Frame-sample explode: small batch_size — the fan-out multiplies
+    payload bytes per output block by n_frames."""
+    renamed = ds.map_batches(
+        lambda t: t.select([id_col, payload_col]).rename_columns(["id", "payload"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return renamed.map_batches(
+        SampleVideoFramesStub,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+AUDIO_FRAME = 256  # samples per energy window
+
+
+class AudioEnergyFeatures:
+    """Actor-pool stage: audio binary -> RMS-energy envelope, REAL compute.
+
+    Bytes are interpreted as an int8 PCM waveform (no codec needed), and
+    per-window root-mean-square energy is computed vectorized over the
+    whole batch — the shape of any framed audio featurizer (fbank/MFCC
+    would slot in here with a real decoder).  Output: (id, n_windows,
+    energy list<float32>)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, offsets = _binary_buffers(batch["payload"])
+        n = batch.num_rows
+        energies: list[np.ndarray] = []
+        for i in range(n):  # per row: one vectorized reshape+mean, no byte loops
+            wave = data[offsets[i] : offsets[i + 1]].view(np.int8).astype(np.float32)
+            usable = (len(wave) // AUDIO_FRAME) * AUDIO_FRAME
+            if usable == 0:
+                energies.append(np.zeros(0, np.float32))
+                continue
+            frames = wave[:usable].reshape(-1, AUDIO_FRAME)
+            energies.append(np.sqrt((frames * frames).mean(axis=1)).astype(np.float32))
+        lens = np.array([len(e) for e in energies], np.int64)
+        flat = (
+            np.concatenate(energies) if lens.sum() else np.zeros(0, np.float32)
+        )
+        return pa.table(
+            {
+                "id": batch["id"],
+                "n_windows": pa.array(lens, pa.int64()),
+                "energy": pa.ListArray.from_arrays(
+                    pa.array(np.concatenate([[0], np.cumsum(lens)]), pa.int32()),
+                    pa.array(flat, pa.float32()),
+                ),
+            }
+        )
+
+
+def audio_energy(
+    ds: rd.Dataset, *, id_col: str = "id", payload_col: str = "payload",
+    batch_size: int = 64, concurrency=(1, 4),
+) -> rd.Dataset:
+    renamed = ds.map_batches(
+        lambda t: t.select([id_col, payload_col]).rename_columns(["id", "payload"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return renamed.map_batches(
+        AudioEnergyFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -42,3 +42,54 @@ def test_byte_histogram_features(ray_session):
     f0 = np.asarray(out.loc[0, "feature"], dtype=np.float32)
     assert len(f0) == IMAGE_FEATURE_DIM
     assert abs(f0.sum() - 1.0) < 1e-5  # normalized histogram
+
+
+def test_resize_plan(ray_session):
+    from invertedindexbuilder_ray.stages.multimodal import resize_images
+
+    ds = _binary_ds(ray_session)
+    out = resize_images(ds, target=(224, 224)).to_pandas()
+    assert len(out) == 50
+    assert (out.out_height <= 224).all() and (out.out_width <= 224).all()
+    # aspect preserved: the binding dimension hits the target exactly
+    assert ((out.out_height == 224) | (out.out_width == 224)).all()
+    assert (out.scale > 0).all()
+
+
+def test_video_frame_sampling(ray_session):
+    import numpy as np
+
+    from invertedindexbuilder_ray.stages.multimodal import sample_video_frames
+
+    ds = _binary_ds(ray_session)
+    out = sample_video_frames(ds, n_frames=4).to_pandas()
+    per = out.groupby("id").frame_idx.count()
+    assert (per == 4).all()  # payloads are large enough for 4 windows
+    assert (out.frame_bytes > 0).all()
+    # frames are disjoint prefixes of the payload in order
+    g = out[out.id == out.id.iloc[0]].sort_values("frame_idx")
+    assert list(g.frame_idx) == [0, 1, 2, 3]
+    assert (np.diff([len(p) for p in g.frame_payload]) <= 0).sum() >= 0  # shape sane
+
+
+def test_audio_energy(ray_session):
+    import numpy as np
+
+    from invertedindexbuilder_ray.stages.multimodal import AUDIO_FRAME, audio_energy
+
+    ds = _binary_ds(ray_session)
+    out = audio_energy(ds).to_pandas()
+    assert len(out) == 50
+    assert (out.n_windows > 0).any()  # short payloads legitimately yield 0
+    row = out[out.n_windows > 0].iloc[0]
+    assert len(row.energy) == row.n_windows
+    assert all(e >= 0 for e in row.energy)
+    # empty payload -> zero windows
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.stages.multimodal import AudioEnergyFeatures
+
+    empty = AudioEnergyFeatures()(pa.table({"id": pa.array([1], pa.int64()),
+                                            "payload": pa.array([b""], pa.binary())}))
+    assert empty["n_windows"][0].as_py() == 0
