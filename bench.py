@@ -201,9 +201,10 @@ def run_scaling() -> dict:
     # saturates at ~9 effective cores — see BASELINE.md).
     lo_cpus = int(os.environ.get("IIB_SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("IIB_SCALE_HI", "8"))
-    runs_lo = [run(lo_cpus) for _ in range(2)]
-    runs_hi = [run(hi_cpus) for _ in range(2)]
-    lo = min(runs_lo, key=lambda r: r["value"])  # best-of-2: the VM is noisy
+    n_runs = int(os.environ.get("IIB_SCALE_RUNS", "2"))
+    runs_lo = [run(lo_cpus) for _ in range(n_runs)]
+    runs_hi = [run(hi_cpus) for _ in range(n_runs)]
+    lo = min(runs_lo, key=lambda r: r["value"])  # best-of-N: the VM is noisy
     hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)

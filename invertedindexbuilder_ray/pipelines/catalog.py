@@ -420,6 +420,40 @@ WHERE l_orderkey {op} (SELECT o_orderkey FROM orders WHERE o_totalprice > {SEMI_
 """
 
 
+def q_orders_by_segment(sf_dir: str):
+    """Driver-checked exercise of the partitioned hash join itself:
+    orders |><| customer on custkey, revenue per market segment."""
+    from .joins import partitioned_hash_join
+
+    base = sf_dir if os.path.isdir(sf_dir) else os.path.dirname(sf_dir)
+    orders = rd.read_parquet(
+        os.path.join(base, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        os.path.join(base, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    j = partitioned_hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey", num_partitions=16
+    )
+    agg = j.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue_raw")
+    )
+    return agg.map_batches(
+        lambda b: b.append_column(
+            "revenue", pc_round_half_away(b["revenue_raw"], 2)
+        ).drop_columns(["revenue_raw"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 KNN_N_QUERIES = 5
 KNN_K = 10
 
@@ -875,3 +909,4 @@ QUERIES["events_sliding"] = (q_events_sliding, _sliding_sql)
 QUERIES["events_sessions"] = (q_events_sessions, _session_sql)
 QUERIES["semi_join"] = (q_semi_join, _sql_semi_anti(False))
 QUERIES["anti_join"] = (q_anti_join, _sql_semi_anti(True))
+QUERIES["orders_by_segment"] = (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT)
