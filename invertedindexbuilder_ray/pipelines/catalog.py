@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Mean, Sum
 
 from ..functions.rounding import pc_round_half_away, round_half_away
 from ..functions.tokenize import tokenize_to_postings

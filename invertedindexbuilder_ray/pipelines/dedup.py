@@ -19,7 +19,6 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data as rd
 
 from ..functions import sketch

@@ -15,7 +15,6 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
