@@ -17,6 +17,8 @@ No global sort, no ``preserve_order``, no driver-side row loop.
 from __future__ import annotations
 
 import glob
+import hashlib
+import json
 import os
 from dataclasses import dataclass
 
@@ -78,16 +80,55 @@ def plan_doc_ids(paths: list[str]) -> list[RowGroupPlan]:
     return plan_doc_ids_for(list_row_groups(paths))
 
 
-def plan_doc_ids_for(plans: list[RowGroupPlan]) -> list[RowGroupPlan]:
-    items = [{"path": p.path, "row_group": p.row_group} for p in plans]
-    counts_tbl = (
-        rd.from_items(items)
-        .map_batches(_count_kept_batch, batch_format="pyarrow")
-        .to_pandas()
-    )
-    kept = {
-        (r.path, r.row_group): int(r.kept) for r in counts_tbl.itertuples(index=False)
-    }
+PLAN_CACHE_DIR = "/tmp/iib_plan_cache"
+
+
+def _plan_cache_path(plans: list[RowGroupPlan]) -> str:
+    """Cache key = every (path, size, mtime, row_group) — the same guarantee
+    as the build fingerprint, so a changed input can never hit a stale plan."""
+    parts = []
+    for p in plans:
+        st = os.stat(p.path)
+        parts.append(f"{p.path}:{st.st_size}:{int(st.st_mtime)}:{p.row_group}")
+    key = hashlib.md5(";".join(parts).encode()).hexdigest()
+    return os.path.join(PLAN_CACHE_DIR, f"{key}.json")
+
+
+def plan_doc_ids_for(
+    plans: list[RowGroupPlan], *, use_cache: bool = True
+) -> list[RowGroupPlan]:
+    """Kept counts are deterministic input metadata, so they are cached on
+    disk (footer-cache style): a rebuild/resume of the same input skips the
+    whole url-column scan — one fewer fixed cost per job."""
+    cache_path = _plan_cache_path(plans) if use_cache else None
+    kept: dict[tuple[str, int], int] | None = None
+    if cache_path and os.path.exists(cache_path):
+        try:
+            with open(cache_path) as f:
+                kept = {(p, int(rg)): int(k) for p, rg, k in json.load(f)}
+        except (OSError, ValueError):
+            kept = None
+        if kept is not None and any(
+            (p.path, p.row_group) not in kept for p in plans
+        ):
+            kept = None
+    if kept is None:
+        items = [{"path": p.path, "row_group": p.row_group} for p in plans]
+        counts_tbl = (
+            rd.from_items(items)
+            .map_batches(_count_kept_batch, batch_format="pyarrow")
+            .to_pandas()
+        )
+        kept = {
+            (r.path, r.row_group): int(r.kept)
+            for r in counts_tbl.itertuples(index=False)
+        }
+        if cache_path:
+            from ..state.manifest import atomic_write_json
+
+            atomic_write_json(
+                cache_path, [[p, rg, k] for (p, rg), k in kept.items()]
+            )
     base = 0
     for p in plans:
         p.doc_id_base = base
