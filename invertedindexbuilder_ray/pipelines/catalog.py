@@ -26,6 +26,7 @@ from ray.data.aggregate import Count, Max, Mean, Sum
 from ..functions.rounding import pc_round_half_away, round_half_away
 from ..functions.tokenize import tokenize_to_postings
 from ..sources.documents import load_documents
+from . import sketch_sql as _sketch_sql
 from .build import build_index
 from .query import QueryEngine
 
@@ -708,10 +709,129 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh(sf_dir, n_queries=5, top_k=10)
 
 
+EMB_DIM = 64  # all sf embeddings tables are list<float>[64]
+
+
+def _sql_ann_lsh(n_queries: int = 5, top_k: int = 10) -> str:
+    """DuckDB replication of the multiprobe LSH ANN: the seeded hyperplanes
+    are DATA (deterministic given dim), inlined as literals, so bucketing
+    (sign of dot products), radius-2 probe expansion, candidate join,
+    exact-cosine scoring and ranking are all reproduced exactly.  Sign
+    flips from float discrepancies require |dot| ~ ulp — measure-zero."""
+    from .similarity import LSH_BITS, _planes
+
+    planes = _planes(EMB_DIM)  # (dim, bits) float64
+    rows = ", ".join(
+        "({}, [{}])".format(
+            b, ", ".join(repr(float(x)) for x in planes[:, b])
+        )
+        for b in range(LSH_BITS)
+    )
+    masks = [0] + [1 << b for b in range(LSH_BITS)] + [
+        (1 << b1) ^ (1 << b2)
+        for b1 in range(LSH_BITS)
+        for b2 in range(b1 + 1, LSH_BITS)
+    ]
+    mask_rows = ", ".join(f"({m})" for m in sorted(set(masks)))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+planes(bit, pv) AS (VALUES {rows}),
+masks(m) AS (VALUES {mask_rows}),
+vbits AS (
+    SELECT v.vec_id,
+           sum(CASE WHEN list_dot_product(v.ve, p.pv) > 0
+                    THEN 1 << p.bit ELSE 0 END)::BIGINT AS bucket
+    FROM v CROSS JOIN planes p GROUP BY v.vec_id
+),
+q AS (SELECT vec_id AS qid, ve AS qe FROM v WHERE vec_id < {n_queries}),
+qb AS (SELECT q.qid, vb.bucket FROM q JOIN vbits vb ON vb.vec_id = q.qid),
+probes AS (
+    SELECT DISTINCT qb.qid, xor(qb.bucket, masks.m) AS bucket
+    FROM qb CROSS JOIN masks
+),
+cand AS (
+    SELECT DISTINCT p.qid, vb.vec_id
+    FROM probes p JOIN vbits vb ON vb.bucket = p.bucket
+),
+sims AS (
+    SELECT cand.qid, cand.vec_id,
+           round(list_cosine_similarity(q.qe, v.ve), 6) AS sim
+    FROM cand JOIN q ON q.qid = cand.qid JOIN v ON v.vec_id = cand.vec_id
+    WHERE cand.vec_id != cand.qid
+),
+ranked AS (
+    SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT qid, vec_id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= {top_k}
+"""
+
+
+IVF_N_QUERIES = 5
+IVF_TOP_K = 10
+IVF_N_CENTROIDS = 16
+IVF_N_PROBE = 4
+
+
 def q_ann_ivf(sf_dir: str):
     from .similarity import ann_ivf
 
-    return ann_ivf(sf_dir, n_queries=5, top_k=10)
+    return ann_ivf(
+        sf_dir,
+        n_queries=IVF_N_QUERIES,
+        top_k=IVF_TOP_K,
+        n_centroids=IVF_N_CENTROIDS,
+        n_probe=IVF_N_PROBE,
+    )
+
+
+# The stride-picked codebook makes the WHOLE IVF pipeline (assignment,
+# probing, scoring, ranking) SQL-reproducible: no RNG, all tie-breaks are
+# (score DESC, id ASC).
+SQL_ANN_IVF = f"""
+WITH params AS (
+    SELECT greatest(1, count(*) // {IVF_N_CENTROIDS}) AS stride FROM embeddings
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+cents AS (
+    SELECT vec_id AS cid, ve AS ce FROM v, params WHERE vec_id % params.stride = 0
+),
+asg_ranked AS (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.ve, c.ce) DESC, c.cid
+           ) AS rn
+    FROM v CROSS JOIN cents c
+),
+asg AS (SELECT vec_id, cid FROM asg_ranked WHERE rn = 1),
+q AS (SELECT vec_id AS qid, ve AS qe FROM v WHERE vec_id < {IVF_N_QUERIES}),
+probe_ranked AS (
+    SELECT q.qid, c.cid,
+           row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN cents c
+),
+probes AS (SELECT qid, cid FROM probe_ranked WHERE rn <= {IVF_N_PROBE}),
+cand AS (
+    SELECT p.qid, a.vec_id FROM probes p JOIN asg a ON a.cid = p.cid
+),
+sims AS (
+    SELECT cand.qid, cand.vec_id,
+           round(list_cosine_similarity(q.qe, v.ve), 6) AS sim
+    FROM cand JOIN q ON q.qid = cand.qid JOIN v ON v.vec_id = cand.vec_id
+    WHERE cand.vec_id != cand.qid
+),
+ranked AS (
+    SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+    FROM sims
+)
+SELECT qid, vec_id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= {IVF_TOP_K}
+"""
 
 
 def q_langid(sf_dir: str):
@@ -891,13 +1011,13 @@ QUERIES = {
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     # training-data ops; entries with sql=None get the driver's rows-only check
-    "dedup_minhash": (q_dedup_minhash, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_minhash": (q_dedup_minhash, _sketch_sql.sql_minhash_pairs()),
+    "dedup_simhash": (q_dedup_simhash, _sketch_sql.sql_simhash_pairs()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "ann_lsh": (q_ann_lsh, None),
-    "ann_ivf": (q_ann_ivf, None),
+    "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "langid": (q_langid, _sql_langid()),
     "quality": (q_quality, SQL_QUALITY),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),

@@ -156,9 +156,6 @@ def _score_and_topk(joined: rd.Dataset, top_k: int) -> rd.Dataset:
     )
 
 
-IVF_SEED = 29
-
-
 def ann_ivf(
     sf_dir: str,
     *,
@@ -166,28 +163,35 @@ def ann_ivf(
     top_k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
-    seed: int = IVF_SEED,
 ) -> rd.Dataset:
     """IVF approximate nearest neighbors — the second scale path.
 
-    Coarse quantizer: ``n_centroids`` vectors drawn (seeded, deterministic)
-    from a bounded prefix sample of the table — a k-means-init-style
-    codebook that needs no training pass.  Every vector is assigned to
-    its nearest centroid with ONE broadcast matmul per batch (the
-    centroid matrix rides ``ray.put``); queries probe their ``n_probe``
-    nearest centroid lists.  Exact cosine + top-k inside the probed
-    lists.  Recall/latency trade via ``n_centroids`` x ``n_probe``;
-    unlike LSH the partition count is explicit, so list sizes stay
-    ~N/n_centroids regardless of the data's angular spread."""
+    Coarse quantizer: every ``stride``-th vector (``vec_id % stride == 0``
+    with ``stride = max(1, N // n_centroids)``) is a centroid — a
+    k-means-init-style codebook with NO training pass and no RNG, so the
+    whole pipeline (assignment, probing, scoring, ranking) is exactly
+    reproducible by the DuckDB oracle.  Every vector is assigned to its
+    nearest centroid with ONE broadcast matmul per batch (the centroid
+    matrix rides ``ray.put``); queries probe their ``n_probe`` nearest
+    centroid lists; exact cosine + top-k inside.  All argmax/probe/rank
+    tie-breaks are (score desc, id asc).  Recall/latency trade via
+    ``n_centroids`` x ``n_probe``; unlike LSH the partition count is
+    explicit, so list sizes stay ~N/n_centroids regardless of the data's
+    angular spread."""
     import ray
 
     ds = _embeddings(sf_dir)
-    sample = ds.limit(max(n_centroids * 8, 64)).take_all()
-    rng = np.random.RandomState(seed)
-    pick = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
-    cents = np.stack(
-        [np.asarray(sample[i]["embedding"], np.float64) for i in sorted(pick)]
-    )
+    n = ds.count()  # parquet metadata
+    stride = max(1, n // n_centroids)
+
+    def pick_cents(b: pa.Table) -> pa.Table:
+        mask = (b["vec_id"].to_numpy(zero_copy_only=False) % stride) == 0
+        return b.filter(pa.array(mask))
+
+    crows = ds.map_batches(pick_cents, batch_format="pyarrow").take_all()
+    crows.sort(key=lambda r: r["vec_id"])  # centroid order = cid ascending
+    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    cents = np.stack([np.asarray(r["embedding"], np.float64) for r in crows])
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     cref = ray.put(cents)
 
@@ -212,8 +216,9 @@ def ann_ivf(
     qsims = qmat @ cents.T
     probes = []
     for qi in range(len(qids)):
-        top_c = np.argsort(-qsims[qi])[: min(n_probe, cents.shape[0])]
-        for b in sorted(int(c) for c in top_c):
+        # probe order: sim desc, cid asc (same total order as the oracle)
+        order = np.lexsort((cids, -qsims[qi]))[: min(n_probe, cents.shape[0])]
+        for b in sorted(int(c) for c in order):
             probes.append(
                 {"bucket": b, "qid": int(qids[qi]), "q_emb": qmat[qi].tolist()}
             )

@@ -1,0 +1,188 @@
+"""DuckDB replication of the MinHash and SimHash sketch pipelines.
+
+The sketches are PURE INTEGER math (FNV-1a token hashes, wrap-mod-2^64
+multiplies, Mersenne-61 permutations), so unlike float kernels they can
+be reproduced in SQL bit-for-bit: HUGEINT (int128) holds every
+intermediate (largest product: x*a < 2^122), ``xor`` works on UBIGINT,
+and the seeded permutation/plane constants are DATA inlined as literals.
+These oracles make the last two sketch operators driver-hash-checked.
+
+One deliberate divergence: the engine's MAX_BUCKET skew guard truncates
+pathological buckets (>256 docs sharing a band); SQL does not.  At the
+driver's sf=0.01 no bucket is near the cap, so the outputs are equal;
+corpora that do trip the guard are covered by ``dedup.truncation_audit``
+and its tests instead.
+
+Kernel references: functions/hashing.py (FNV over zero-padded 16 bytes),
+functions/sketch.py (shingle fold, permutations, band fold, simhash).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FNV_OFFSET = 1469598103934665603
+FNV_PRIME = 1099511628211
+M64 = 1 << 64
+M61 = (1 << 61) - 1
+U64_MAX = M64 - 1
+
+
+def _token_hash_ctes() -> str:
+    """CTE chain: documents -> toks(doc_id, pos, term) -> th(doc_id, pos, h).
+
+    ``h`` is the engine's token hash: FNV-1a folded over the token's
+    bytes zero-padded to 16 positions (functions/hashing.py:term_hash /
+    tokenize._span_hashes), kept as HUGEINT in [0, 2^64)."""
+    steps = []
+    for j in range(1, 17):
+        byte = (
+            f"(CASE WHEN length(term) >= {j} "
+            f"THEN ord(substr(term, {j}, 1)) ELSE 0 END)"
+        )
+        steps.append(
+            f"th{j} AS (SELECT doc_id, pos, term, "
+            f"((h - (h % 256) + CAST(xor((h % 256)::BIGINT, {byte}) AS HUGEINT))"
+            f" * {FNV_PRIME}) % {M64} AS h FROM th{j - 1})"
+        )
+    return f"""
+filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS pos
+    FROM filt
+),
+th0 AS (SELECT doc_id, pos, term, CAST({FNV_OFFSET} AS HUGEINT) AS h FROM toks),
+{", ".join(steps)},
+th AS (SELECT doc_id, pos, h FROM th16)
+"""
+
+
+def _minhash_perms(num_perm: int = 64, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """EXACT replication of sketch.minhash_signatures' coefficient draw."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def _fold_expr(h_expr: str, sig_expr: str) -> str:
+    """One FNV band-fold step: ((h ^ sig) * prime) mod 2^64, via UBIGINT xor."""
+    return (
+        f"(CAST(xor(CAST(({h_expr}) AS UBIGINT), CAST(({sig_expr}) AS UBIGINT)) "
+        f"AS HUGEINT) * {FNV_PRIME}) % {M64}"
+    )
+
+
+def sql_minhash_pairs(
+    *, num_perm: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """Full MinHash-LSH near-dup pipeline in DuckDB: shingle fold, 64
+    permutations, per-band FNV fold, band-bucket pairing, signature-
+    agreement verification.  Output: (doc_a, doc_b, est_jaccard, n_bands)."""
+    a, b = _minhash_perms(num_perm)
+    perm_rows = ", ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)" for j in range(num_perm)
+    )
+    r = num_perm // bands
+    fold = f"CAST({FNV_OFFSET} AS HUGEINT)"
+    for k in range(r):
+        fold = _fold_expr(fold, f"s{k}.sig")
+    sig_joins = "\n    ".join(
+        f"JOIN sigs s{k} ON s{k}.doc_id = d.doc_id AND s{k}.j = bn.band * {r} + {k}"
+        for k in range(r)
+    )
+    return f"""
+WITH {_token_hash_ctes()},
+sh3 AS (
+    SELECT a.doc_id,
+           ((((a.h * {FNV_PRIME}) % {M64} + b.h) % {M64}) * {FNV_PRIME}
+            % {M64} + c.h) % {M64} AS sh
+    FROM th a
+    JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+xs AS (SELECT doc_id, (sh % {M61}) AS x FROM sh3),
+perms(j, a, b) AS (VALUES {perm_rows}),
+pm AS (
+    SELECT xs.doc_id, p.j,
+           min((((xs.x * p.a) % {M64} + p.b) % {M64}) % {M61}) AS sig
+    FROM xs CROSS JOIN perms p GROUP BY xs.doc_id, p.j
+),
+sigs AS (
+    SELECT d.doc_id, p.j,
+           coalesce(pm.sig, {U64_MAX}::HUGEINT) AS sig
+    FROM documents d CROSS JOIN perms p
+    LEFT JOIN pm ON pm.doc_id = d.doc_id AND pm.j = p.j
+),
+bandh AS (
+    SELECT d.doc_id, bn.band, {fold} AS h
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bn
+    {sig_joins}
+),
+mpairs AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS n_bands
+    FROM bandh x
+    JOIN bandh y ON y.band = x.band AND y.h = x.h AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT p.doc_a, p.doc_b, p.n_bands,
+           sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / {float(num_perm)} AS e
+    FROM mpairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+    GROUP BY 1, 2, 3
+)
+SELECT doc_a, doc_b, round(e, 6) AS est_jaccard, n_bands
+FROM est WHERE e >= {threshold}
+"""
+
+
+def sql_simhash_pairs(*, max_hamming: int = 3) -> str:
+    """Full SimHash near-dup pipeline in DuckDB: occurrence-weighted ±1 bit
+    sums, 4x16-bit band blocking, exact hamming via per-bit disagreement
+    counts (no 64-bit arithmetic needed on the pair side).
+    Output: (doc_a, doc_b, hamming)."""
+    pow_rows = ", ".join(f"({bb}, {1 << bb}::HUGEINT)" for bb in range(64))
+    return f"""
+WITH {_token_hash_ctes()},
+pows(b, pw) AS (VALUES {pow_rows}),
+contrib AS (
+    SELECT t.doc_id, p.b,
+           sum(CASE WHEN (t.h // p.pw) % 2 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th t CROSS JOIN pows p GROUP BY t.doc_id, p.b
+),
+allbits AS (
+    SELECT d.doc_id, p.b,
+           coalesce(CASE WHEN c.s > 0 THEN 1 ELSE 0 END, 0) AS bit
+    FROM documents d CROSS JOIN pows p
+    LEFT JOIN contrib c ON c.doc_id = d.doc_id AND c.b = p.b
+),
+chunks AS (
+    SELECT doc_id, (b // 16) AS band,
+           sum(bit * (1 << (b % 16)))::BIGINT AS chunk
+    FROM allbits GROUP BY doc_id, (b // 16)
+),
+cpairs AS (
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM chunks x
+    JOIN chunks y ON y.band = x.band AND y.chunk = x.chunk AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+hams AS (
+    SELECT p.doc_a, p.doc_b,
+           sum(CASE WHEN ba.bit != bb.bit THEN 1 ELSE 0 END)::BIGINT AS hamming
+    FROM cpairs p
+    JOIN allbits ba ON ba.doc_id = p.doc_a
+    JOIN allbits bb ON bb.doc_id = p.doc_b AND bb.b = ba.b
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, hamming FROM hams WHERE hamming <= {max_hamming}
+"""
