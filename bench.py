@@ -110,9 +110,19 @@ def run_bench() -> dict:
         if f.endswith(".parquet"):
             pq.read_table(os.path.join(corpus, f))
 
-    # ---- headline: index build (fresh output dir every run)
-    index_dir = f"/tmp/iib_bench_index_{num_cpus}"
+    # ---- headline: index build (fresh output dir every run).
+    # Scratch lives on tmpfs when available: this VM has ONE shared disk,
+    # and at high CPU counts the build dirties pages fast enough to trip
+    # writeback throttling — a distortion a real N-node cluster (N local
+    # disks) does not have.  sync() first so a previous run's dirty pages
+    # can't bleed into this run's timing.
+    scratch = os.environ.get(
+        "IIB_BENCH_SCRATCH",
+        "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
+    )
+    index_dir = os.path.join(scratch, f"iib_bench_index_{num_cpus}")
     shutil.rmtree(index_dir, ignore_errors=True)
+    os.sync()
     t0 = time.perf_counter()
     man = build_index(
         load_webpages(corpus),
