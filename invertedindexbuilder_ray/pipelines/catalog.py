@@ -360,6 +360,36 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+SAMPLE_MULT = 0x9E3779B97F4A7C15
+SAMPLE_PCT = 10
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic hash sampling: keep docs where a Fibonacci-multiply
+    hash of doc_id lands in the first SAMPLE_PCT% — the reproducible
+    "x% slice" every training-data pipeline needs (same rows on any
+    cluster size, no RNG, SQL-verifiable)."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * np.uint64(SAMPLE_MULT)
+        return batch.filter(pa.array((h % np.uint64(100)) < SAMPLE_PCT)).select(
+            ["doc_id", "dl"]
+        )
+
+    return load_documents(sf_dir).map_batches(
+        filt, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_SAMPLE_HASH = f"""
+SELECT doc_id, strlen(text)::BIGINT AS dl
+FROM documents
+WHERE ((doc_id::HUGEINT * {SAMPLE_MULT}) % 18446744073709551616) % 100 < {SAMPLE_PCT}
+"""
+
+
 SEMI_JOIN_PRICE = 400_000.0
 
 
@@ -1030,3 +1060,4 @@ QUERIES["events_sessions"] = (q_events_sessions, _session_sql)
 QUERIES["semi_join"] = (q_semi_join, _sql_semi_anti(False))
 QUERIES["anti_join"] = (q_anti_join, _sql_semi_anti(True))
 QUERIES["orders_by_segment"] = (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT)
+QUERIES["sample_hash"] = (q_sample_hash, SQL_SAMPLE_HASH)
