@@ -212,8 +212,14 @@ def run_scaling() -> dict:
     lo_cpus = int(os.environ.get("IIB_SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("IIB_SCALE_HI", "8"))
     n_runs = int(os.environ.get("IIB_SCALE_RUNS", "2"))
-    runs_lo = [run(lo_cpus) for _ in range(n_runs)]
-    runs_hi = [run(hi_cpus) for _ in range(n_runs)]
+    # INTERLEAVED, alternating order: the VM's throughput drifts over tens
+    # of minutes, so lo-block-then-hi-block would systematically bias one
+    # level; alternating (lo,hi),(hi,lo),... decorrelates drift from level.
+    runs_lo, runs_hi = [], []
+    for i in range(n_runs):
+        order = (lo_cpus, hi_cpus) if i % 2 == 0 else (hi_cpus, lo_cpus)
+        for c in order:
+            (runs_lo if c == lo_cpus else runs_hi).append(run(c))
     lo = min(runs_lo, key=lambda r: r["value"])  # best-of-N: the VM is noisy
     hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
