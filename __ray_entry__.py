@@ -4,9 +4,11 @@ The driver calls ``ray.init(...)`` itself before importing this module;
 nothing here (or in the library) may call ``ray.init`` / ``ray.shutdown``.
 
 ``queries()`` exposes every implemented pipeline from SURVEY.md §2 plus
-the training-data operators (dedup / similarity / text analysis);
-``oracle_sql()`` gives the DuckDB-equivalent SQL for each entry that is
-SQL-expressible (same column names, rounded floats).
+the training-data operators (dedup / similarity / text analysis /
+sampling / joins); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+EVERY entry (same column names; floats rounded half-away-from-zero via
+functions/rounding; sketch ops replicated bit-exactly in integer SQL by
+pipelines/sketch_sql.py) — no entry falls back to the rows-only check.
 """
 
 from __future__ import annotations
