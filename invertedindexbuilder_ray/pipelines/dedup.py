@@ -275,6 +275,9 @@ def truncation_audit(
     return sizes.map_batches(to_dropped, batch_format="pyarrow")
 
 
+BROADCAST_SIGS_MAX = 500_000  # rows; ~260 MB at num_perm=64 — ray.put territory
+
+
 def minhash_dedup_pairs(
     source: str | rd.Dataset,
     *,
@@ -285,13 +288,53 @@ def minhash_dedup_pairs(
 ) -> rd.Dataset:
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
 
-    Verification: hash-partitioned joins pair->sig_a, pair->sig_b, then a
-    vectorized signature-agreement estimate.
+    Verification is hybrid (the Ray-guide small-side rule): when the
+    signature table fits comfortably in the object store it is broadcast
+    ONCE via ``ray.put`` and each pair batch verifies with two vectorized
+    gathers — no shuffle at all; above ``BROADCAST_SIGS_MAX`` rows it
+    falls back to hash-partitioned joins pair->sig_a, pair->sig_b with
+    input-scaled partition counts.
     """
-    from .joins import partitioned_hash_join
+    import ray
 
     pairs, sigs = minhash_candidate_pairs(source, num_perm=num_perm, bands=bands, k=k)
-    join_p = _join_partitions(max(pairs.count(), sigs.count()))  # both materialized
+    n_sigs = sigs.count()  # materialized
+    if n_sigs <= BROADCAST_SIGS_MAX:
+        stbl = pa.concat_tables(b for b in sigs.iter_batches(batch_format="pyarrow"))
+        ids = stbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids_sorted = ids[order]
+        mat = np.frombuffer(
+            b"".join(stbl["sig"].to_pylist()), np.uint64
+        ).reshape(len(ids), num_perm)[order]
+        ref = ray.put((ids_sorted, mat))
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            sids, smat = ray.get(ref)
+            da = batch["doc_a"].to_numpy(zero_copy_only=False)
+            db = batch["doc_b"].to_numpy(zero_copy_only=False)
+            sa = smat[np.searchsorted(sids, da)]
+            sb = smat[np.searchsorted(sids, db)]
+            est = (sa == sb).mean(axis=1)
+            keep = est >= threshold
+            return pa.table(
+                {
+                    "doc_a": pa.array(da[keep], pa.int64()),
+                    "doc_b": pa.array(db[keep], pa.int64()),
+                    "est_jaccard": pa.array(
+                        round_half_away(est[keep], 6), pa.float64()
+                    ),
+                    "n_bands": batch["n_bands"]
+                    .filter(pa.array(keep))
+                    .cast(pa.int64()),
+                }
+            )
+
+        return pairs.map_batches(verify_bcast, batch_format="pyarrow")
+
+    from .joins import partitioned_hash_join
+
+    join_p = _join_partitions(max(pairs.count(), n_sigs))
     j1 = partitioned_hash_join(
         pairs, sigs, left_on="doc_a", right_on="doc_id",
         right_suffix="_a", num_partitions=join_p,

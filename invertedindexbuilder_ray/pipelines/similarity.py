@@ -106,7 +106,9 @@ def ann_lsh(
             probes.append(
                 {"bucket": b, "qid": int(qids[qi]), "q_emb": qmat[qi].tolist()}
             )
-    probe_ds = rd.from_items(probes)
+    # ONE block (from_items makes a block PER item -> hundreds of per-block
+    # task overheads through the join; measured 16 s -> ~5 s at sf0.1)
+    probe_ds = rd.from_arrow(pa.Table.from_pylist(probes))
 
     from .joins import partitioned_hash_join
 
@@ -222,7 +224,7 @@ def ann_ivf(
             probes.append(
                 {"bucket": b, "qid": int(qids[qi]), "q_emb": qmat[qi].tolist()}
             )
-    probe_ds = rd.from_items(probes)
+    probe_ds = rd.from_arrow(pa.Table.from_pylist(probes))  # one block
 
     from .joins import partitioned_hash_join
 

@@ -33,9 +33,25 @@ def _adapt(batch: pa.Table) -> pa.Table:
     )
 
 
-def load_documents(path: str) -> rd.Dataset:
-    """``path`` is a documents.parquet file or an sf directory containing one."""
+TARGET_BLOCK_BYTES = 32 << 20
+
+
+def load_documents(path: str, *, num_blocks: int | None = None) -> rd.Dataset:
+    """``path`` is a documents.parquet file or an sf directory containing one.
+
+    Block count is sized to the DATA (~32 MB per block), not the CPU
+    count: Ray's default splits a small file into num_cpus blocks, and
+    every downstream groupby/sort pays a fixed per-block shuffle cost
+    (measured 2x on 64 vs 8 blocks for the same 5000 rows)."""
     if os.path.isdir(path):
         path = os.path.join(path, "documents.parquet")
-    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    if num_blocks is None:
+        try:
+            sz = os.path.getsize(path)
+        except OSError:
+            sz = 0
+        num_blocks = int(min(2048, max(4, -(-sz // TARGET_BLOCK_BYTES))))
+    ds = rd.read_parquet(
+        path, columns=["doc_id", "text"], override_num_blocks=num_blocks
+    )
     return ds.map_batches(_adapt, batch_format="pyarrow", zero_copy_batch=True)
