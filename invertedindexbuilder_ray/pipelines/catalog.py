@@ -26,6 +26,7 @@ from ray.data.aggregate import Count, Max, Mean, Sum
 from ..functions.rounding import pc_round_half_away, round_half_away
 from ..functions.tokenize import tokenize_to_postings
 from ..sources.documents import load_documents
+from ..sources.util import read_parquet_sized
 from . import sketch_sql as _sketch_sql
 from .build import build_index
 from .query import QueryEngine
@@ -205,7 +206,7 @@ def q_lang_counts(sf_dir: str):
     else:
         path = sf_dir
     return (
-        rd.read_parquet(path, columns=["lang", "n_chars"])
+        read_parquet_sized(path, columns=["lang", "n_chars"])
         .groupby("lang")
         .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
     )
@@ -286,7 +287,7 @@ def q_events_tumbling(sf_dir: str):
         return batch.append_column("hour_bucket", pc.cast(bucket, pa.int64()))
 
     return (
-        rd.read_parquet(path, columns=["ts", "event_type", "value"])
+        read_parquet_sized(path, columns=["ts", "event_type", "value"])
         .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "hour_bucket"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value_raw"))
@@ -318,7 +319,7 @@ def q_lineitem_agg(sf_dir: str):
         return batch.append_column("disc_price", disc_price)
 
     agg = (
-        rd.read_parquet(
+        read_parquet_sized(
             path,
             columns=[
                 "l_returnflag", "l_linestatus", "l_quantity",
@@ -399,7 +400,7 @@ def _semi_anti(sf_dir: str, anti: bool):
     no shuffle (the Ray-guide pattern for small-side joins)."""
     orders_path = os.path.join(sf_dir, "orders.parquet") if os.path.isdir(sf_dir) else sf_dir
     li_path = os.path.join(os.path.dirname(orders_path), "lineitem.parquet")
-    keys_ds = rd.read_parquet(orders_path, columns=["o_orderkey", "o_totalprice"]).filter(
+    keys_ds = read_parquet_sized(orders_path, columns=["o_orderkey", "o_totalprice"]).filter(
         expr=f"o_totalprice > {SEMI_JOIN_PRICE}"
     )
     keys = np.array([r["o_orderkey"] for r in keys_ds.take_all()], dtype=np.int64)
@@ -418,7 +419,7 @@ def _semi_anti(sf_dir: str, anti: bool):
         return batch.filter(pa.array(hit))
 
     agg = (
-        rd.read_parquet(li_path, columns=["l_orderkey", "l_quantity"])
+        read_parquet_sized(li_path, columns=["l_orderkey", "l_quantity"])
         .map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
         .aggregate(Count(), Sum("l_quantity"))
     ) or {}
@@ -457,10 +458,10 @@ def q_orders_by_segment(sf_dir: str):
     from .joins import partitioned_hash_join
 
     base = sf_dir if os.path.isdir(sf_dir) else os.path.dirname(sf_dir)
-    orders = rd.read_parquet(
+    orders = read_parquet_sized(
         os.path.join(base, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
-    cust = rd.read_parquet(
+    cust = read_parquet_sized(
         os.path.join(base, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
     j = partitioned_hash_join(
@@ -499,7 +500,7 @@ def q_knn_cosine(sf_dir: str):
     asc), so the global top-k is always contained in the union of the
     per-batch top-ks.  The sublinear scale path is `similarity.ann_lsh`."""
     path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
     qrows = ds.filter(expr=f"vec_id < {KNN_N_QUERIES}").take_all()
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])

@@ -24,6 +24,7 @@ import ray.data as rd
 from ..functions import sketch
 from ..functions.rounding import round_half_away
 from ..sources.documents import load_documents
+from ..sources.util import read_parquet_sized
 
 logger = logging.getLogger(__name__)
 
@@ -762,7 +763,7 @@ def embedding_dedup_pairs(
     import os
 
     path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
     n = ds.count()  # parquet metadata, not an execution
     grid = max(1, -(-n // block_rows))
 

@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.rounding import round_half_away
+from ..sources.util import read_parquet_sized
 
 LSH_BITS = 8
 LSH_SEED = 13
@@ -26,7 +27,7 @@ LSH_SEED = 13
 
 def _embeddings(sf_dir: str) -> rd.Dataset:
     path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
-    return rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return read_parquet_sized(path, columns=["vec_id", "embedding"])
 
 
 def _emb_matrix(batch: pa.Table) -> np.ndarray:

@@ -19,13 +19,14 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..functions.rounding import pc_round_half_away, round_half_away
+from ..sources.util import read_parquet_sized
 
 US_PER_HOUR = 3_600_000_000
 
 
 def _events(sf_dir: str) -> rd.Dataset:
     path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
-    return rd.read_parquet(path, columns=["ts", "user_id", "event_type", "value"])
+    return read_parquet_sized(path, columns=["ts", "user_id", "event_type", "value"])
 
 
 def sliding_window(
