@@ -196,10 +196,22 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same build job at two parallelism levels in fresh processes."""
+    """Same build job at two parallelism levels in fresh processes.
+
+    Defaults to a 1M-doc corpus (vs the regular bench's 100k): the fixed
+    per-job seconds (Ray session, prepass, phase barriers) dominate small
+    runs and would measure overhead amortization, not scaling — measured
+    efficiency rises 0.49 -> 0.73 -> 0.86 at 100k/1M/4M docs (BASELINE.md).
+    """
+    docs = os.environ.get("IIB_BENCH_DOCS", "1000000")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), IIB_SCALING_CHILD="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            IIB_SCALING_CHILD="1",
+            IIB_BENCH_DOCS=docs,
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
