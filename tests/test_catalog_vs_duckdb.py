@@ -84,6 +84,21 @@ def test_catalog_query_matches_oracle(ray_session, name):
     _compare(name, got, want)
 
 
+@pytest.mark.parametrize("name", [n for n, _, _ in _entries()])
+def test_catalog_query_matches_oracle_sf0001(ray_session, name):
+    """Same gate at the tiniest sf: small corpora produce empty candidate
+    sets / single-row groups, exercising the empty-result edge paths."""
+    from invertedindexbuilder_ray.pipelines.catalog import QUERIES
+
+    fn, sql = QUERIES[name]
+    sf = "/root/testdata/sf0.001"
+    got = _to_df(fn(sf))
+    con = _duck(sf)
+    want = con.execute(sql).fetchdf()
+    con.close()
+    _compare(name, got, want)
+
+
 @pytest.mark.parametrize(
     "name",
     [
