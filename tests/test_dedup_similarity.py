@@ -286,3 +286,46 @@ def test_ann_ivf_smoke_sf(ray_session):
     out2 = ann_ivf(SF_DIR, n_queries=3, top_k=5).to_pandas()
     key = lambda df: sorted(map(tuple, df[["qid", "vec_id", "rank"]].to_numpy()))
     assert key(out) == key(out2)
+
+
+def test_unicode_robustness(ray_session):
+    """Multi-byte UTF-8 (CJK, emoji, combining marks) must flow through the
+    byte-level kernels without crashes: non-ASCII bytes are token
+    separators (quirk Q3 byte classes), so these docs mostly produce few
+    or no tokens — but every pipeline must still return sane results."""
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.dedup import (
+        minhash_dedup_pairs, ngram_jaccard_pairs, simhash_dedup_pairs,
+    )
+    from invertedindexbuilder_ray.pipelines.textpipe import (
+        bpe_token_count_ds, fingerprint_groups_ds, langid_ds, quality_ds,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "日本語のテキスト with some ascii words"},
+        {"doc_id": 1, "text": "🎉🎊 emoji only 🎈"},
+        {"doc_id": 2, "text": "café naïve résumé"},
+        {"doc_id": 3, "text": "普通的中文文本没有空格"},
+        {"doc_id": 4, "text": "mixed 混合 text with 単語 tokens here ok"},
+        {"doc_id": 5, "text": "mixed 混合 text with 単語 tokens here ok"},  # dup of 4
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    q = quality_ds(ds).to_pandas().set_index("doc_id").sort_index()
+    assert len(q) == 6 and (q.alnum_ratio <= 1).all()
+    lang = langid_ds(ds).to_pandas()
+    assert len(lang) == 6
+    fp = fingerprint_groups_ds(ds).to_pandas()
+    assert len(fp) == 6
+    # identical docs share a fingerprint group
+    by_doc = fp.set_index("doc_id")
+    assert by_doc.loc[4, "canon_doc_id"] == by_doc.loc[5, "canon_doc_id"] == 4
+    bpe = bpe_token_count_ds(ds).to_pandas()
+    assert (bpe.n_bpe_tokens > 0).all()
+    mh = minhash_dedup_pairs(ds, threshold=0.5).to_pandas()
+    assert (4, 5) in set(zip(mh.doc_a, mh.doc_b))
+    sh = simhash_dedup_pairs(ds).to_pandas()
+    assert (4, 5) in set(zip(sh.doc_a, sh.doc_b))
+    ng = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    got = {(int(a), int(b)): j for a, b, j in zip(ng.doc_a, ng.doc_b, ng.jaccard)}
+    assert got.get((4, 5)) == 1.0
