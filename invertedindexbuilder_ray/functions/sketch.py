@@ -18,6 +18,16 @@ from .tokenize import token_spans
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
+def _mod_m61(y: np.ndarray) -> np.ndarray:
+    """``y % (2^61-1)`` for uint64 via the Mersenne identity
+    ``2^61 ≡ 1 (mod M61)``: fold the high bits down and subtract once.
+    Bit-identical to ``%`` (any uint64 input) at ~5x the throughput —
+    integer division is the single hottest op in the minhash kernel."""
+    m = (y & _MERSENNE61) + (y >> np.uint64(61))
+    m[m >= _MERSENNE61] -= _MERSENNE61
+    return m
+
+
 def _token_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     """(uint64 hash per token, doc row index per token) — clean tokenization."""
     from .tokenize import _span_hashes
@@ -89,14 +99,23 @@ def minhash_signatures(
     sigs = np.full((n_rows, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(sh) == 0:
         return sigs
-    x = (sh % _MERSENNE61).astype(np.uint64)
-    with np.errstate(over="ignore"):
-        # (n_shingles, num_perm); mod 2^61-1 keeps values well-distributed
-        pm = (x[:, None] * a[None, :] + b[None, :]) % _MERSENNE61
+    x = _mod_m61(sh.astype(np.uint64, copy=True))
     starts = bounds[:-1]
     nonempty = bounds[1:] > bounds[:-1]
-    mins = np.minimum.reduceat(pm, starts[nonempty], axis=0)
-    sigs[nonempty] = mins
+    red_starts = starts[nonempty]
+    # permutations in column chunks: the full (n_shingles, num_perm)
+    # intermediate would be hundreds of MB per task, and this VM faults
+    # fresh pages lazily (~15x cold penalty) — small reused temporaries
+    # keep the kernel warm (see BASELINE.md memory note)
+    chunk = 8
+    with np.errstate(over="ignore"):
+        for c0 in range(0, num_perm, chunk):
+            pm = _mod_m61(
+                x[:, None] * a[None, c0 : c0 + chunk] + b[None, c0 : c0 + chunk]
+            )
+            sigs[nonempty, c0 : c0 + chunk] = np.minimum.reduceat(
+                pm, red_starts, axis=0
+            )
     return sigs
 
 
@@ -129,15 +148,18 @@ def simhash64(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if len(th) == 0:
         return out
     bounds = _doc_boundaries(row_idx, n_rows)
-    # (n_tokens, 64) ±1 contributions, segment-summed per doc
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int32
-    )
-    contrib = bits * 2 - 1
+    # (n_tokens, 64) bit matrix via unpackbits (little-endian uint64 ->
+    # bit 0..63 per row) — ~8x less memory traffic than a 64-wide uint64
+    # shift broadcast; value-identical
+    bits = np.unpackbits(
+        th.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)
     starts = bounds[:-1]
     nonempty = bounds[1:] > bounds[:-1]
-    sums = np.add.reduceat(contrib, starts[nonempty], axis=0)
-    sig_bits = (sums > 0).astype(np.uint64)
+    ones = np.add.reduceat(bits, starts[nonempty], axis=0)
+    # contrib sum = 2*ones - n_tokens_in_doc; bit set iff sum > 0
+    n_tok = np.diff(bounds)[nonempty][:, None].astype(np.int32)
+    sig_bits = (2 * ones - n_tok > 0).astype(np.uint64)
     vals = (sig_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
         axis=1, dtype=np.uint64
     )
@@ -173,6 +195,6 @@ def rolling_fingerprint(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
         for j in range(max_len):
             sel = lens > j
             pos = bounds[:-1][sel] + j
-            acc[sel] = (acc[sel] * base + (th[pos] % _MERSENNE61)) % _MERSENNE61
+            acc[sel] = _mod_m61(acc[sel] * base + _mod_m61(th[pos]))
     out[:] = acc
     return out

@@ -85,7 +85,13 @@ def _join_partitions(n_rows: int) -> int:
 
 
 def _docs(source: str | rd.Dataset) -> rd.Dataset:
-    return source if isinstance(source, rd.Dataset) else load_documents(source)
+    """Sketch stages are compute-heavy: small blocks so the corpus fans
+    out across workers (see load_documents)."""
+    if isinstance(source, rd.Dataset):
+        return source
+    from ..sources.documents import HEAVY_BLOCK_BYTES
+
+    return load_documents(source, target_bytes=HEAVY_BLOCK_BYTES, min_blocks=16)
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,13 @@ def _word_hashes(words: list[str]) -> np.ndarray:
 
 
 def _docs(source: str | rd.Dataset) -> rd.Dataset:
-    return source if isinstance(source, rd.Dataset) else load_documents(source)
+    """Text-analysis stages are compute-heavy: small blocks so the corpus
+    fans out across workers (see load_documents)."""
+    if isinstance(source, rd.Dataset):
+        return source
+    from ..sources.documents import HEAVY_BLOCK_BYTES
+
+    return load_documents(source, target_bytes=HEAVY_BLOCK_BYTES, min_blocks=16)
 
 
 class LangId:

@@ -34,15 +34,26 @@ def _adapt(batch: pa.Table) -> pa.Table:
 
 
 TARGET_BLOCK_BYTES = 32 << 20
+HEAVY_BLOCK_BYTES = 2 << 20
 
 
-def load_documents(path: str, *, num_blocks: int | None = None) -> rd.Dataset:
+def load_documents(
+    path: str,
+    *,
+    num_blocks: int | None = None,
+    target_bytes: int = TARGET_BLOCK_BYTES,
+    min_blocks: int = 4,
+) -> rd.Dataset:
     """``path`` is a documents.parquet file or an sf directory containing one.
 
-    Block count is sized to the DATA (~32 MB per block), not the CPU
-    count: Ray's default splits a small file into num_cpus blocks, and
-    every downstream groupby/sort pays a fixed per-block shuffle cost
-    (measured 2x on 64 vs 8 blocks for the same 5000 rows)."""
+    Block count is sized to the DATA, not the CPU count: Ray's default
+    splits a small file into num_cpus blocks, and every downstream
+    groupby/sort pays a fixed per-block shuffle cost (measured 2x on 64
+    vs 8 blocks for the same 5000 rows).  Scan-light pipelines use the
+    32 MB default; compute-heavy stages (sketches) pass
+    ``target_bytes=HEAVY_BLOCK_BYTES`` so a mid-size corpus still fans
+    out across the cluster (43 MB at the default = 2 blocks = 2 busy
+    cores for a minhash pass)."""
     if os.path.isdir(path):
         path = os.path.join(path, "documents.parquet")
     if num_blocks is None:
@@ -50,7 +61,7 @@ def load_documents(path: str, *, num_blocks: int | None = None) -> rd.Dataset:
             sz = os.path.getsize(path)
         except OSError:
             sz = 0
-        num_blocks = int(min(2048, max(4, -(-sz // TARGET_BLOCK_BYTES))))
+        num_blocks = int(min(2048, max(min_blocks, -(-sz // target_bytes))))
     ds = rd.read_parquet(
         path, columns=["doc_id", "text"], override_num_blocks=num_blocks
     )
