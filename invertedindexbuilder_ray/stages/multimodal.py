@@ -62,17 +62,40 @@ class DecodeImageStub:
     """
 
     def __init__(self):
-        try:  # pragma: no cover - decoder not present in this container
-            import PIL.Image  # noqa: F401
+        try:  # decoder imported once per actor, never per batch
+            import PIL.Image
 
-            self.real = True
-        except ImportError:
-            self.real = False
+            self._pil = PIL.Image
+        except ImportError:  # this container has no Pillow — stub path
+            self._pil = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.real:  # pragma: no cover
-            raise NotImplementedError(
-                "real image decode path requires Pillow; wire PIL.Image.open here"
+        if self._pil is not None:  # pragma: no cover - no Pillow in container
+            import io
+
+            data, offsets = _binary_buffers(batch["payload"])
+            mv = memoryview(data)
+            heights, widths, channels = [], [], []
+            for i in range(batch.num_rows):
+                try:
+                    with self._pil.open(
+                        io.BytesIO(mv[offsets[i] : offsets[i + 1]])
+                    ) as im:
+                        heights.append(im.height)
+                        widths.append(im.width)
+                        channels.append(len(im.getbands()))
+                except Exception:  # undecodable payload -> zero-dim sentinel
+                    heights.append(0)
+                    widths.append(0)
+                    channels.append(0)
+            return pa.table(
+                {
+                    "id": batch["id"],
+                    "height": pa.array(heights, pa.int32()),
+                    "width": pa.array(widths, pa.int32()),
+                    "channels": pa.array(channels, pa.int32()),
+                    "decoder": pa.array(["pil"] * batch.num_rows, pa.string()),
+                }
             )
         data, offsets = _binary_buffers(batch["payload"])
         mv = memoryview(data)
