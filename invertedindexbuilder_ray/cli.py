@@ -58,6 +58,18 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.merge import merge_indexes
+
+    man = merge_indexes(
+        args.inputs, args.out,
+        offset_doc_ids=not args.global_ids, resume=not args.no_resume,
+    )
+    print(json.dumps({"n_docs": man.n_docs, **man.stats}))
+    return 0
+
+
 def cmd_query(args) -> int:
     _init_ray(args.num_cpus)
     from .pipelines.query import CONJUNCTIVE, DISJUNCTIVE, QueryEngine
@@ -109,6 +121,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    mg = sub.add_parser("merge", help="compact N indexes into one (byte-identical to a full rebuild)")
+    mg.add_argument("--inputs", nargs="+", required=True)
+    mg.add_argument("--out", required=True)
+    mg.add_argument(
+        "--global-ids", action="store_true",
+        help="inputs already carry globally unique doc_ids (no offsetting)",
+    )
+    mg.add_argument("--no-resume", action="store_true")
+    mg.set_defaults(fn=cmd_merge)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)

@@ -1,0 +1,276 @@
+"""Index merge / compaction: N indexes over disjoint corpora -> ONE index,
+byte-identical to a full rebuild over the concatenated corpus.
+
+The reference performs a k-way merge once, inside its build
+(/root/reference/src/merge.c); here it is a standalone operator — the
+production "compact many incremental indexes" path a training-data
+pipeline needs for rolling ingestion.  Shape:
+
+  for each (input index i, partition p): ONE task decodes partition p of
+  index i back to posting rows (term, doc_id + offset_i, tf, dl,
+  partition=p) and writes them straight into the hive-partitioned
+  checkpoint layout build_index uses            # embarrassingly parallel,
+                                                # ZERO shuffles — partition
+                                                # p rows land in partition=p
+  docs tables are offset + unioned -> merged docs dir
+  phase 3 of the normal build (BuildPartition) re-encodes each partition
+  with the UNION's (n_docs, d_avr) BM25 stats
+
+doc_id contract: inputs were built from consecutive corpus slices in
+list order (webpages-source ids are dense per build), so index i's ids
+shift by sum(max_doc_id of earlier inputs).  Pass
+``offset_doc_ids=False`` when inputs already carry globally unique ids
+(documents-table source).
+
+Byte-identity with a full rebuild holds because phase 3 is deterministic
+given (partition rows, n_docs, d_avr) and both paths aggregate the same
+merged docs table — asserted by ``tests/test_merge.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from ..state import manifest as mf
+from ..state.manifest import IndexManifest
+from ..state.reader import PostingCursor
+from ..state.reader_docs import DocTable
+from .build import (
+    CKPT_DIR,
+    DOCS_DIR,
+    LEXICON_DIR,
+    PARTS_META_DIR,
+    POSTINGS_DIR,
+    BuildPartition,
+)
+
+
+def _partition_posting_rows(
+    index_dir: str, pid: int, doc_offset: int, dl: np.ndarray, man: dict
+) -> pa.Table:
+    """Decode one partition of one index back to posting rows."""
+    lex_path = os.path.join(index_dir, LEXICON_DIR, f"part-{pid:05d}.parquet")
+    blob_path = os.path.join(index_dir, POSTINGS_DIR, f"part-{pid:05d}.bin")
+    lex = pq.read_table(lex_path)
+    if lex.num_rows == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int32()),
+                "dl": pa.array([], pa.int64()),
+                "partition": pa.array([], pa.int32()),
+            }
+        )
+    blob = np.memmap(blob_path, dtype=np.uint8, mode="r")
+    terms = lex["term"].to_pylist()
+    segs = lex["seg"].to_numpy()
+    offs = lex["offset"].to_numpy()
+    nbs = lex["nbytes"].to_numpy()
+    ms = lex["max_score"].to_numpy()
+    # lexicon rows are written in (term, seg) build order; decode in order
+    out_terms: list[str] = []
+    out_docs: list[np.ndarray] = []
+    out_tfs: list[np.ndarray] = []
+    counts: list[int] = []
+    order = np.lexsort((segs, np.asarray(terms, dtype=object)))
+    for i in order:
+        cur = PostingCursor(
+            np.asarray(blob[offs[i] : offs[i] + nbs[i]]),
+            block_max=man["block_max"],
+            max_doc_id=man["max_doc_id"],
+            max_score=float(ms[i]),
+            term=terms[i],
+        )
+        docs, tfs = cur.decode_all_remaining()
+        out_terms.append(terms[i])
+        out_docs.append(docs)
+        out_tfs.append(tfs)
+        counts.append(len(docs))
+    docs_all = np.concatenate(out_docs) if out_docs else np.empty(0, np.int64)
+    tfs_all = np.concatenate(out_tfs) if out_tfs else np.empty(0, np.int64)
+    term_col = pa.DictionaryArray.from_arrays(
+        pa.array(np.repeat(np.arange(len(out_terms)), counts), pa.int32()),
+        pa.array(out_terms, pa.string()),
+    ).cast(pa.string())
+    return pa.table(
+        {
+            "term": term_col,
+            "doc_id": pa.array(docs_all + doc_offset, pa.int64()),
+            "tf": pa.array(tfs_all.astype(np.int32), pa.int32()),
+            "dl": pa.array(dl[docs_all], pa.int64()),
+            "partition": pa.array(np.full(len(docs_all), pid, np.int32)),
+        }
+    )
+
+
+class _DecodePartition:
+    """Task: (index_i, pid) descriptor -> posting rows for the checkpoint.
+
+    The per-index doc-length arrays ride the object store once
+    (``ray.put``), read by every task — at 10^9+ docs per input these
+    become per-index parquet side files instead of one array."""
+
+    def __init__(self, index_dirs, offsets, dl_refs, manifests):
+        self.index_dirs = index_dirs
+        self.offsets = offsets
+        self.dl_refs = dl_refs
+        self.manifests = manifests
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        out = []
+        for j in range(batch.num_rows):
+            i = batch["index_i"][j].as_py()
+            pid = batch["pid"][j].as_py()
+            dl = ray.get(self.dl_refs[i])
+            out.append(
+                _partition_posting_rows(
+                    self.index_dirs[i], pid, self.offsets[i], dl, self.manifests[i]
+                )
+            )
+        return pa.concat_tables(out)
+
+
+def merge_indexes(
+    index_dirs: list[str],
+    out_dir: str,
+    *,
+    offset_doc_ids: bool = True,
+    resume: bool = True,
+) -> IndexManifest:
+    """Merge indexes built over disjoint corpus slices into one index."""
+    import ray
+    import shutil
+
+    mans = [IndexManifest.load(d) for d in index_dirs]
+    p = mans[0].num_partitions
+    bm = mans[0].block_max
+    for m in mans[1:]:
+        if m.num_partitions != p or m.block_max != bm:
+            raise ValueError(
+                "merge_indexes requires identical num_partitions and block_max "
+                f"across inputs (got {[(m.num_partitions, m.block_max) for m in mans]})"
+            )
+    offsets = []
+    acc = 0
+    for m in mans:
+        offsets.append(acc if offset_doc_ids else 0)
+        acc += m.max_doc_id
+
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt = os.path.join(out_dir, CKPT_DIR)
+    docs_dir = os.path.join(out_dir, DOCS_DIR)
+    if not resume:
+        for sub in (CKPT_DIR, DOCS_DIR, POSTINGS_DIR, LEXICON_DIR, PARTS_META_DIR):
+            pth = os.path.join(out_dir, sub)
+            if os.path.isdir(pth):
+                shutil.rmtree(pth)
+    fingerprint = ";".join(
+        f"{d}:{m.input_fingerprint}:{m.n_docs}" for d, m in zip(index_dirs, mans)
+    )
+
+    # ---- merged docs table (offset ids, one union write)
+    if not (resume and mf.is_complete(docs_dir)):
+        if os.path.isdir(docs_dir):
+            shutil.rmtree(docs_dir)
+        parts = []
+        for d, off in zip(index_dirs, offsets):
+            src = rd.read_parquet(
+                os.path.join(d, DOCS_DIR), columns=["doc_id", "dl", "url"]
+            )
+            parts.append(
+                src.map_batches(
+                    lambda t, off=off: t.set_column(
+                        t.schema.get_field_index("doc_id"),
+                        "doc_id",
+                        pa.array(
+                            t["doc_id"].to_numpy(zero_copy_only=False) + off,
+                            pa.int64(),
+                        ),
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+        ds = parts[0]
+        for extra in parts[1:]:
+            ds = ds.union(extra)
+        ds.write_parquet(docs_dir)
+        mf.mark_complete(docs_dir)
+
+    stats = (
+        rd.read_parquet(docs_dir, columns=["doc_id", "dl"])
+        .aggregate(Count(), Sum("dl"), Max("doc_id"))
+    ) or {}
+    n_docs = int(stats.get("count()") or 0)
+    sum_dl = int(stats.get("sum(dl)") or 0)
+    max_doc_id = int(stats["max(doc_id)"]) + 1 if n_docs else 0
+    d_avr = (sum_dl / (n_docs - 1)) if n_docs > 1 else float(sum_dl)  # quirk Q6
+
+    # ---- checkpoint: decode every (index, partition) in parallel, write
+    # hive-partitioned (rows already carry partition=p -> zero shuffle)
+    if not (resume and mf.is_complete(ckpt)):
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt)
+        dl_refs = [
+            ray.put(DocTable.load(os.path.join(d, DOCS_DIR), m.max_doc_id).dl)
+            for d, m in zip(index_dirs, mans)
+        ]
+        items = [
+            {"index_i": i, "pid": pid}
+            for i in range(len(index_dirs))
+            for pid in range(p)
+        ]
+        rd.from_items(items).map_batches(
+            _DecodePartition(
+                index_dirs, offsets, dl_refs,
+                [{"block_max": m.block_max, "max_doc_id": m.max_doc_id} for m in mans],
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
+        ).write_parquet(ckpt, partition_cols=["partition"])
+        mf.mark_complete(ckpt, {"fingerprint": fingerprint})
+
+    # ---- re-encode each partition with the UNION stats (normal phase 3)
+    t0 = time.perf_counter()
+    builder = BuildPartition(
+        out_dir, ckpt, n_docs, d_avr, bm,
+        resume=resume, ckpt_token=fingerprint,
+    )
+    metrics_rows = (
+        rd.from_items([{"pid": q} for q in range(p)])
+        .map_batches(builder, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    partitions = {
+        str(r["partition"]): json.loads(r["metrics"]) for r in metrics_rows
+    }
+
+    man = IndexManifest(
+        n_docs=n_docs,
+        sum_dl=sum_dl,
+        d_avr=d_avr,
+        max_doc_id=max_doc_id,
+        num_partitions=p,
+        block_max=bm,
+        input_fingerprint=fingerprint,
+        partitions=partitions,
+        stats={
+            "total_postings": sum(q.get("rows", 0) for q in partitions.values()),
+            "distinct_terms": sum(q.get("n_terms", 0) for q in partitions.values()),
+            "index_bytes": sum(q.get("blob_bytes", 0) for q in partitions.values()),
+            "merged_from": index_dirs,
+            "merge_encode_s": round(time.perf_counter() - t0, 3),
+        },
+    )
+    man.save(out_dir)
+    return man

@@ -1,0 +1,98 @@
+"""Index merge/compaction: merging indexes built over corpus slices must be
+byte-identical to one full build over the concatenated corpus."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from invertedindexbuilder_ray.pipelines.build import build_index
+from invertedindexbuilder_ray.pipelines.merge import merge_indexes
+from invertedindexbuilder_ray.pipelines.query import QueryEngine
+from invertedindexbuilder_ray.sources.webpages import load_webpages
+
+
+def _blob_hashes(out: str) -> dict[str, str]:
+    d = os.path.join(out, "postings")
+    return {
+        f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+        for f in sorted(os.listdir(d))
+    }
+
+
+def _lexicon_rows(out: str):
+    d = os.path.join(out, "lexicon")
+    rows = []
+    for f in sorted(os.listdir(d)):
+        rows.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+    return sorted(rows, key=lambda r: (r["partition"], r["term"], r["seg"]))
+
+
+@pytest.fixture(scope="module")
+def merged_vs_full(ray_session, webpages_medium, tmp_path_factory):
+    root = tmp_path_factory.mktemp("merge")
+    tbl = webpages_medium
+    full_src = root / "full"
+    a_src = root / "a"
+    b_src = root / "b"
+    for p in (full_src, a_src, b_src):
+        p.mkdir()
+    pq.write_table(tbl, full_src / "w.parquet", row_group_size=100)
+    pq.write_table(tbl.slice(0, 600), a_src / "w.parquet", row_group_size=100)
+    pq.write_table(tbl.slice(600), b_src / "w.parquet", row_group_size=100)
+
+    full = str(root / "idx_full")
+    ia, ib, merged = str(root / "idx_a"), str(root / "idx_b"), str(root / "idx_m")
+    man_full = build_index(load_webpages(str(full_src)), full, num_partitions=4)
+    build_index(load_webpages(str(a_src)), ia, num_partitions=4)
+    build_index(load_webpages(str(b_src)), ib, num_partitions=4)
+    man_m = merge_indexes([ia, ib], merged)
+    return full, merged, man_full, man_m
+
+
+def test_merge_byte_identical_blobs(merged_vs_full):
+    full, merged, man_full, man_m = merged_vs_full
+    assert man_m.n_docs == man_full.n_docs
+    assert man_m.sum_dl == man_full.sum_dl
+    assert man_m.d_avr == man_full.d_avr
+    assert man_m.max_doc_id == man_full.max_doc_id
+    assert man_m.stats["total_postings"] == man_full.stats["total_postings"]
+    assert man_m.stats["distinct_terms"] == man_full.stats["distinct_terms"]
+    assert _blob_hashes(merged) == _blob_hashes(full)
+    assert _lexicon_rows(merged) == _lexicon_rows(full)
+
+
+def test_merge_queries_identical(merged_vs_full):
+    full, merged, _, _ = merged_vs_full
+    ef, em = QueryEngine(full), QueryEngine(merged)
+    for q, mode in [("data the", 0), ("data the", 1), ("w3 w17", 0), ("tail", 1)]:
+        hf = ef.search(q, 10, mode)
+        hm = em.search(q, 10, mode)
+        assert [(h["doc_id"], h["score"]) for h in hf] == [
+            (h["doc_id"], h["score"]) for h in hm
+        ], (q, mode)
+
+
+def test_merge_rejects_mismatched_partitions(ray_session, webpages_small, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(webpages_small, src / "w.parquet")
+    a, b = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index(load_webpages(str(src)), a, num_partitions=4)
+    build_index(load_webpages(str(src)), b, num_partitions=8)
+    with pytest.raises(ValueError, match="identical num_partitions"):
+        merge_indexes([a, b], str(tmp_path / "m"))
+
+
+def test_merge_resume_skips(merged_vs_full):
+    _, merged, _, _ = merged_vs_full
+    from invertedindexbuilder_ray.pipelines.merge import merge_indexes as mi
+    import invertedindexbuilder_ray.pipelines.merge as m
+
+    man2 = mi(
+        [p for p in m.IndexManifest.load(merged).stats["merged_from"]], merged
+    )
+    assert all(p.get("skipped") for p in man2.partitions.values())
