@@ -141,6 +141,33 @@ class _DecodePartition:
         return pa.concat_tables(out)
 
 
+def extend_index(
+    index_dir: str,
+    new_source: "rd.Dataset",
+    out_dir: str,
+    *,
+    delta_dir: str | None = None,
+    resume: bool = True,
+) -> IndexManifest:
+    """Rolling ingestion: index ``new_source`` as a delta (doc_ids local,
+    i.e. the corpus slice AFTER the existing index's docs), then compact
+    ``index_dir`` + delta into ``out_dir``.  The result is byte-identical
+    to rebuilding over the concatenated corpus (merge_indexes contract)."""
+    from .build import build_index
+
+    base = IndexManifest.load(index_dir)
+    if delta_dir is None:
+        delta_dir = os.path.join(out_dir + ".delta")
+    build_index(
+        new_source,
+        delta_dir,
+        num_partitions=base.num_partitions,
+        block_max=base.block_max,
+        resume=resume,
+    )
+    return merge_indexes([index_dir, delta_dir], out_dir, resume=resume)
+
+
 def merge_indexes(
     index_dirs: list[str],
     out_dir: str,

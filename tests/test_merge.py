@@ -96,3 +96,24 @@ def test_merge_resume_skips(merged_vs_full):
         [p for p in m.IndexManifest.load(merged).stats["merged_from"]], merged
     )
     assert all(p.get("skipped") for p in man2.partitions.values())
+
+
+def test_extend_index(ray_session, webpages_medium, tmp_path):
+    """extend_index(base, new_docs) == full rebuild over base + new docs."""
+    from invertedindexbuilder_ray.pipelines.merge import extend_index
+
+    root = tmp_path
+    tbl = webpages_medium
+    for name, sl in [("full", tbl), ("base", tbl.slice(0, 700)), ("new", tbl.slice(700))]:
+        d = root / name
+        d.mkdir()
+        pq.write_table(sl, d / "w.parquet", row_group_size=100)
+    full_idx = str(root / "idx_full")
+    base_idx = str(root / "idx_base")
+    man_full = build_index(load_webpages(str(root / "full")), full_idx, num_partitions=4)
+    build_index(load_webpages(str(root / "base")), base_idx, num_partitions=4)
+    man_ext = extend_index(
+        base_idx, load_webpages(str(root / "new")), str(root / "idx_ext")
+    )
+    assert man_ext.n_docs == man_full.n_docs
+    assert _blob_hashes(str(root / "idx_ext")) == _blob_hashes(full_idx)
