@@ -391,6 +391,58 @@ WHERE ((doc_id::HUGEINT * {SAMPLE_MULT}) % 18446744073709551616) % 100 < {SAMPLE
 """
 
 
+QUANTILE_QS = [0.25, 0.5, 0.75, 0.95]
+
+
+def q_lineitem_quantiles(sf_dir: str):
+    """Distributed exact discrete quantiles of l_quantity: per-batch value
+    counts (map-side combine), a tiny 50-key aggregate, and a driver-side
+    pick at index ceil(q*N)-1 — DuckDB quantile_disc semantics, integer-
+    exact at any scale because only (value, count) pairs ever move."""
+    path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["l_quantity"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "value": pa.array(vals, pa.float64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        read_parquet_sized(path, columns=["l_quantity"])
+        .map_batches(value_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .take_all()  # <= n_distinct rows — the only data on the driver
+    )
+    import pandas as pd
+
+    vals = np.array([r["value"] for r in agg])
+    ns = np.array([r["n"] for r in agg], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, ns = vals[order], ns[order]
+    cum = np.cumsum(ns)
+    total = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in QUANTILE_QS:
+        idx = max(int(np.ceil(q * total)) - 1, 0)
+        pos = int(np.searchsorted(cum, idx + 1))
+        out.append({"q": q, "value": float(vals[pos])})
+    return pd.DataFrame(out)
+
+
+def _sql_lineitem_quantiles() -> str:
+    selects = [
+        f"SELECT {q} AS q, quantile_disc(l_quantity, {q}) AS value FROM lineitem"
+        for q in QUANTILE_QS
+    ]
+    return " UNION ALL ".join(selects)
+
+
 SEMI_JOIN_PRICE = 400_000.0
 
 
@@ -1062,3 +1114,4 @@ QUERIES["semi_join"] = (q_semi_join, _sql_semi_anti(False))
 QUERIES["anti_join"] = (q_anti_join, _sql_semi_anti(True))
 QUERIES["orders_by_segment"] = (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT)
 QUERIES["sample_hash"] = (q_sample_hash, SQL_SAMPLE_HASH)
+QUERIES["lineitem_quantiles"] = (q_lineitem_quantiles, _sql_lineitem_quantiles())
