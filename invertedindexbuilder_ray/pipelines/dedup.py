@@ -35,7 +35,12 @@ PAIR_SHARDS = 64
 
 
 def _sharded_groupby(
-    ds: rd.Dataset, keys: list[str], agg_fn, *, num_shards: int = PAIR_SHARDS
+    ds: rd.Dataset,
+    keys: list[str],
+    agg_fn,
+    *,
+    num_shards: int = PAIR_SHARDS,
+    empty_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Aggregate by high-cardinality int64 key(s) WITHOUT a per-key Ray
     groupby: hash-shard to ``num_shards`` groups, then run a vectorized
@@ -66,11 +71,19 @@ def _sharded_groupby(
     def agg(g: pd.DataFrame) -> pd.DataFrame:
         return agg_fn(g.drop(columns=["__kshard"]))
 
-    return (
+    out = (
         ds.map_batches(add_shard, batch_format="pyarrow")
         .groupby("__kshard")
         .map_groups(agg, batch_format="pandas")
     )
+    if empty_schema is not None:
+        # an input with ZERO rows yields a schemaless empty dataset (Ray's
+        # map_groups never runs), which crashes downstream joins/to_pandas;
+        # union a typed empty block so the schema is always defined
+        out = out.map_batches(lambda t: t, batch_format="pyarrow").union(
+            rd.from_arrow(empty_schema.empty_table())
+        )
+    return out
 
 
 JOIN_ROWS_PER_PARTITION = 200_000
@@ -222,6 +235,9 @@ def minhash_candidate_pairs(
         lambda g: g.groupby(["doc_a", "doc_b"], as_index=False)
         .size()
         .rename(columns={"size": "n_bands"}),
+        empty_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_bands", pa.int64())]
+        ),
     ).materialize()  # tiny after banding; pins so the verify joins don't re-run it
     return pairs, sigs
 
@@ -265,6 +281,9 @@ def truncation_audit(
         lambda g: g.groupby("bucket_key", as_index=False)
         .size()
         .rename(columns={"size": "bucket_size"}),
+        empty_schema=pa.schema(
+            [("bucket_key", pa.int64()), ("bucket_size", pa.int64())]
+        ),
     )
 
     def to_dropped(b: pa.Table) -> pa.Table:
@@ -451,6 +470,7 @@ def dedup_clusters(pairs: rd.Dataset, docs: rd.Dataset, *, max_rounds: int = 10)
         ["node"],
         lambda g: g.groupby("node", as_index=False)["nbr"].min()
         .rename(columns={"nbr": "lbl"}),
+        empty_schema=pa.schema([("node", pa.int64()), ("lbl", pa.int64())]),
     )
     labels = labels.map_batches(
         lambda b: pa.table(
@@ -482,6 +502,7 @@ def dedup_clusters(pairs: rd.Dataset, docs: rd.Dataset, *, max_rounds: int = 10)
             .union(labels),
             ["node"],
             lambda g: g.groupby("node", as_index=False)["lbl"].min(),
+            empty_schema=pa.schema([("node", pa.int64()), ("lbl", pa.int64())]),
         ).materialize()
         # labels only ever decrease, so an unchanged sum == convergence
         old_sum = labels.sum("lbl")
@@ -596,6 +617,9 @@ def simhash_dedup_pairs(
         pairs,
         ["doc_a", "doc_b"],
         lambda g: g.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min(),
+        empty_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+        ),
     )
 
 
@@ -684,6 +708,9 @@ def ngram_jaccard_pairs(
         lambda g: g.groupby(["doc_a", "doc_b"], as_index=False)
         .size()
         .rename(columns={"size": "n_shared"}),
+        empty_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_shared", pa.int64())]
+        ),
     ).materialize()
     n_pairs = pairs.count()
     join_p = _join_partitions(n_pairs)

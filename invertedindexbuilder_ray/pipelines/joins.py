@@ -89,7 +89,21 @@ def partitioned_hash_join(
         pa.types.is_nested(t) for t in list(ltypes.values()) + list(rtypes.values())
     )
 
+    expected_types = {
+        **{c: ltypes[c] for c in lcols},
+        "__r_key": pa.int64(),
+        **{out_c: rtypes[rc] for rc, out_c in out_rcols.items()},
+    }
+
     def merge_group(g: pa.Table) -> pa.Table:
+        # Ray's sort/groupby can strip the type from an ALL-NULL column
+        # during block-format conversion (typed nulls arrive as Arrow
+        # `null` arrays); Acero rejects null-typed key fields, so restore
+        # the declared types first
+        for idx, name in enumerate(g.column_names):
+            want = expected_types.get(name)
+            if want is not None and pa.types.is_null(g.column(idx).type):
+                g = g.set_column(idx, name, pa.nulls(g.num_rows, want))
         mask_l = pc.equal(g["__side"], 0)
         lg = g.filter(mask_l).select(lcols)
         rg = g.filter(pc.invert(mask_l)).select(["__r_key"] + list(out_rcols.values()))
@@ -108,5 +122,19 @@ def partitioned_hash_join(
 
     grouped = unioned.groupby("__bucket")
     if nested:
-        return grouped.map_groups(merge_group_pandas, batch_format="pandas")
-    return grouped.map_groups(merge_group, batch_format="pyarrow")
+        out = grouped.map_groups(merge_group_pandas, batch_format="pandas")
+    else:
+        out = grouped.map_groups(merge_group, batch_format="pyarrow")
+    # a join whose every group is empty yields a SCHEMALESS dataset (Ray
+    # drops empty map_groups outputs), which breaks downstream to_pandas /
+    # schema introspection; the join knows its output schema, so append a
+    # typed empty block
+    empty = pa.table(
+        {
+            **{c: pa.array([], ltypes[c]) for c in lcols},
+            **{out_c: pa.array([], rtypes[rc]) for rc, out_c in out_rcols.items()},
+        }
+    )
+    return out.map_batches(lambda t: t, batch_format="pyarrow").union(
+        rd.from_arrow(empty)
+    )

@@ -235,4 +235,9 @@ def fingerprint_groups_ds(source: str | rd.Dataset) -> rd.Dataset:
             }
         ).astype("int64")
 
-    return _sharded_groupby(fp, ["fingerprint"], grp)
+    return _sharded_groupby(
+        fp, ["fingerprint"], grp,
+        empty_schema=pa.schema(
+            [("doc_id", pa.int64()), ("canon_doc_id", pa.int64()), ("n_dups", pa.int64())]
+        ),
+    )
