@@ -90,13 +90,12 @@ def sql_minhash_pairs(
         f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)" for j in range(num_perm)
     )
     r = num_perm // bands
+    # band fold via grouped conditional aggregation (sig j -> band j//r,
+    # slot j%r): join-free — equality joins on computed keys fell back to
+    # a nested loop in DuckDB (measured 10 s for 8k rows)
     fold = f"CAST({FNV_OFFSET} AS HUGEINT)"
     for k in range(r):
-        fold = _fold_expr(fold, f"s{k}.sig")
-    sig_joins = "\n    ".join(
-        f"JOIN sigs s{k} ON s{k}.doc_id = d.doc_id AND s{k}.j = bn.band * {r} + {k}"
-        for k in range(r)
-    )
+        fold = _fold_expr(fold, f"max(CASE WHEN s.j % {r} = {k} THEN s.sig END)")
     return f"""
 WITH {_token_hash_ctes()},
 sh3 AS (
@@ -108,23 +107,21 @@ sh3 AS (
     JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
 ),
 xs AS (SELECT doc_id, (sh % {M61}) AS x FROM sh3),
-perms(j, a, b) AS (VALUES {perm_rows}),
+perms(j, a, b) AS MATERIALIZED (VALUES {perm_rows}),
 pm AS (
     SELECT xs.doc_id, p.j,
            min((((xs.x * p.a) % {M64} + p.b) % {M64}) % {M61}) AS sig
     FROM xs CROSS JOIN perms p GROUP BY xs.doc_id, p.j
 ),
-sigs AS (
+sigs AS MATERIALIZED (
     SELECT d.doc_id, p.j,
            coalesce(pm.sig, {U64_MAX}::HUGEINT) AS sig
     FROM documents d CROSS JOIN perms p
     LEFT JOIN pm ON pm.doc_id = d.doc_id AND pm.j = p.j
 ),
-bandh AS (
-    SELECT d.doc_id, bn.band, {fold} AS h
-    FROM documents d
-    CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) bn
-    {sig_joins}
+bandh AS MATERIALIZED (
+    SELECT s.doc_id, (s.j // {r}) AS band, {fold} AS h
+    FROM sigs s GROUP BY s.doc_id, (s.j // {r})
 ),
 mpairs AS (
     SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS n_bands
@@ -153,13 +150,13 @@ def sql_simhash_pairs(*, max_hamming: int = 3) -> str:
     pow_rows = ", ".join(f"({bb}, {1 << bb}::HUGEINT)" for bb in range(64))
     return f"""
 WITH {_token_hash_ctes()},
-pows(b, pw) AS (VALUES {pow_rows}),
+pows(b, pw) AS MATERIALIZED (VALUES {pow_rows}),
 contrib AS (
     SELECT t.doc_id, p.b,
            sum(CASE WHEN (t.h // p.pw) % 2 = 1 THEN 1 ELSE -1 END) AS s
     FROM th t CROSS JOIN pows p GROUP BY t.doc_id, p.b
 ),
-allbits AS (
+allbits AS MATERIALIZED (
     SELECT d.doc_id, p.b,
            coalesce(CASE WHEN c.s > 0 THEN 1 ELSE 0 END, 0) AS bit
     FROM documents d CROSS JOIN pows p
