@@ -117,3 +117,30 @@ def test_extend_index(ray_session, webpages_medium, tmp_path):
     )
     assert man_ext.n_docs == man_full.n_docs
     assert _blob_hashes(str(root / "idx_ext")) == _blob_hashes(full_idx)
+
+
+def test_merge_decodes_segmented_inputs(ray_session, webpages_medium, tmp_path):
+    """Inputs whose hot terms were split into doc-range segments must decode
+    and re-merge byte-identically (segment stitching in _partition_posting_rows)."""
+    root = tmp_path
+    tbl = webpages_medium
+    for name, sl in [("full", tbl), ("a", tbl.slice(0, 500)), ("b", tbl.slice(500))]:
+        d = root / name
+        d.mkdir()
+        pq.write_table(sl, d / "w.parquet", row_group_size=100)
+    full_idx, ia, ib = str(root / "if"), str(root / "ia"), str(root / "ib")
+    man_full = build_index(load_webpages(str(root / "full")), full_idx, num_partitions=4)
+    # force multi-segment hot terms in the INPUTS (tiny segment cap)
+    build_index(load_webpages(str(root / "a")), ia, num_partitions=4,
+                segment_max_postings=50)
+    build_index(load_webpages(str(root / "b")), ib, num_partitions=4,
+                segment_max_postings=50)
+    import pyarrow.parquet as _pq
+    import os as _os
+    segs = []
+    for f in sorted(_os.listdir(_os.path.join(ia, "lexicon"))):
+        segs.extend(_pq.read_table(_os.path.join(ia, "lexicon", f))["seg"].to_pylist())
+    assert max(segs) >= 1  # inputs really are segmented
+    man_m = merge_indexes([ia, ib], str(root / "im"))
+    assert man_m.stats["total_postings"] == man_full.stats["total_postings"]
+    assert _blob_hashes(str(root / "im")) == _blob_hashes(full_idx)
