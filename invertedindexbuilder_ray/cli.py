@@ -37,21 +37,29 @@ def cmd_build(args) -> int:
     from .sources.documents import load_documents
     from .sources.webpages import load_webpages, resolve_paths
 
+    # content fingerprint (path+size+mtime per file), NOT the raw path — a
+    # changed input at the same path must invalidate the resume checkpoint.
+    # Each format fingerprints ITS OWN discovered file list: the parquet glob
+    # is empty for a TREC dir, and an empty fingerprint would silently skip
+    # the stale-resume guard (ADVICE r2).
     if args.format == "webpages":
         ds = load_webpages(args.input, prefix_fraction=args.prefix_fraction)
+        input_paths = resolve_paths(args.input)
     elif args.format == "trec":
-        from .sources.trec import load_trec
+        from .sources.trec import load_trec, resolve_trec_paths
 
         ds = load_trec(args.input)
+        input_paths = resolve_trec_paths(args.input)
     else:
         ds = load_documents(args.input)
-    # content fingerprint (path+size+mtime per file), NOT the raw path — a
-    # changed input at the same path must invalidate the resume checkpoint
+        input_paths = resolve_paths(args.input)
+    if not input_paths:
+        raise SystemExit(f"no input files found under {args.input!r}")
     man = build_index(
         ds,
         args.out,
         num_partitions=args.partitions,
-        input_fingerprint=_fingerprint(resolve_paths(args.input)),
+        input_fingerprint=_fingerprint(input_paths),
         resume=not args.no_resume,
     )
     print(json.dumps({"n_docs": man.n_docs, **man.stats}))

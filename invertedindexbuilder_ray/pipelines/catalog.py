@@ -237,27 +237,53 @@ SQL_TOP_TERMS = (
 
 
 def _bm25_all(sf_dir: str, conjunctive: bool):
-    """Score ALL matching docs through the real index + query engine.
+    """Score ALL matching docs through the real index + the DISTRIBUTED
+    query path: the query rides a Dataset into the ``BatchQueryEngine``
+    actor pool (reader loads in the actor, not the driver), so the
+    driver's hash check exercises the same map_batches plan production
+    batch querying uses.
 
     Returns every match (no top-k) so the comparison is tie-proof; top-k
     semantics are pytest-verified against the oracle separately.
     """
-    idx = index_for(sf_dir)
-    eng = QueryEngine(idx, conformance=False)
-    k = eng.reader.max_doc_id + 1
-    if conjunctive:
-        ranked = eng.conjunctive(BM25_QUERY_TERMS, k)
-    else:
-        ranked = eng.disjunctive(BM25_QUERY_TERMS, k)
-    import pandas as pd
+    from ..state.manifest import IndexManifest
+    from .query import CONJUNCTIVE, DISJUNCTIVE, BatchQueryEngine
 
-    return pd.DataFrame(
+    idx = index_for(sf_dir)
+    k = IndexManifest.load(idx).max_doc_id + 1
+    queries = pa.table(
         {
-            "doc_id": [d for d, _ in ranked],
-            "score": [round_half_away(s, 6) for _, s in ranked],
-        },
-        columns=["doc_id", "score"],
-    ).astype({"doc_id": "int64", "score": "float64"})
+            "query_id": pa.array([0], pa.int64()),
+            "terms": pa.array([" ".join(BM25_QUERY_TERMS)], pa.string()),
+            "k": pa.array([k], pa.int64()),
+            "mode": pa.array(
+                [CONJUNCTIVE if conjunctive else DISJUNCTIVE], pa.int64()
+            ),
+        }
+    )
+    return (
+        rd.from_arrow(queries)
+        .map_batches(
+            BatchQueryEngine,
+            fn_constructor_kwargs={"index_dir": idx, "conformance": False},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "score": pa.array(
+                        round_half_away(
+                            t["score"].to_numpy(zero_copy_only=False), 6
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def q_bm25_and(sf_dir: str):
@@ -427,6 +453,10 @@ def q_lineitem_quantiles(sf_dir: str):
     vals, ns = vals[order], ns[order]
     cum = np.cumsum(ns)
     total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        # DuckDB's quantile_disc over zero rows is NULL — match it (NaN in
+        # the float column) instead of indexing into an empty array
+        return pd.DataFrame([{"q": q, "value": float("nan")} for q in QUANTILE_QS])
     out = []
     for q in QUANTILE_QS:
         idx = max(int(np.ceil(q * total)) - 1, 0)
@@ -445,36 +475,79 @@ def _sql_lineitem_quantiles() -> str:
 
 SEMI_JOIN_PRICE = 400_000.0
 
+# above this many qualifying keys the broadcast path would materialize an
+# unbounded array on the driver; fall back to the partitioned join (the
+# minhash-verify hybrid pattern, dedup.py)
+SEMI_BROADCAST_KEY_LIMIT = 2_000_000
 
-def _semi_anti(sf_dir: str, anti: bool):
-    """Broadcast semi/anti join: the small key side (expensive orders) is
-    ray.put once; each lineitem batch filters with a vectorized isin —
-    no shuffle (the Ray-guide pattern for small-side joins)."""
+
+def _semi_anti(sf_dir: str, anti: bool, *, key_limit: int = SEMI_BROADCAST_KEY_LIMIT):
+    """Hybrid semi/anti join.  Small key side (the common case — a
+    selective filter): keys are ray.put once and each lineitem batch
+    filters with a vectorized sorted-membership probe, zero shuffle.
+    Above ``key_limit`` qualifying keys: partitioned hash join of
+    lineitem against a marker-tagged key table (left-outer + null test),
+    so the driver never holds the key set."""
     orders_path = os.path.join(sf_dir, "orders.parquet") if os.path.isdir(sf_dir) else sf_dir
     li_path = os.path.join(os.path.dirname(orders_path), "lineitem.parquet")
     keys_ds = read_parquet_sized(orders_path, columns=["o_orderkey", "o_totalprice"]).filter(
         expr=f"o_totalprice > {SEMI_JOIN_PRICE}"
     )
-    keys = np.array([r["o_orderkey"] for r in keys_ds.take_all()], dtype=np.int64)
-    kref = ray.put(np.sort(keys))
+    lineitem = read_parquet_sized(li_path, columns=["l_orderkey", "l_quantity"])
+    n_keys = keys_ds.count()
 
-    def filt(batch: pa.Table) -> pa.Table:
-        ks = ray.get(kref)
-        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        if len(ks) == 0:  # no qualifying orders: semi keeps nothing, anti all
-            hit = np.zeros(len(ok), dtype=bool)
-        else:
-            member = np.searchsorted(ks, ok)
-            hit = (member < len(ks)) & (ks[np.minimum(member, len(ks) - 1)] == ok)
-        if anti:
-            hit = ~hit
-        return batch.filter(pa.array(hit))
+    if n_keys <= key_limit:
+        keys = np.array(
+            [r["o_orderkey"] for r in keys_ds.take_all()], dtype=np.int64
+        )
+        kref = ray.put(np.sort(keys))
 
-    agg = (
-        read_parquet_sized(li_path, columns=["l_orderkey", "l_quantity"])
-        .map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
-        .aggregate(Count(), Sum("l_quantity"))
-    ) or {}
+        def filt(batch: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            if len(ks) == 0:  # no qualifying orders: semi keeps nothing, anti all
+                hit = np.zeros(len(ok), dtype=bool)
+            else:
+                member = np.searchsorted(ks, ok)
+                hit = (member < len(ks)) & (ks[np.minimum(member, len(ks) - 1)] == ok)
+            if anti:
+                hit = ~hit
+            return batch.filter(pa.array(hit))
+
+        filtered = lineitem.map_batches(
+            filt, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        from .dedup import _join_partitions
+        from .joins import partitioned_hash_join
+
+        # o_orderkey is unique in orders, so the left join multiplies no rows
+        marked = keys_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                    "__hit": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        j = partitioned_hash_join(
+            lineitem,
+            marked,
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+            num_partitions=_join_partitions(n_keys),
+            how="left",
+        )
+        want_null = anti
+        filtered = j.map_batches(
+            lambda t: t.filter(
+                pc.is_null(t["__hit"]) if want_null else pc.is_valid(t["__hit"])
+            ).select(["l_orderkey", "l_quantity"]),
+            batch_format="pyarrow",
+        )
+
+    agg = filtered.aggregate(Count(), Sum("l_quantity")) or {}
     import pandas as pd
 
     return pd.DataFrame(
@@ -507,6 +580,7 @@ WHERE l_orderkey {op} (SELECT o_orderkey FROM orders WHERE o_totalprice > {SEMI_
 def q_orders_by_segment(sf_dir: str):
     """Driver-checked exercise of the partitioned hash join itself:
     orders |><| customer on custkey, revenue per market segment."""
+    from .dedup import _join_partitions
     from .joins import partitioned_hash_join
 
     base = sf_dir if os.path.isdir(sf_dir) else os.path.dirname(sf_dir)
@@ -516,8 +590,14 @@ def q_orders_by_segment(sf_dir: str):
     cust = read_parquet_sized(
         os.path.join(base, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
     )
+    # P scaled to the larger side so no bucket holds more than
+    # ~JOIN_ROWS_PER_PARTITION rows (parquet row counts come from metadata)
     j = partitioned_hash_join(
-        orders, cust, left_on="o_custkey", right_on="c_custkey", num_partitions=16
+        orders,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        num_partitions=_join_partitions(max(orders.count(), cust.count())),
     )
     agg = j.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue_raw")

@@ -206,6 +206,27 @@ def merge_indexes(
         f"{d}:{m.input_fingerprint}:{m.n_docs}" for d, m in zip(index_dirs, mans)
     )
 
+    # Stale-resume guard (mirrors build_index): resuming into an out_dir whose
+    # docs/ckpt were produced from DIFFERENT input indexes must fail loudly,
+    # not silently re-encode stale rows under a manifest claiming the new
+    # inputs.  The fingerprint is stored in each stage's _SUCCESS meta.
+    def _check_stale(stage_dir: str, stage: str) -> None:
+        if not (resume and mf.is_complete(stage_dir)):
+            return
+        try:
+            prev = json.load(open(mf.marker_path(stage_dir))).get("fingerprint", "")
+        except (OSError, ValueError):
+            prev = ""
+        if prev and prev != fingerprint:
+            raise ValueError(
+                f"resume requested at {out_dir} but its {stage} was merged from "
+                f"different inputs (fingerprint {prev!r} != {fingerprint!r}); "
+                "use a fresh out_dir or resume=False"
+            )
+
+    _check_stale(docs_dir, "docs table")
+    _check_stale(ckpt, "checkpoint")
+
     # ---- merged docs table (offset ids, one union write)
     if not (resume and mf.is_complete(docs_dir)):
         if os.path.isdir(docs_dir):
@@ -232,7 +253,7 @@ def merge_indexes(
         for extra in parts[1:]:
             ds = ds.union(extra)
         ds.write_parquet(docs_dir)
-        mf.mark_complete(docs_dir)
+        mf.mark_complete(docs_dir, {"fingerprint": fingerprint})
 
     stats = (
         rd.read_parquet(docs_dir, columns=["doc_id", "dl"])

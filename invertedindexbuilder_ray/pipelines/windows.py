@@ -95,21 +95,34 @@ FROM exploded GROUP BY event_type, window_start
 def session_windows(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
     """Per-user sessions: a gap > ``gap_minutes`` starts a new session.
 
-    Classic keyed stream windowing as ``groupby(user).map_groups`` over
-    the ts-sorted group.
+    Keyed stream windowing WITHOUT a per-user Ray groupby (Ray walks
+    distinct keys in Python, ~1-7 ms each — a scale-killer at 10^8
+    users): users are hash-sharded to a bounded number of Ray groups via
+    ``dedup._sharded_groupby`` and the sessionization runs vectorized
+    over the whole ts-sorted shard, restarting the session counter at
+    each user boundary.
     """
+    from .dedup import _sharded_groupby
+
     gap_us = gap_minutes * 60_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
+    def sessions_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
         us = g["ts"].astype("int64").to_numpy()
         new_session = np.ones(len(us), dtype=bool)
-        new_session[1:] = (us[1:] - us[:-1]) > gap_us
-        sid = np.cumsum(new_session) - 1
+        same_user = uid[1:] == uid[:-1]
+        new_session[1:] = ~same_user | ((us[1:] - us[:-1]) > gap_us)
+        sid_global = np.cumsum(new_session) - 1
+        user_start = np.ones(len(us), dtype=bool)
+        user_start[1:] = ~same_user
+        starts = np.flatnonzero(user_start)
+        run_len = np.diff(np.append(starts, len(us)))
+        sid = sid_global - np.repeat(sid_global[starts], run_len)
         out = (
             pd.DataFrame(
                 {
-                    "user_id": g["user_id"].to_numpy(),
+                    "user_id": uid,
                     "session_id": sid,
                     "us": us,
                     "value": g["value"].to_numpy(),
@@ -126,10 +139,18 @@ def session_windows(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
         out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 2)
         return out
 
-    return (
-        _events(sf_dir)
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+    empty = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("start_us", pa.int64()),
+            ("end_us", pa.int64()),
+            ("sum_value", pa.float64()),
+        ]
+    )
+    return _sharded_groupby(
+        _events(sf_dir), ["user_id"], sessions_shard, empty_schema=empty
     )
 
 

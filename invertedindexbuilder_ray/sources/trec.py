@@ -133,6 +133,26 @@ class ReadTrecSpans:
 SPANS_PER_TASK = 2000
 
 
+def resolve_trec_paths(path: str | list[str]) -> list[str]:
+    """Discover the TREC input file list (shared by load_trec and the CLI's
+    content fingerprint — the fingerprint must cover the files actually
+    read, not a parquet-only glob; ADVICE r2)."""
+    import glob
+    import os
+
+    if isinstance(path, list):
+        return sorted(path)
+    if os.path.isdir(path):
+        return sorted(
+            glob.glob(os.path.join(path, "**", "*.trec"), recursive=True)
+        ) or sorted(
+            p
+            for p in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(p)
+        )
+    return sorted(glob.glob(path)) or [path]
+
+
 def load_trec(
     path: str | list[str],
     *,
@@ -141,17 +161,7 @@ def load_trec(
 ) -> rd.Dataset:
     """TREC file(s) -> Dataset of (doc_id, url, text, dl), doc_ids dense
     and deterministic in file order (reference parity)."""
-    import glob
-    import os
-
-    if isinstance(path, list):
-        paths = sorted(path)
-    elif os.path.isdir(path):
-        paths = sorted(
-            glob.glob(os.path.join(path, "**", "*.trec"), recursive=True)
-        ) or sorted(glob.glob(os.path.join(path, "**", "*"), recursive=True))
-    else:
-        paths = sorted(glob.glob(path)) or [path]
+    paths = resolve_trec_paths(path)
 
     # parallel per-file framing prepass
     scan_items = [{"path": p, "window": window} for p in paths]

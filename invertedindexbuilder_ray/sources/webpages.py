@@ -80,18 +80,30 @@ def plan_doc_ids(paths: list[str]) -> list[RowGroupPlan]:
     return plan_doc_ids_for(list_row_groups(paths))
 
 
-PLAN_CACHE_DIR = "/tmp/iib_plan_cache"
+def _plan_cache_dir() -> str:
+    """Per-user private cache dir (mode 0700): a world-writable shared /tmp
+    dir would let any local user pre-seed poisoned kept counts, silently
+    shifting every doc_id downstream (ADVICE r2)."""
+    d = os.environ.get(
+        "IIB_PLAN_CACHE_DIR", f"/tmp/iib_plan_cache_{os.getuid()}"
+    )
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    try:
+        os.chmod(d, 0o700)  # pre-existing dir: enforce, don't trust umask
+    except OSError:
+        pass
+    return d
 
 
 def _plan_cache_path(plans: list[RowGroupPlan]) -> str:
-    """Cache key = every (path, size, mtime, row_group) — the same guarantee
-    as the build fingerprint, so a changed input can never hit a stale plan."""
+    """Cache key = every (path, size, mtime_ns, row_group) — nanosecond
+    mtime so a same-second same-size rewrite cannot hit a stale entry."""
     parts = []
     for p in plans:
         st = os.stat(p.path)
-        parts.append(f"{p.path}:{st.st_size}:{int(st.st_mtime)}:{p.row_group}")
+        parts.append(f"{p.path}:{st.st_size}:{st.st_mtime_ns}:{p.row_group}")
     key = hashlib.md5(";".join(parts).encode()).hexdigest()
-    return os.path.join(PLAN_CACHE_DIR, f"{key}.json")
+    return os.path.join(_plan_cache_dir(), f"{key}.json")
 
 
 def plan_doc_ids_for(

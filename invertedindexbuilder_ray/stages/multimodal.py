@@ -205,9 +205,14 @@ class ResizeImageStub:
     def __call__(self, batch: pa.Table) -> pa.Table:
         h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
         w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
-        scale = np.minimum(self.th / h, self.tw / w)
-        out_h = np.maximum(1, np.round(h * scale)).astype(np.int32)
-        out_w = np.maximum(1, np.round(w * scale)).astype(np.int32)
+        # undecodable payloads arrive as (0, 0) sentinel dims from the real
+        # decode path; propagate a 0/0/0.0 sentinel row instead of the
+        # inf*0=NaN -> INT32_MIN garbage a blind divide would produce
+        ok = (h > 0) & (w > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scale = np.where(ok, np.minimum(self.th / h, self.tw / w), 0.0)
+        out_h = np.where(ok, np.maximum(1, np.round(h * scale)), 0).astype(np.int32)
+        out_w = np.where(ok, np.maximum(1, np.round(w * scale)), 0).astype(np.int32)
         return pa.table(
             {
                 "id": batch["id"],

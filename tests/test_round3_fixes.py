@@ -1,0 +1,141 @@
+"""Round-3 regression tests: merge stale-resume guard, semi/anti
+partitioned fallback, resize zero-dim sentinels, empty-input quantiles,
+TREC content fingerprint in the CLI."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_merge_stale_resume_raises(ray_session, webpages_small, tmp_path):
+    """Re-merging DIFFERENT inputs into an existing out_dir must fail, not
+    silently re-encode from the stale docs/checkpoint (ADVICE r2)."""
+    from invertedindexbuilder_ray.pipelines.build import build_index
+    from invertedindexbuilder_ray.pipelines.merge import merge_indexes
+    from invertedindexbuilder_ray.sources.webpages import load_webpages
+
+    tbl = webpages_small
+    for name, sl in [("a", tbl.slice(0, 100)), ("b", tbl.slice(100, 100)),
+                     ("c", tbl.slice(0, 150))]:
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(sl, d / "w.parquet")
+    ia, ib, ic = str(tmp_path / "ia"), str(tmp_path / "ib"), str(tmp_path / "ic")
+    build_index(load_webpages(str(tmp_path / "a")), ia, num_partitions=4,
+                input_fingerprint="fp-a")
+    build_index(load_webpages(str(tmp_path / "b")), ib, num_partitions=4,
+                input_fingerprint="fp-b")
+    build_index(load_webpages(str(tmp_path / "c")), ic, num_partitions=4,
+                input_fingerprint="fp-c")
+    out = str(tmp_path / "merged")
+    merge_indexes([ia, ib], out)
+    with pytest.raises(ValueError, match="different inputs"):
+        merge_indexes([ia, ic], out)  # resume=True is the default
+    # resume=False wipes and rebuilds cleanly
+    man = merge_indexes([ia, ic], out, resume=False)
+    assert man.n_docs > 0
+
+
+def test_semi_anti_partitioned_fallback_matches_broadcast(ray_session):
+    """key_limit=0 forces the partitioned-join path; results must be
+    identical to the broadcast path."""
+    from invertedindexbuilder_ray.pipelines.catalog import _semi_anti
+
+    for anti in (False, True):
+        bcast = _semi_anti(SF_SMALL, anti)
+        part = _semi_anti(SF_SMALL, anti, key_limit=0)
+        pd.testing.assert_frame_equal(
+            bcast.reset_index(drop=True), part.reset_index(drop=True)
+        )
+
+
+def test_resize_zero_dims_emit_sentinel():
+    """(0,0) sentinel dims from an undecodable payload must yield a 0/0/0.0
+    plan row, not inf*0=NaN -> INT32_MIN garbage (ADVICE r2)."""
+    from invertedindexbuilder_ray.stages.multimodal import ResizeImageStub
+
+    batch = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "height": pa.array([0, 480, 0], pa.int32()),
+            "width": pa.array([0, 640, 7], pa.int32()),
+        }
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a RuntimeWarning here is the bug
+        out = ResizeImageStub(target=(224, 224))(batch).to_pandas()
+    assert out.loc[0, ["out_height", "out_width", "scale"]].tolist() == [0, 0, 0.0]
+    assert out.loc[2, ["out_height", "out_width", "scale"]].tolist() == [0, 0, 0.0]
+    assert out.loc[1, "out_height"] == 168 and out.loc[1, "out_width"] == 224
+
+
+def test_quantiles_empty_input_returns_nulls(ray_session, tmp_path):
+    """Zero-row lineitem: DuckDB quantile_disc yields NULL; the Ray op must
+    match (NaN) instead of crashing (ADVICE r2)."""
+    from invertedindexbuilder_ray.pipelines.catalog import q_lineitem_quantiles
+
+    empty = pa.table({"l_quantity": pa.array([], pa.float64())})
+    p = tmp_path / "lineitem.parquet"
+    pq.write_table(empty, p)
+    out = q_lineitem_quantiles(str(p))
+    assert len(out) == 4
+    assert out["value"].isna().all()
+
+
+def _write_trec(path, n_docs: int, body: str = "alpha beta") -> None:
+    with open(path, "wb") as f:
+        for i in range(n_docs):
+            f.write(
+                f"<TEXT>\nhttp://site{i}/x\n{body} {i}\n</TEXT>\n\n".encode()
+            )
+
+
+def test_cli_trec_fingerprint_invalidates_resume(ray_session, tmp_path):
+    """`build --format trec` must fingerprint the TREC file list: resuming
+    over changed TREC content fails loudly instead of serving a stale
+    index (ADVICE r2)."""
+    import os
+    import time
+
+    from invertedindexbuilder_ray.cli import main
+
+    src = tmp_path / "trec"
+    src.mkdir()
+    _write_trec(src / "corpus.trec", 30)
+    out = str(tmp_path / "idx")
+    assert main(["build", "--format", "trec", "--input", str(src),
+                 "--out", out, "--partitions", "2"]) == 0
+    # changed content (different size so the coarse mtime can't mask it)
+    _write_trec(src / "corpus.trec", 30, body="gamma delta epsilon")
+    os.utime(src / "corpus.trec", (time.time() + 2, time.time() + 2))
+    with pytest.raises(ValueError, match="different input"):
+        main(["build", "--format", "trec", "--input", str(src),
+              "--out", out, "--partitions", "2"])
+
+
+def test_cli_empty_input_dir_fails_loudly(ray_session, tmp_path):
+    from invertedindexbuilder_ray.cli import main
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no input files"):
+        main(["build", "--input", str(empty), "--out", str(tmp_path / "o")])
+
+
+def test_session_windows_no_per_user_groupby():
+    """The windows module must not contain a high-cardinality
+    groupby().map_groups (the repo's own scale rule)."""
+    import inspect
+
+    import invertedindexbuilder_ray.pipelines.windows as w
+
+    src = inspect.getsource(w)
+    assert 'groupby("user_id")' not in src
