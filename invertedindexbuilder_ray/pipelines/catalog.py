@@ -880,27 +880,46 @@ def _sql_ann_lsh(n_queries: int = 5, top_k: int = 10) -> str:
     are DATA (deterministic given dim), inlined as literals, so bucketing
     (sign of dot products), radius-2 probe expansion, candidate join,
     exact-cosine scoring and ranking are all reproduced exactly.  Sign
-    flips from float discrepancies require |dot| ~ ulp — measure-zero."""
-    from .similarity import LSH_BITS, _planes
+    flips from float discrepancies require |dot| ~ ulp — measure-zero.
 
-    planes = _planes(EMB_DIM)  # (dim, bits) float64
+    ``nbits`` derives from count(*) with INTEGER shifts (min b with
+    2^b >= ceil(N/target), clamped) — the same arithmetic as
+    ``similarity.lsh_bits_for`` — and all LSH_MAX_BITS plane columns are
+    inlined with ``bit < nbits`` filters, so the oracle tracks the
+    engine's data-dependent bit count at any scale."""
+    from .similarity import (
+        ANN_TARGET_BUCKET,
+        LSH_MAX_BITS,
+        LSH_MIN_BITS,
+        _planes,
+    )
+
+    planes = _planes(EMB_DIM, LSH_MAX_BITS)  # (dim, MAX_BITS) float64
     rows = ", ".join(
         "({}, [{}])".format(
             b, ", ".join(repr(float(x)) for x in planes[:, b])
         )
-        for b in range(LSH_BITS)
+        for b in range(LSH_MAX_BITS)
     )
-    masks = [0] + [1 << b for b in range(LSH_BITS)] + [
-        (1 << b1) ^ (1 << b2)
-        for b1 in range(LSH_BITS)
-        for b2 in range(b1 + 1, LSH_BITS)
-    ]
-    mask_rows = ", ".join(f"({m})" for m in sorted(set(masks)))
+    tb = ANN_TARGET_BUCKET
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-planes(bit, pv) AS (VALUES {rows}),
-masks(m) AS (VALUES {mask_rows}),
-vbits AS (
+WITH params AS (
+    SELECT least({LSH_MAX_BITS}, greatest({LSH_MIN_BITS}, coalesce((
+        SELECT min(t.b) FROM range(1, {LSH_MAX_BITS + 1}) t(b)
+        WHERE (1::BIGINT << t.b) >=
+              (SELECT greatest(1, (count(*) + {tb - 1}) // {tb}) FROM embeddings)
+    ), {LSH_MAX_BITS})))::BIGINT AS nbits
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+all_planes(bit, pv) AS (VALUES {rows}),
+planes AS (SELECT bit, pv FROM all_planes, params WHERE bit < params.nbits),
+masks(m) AS (
+    SELECT 0
+    UNION SELECT (1::BIGINT << bit) FROM planes
+    UNION SELECT xor(1::BIGINT << b1.bit, 1::BIGINT << b2.bit)
+          FROM planes b1 JOIN planes b2 ON b1.bit < b2.bit
+),
+vbits AS MATERIALIZED (
     SELECT v.vec_id,
            sum(CASE WHEN list_dot_product(v.ve, p.pv) > 0
                     THEN 1 << p.bit ELSE 0 END)::BIGINT AS bucket
@@ -933,7 +952,6 @@ SELECT qid, vec_id, sim, rank::BIGINT AS rank FROM ranked WHERE rank <= {top_k}
 
 IVF_N_QUERIES = 5
 IVF_TOP_K = 10
-IVF_N_CENTROIDS = 16
 IVF_N_PROBE = 4
 
 
@@ -944,17 +962,19 @@ def q_ann_ivf(sf_dir: str):
         sf_dir,
         n_queries=IVF_N_QUERIES,
         top_k=IVF_TOP_K,
-        n_centroids=IVF_N_CENTROIDS,
-        n_probe=IVF_N_PROBE,
+        n_probe=IVF_N_PROBE,  # n_centroids derives from N (~sqrt)
     )
 
 
 # The stride-picked codebook makes the WHOLE IVF pipeline (assignment,
 # probing, scoring, ranking) SQL-reproducible: no RNG, all tie-breaks are
-# (score DESC, id ASC).
+# (score DESC, id ASC).  n_centroids = ceil(sqrt(N)) in both engines
+# (IEEE sqrt is correctly rounded -> integer-exact below 2^52).
 SQL_ANN_IVF = f"""
 WITH params AS (
-    SELECT greatest(1, count(*) // {IVF_N_CENTROIDS}) AS stride FROM embeddings
+    SELECT greatest(1, count(*) //
+               greatest(1, ceil(sqrt(count(*)))::BIGINT)) AS stride
+    FROM embeddings
 ),
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
 cents AS (

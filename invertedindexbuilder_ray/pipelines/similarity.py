@@ -2,15 +2,30 @@
 
 * ``knn_bruteforce`` — exact cosine top-k: broadcast query matrix
   (ray.put once), one matmul per batch (catalog.q_knn_cosine).
-* ``ann_lsh`` — the scale path: random-hyperplane LSH buckets both the
-  index and the (multiprobe-expanded) queries, a hash-partitioned
-  ``Dataset.join`` on the bucket key limits scoring to colliding
-  vectors.  Approximate by construction; recall is tested against the
-  brute-force baseline.
+* ``ann_lsh`` / ``ann_ivf`` — the sublinear scale paths.  Both share one
+  execution shape (the ``q_knn_cosine`` pattern, NO shuffle):
+
+    1. the tiny probe set (query vectors + the buckets each query
+       probes) is ``ray.put`` ONCE;
+    2. one ``map_batches`` pass over the embeddings computes each row's
+       bucket, filters to rows in a probed bucket, scores the survivors
+       with an exact-cosine matmul, and emits a PER-BATCH partial top-k
+       (at most ``top_k`` rows per query per batch);
+    3. a final per-query merge (n_queries keys — tiny) takes the global
+       top-k under the same total order (rounded sim desc, vec_id asc),
+       so the result is exactly the top-k of the candidate set.
+
+  Bucketing constants DERIVE FROM N (round-2 verdict: fixed constants
+  stop being sublinear past ~10^7 vectors): LSH bits grow as
+  ceil(log2(N / target_bucket_size)) and IVF uses ~sqrt(N) centroids,
+  keeping expected bucket/list sizes bounded at any corpus size.  The
+  derivations are integer-exact so the DuckDB oracles reproduce them
+  bit-for-bit from count(*).
 """
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -21,8 +36,28 @@ import ray.data as rd
 from ..functions.rounding import round_half_away
 from ..sources.util import read_parquet_sized
 
-LSH_BITS = 8
 LSH_SEED = 13
+LSH_MIN_BITS = 4
+LSH_MAX_BITS = 24
+ANN_TARGET_BUCKET = 1024  # expected vectors per LSH bucket
+
+
+def lsh_bits_for(n: int, *, target_bucket: int = ANN_TARGET_BUCKET) -> int:
+    """bits = clamp(ceil(log2(ceil(n / target_bucket))), MIN, MAX) —
+    computed with integer shifts (no float log) so the SQL oracle's
+    derivation from count(*) matches exactly."""
+    m = max(1, -(-n // target_bucket))
+    b = next(
+        (b for b in range(1, LSH_MAX_BITS + 1) if (1 << b) >= m), LSH_MAX_BITS
+    )
+    return min(LSH_MAX_BITS, max(LSH_MIN_BITS, b))
+
+
+def ivf_centroids_for(n: int) -> int:
+    """~sqrt(N) centroids -> expected list size ~sqrt(N).  IEEE sqrt is
+    correctly rounded, so ceil(sqrt(n)) is integer-exact for n < 2^52
+    and the SQL oracle reproduces it."""
+    return max(1, math.ceil(math.sqrt(n)))
 
 
 def _embeddings(sf_dir: str) -> rd.Dataset:
@@ -44,9 +79,12 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
-def _planes(dim: int, bits: int = LSH_BITS, seed: int = LSH_SEED) -> np.ndarray:
+def _planes(dim: int, bits: int, seed: int = LSH_SEED) -> np.ndarray:
+    """Hyperplanes are a PREFIX property: _planes(dim, b) ==
+    _planes(dim, B)[:, :b] for b <= B, so the SQL oracle can inline
+    LSH_MAX_BITS literal columns and select the first nbits."""
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((dim, bits))
+    return rng.standard_normal((dim, LSH_MAX_BITS))[:, :bits]
 
 
 def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -54,45 +92,96 @@ def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits @ (1 << np.arange(planes.shape[1], dtype=np.int64))).astype(np.int64)
 
 
+def _load_queries(ds: rd.Dataset, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    qrows = ds.filter(expr=f"vec_id < {n_queries}").take_all()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
+    return qids, qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+
+def _probe_topk(
+    ds: rd.Dataset,
+    bucket_fn,
+    qids: np.ndarray,
+    qmat_n: np.ndarray,
+    probe_buckets: list[np.ndarray],
+    top_k: int,
+) -> rd.Dataset:
+    """Shared ANN tail: broadcast probe set, one scan, per-batch partial
+    top-k, tiny per-query merge.  ``bucket_fn(mat_n) -> int64 buckets``
+    runs inside each task; ``probe_buckets[i]`` is the SORTED bucket set
+    query i probes."""
+    import ray
+
+    pref = ray.put((qids, qmat_n, probe_buckets))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_ids, q_n, pbs = ray.get(pref)
+        out_q, out_v, out_s = [], [], []
+        if batch.num_rows:
+            mat_n = _emb_matrix(batch)
+            vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            row_b = bucket_fn(mat_n)
+            for qi in range(len(q_ids)):
+                pb = pbs[qi]
+                pos = np.searchsorted(pb, row_b)
+                hit = (pos < len(pb)) & (pb[np.minimum(pos, len(pb) - 1)] == row_b)
+                hit &= vec_ids != q_ids[qi]  # exclude self-match
+                cand = np.flatnonzero(hit)
+                if not len(cand):
+                    continue
+                sims = round_half_away(mat_n[cand] @ q_n[qi], 6)
+                order = np.lexsort((vec_ids[cand], -sims))[:top_k]
+                sel = cand[order]
+                out_q.append(np.full(len(sel), q_ids[qi], np.int64))
+                out_v.append(vec_ids[sel])
+                out_s.append(sims[order])
+        cat = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)  # noqa: E731
+        return pa.table(
+            {
+                "qid": pa.array(cat(out_q, np.int64), pa.int64()),
+                "vec_id": pa.array(cat(out_v, np.int64), pa.int64()),
+                "sim": pa.array(cat(out_s, np.float64), pa.float64()),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(top_k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qid")  # n_queries keys — per-key groupby is fine here
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def ann_lsh(
     sf_dir: str,
     *,
     n_queries: int = 5,
     top_k: int = 10,
-    bits: int = LSH_BITS,
+    bits: int | None = None,
     probe_radius: int = 2,
 ) -> rd.Dataset:
     """Approximate top-k neighbors for the first ``n_queries`` vectors.
 
     Multiprobe: each query probes its own bucket plus every bucket within
     ``probe_radius`` bit flips (1 + bits + C(bits,2) probes at radius 2),
-    trading join fan-out for recall — vectors near a hyperplane otherwise
-    land a 2-bit hop away from their neighbors.
+    trading scan-side match volume for recall — vectors near a hyperplane
+    otherwise land a 2-bit hop away from their neighbors.  ``bits``
+    defaults to ``lsh_bits_for(N)``.
     """
     ds = _embeddings(sf_dir)
-    qrows = ds.filter(expr=f"vec_id < {n_queries}").take_all()
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    dim = qmat.shape[1]
-    planes = _planes(dim, bits)
+    if bits is None:
+        bits = lsh_bits_for(ds.count())  # parquet metadata, no scan
+    qids, qmat_n = _load_queries(ds, n_queries)
+    planes = _planes(qmat_n.shape[1], bits)
 
-    # index side: (bucket, vec_id, embedding)
-    def index_bucket(batch: pa.Table) -> pa.Table:
-        mat = _emb_matrix(batch)
-        return pa.table(
-            {
-                "bucket": pa.array(_bucket_of(mat, planes), pa.int64()),
-                "vec_id": batch["vec_id"].cast(pa.int64()),
-                "embedding": batch["embedding"],
-            }
-        )
-
-    indexed = ds.map_batches(index_bucket, batch_format="pyarrow", zero_copy_batch=True)
-
-    # probe side: query rows exploded to every probed bucket
-    qb = _bucket_of(qmat, planes)
-    probes = []
+    qb = _bucket_of(qmat_n, planes)
+    probe_buckets = []
     for qi in range(len(qids)):
         buckets = {int(qb[qi])}
         if probe_radius >= 1:
@@ -103,59 +192,11 @@ def ann_lsh(
                 for b1 in range(bits)
                 for b2 in range(b1 + 1, bits)
             }
-        for b in sorted(buckets):
-            probes.append(
-                {"bucket": b, "qid": int(qids[qi]), "q_emb": qmat[qi].tolist()}
-            )
-    # ONE block (from_items makes a block PER item -> hundreds of per-block
-    # task overheads through the join; measured 16 s -> ~5 s at sf0.1)
-    probe_ds = rd.from_arrow(pa.Table.from_pylist(probes))
+        probe_buckets.append(np.array(sorted(buckets), np.int64))
 
-    from .joins import partitioned_hash_join
-
-    joined = partitioned_hash_join(
-        probe_ds, indexed, left_on="bucket", right_on="bucket"
-    )
-
-    return _score_and_topk(joined, top_k)
-
-
-def _score_and_topk(joined: rd.Dataset, top_k: int) -> rd.Dataset:
-    """Shared ANN tail: exact cosine on (candidate row, q_emb) pairs, then
-    per-query top-k (dedup across probes, self-match excluded)."""
-
-    def score(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "qid": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
-        mat = _emb_matrix(batch)
-        q = np.asarray(batch["q_emb"].to_pylist(), np.float64)
-        q /= np.linalg.norm(q, axis=1, keepdims=True)
-        sims = np.einsum("ij,ij->i", mat, q)
-        return pa.table(
-            {
-                "qid": batch["qid"].cast(pa.int64()),
-                "vec_id": batch["vec_id"].cast(pa.int64()),
-                "sim": pa.array(round_half_away(sims, 6), pa.float64()),
-            }
-        )
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.vec_id != g.qid].drop_duplicates(subset=["vec_id"])
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(top_k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return (
-        joined.map_batches(score, batch_format="pyarrow")
-        .groupby("qid")
-        .map_groups(topk, batch_format="pandas")
+    # planes are tiny (dim x bits floats) — safe to ship in the closure
+    return _probe_topk(
+        ds, lambda m: _bucket_of(m, planes), qids, qmat_n, probe_buckets, top_k
     )
 
 
@@ -164,7 +205,7 @@ def ann_ivf(
     *,
     n_queries: int = 5,
     top_k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
 ) -> rd.Dataset:
     """IVF approximate nearest neighbors — the second scale path.
@@ -173,18 +214,18 @@ def ann_ivf(
     with ``stride = max(1, N // n_centroids)``) is a centroid — a
     k-means-init-style codebook with NO training pass and no RNG, so the
     whole pipeline (assignment, probing, scoring, ranking) is exactly
-    reproducible by the DuckDB oracle.  Every vector is assigned to its
-    nearest centroid with ONE broadcast matmul per batch (the centroid
-    matrix rides ``ray.put``); queries probe their ``n_probe`` nearest
-    centroid lists; exact cosine + top-k inside.  All argmax/probe/rank
-    tie-breaks are (score desc, id asc).  Recall/latency trade via
-    ``n_centroids`` x ``n_probe``; unlike LSH the partition count is
-    explicit, so list sizes stay ~N/n_centroids regardless of the data's
-    angular spread."""
+    reproducible by the DuckDB oracle.  ``n_centroids`` defaults to
+    ``ivf_centroids_for(N)`` (~sqrt(N), so list sizes stay ~sqrt(N) at
+    any corpus size).  Every vector is assigned to its nearest centroid
+    with ONE matmul per batch (the centroid matrix rides ``ray.put``);
+    queries probe their ``n_probe`` nearest centroid lists.  All
+    argmax/probe/rank tie-breaks are (score desc, id asc)."""
     import ray
 
     ds = _embeddings(sf_dir)
     n = ds.count()  # parquet metadata
+    if n_centroids is None:
+        n_centroids = ivf_centroids_for(n)
     stride = max(1, n // n_centroids)
 
     def pick_cents(b: pa.Table) -> pa.Table:
@@ -196,40 +237,18 @@ def ann_ivf(
     cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
     cents = np.stack([np.asarray(r["embedding"], np.float64) for r in crows])
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    cref = ray.put(cents)
+    cref = ray.put(cents)  # ~sqrt(N) x dim — broadcast once, not per task
 
-    def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cref)
-        mat = _emb_matrix(batch)
-        bucket = np.argmax(mat @ c.T, axis=1).astype(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(bucket, pa.int64()),
-                "vec_id": batch["vec_id"].cast(pa.int64()),
-                "embedding": batch["embedding"],
-            }
-        )
-
-    indexed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-
-    qrows = ds.filter(expr=f"vec_id < {n_queries}").take_all()
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.stack([np.asarray(r["embedding"], np.float64) for r in qrows])
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    qsims = qmat @ cents.T
-    probes = []
+    qids, qmat_n = _load_queries(ds, n_queries)
+    qsims = qmat_n @ cents.T
+    probe_buckets = []
     for qi in range(len(qids)):
         # probe order: sim desc, cid asc (same total order as the oracle)
         order = np.lexsort((cids, -qsims[qi]))[: min(n_probe, cents.shape[0])]
-        for b in sorted(int(c) for c in order):
-            probes.append(
-                {"bucket": b, "qid": int(qids[qi]), "q_emb": qmat[qi].tolist()}
-            )
-    probe_ds = rd.from_arrow(pa.Table.from_pylist(probes))  # one block
+        probe_buckets.append(np.array(sorted(int(c) for c in order), np.int64))
 
-    from .joins import partitioned_hash_join
+    def bucket_fn(mat_n: np.ndarray) -> np.ndarray:
+        c = ray.get(cref)
+        return np.argmax(mat_n @ c.T, axis=1).astype(np.int64)
 
-    joined = partitioned_hash_join(
-        probe_ds, indexed, left_on="bucket", right_on="bucket"
-    )
-    return _score_and_topk(joined, top_k)
+    return _probe_topk(ds, bucket_fn, qids, qmat_n, probe_buckets, top_k)

@@ -130,6 +130,47 @@ def test_cli_empty_input_dir_fails_loudly(ray_session, tmp_path):
         main(["build", "--input", str(empty), "--out", str(tmp_path / "o")])
 
 
+def test_ann_constants_derive_from_n():
+    """LSH bits grow ~log2(N/bucket) and IVF centroids ~sqrt(N), so
+    bucket/list sizes stay bounded at any corpus size."""
+    from invertedindexbuilder_ray.pipelines.similarity import (
+        ivf_centroids_for,
+        lsh_bits_for,
+    )
+
+    assert lsh_bits_for(500) == 4          # min clamp
+    assert lsh_bits_for(1 << 20) == 10     # 2^20/1024 = 2^10 buckets
+    assert lsh_bits_for((1 << 20) + 1) == 11
+    assert lsh_bits_for(1 << 30) == 20
+    assert lsh_bits_for(10**12) == 24      # max clamp
+    assert ivf_centroids_for(10**6) == 1000
+    assert ivf_centroids_for(999) == 32
+    assert ivf_centroids_for(1) == 1
+
+
+def test_ann_planes_prefix_property():
+    """The SQL oracle inlines MAX_BITS plane columns and selects a prefix;
+    the engine's _planes(dim, b) must equal that prefix for every b."""
+    import numpy as np
+
+    from invertedindexbuilder_ray.pipelines.similarity import LSH_MAX_BITS, _planes
+
+    full = _planes(64, LSH_MAX_BITS)
+    for b in (4, 8, 17):
+        np.testing.assert_array_equal(_planes(64, b), full[:, :b])
+
+
+def test_ann_has_no_full_side_shuffle():
+    """Both ANN paths must scan the index once with a broadcast probe set
+    — no partitioned join shipping the full embeddings table."""
+    import inspect
+
+    import invertedindexbuilder_ray.pipelines.similarity as s
+
+    src = inspect.getsource(s)
+    assert "partitioned_hash_join" not in src
+
+
 def test_session_windows_no_per_user_groupby():
     """The windows module must not contain a high-cardinality
     groupby().map_groups (the repo's own scale rule)."""
