@@ -473,6 +473,26 @@ def _sql_lineitem_quantiles() -> str:
     return " UNION ALL ".join(selects)
 
 
+def q_price_quantiles(sf_dir: str):
+    """Exact quantiles of a CONTINUOUS column (distinct ~ N, where the
+    value-counts approach above would ship ~N rows to the driver):
+    iterative histogram-refinement selection — integer-exact bisection on
+    order-preserving keys, only fixed-size histograms cross the wire."""
+    from .quantiles import exact_quantiles_disc
+
+    path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["l_extendedprice"])
+    return exact_quantiles_disc(ds, "l_extendedprice", QUANTILE_QS)
+
+
+def _sql_price_quantiles() -> str:
+    selects = [
+        f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+        for q in QUANTILE_QS
+    ]
+    return " UNION ALL ".join(selects)
+
+
 SEMI_JOIN_PRICE = 400_000.0
 
 # above this many qualifying keys the broadcast path would materialize an
@@ -1215,3 +1235,4 @@ QUERIES["anti_join"] = (q_anti_join, _sql_semi_anti(True))
 QUERIES["orders_by_segment"] = (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT)
 QUERIES["sample_hash"] = (q_sample_hash, SQL_SAMPLE_HASH)
 QUERIES["lineitem_quantiles"] = (q_lineitem_quantiles, _sql_lineitem_quantiles())
+QUERIES["price_quantiles"] = (q_price_quantiles, _sql_price_quantiles())

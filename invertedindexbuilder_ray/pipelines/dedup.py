@@ -740,13 +740,20 @@ def ngram_jaccard_pairs(
         fa, oa = _binary_rows(batch[sa_col])
         fb, ob = _binary_rows(batch[sb_col])
         la, lb = np.diff(oa), np.diff(ob)
-        inter = np.empty(batch.num_rows, np.int64)
-        for i in range(batch.num_rows):  # candidate volume only (post prefix-filter)
-            inter[i] = len(
-                np.intersect1d(
-                    fa[oa[i] : oa[i + 1]], fb[ob[i] : ob[i + 1]], assume_unique=True
-                )
-            )
+        # ONE batch-wide sort replaces per-pair np.intersect1d: tag every
+        # shingle with its pair index, lexsort (pair, value), and count
+        # adjacent duplicates — each (pair, value) is unique per side, so
+        # a duplicate means the value is in BOTH sets of that pair
+        n = batch.num_rows
+        pid = np.concatenate(
+            [np.repeat(np.arange(n, dtype=np.int64), la),
+             np.repeat(np.arange(n, dtype=np.int64), lb)]
+        )
+        vals = np.concatenate([fa, fb])
+        order = np.lexsort((vals, pid))
+        pid_s, vals_s = pid[order], vals[order]
+        dup = (pid_s[1:] == pid_s[:-1]) & (vals_s[1:] == vals_s[:-1])
+        inter = np.bincount(pid_s[1:][dup], minlength=n).astype(np.int64)
         union = la + lb - inter
         with np.errstate(invalid="ignore", divide="ignore"):
             j = np.where(union > 0, inter / union, 0.0)

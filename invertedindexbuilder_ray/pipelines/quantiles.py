@@ -1,0 +1,176 @@
+"""Exact distributed quantiles for ANY value distribution.
+
+``catalog.q_lineitem_quantiles`` is exact via value counts, which is
+scale-safe only when the value domain is small (l_quantity: 50 values).
+This module handles continuous / high-cardinality doubles (distinct ~ N)
+with the classic iterative histogram-refinement selection:
+
+1. doubles map to ORDER-PRESERVING uint64 keys (sign-magnitude bit
+   trick), so every bisection step is integer-exact — no float-boundary
+   ambiguity about which bin a value falls in;
+2. one scan computes N and the global key range; each refinement round
+   is one scan emitting a per-batch histogram of the active range(s)
+   (n_bins counts per target, summed on the driver — only tiny count
+   vectors ever leave the workers), narrowing each target rank's range
+   by a factor of ``n_bins``;
+3. once a target's range holds <= ``collect_limit`` values (guaranteed
+   within ceil(64 / log2(n_bins)) rounds, and immediately when the
+   range collapses to one key), a final scan collects just those values
+   and picks the rank directly.
+
+Semantics match DuckDB ``quantile_disc``: sorted[max(ceil(q*N)-1, 0)],
+NULLs ignored, NULL result for an empty input.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_BIAS = 1 << 63
+
+
+def doubles_to_keys(v: np.ndarray) -> np.ndarray:
+    """float64 -> uint64, strictly order-preserving (-0.0 and 0.0 collide,
+    which is correct: they compare equal)."""
+    b = np.ascontiguousarray(v, np.float64).view(np.int64)
+    # negatives: value order is the REVERSE of bit order; -2^63 - b maps
+    # (-0.0 .. -max) onto (0 .. -2^63+1) keeping value order ascending
+    with np.errstate(over="ignore"):
+        k = np.where(b >= 0, b, np.int64(-(1 << 63)) - b)
+        return (k.astype(np.int64).view(np.uint64) + np.uint64(_BIAS)).astype(
+            np.uint64
+        )
+
+
+def key_to_double(k: int) -> float:
+    ik = int(k) - _BIAS
+    if ik < 0:
+        ik = -(1 << 63) - ik
+    return float(np.int64(ik).view(np.float64))
+
+
+def disc_rank(q: float, n: int) -> int:
+    """DuckDB quantile_disc rank: max(ceil(q*N)-1, 0) (0-based)."""
+    return max(int(math.ceil(q * n)) - 1, 0)
+
+
+def exact_quantiles_disc(
+    ds: rd.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    n_bins: int = 4096,
+    collect_limit: int = 65536,
+) -> pd.DataFrame:
+    """(q, value) rows, quantile_disc-exact, for a float64 column of any
+    cardinality.  Each scan streams; only histograms / <=collect_limit
+    key arrays reach the driver."""
+
+    def keys_of(batch: pa.Table) -> np.ndarray:
+        arr = batch[col].combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()  # quantile ignores NULLs (DuckDB semantics)
+        v = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        return doubles_to_keys(v)
+
+    # ---- pass 1: N + global key range (per-batch partials, tiny rows)
+    def minmax(batch: pa.Table) -> pa.Table:
+        k = keys_of(batch)
+        empty = len(k) == 0
+        return pa.table(
+            {
+                "n": pa.array([len(k)], pa.int64()),
+                "lo": pa.array([0 if empty else int(k.min())], pa.uint64()),
+                "hi": pa.array([0 if empty else int(k.max())], pa.uint64()),
+                "valid": pa.array([not empty]),
+            }
+        )
+
+    parts = ds.map_batches(minmax, batch_format="pyarrow").take_all()
+    n_total = sum(r["n"] for r in parts)
+    if n_total == 0:
+        return pd.DataFrame([{"q": q, "value": float("nan")} for q in qs])
+    lo = min(r["lo"] for r in parts if r["valid"])
+    hi = max(r["hi"] for r in parts if r["valid"])
+
+    # per-target state: (rank within [a, b], a, b, count_in_range)
+    targets = [
+        {"q": q, "rank": disc_rank(q, n_total), "a": lo, "b": hi,
+         "count": n_total, "value": None}
+        for q in qs
+    ]
+
+    def active(t) -> bool:
+        return t["value"] is None and t["count"] > collect_limit
+
+    # ---- refinement rounds: histogram the active ranges, narrow by n_bins
+    while any(active(t) for t in targets):
+        plan = [
+            (i, t["a"], t["b"], -(-(t["b"] - t["a"] + 1) // n_bins))
+            for i, t in enumerate(targets)
+            if active(t)
+        ]
+
+        def hist(batch: pa.Table, plan=plan) -> pa.Table:
+            k = keys_of(batch)
+            tis, blobs = [], []
+            for ti, a, b, w in plan:
+                m = k[(k >= a) & (k <= b)]
+                c = np.bincount(
+                    ((m - np.uint64(a)) // np.uint64(w)).astype(np.int64),
+                    minlength=n_bins,
+                )
+                tis.append(ti)
+                blobs.append(c.astype(np.int64).tobytes())
+            return pa.table(
+                {"ti": pa.array(tis, pa.int64()),
+                 "counts": pa.array(blobs, pa.binary())}
+            )
+
+        rows = ds.map_batches(hist, batch_format="pyarrow").take_all()
+        sums: dict[int, np.ndarray] = {}
+        for r in rows:
+            c = np.frombuffer(r["counts"], np.int64)
+            sums[r["ti"]] = sums.get(r["ti"], 0) + c
+        for ti, a, b, w in plan:
+            t = targets[ti]
+            cum = np.cumsum(sums[ti])
+            j = int(np.searchsorted(cum, t["rank"] + 1))
+            t["rank"] -= int(cum[j - 1]) if j else 0
+            t["a"] = a + j * w
+            t["b"] = min(b, a + (j + 1) * w - 1)
+            t["count"] = int(sums[ti][j])
+            if t["a"] == t["b"]:  # range collapsed to one key — resolved
+                t["value"] = key_to_double(t["a"])
+
+    # ---- final pass: collect the (small) surviving ranges, pick by rank
+    plan = [
+        (i, t["a"], t["b"]) for i, t in enumerate(targets) if t["value"] is None
+    ]
+    if plan:
+        def collect(batch: pa.Table, plan=plan) -> pa.Table:
+            k = keys_of(batch)
+            tis, blobs = [], []
+            for ti, a, b in plan:
+                m = k[(k >= a) & (k <= b)]
+                tis.append(ti)
+                blobs.append(m.tobytes())
+            return pa.table(
+                {"ti": pa.array(tis, pa.int64()),
+                 "vals": pa.array(blobs, pa.binary())}
+            )
+
+        rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+        buckets: dict[int, list[np.ndarray]] = {}
+        for r in rows:
+            buckets.setdefault(r["ti"], []).append(np.frombuffer(r["vals"], np.uint64))
+        for ti, _, _ in plan:
+            vals = np.sort(np.concatenate(buckets[ti]))
+            targets[ti]["value"] = key_to_double(vals[targets[ti]["rank"]])
+
+    return pd.DataFrame([{"q": t["q"], "value": t["value"]} for t in targets])

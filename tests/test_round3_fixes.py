@@ -130,6 +130,59 @@ def test_cli_empty_input_dir_fails_loudly(ray_session, tmp_path):
         main(["build", "--input", str(empty), "--out", str(tmp_path / "o")])
 
 
+def test_exact_quantiles_high_cardinality_vs_duckdb(ray_session, tmp_path):
+    """Histogram-refinement quantiles must equal quantile_disc exactly on
+    continuous data (distinct ~ N), including negatives, duplicates, and
+    a heavy spike — with a tiny collect_limit to force refinement rounds."""
+    import duckdb
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.quantiles import exact_quantiles_disc
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [
+            rng.standard_normal(20_000) * 1e6,   # continuous, both signs
+            np.full(5_000, 42.5),                # heavy spike (duplicate key)
+            rng.uniform(-1e-9, 1e-9, 1_000),     # values straddling zero
+        ]
+    )
+    rng.shuffle(vals)
+    tbl = pa.table({"x": pa.array(vals, pa.float64())})
+    p = tmp_path / "x.parquet"
+    pq.write_table(tbl, p, row_group_size=4000)
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
+    got = exact_quantiles_disc(
+        rd.read_parquet(str(p)), "x", qs, n_bins=16, collect_limit=64
+    )
+    exp = duckdb.sql(
+        " UNION ALL ".join(
+            f"SELECT {q} AS q, quantile_disc(x, {q}) AS value FROM '{p}'"
+            for q in qs
+        )
+    ).df()
+    got = got.sort_values("q").reset_index(drop=True)
+    exp = exp.sort_values("q").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)  # exact — atol 0
+
+
+def test_exact_quantiles_key_mapping_roundtrip():
+    from invertedindexbuilder_ray.pipelines.quantiles import (
+        doubles_to_keys,
+        key_to_double,
+    )
+
+    vals = np.array(
+        [-np.inf, -1e300, -42.5, -1e-300, -0.0, 0.0, 1e-300, 42.5, 1e300, np.inf]
+    )
+    keys = doubles_to_keys(vals)
+    assert (np.diff(keys.astype(np.float64)) >= 0).all()
+    assert (np.diff(keys[np.abs(vals) > 0]) > 0).all()  # strict off the 0 tie
+    for v, k in zip(vals, keys):
+        assert key_to_double(int(k)) == v or (v == 0.0 and key_to_double(int(k)) == 0.0)
+
+
 def test_ann_constants_derive_from_n():
     """LSH bits grow ~log2(N/bucket) and IVF centroids ~sqrt(N), so
     bucket/list sizes stay bounded at any corpus size."""
