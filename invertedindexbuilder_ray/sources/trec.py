@@ -16,15 +16,23 @@ Framing replicates the reference parser exactly (quirk Q9,
   (quirk Q4), and kept documents get dense sequential doc_ids in file
   order.
 
-Execution shape: framing is a per-FILE prepass (one Ray task per file —
-TREC corpora ship as many files, so the scan parallelizes across files;
-within a file the Q9 resume rule makes framing inherently sequential).
-The driver prefix-sums kept counts into per-file doc_id bases — the same
+Execution shape: framing is a per-WINDOW prepass.  The Q9 windows sit at
+FIXED file offsets (every ``read(window)`` advances the file position by
+exactly ``window`` bytes and the scan state resets per window — no
+carry-over), so each window scans independently and the prepass
+parallelizes WITHIN a single file, byte-identically to the sequential
+reference loop.  This matters because the reference's own flagship
+corpus is ONE 22 GB file: at the default 100 MB window that is ~220
+parallel scan tasks instead of one.  The driver prefix-sums kept counts
+(file order, then window order) into doc_id bases — the same
 plan-then-read pattern as ``sources.webpages`` — and span batches are
 then read and sliced in parallel tasks.
 """
 
 from __future__ import annotations
+
+import glob
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -36,47 +44,67 @@ _OPEN = b"<TEXT>\n"
 _CLOSE = b"</TEXT>"
 
 
-def scan_trec_file(
-    path: str, *, window: int = INPUT_BUFFER - 1
+def scan_trec_window(
+    path: str, base: int, window: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(absolute content starts, content lengths) of KEPT docs, Q9-faithful."""
+    """(absolute content starts, content lengths) of KEPT docs inside the
+    fixed window at byte offset ``base``, Q9-faithful.  Windows are
+    independent: the reference scan's state resets at each window and a
+    doc straddling the boundary is dropped, so scanning window k in
+    isolation yields exactly the reference's window-k docs."""
     starts: list[int] = []
     lens: list[int] = []
     with open(path, "rb") as f:
-        while True:
-            base = f.tell()
-            buf = f.read(window)
-            if not buf:
-                break
-            ptr = 0
-            while ptr < len(buf):
-                s = buf.find(_OPEN, ptr)
-                if s == -1:
-                    break
-                s += len(_OPEN)
-                e = buf.find(_CLOSE, s)
-                if e == -1:
-                    break  # Q9: no carry-over — a straddling doc is dropped
-                ptr = e + len(_CLOSE) + 2  # end tag + "\n" + 1 extra byte
-                if buf[s : s + 1] != b"h":  # quirk Q4
-                    continue
-                starts.append(base + s)
-                lens.append(e - s - 1)  # strip the newline before </TEXT>
+        f.seek(base)
+        buf = f.read(window)
+    ptr = 0
+    while ptr < len(buf):
+        s = buf.find(_OPEN, ptr)
+        if s == -1:
+            break
+        s += len(_OPEN)
+        e = buf.find(_CLOSE, s)
+        if e == -1:
+            break  # Q9: no carry-over — a straddling doc is dropped
+        ptr = e + len(_CLOSE) + 2  # end tag + "\n" + 1 extra byte
+        if buf[s : s + 1] != b"h":  # quirk Q4
+            continue
+        starts.append(base + s)
+        lens.append(e - s - 1)  # strip the newline before </TEXT>
     return np.array(starts, np.int64), np.array(lens, np.int64)
 
 
+def scan_trec_file(
+    path: str, *, window: int = INPUT_BUFFER - 1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sequential whole-file scan (the reference loop verbatim) — kept as
+    the conformance re-statement the window scan is tested against."""
+    size = os.path.getsize(path)
+    all_s, all_l = [], []
+    for base in range(0, size, window):
+        s, ln = scan_trec_window(path, base, window)
+        all_s.append(s)
+        all_l.append(ln)
+    if not all_s:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(all_s), np.concatenate(all_l)
+
+
 def _scan_batch(batch: pa.Table) -> pa.Table:
-    paths, starts, lens = [], [], []
+    paths, widxs, starts, lens = [], [], [], []
     window = batch["window"][0].as_py()
     for i in range(batch.num_rows):
         p = batch["path"][i].as_py()
-        s, ln = scan_trec_file(p, window=window)
+        widx = batch["widx"][i].as_py()
+        s, ln = scan_trec_window(p, widx * window, window)
         paths.append(p)
+        widxs.append(widx)
         starts.append(s.tobytes())
         lens.append(ln.tobytes())
     return pa.table(
         {
             "path": pa.array(paths, pa.string()),
+            "widx": pa.array(widxs, pa.int64()),
             "starts": pa.array(starts, pa.binary()),
             "lens": pa.array(lens, pa.binary()),
         }
@@ -137,9 +165,6 @@ def resolve_trec_paths(path: str | list[str]) -> list[str]:
     """Discover the TREC input file list (shared by load_trec and the CLI's
     content fingerprint — the fingerprint must cover the files actually
     read, not a parquet-only glob; ADVICE r2)."""
-    import glob
-    import os
-
     if isinstance(path, list):
         return sorted(path)
     if os.path.isdir(path):
@@ -163,15 +188,20 @@ def load_trec(
     and deterministic in file order (reference parity)."""
     paths = resolve_trec_paths(path)
 
-    # parallel per-file framing prepass
-    scan_items = [{"path": p, "window": window} for p in paths]
+    # parallel per-WINDOW framing prepass (fixed-offset windows scan
+    # independently -> a single huge file fans out across the cluster)
+    scan_items = [
+        {"path": p, "widx": k, "window": window}
+        for p in paths
+        for k in range(max(1, -(-os.path.getsize(p) // window)))
+    ]
     scanned = (
-        rd.from_items(scan_items)
+        rd.from_items(scan_items)  # block per item -> one scan TASK per window
         .map_batches(_scan_batch, batch_format="pyarrow", batch_size=1)
         .to_pandas()
     )
-    by_path = {
-        r.path: (
+    by_win = {
+        (r.path, r.widx): (
             np.frombuffer(r.starts, np.int64),
             np.frombuffer(r.lens, np.int64),
         )
@@ -180,8 +210,9 @@ def load_trec(
     # driver prefix-sum over kept counts -> per-chunk doc_id bases
     items = []
     base = 0
-    for p in paths:  # file order, not scan-completion order
-        starts, lens = by_path[p]
+    for it in scan_items:  # (file, window) order, not scan-completion order
+        starts, lens = by_win[(it["path"], it["widx"])]
+        p = it["path"]
         for off in range(0, len(starts), spans_per_task):
             chunk_s = starts[off : off + spans_per_task]
             chunk_l = lens[off : off + spans_per_task]

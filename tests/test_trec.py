@@ -97,3 +97,29 @@ def test_multi_file_doc_id_order(ray_session, tmp_path):
     assert list(rows.url) == ["ha", "hb"]
     assert list(rows.doc_id) == [0, 1]
     assert rows.dl.to_numpy().dtype == np.int64
+
+
+def test_single_file_parallel_window_scan_identical(ray_session, tmp_path):
+    """One file spanning MANY windows must load byte-identically to the
+    sequential reference scan: per-window tasks + driver prefix-sum keep
+    doc_ids dense in file order, straddlers dropped per Q9."""
+    doc = b"<DOC>\n<TEXT>\nhttp://u%04d\npayload %04d abc\n</TEXT>\n</DOC>\n"
+    data = b"".join(doc % (i, i) for i in range(400))
+    p = _write(tmp_path, data)
+    window = 997  # prime -> boundaries land mid-doc, forcing Q9 drops
+    seq_starts, seq_lens = scan_trec_file(p, window=window)
+    rows = (
+        load_trec(p, window=window, spans_per_task=37)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(rows) == len(seq_starts) < 400  # some straddlers dropped
+    assert list(rows.doc_id) == list(range(len(seq_starts)))
+    assert list(rows.dl) == list(seq_lens)
+    # spot-check content against raw bytes at the sequential offsets
+    for i in (0, len(rows) // 2, len(rows) - 1):
+        s, ln = int(seq_starts[i]), int(seq_lens[i])
+        content = data[s : s + ln].decode()
+        url, text = content.split("\n", 1)
+        assert rows.url[i] == url and rows.text[i] == text
