@@ -93,3 +93,54 @@ def test_audio_energy(ray_session):
     empty = AudioEnergyFeatures()(pa.table({"id": pa.array([1], pa.int64()),
                                             "payload": pa.array([b""], pa.binary())}))
     assert empty["n_windows"][0].as_py() == 0
+
+
+def _minimal_bmp(width: int, height: int) -> bytes:
+    """Hand-rolled uncompressed 24-bit BMP — decodable by any real image
+    library, no encoder dependency needed to produce it."""
+    import struct
+
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    pixels = b"".join(
+        b"".join(bytes((x % 256, y % 256, (x + y) % 256)) for x in range(width))
+        + b"\0" * pad
+        for y in range(height)
+    )
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    return header + info + pixels
+
+
+def test_real_pil_decode_path():
+    """Auto-activates the guarded PIL branch the day the environment gains
+    a decoder (r2 verdict: keep the real path from bit-rotting); skips
+    otherwise."""
+    import pyarrow as pa
+    import pytest
+
+    pytest.importorskip("PIL.Image")
+    from invertedindexbuilder_ray.stages.multimodal import DecodeImageStub
+
+    batch = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([_minimal_bmp(7, 5), b"not an image"], pa.binary()),
+        }
+    )
+    out = DecodeImageStub()(batch).to_pandas()
+    assert list(out.decoder) == ["pil", "pil"]
+    assert (out.loc[0, ["height", "width", "channels"]] == [5, 7, 3]).all()
+    assert (out.loc[1, ["height", "width", "channels"]] == [0, 0, 0]).all()
+
+
+def test_minimal_bmp_wellformed():
+    """The fixture itself must be a structurally valid BMP (so the skip-
+    marked PIL test exercises a real decode, not a sentinel)."""
+    b = _minimal_bmp(7, 5)
+    assert b[:2] == b"BM"
+    assert int.from_bytes(b[2:6], "little") == len(b)
+    assert int.from_bytes(b[10:14], "little") == 54
+    assert int.from_bytes(b[18:22], "little", signed=True) == 7
+    assert int.from_bytes(b[22:26], "little", signed=True) == 5
