@@ -267,7 +267,8 @@ def _bm25_all(sf_dir: str, conjunctive: bool):
             BatchQueryEngine,
             fn_constructor_kwargs={"index_dir": idx, "conformance": False},
             batch_format="pyarrow",
-            concurrency=(1, 2),
+            concurrency=1,  # one query row -> one actor; pool sizing is
+            # exercised by entry()/bench query_batch with many rows
         )
         .map_batches(
             lambda t: pa.table(
