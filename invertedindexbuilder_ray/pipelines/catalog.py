@@ -1237,3 +1237,46 @@ QUERIES["orders_by_segment"] = (q_orders_by_segment, SQL_ORDERS_BY_SEGMENT)
 QUERIES["sample_hash"] = (q_sample_hash, SQL_SAMPLE_HASH)
 QUERIES["lineitem_quantiles"] = (q_lineitem_quantiles, _sql_lineitem_quantiles())
 QUERIES["price_quantiles"] = (q_price_quantiles, _sql_price_quantiles())
+
+
+def q_corpus_clean(sf_dir: str):
+    """Composed cleaning chain (langid ∧ quality ∧ exact-dup keep-first ∧
+    minhash near-dup) — each stage is hash-checked alone by its own entry;
+    this entry hash-checks their COMPOSITION."""
+    from .clean import corpus_clean
+
+    return corpus_clean(sf_dir)
+
+
+def _sql_corpus_clean() -> str:
+    from .clean import (
+        CLEAN_JACCARD,
+        CLEAN_MIN_ALNUM,
+        CLEAN_MIN_STOPWORD,
+        CLEAN_MIN_TOKENS,
+    )
+
+    return f"""
+WITH lang AS (SELECT * FROM ({_sql_langid()})),
+qual AS (SELECT * FROM ({SQL_QUALITY})),
+exact_keep AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents
+    ) WHERE doc_id = keeper
+),
+mh_losers AS (
+    SELECT DISTINCT doc_b
+    FROM ({_sketch_sql.sql_minhash_pairs(threshold=CLEAN_JACCARD)})
+)
+SELECT l.doc_id, l.lang_pred, q.n_tokens
+FROM lang l JOIN qual q USING (doc_id) JOIN exact_keep USING (doc_id)
+WHERE l.lang_pred != 'und'
+  AND q.n_tokens >= {CLEAN_MIN_TOKENS}
+  AND q.alnum_ratio >= {CLEAN_MIN_ALNUM}
+  AND q.stopword_ratio >= {CLEAN_MIN_STOPWORD}
+  AND l.doc_id NOT IN (SELECT doc_b FROM mh_losers)
+"""
+
+
+QUERIES["corpus_clean"] = (q_corpus_clean, _sql_corpus_clean())

@@ -1,0 +1,161 @@
+"""Composed corpus-cleaning pipeline — the end-to-end filter chain a
+training-data user runs before pre-training:
+
+    language ID  ∧  quality thresholds  ∧  exact-dup keep-first
+                 ∧  MinHash near-dup keep-lowest-id
+
+expressed as ONE Ray pipeline over the documents table.  Shape (scales):
+
+* language + quality signals come from a single fused actor-pool pass
+  over the text (no join between them — same batch, same row order);
+* exact-dup keep flags are a hash-sharded groupby on md5 (bounded Ray
+  groups, vectorized pandas inside — `dedup._sharded_groupby`);
+* signals ⋈ keep-flags is ONE partitioned hash join on doc_id with
+  input-scaled P — the pipeline's only shuffle;
+* MinHash near-dup losers (doc_b of each verified pair) are a small set
+  by construction (only near-duplicates); they broadcast via ``ray.put``
+  and filter inside map_batches.  A corpus that is mostly duplicates
+  would need the semi/anti partitioned fallback (catalog._semi_anti);
+  the loser count is asserted against ``CLEAN_MAX_BROADCAST_LOSERS``
+  so the assumption fails loudly, not silently.
+
+Each stage is individually hash-checked by its own catalog entry; this
+entry checks their COMPOSITION against one composed DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .textpipe import LangId, QualityScore, _docs
+
+CLEAN_MIN_TOKENS = 15
+CLEAN_MIN_ALNUM = 0.8
+CLEAN_MIN_STOPWORD = 0.03
+CLEAN_JACCARD = 0.5
+CLEAN_MAX_BROADCAST_LOSERS = 5_000_000
+
+
+class CleanSignals:
+    """Fused per-doc signal stage: one text batch -> language prediction +
+    quality features in a single actor (profiles/LUTs built once)."""
+
+    def __init__(self):
+        self.lang = LangId()
+        self.qual = QualityScore()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lid = self.lang(batch)
+        q = self.qual(batch)
+        return pa.table(
+            {
+                "doc_id": lid["doc_id"],
+                "lang_pred": lid["lang_pred"],
+                "n_tokens": q["n_tokens"],
+                "alnum_ratio": q["alnum_ratio"],
+                "stopword_ratio": q["stopword_ratio"],
+            }
+        )
+
+
+def _exact_keep_flags(docs: rd.Dataset) -> rd.Dataset:
+    """(doc_id, exact_keep): keep-first over md5(text) groups, sharded."""
+    from ..functions.tokenize import _string_buffers
+    from .dedup import _sharded_groupby
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        data, offsets = _string_buffers(texts)
+        mv = memoryview(data)
+        digests = [
+            hashlib.md5(mv[offsets[i] : offsets[i + 1]]).digest()
+            for i in range(batch.num_rows)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                # int64 key drives the SHARDING; grouping uses the full
+                # digest so truncation can't merge distinct texts
+                "h": pa.array(
+                    np.frombuffer(b"".join(d[:8] for d in digests), np.int64)
+                ),
+                "text_md5": pa.array([d.hex() for d in digests], pa.string()),
+            }
+        )
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g["doc_id"] == g.groupby("text_md5")["doc_id"].transform("min")
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(), "exact_keep": keep.to_numpy()}
+        )
+
+    return _sharded_groupby(
+        docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"],
+        flags,
+        empty_schema=pa.schema([("doc_id", pa.int64()), ("exact_keep", pa.bool_())]),
+    )
+
+
+def corpus_clean(
+    sf_dir: str,
+    *,
+    min_tokens: int = CLEAN_MIN_TOKENS,
+    min_alnum: float = CLEAN_MIN_ALNUM,
+    min_stopword: float = CLEAN_MIN_STOPWORD,
+    jaccard_threshold: float = CLEAN_JACCARD,
+) -> rd.Dataset:
+    """(doc_id, lang_pred, n_tokens) of documents that survive the chain."""
+    import ray
+
+    from .dedup import _join_partitions, minhash_dedup_pairs
+    from .joins import partitioned_hash_join
+
+    docs = _docs(sf_dir)
+    signals = docs.map_batches(
+        CleanSignals, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    flags = _exact_keep_flags(docs)
+
+    # near-dup losers: doc_b of every verified pair — small by construction
+    pairs = minhash_dedup_pairs(sf_dir, threshold=jaccard_threshold)
+    loser_rows = pairs.select_columns(["doc_b"]).take_all()
+    if len(loser_rows) > CLEAN_MAX_BROADCAST_LOSERS:
+        raise ValueError(
+            f"{len(loser_rows)} near-dup losers exceeds the broadcast bound; "
+            "swap in the partitioned anti-join (catalog._semi_anti pattern)"
+        )
+    losers = np.unique(np.array([r["doc_b"] for r in loser_rows], np.int64))
+    lref = ray.put(losers)
+
+    n = docs.count()
+    joined = partitioned_hash_join(
+        signals, flags, left_on="doc_id", right_on="doc_id",
+        num_partitions=_join_partitions(n),
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ls = ray.get(lref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ok = (
+            batch["exact_keep"].to_numpy(zero_copy_only=False)
+            & (batch["lang_pred"].to_numpy(zero_copy_only=False) != "und")
+            & (batch["n_tokens"].to_numpy(zero_copy_only=False) >= min_tokens)
+            & (batch["alnum_ratio"].to_numpy(zero_copy_only=False) >= min_alnum)
+            & (batch["stopword_ratio"].to_numpy(zero_copy_only=False) >= min_stopword)
+        )
+        if len(ls):
+            pos = np.searchsorted(ls, ids)
+            in_losers = (pos < len(ls)) & (ls[np.minimum(pos, len(ls) - 1)] == ids)
+            ok &= ~in_losers
+        return batch.filter(pa.array(ok)).select(["doc_id", "lang_pred", "n_tokens"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
