@@ -162,8 +162,9 @@ def run_bench() -> dict:
     catalog_names = [] if os.environ.get("IIB_SCALING_CHILD") else [
         "postings", "term_stats", "bm25_all_or", "dedup_minhash",
         "dedup_simhash", "knn_cosine", "quality", "dedup_exact",
-        "embedding_neardup", "ann_ivf", "fingerprint", "token_count_bpe",
-        "orders_by_segment", "sample_hash",
+        "embedding_neardup", "ann_ivf", "ann_lsh", "fingerprint",
+        "token_count_bpe", "orders_by_segment", "sample_hash",
+        "events_sessions", "price_quantiles", "corpus_clean",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

@@ -63,10 +63,10 @@ class CleanSignals:
         )
 
 
-def _exact_keep_flags(docs: rd.Dataset) -> rd.Dataset:
+def _exact_keep_flags(docs: rd.Dataset, n_docs: int) -> rd.Dataset:
     """(doc_id, exact_keep): keep-first over md5(text) groups, sharded."""
     from ..functions.tokenize import _string_buffers
-    from .dedup import _sharded_groupby
+    from .dedup import _sharded_groupby, _shards_for
 
     def add_hash(batch: pa.Table) -> pa.Table:
         texts = batch["text"]
@@ -101,6 +101,7 @@ def _exact_keep_flags(docs: rd.Dataset) -> rd.Dataset:
         ["h"],
         flags,
         empty_schema=pa.schema([("doc_id", pa.int64()), ("exact_keep", pa.bool_())]),
+        num_shards=_shards_for(n_docs),
     )
 
 
@@ -119,11 +120,12 @@ def corpus_clean(
     from .joins import partitioned_hash_join
 
     docs = _docs(sf_dir)
+    n = docs.count()  # parquet metadata
     signals = docs.map_batches(
         CleanSignals, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 4),
     )
-    flags = _exact_keep_flags(docs)
+    flags = _exact_keep_flags(docs, n)
 
     # near-dup losers: doc_b of every verified pair — small by construction
     pairs = minhash_dedup_pairs(sf_dir, threshold=jaccard_threshold)
@@ -136,7 +138,6 @@ def corpus_clean(
     losers = np.unique(np.array([r["doc_b"] for r in loser_rows], np.int64))
     lref = ray.put(losers)
 
-    n = docs.count()
     joined = partitioned_hash_join(
         signals, flags, left_on="doc_id", right_on="doc_id",
         num_partitions=_join_partitions(n),

@@ -32,6 +32,16 @@ MAX_BUCKET = 256  # skew guard: buckets larger than this are truncated
 
 
 PAIR_SHARDS = 64
+SHARD_TARGET_ROWS = 2_000_000
+MAX_SHARDS = 4096
+
+
+def _shards_for(n_rows: int) -> int:
+    """Shard count scaled to input size: a FIXED shard count means per-shard
+    pandas frames grow linearly with N (one worker would hold N/64 rows at
+    100 TB).  Callers that know their row count (parquet metadata, a
+    materialized intermediate) pass it through ``num_shards=_shards_for(n)``."""
+    return int(min(MAX_SHARDS, max(PAIR_SHARDS, -(-n_rows // SHARD_TARGET_ROWS))))
 
 
 def _sharded_groupby(

@@ -221,9 +221,11 @@ def fingerprint_groups_ds(source: str | rd.Dataset) -> rd.Dataset:
     Aggregation is hash-sharded (64 Ray groups, vectorized pandas
     transform inside) — fingerprint cardinality ~ n_docs, and per-key
     Ray groupby costs ~ms/key."""
-    from .dedup import _sharded_groupby
+    from .dedup import PAIR_SHARDS, _sharded_groupby, _shards_for
 
     fp = fingerprint_ds(source)
+    # shard count scales with the doc count when it's metadata-cheap
+    shards = _shards_for(_docs(source).count()) if isinstance(source, str) else PAIR_SHARDS
 
     def grp(g: pd.DataFrame) -> pd.DataFrame:
         by = g.groupby("fingerprint")["doc_id"]
@@ -240,4 +242,5 @@ def fingerprint_groups_ds(source: str | rd.Dataset) -> rd.Dataset:
         empty_schema=pa.schema(
             [("doc_id", pa.int64()), ("canon_doc_id", pa.int64()), ("n_dups", pa.int64())]
         ),
+        num_shards=shards,
     )

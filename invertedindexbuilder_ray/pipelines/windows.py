@@ -149,8 +149,12 @@ def session_windows(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
             ("sum_value", pa.float64()),
         ]
     )
+    from .dedup import _shards_for
+
+    events = _events(sf_dir)
     return _sharded_groupby(
-        _events(sf_dir), ["user_id"], sessions_shard, empty_schema=empty
+        events, ["user_id"], sessions_shard, empty_schema=empty,
+        num_shards=_shards_for(events.count()),  # parquet metadata, no scan
     )
 
 

@@ -224,6 +224,15 @@ def test_ann_has_no_full_side_shuffle():
     assert "partitioned_hash_join" not in src
 
 
+def test_shards_scale_with_input():
+    from invertedindexbuilder_ray.pipelines.dedup import _shards_for
+
+    assert _shards_for(0) == 64          # floor clamp
+    assert _shards_for(10**8) == 64      # ceil(1e8/2e6)=50 < floor
+    assert _shards_for(10**9) == 500
+    assert _shards_for(10**12) == 4096   # ceiling clamp
+
+
 def test_session_windows_no_per_user_groupby():
     """The windows module must not contain a high-cardinality
     groupby().map_groups (the repo's own scale rule)."""
