@@ -201,6 +201,37 @@ def test_ann_constants_derive_from_n():
     assert ivf_centroids_for(1) == 1
 
 
+def test_sql_nbits_derivation_matches_python():
+    """The testdata only exercises nbits=4 (small N); validate the SQL
+    params-CTE arithmetic against lsh_bits_for across the whole range a
+    real corpus would hit, including exact powers of two."""
+    import duckdb
+
+    from invertedindexbuilder_ray.pipelines.similarity import (
+        ANN_TARGET_BUCKET,
+        LSH_MAX_BITS,
+        LSH_MIN_BITS,
+        ivf_centroids_for,
+        lsh_bits_for,
+    )
+
+    tb = ANN_TARGET_BUCKET
+    ns = [1, 500, 1024, 1025, 2**20, 2**20 + 1, 10**9, 2**34, 10**12]
+    for n in ns:
+        got = duckdb.sql(f"""
+            SELECT least({LSH_MAX_BITS}, greatest({LSH_MIN_BITS}, coalesce((
+                SELECT min(t.b) FROM range(1, {LSH_MAX_BITS + 1}) t(b)
+                WHERE (1::BIGINT << t.b) >= greatest(1, ({n} + {tb - 1}) // {tb})
+            ), {LSH_MAX_BITS})))::BIGINT
+        """).fetchone()[0]
+        assert got == lsh_bits_for(n), (n, got, lsh_bits_for(n))
+    for n in [1, 500, 10**6, 10**6 + 1, 999, 2**40]:
+        got = duckdb.sql(
+            f"SELECT greatest(1, ceil(sqrt({n}))::BIGINT)"
+        ).fetchone()[0]
+        assert got == ivf_centroids_for(n), (n, got, ivf_centroids_for(n))
+
+
 def test_ann_planes_prefix_property():
     """The SQL oracle inlines MAX_BITS plane columns and selects a prefix;
     the engine's _planes(dim, b) must equal that prefix for every b."""
