@@ -50,8 +50,17 @@ class CleanSignals:
         self.qual = QualityScore()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lid = self.lang(batch)
-        q = self.qual(batch)
+        from ..functions.tokenize import _span_hashes, token_spans
+
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        # tokenize ONCE; both scorers reuse the spans (the scan is the
+        # memory-bandwidth-bound part of either stage)
+        mapped, starts, lens, row_idx = token_spans(texts, drop_trailing=False)
+        th, _ = _span_hashes(mapped, starts, lens)
+        lid = self.lang.score(batch, th, row_idx)
+        q = self.qual.score(batch, th, lens, row_idx)
         return pa.table(
             {
                 "doc_id": lid["doc_id"],

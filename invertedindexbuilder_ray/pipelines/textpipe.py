@@ -68,6 +68,11 @@ class LangId:
         texts = batch["text"]
         mapped, starts, lens, row_idx = token_spans(texts, drop_trailing=False)
         th, _ = _span_hashes(mapped, starts, lens)
+        return self.score(batch, th, row_idx)
+
+    def score(self, batch: pa.Table, th: np.ndarray, row_idx: np.ndarray) -> pa.Table:
+        """Scoring half, reusable with precomputed token hashes (the fused
+        clean-signals stage tokenizes ONCE for langid + quality)."""
         n_rows = batch.num_rows
         counts = np.bincount(row_idx, minlength=n_rows).astype(np.float64)
         ratios = np.zeros((n_rows, len(self.langs)))
@@ -117,6 +122,23 @@ class QualityScore:
         self.digit_lut = digit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import _span_hashes
+
+        texts = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray
+        ) else batch["text"]
+        mapped, starts, lens, row_idx = token_spans(texts, drop_trailing=False)
+        th, _ = _span_hashes(mapped, starts, lens)
+        return self.score(batch, th, lens, row_idx)
+
+    def score(
+        self,
+        batch: pa.Table,
+        th: np.ndarray,
+        lens: np.ndarray,
+        row_idx: np.ndarray,
+    ) -> pa.Table:
+        """Scoring half, reusable with precomputed token spans/hashes."""
         from ..functions.tokenize import _string_buffers
 
         texts = batch["text"].combine_chunks() if isinstance(
@@ -131,11 +153,6 @@ class QualityScore:
         cum_d = np.concatenate([[0], np.cumsum(digit_mask)])
         alnum_bytes = (cum_a[offsets[1:]] - cum_a[offsets[:-1]]).astype(np.float64)
         digit_bytes = (cum_d[offsets[1:]] - cum_d[offsets[:-1]]).astype(np.float64)
-
-        from ..functions.tokenize import _span_hashes
-
-        mapped, starts, lens, row_idx = token_spans(texts, drop_trailing=False)
-        th, _ = _span_hashes(mapped, starts, lens)
         n_tokens = np.bincount(row_idx, minlength=n_rows).astype(np.float64)
         tok_len_sum = np.bincount(row_idx, weights=lens, minlength=n_rows)
         stop_hits = np.bincount(
