@@ -167,6 +167,38 @@ def test_exact_quantiles_high_cardinality_vs_duckdb(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, exp)  # exact — atol 0
 
 
+def test_exact_quantiles_degenerate_shapes(ray_session, tmp_path):
+    """Shapes that stress specific branches: all-one-value (range collapses
+    before any collect), two values with massive ties (bin resolution on a
+    1-key range), integers with heavy duplication (ties across targets)."""
+    import duckdb
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.quantiles import exact_quantiles_disc
+
+    rng = np.random.RandomState(3)
+    shapes = {
+        "const": np.full(10_000, 7.25),
+        "two": np.concatenate([np.full(9_000, -1.5), np.full(1_000, 3.25)]),
+        "ints": rng.randint(0, 5, 50_000).astype(np.float64),
+    }
+    qs = [0.1, 0.5, 0.9, 1.0]
+    for name, vals in shapes.items():
+        p = tmp_path / f"{name}.parquet"
+        pq.write_table(pa.table({"x": pa.array(vals, pa.float64())}), p,
+                       row_group_size=7000)
+        got = exact_quantiles_disc(
+            rd.read_parquet(str(p)), "x", qs, n_bins=8, collect_limit=100
+        ).sort_values("q").reset_index(drop=True)
+        exp = duckdb.sql(
+            " UNION ALL ".join(
+                f"SELECT {q} AS q, quantile_disc(x, {q}) AS value FROM '{p}'"
+                for q in qs
+            )
+        ).df().sort_values("q").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp), name
+
+
 def test_exact_quantiles_key_mapping_roundtrip():
     from invertedindexbuilder_ray.pipelines.quantiles import (
         doubles_to_keys,
