@@ -151,10 +151,23 @@ def _probe_topk(
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return (
+    out = (
         ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("qid")  # n_queries keys — per-key groupby is fine here
         .map_groups(topk, batch_format="pandas")
+    )
+    # zero candidates overall -> map_groups never runs -> schemaless empty
+    # dataset (Ray trap); union a typed empty block
+    empty = pa.schema(
+        [
+            ("qid", pa.int64()),
+            ("vec_id", pa.int64()),
+            ("sim", pa.float64()),
+            ("rank", pa.int64()),
+        ]
+    )
+    return out.map_batches(lambda t: t, batch_format="pyarrow").union(
+        rd.from_arrow(empty.empty_table())
     )
 
 
