@@ -199,12 +199,12 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same build job at two parallelism levels in fresh processes.
 
-    Defaults to a 1M-doc corpus (vs the regular bench's 100k): the fixed
+    Defaults to a 4M-doc corpus (vs the regular bench's 100k): the fixed
     per-job seconds (Ray session, prepass, phase barriers) dominate small
     runs and would measure overhead amortization, not scaling — measured
-    efficiency rises 0.49 -> 0.73 -> 0.86 at 100k/1M/4M docs (BASELINE.md).
+    efficiency rises 0.49 -> 0.73 -> 0.86+ at 100k/1M/4M docs (BASELINE.md).
     """
-    docs = os.environ.get("IIB_BENCH_DOCS", "1000000")
+    docs = os.environ.get("IIB_BENCH_DOCS", "4000000")
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -219,13 +219,15 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N vs 4N "nodes".  2 vs 8 CPUs is the pair least distorted by this
+    # N vs 4N "nodes".  1 vs 4 CPUs is the pair least distorted by this
     # sandbox's shared memory bus: a real 4N-node cluster multiplies memory
     # bandwidth with node count, while every simulated node here shares one
-    # bus (measured: even Ray-free multiprocessing of the tokenize kernel
-    # saturates at ~9 effective cores — see BASELINE.md).
-    lo_cpus = int(os.environ.get("IIB_SCALE_LO", "2"))
-    hi_cpus = int(os.environ.get("IIB_SCALE_HI", "8"))
+    # bus that saturates around ~9 effective cores (Ray-free probe,
+    # tools/hw_probe.py) — and the probe's own 2->8 reading swung 0.91->0.83
+    # between days, dragging any 2->8 engine number with it.  Below the
+    # knee, 1->4 reads the engine, not the bus (BASELINE.md round-3 table).
+    lo_cpus = int(os.environ.get("IIB_SCALE_LO", "1"))
+    hi_cpus = int(os.environ.get("IIB_SCALE_HI", "4"))
     n_runs = int(os.environ.get("IIB_SCALE_RUNS", "2"))
     # INTERLEAVED, alternating order: the VM's throughput drifts over tens
     # of minutes, so lo-block-then-hi-block would systematically bias one
