@@ -1280,3 +1280,55 @@ WHERE l.lang_pred != 'und'
 
 
 QUERIES["corpus_clean"] = (q_corpus_clean, _sql_corpus_clean())
+
+
+GROUP_TOPK_K = 3
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k (largest docs per language) — the per-domain sampling
+    primitive: per-batch partial top-k (≤k rows per group per batch under
+    the total order (n_chars desc, doc_id asc)), then a final merge over
+    only n_langs tiny groups.  No full sort, no per-key groupby on an
+    unbounded keyspace — group count is what's small here, not row count."""
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(ids), dtype=bool)
+        for lang in np.unique(langs):  # distinct langs per batch — few
+            rows = np.flatnonzero(langs == lang)
+            order = np.lexsort((ids[rows], -nc[rows]))[:GROUP_TOPK_K]
+            keep[rows[order]] = True
+        return batch.filter(pa.array(keep))
+
+    import pandas as pd
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(
+            GROUP_TOPK_K
+        )
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+SQL_TOP_DOCS_PER_LANG = f"""
+SELECT lang, doc_id, n_chars, rank::BIGINT AS rank FROM (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+               AS rank
+    FROM documents
+) WHERE rank <= {GROUP_TOPK_K}
+"""
+
+QUERIES["top_docs_per_lang"] = (q_top_docs_per_lang, SQL_TOP_DOCS_PER_LANG)
