@@ -111,7 +111,16 @@ def index_for(sf_dir: str) -> str:
     path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
     fp = _fingerprint([path])
     key = hashlib.md5(fp.encode()).hexdigest()[:12]
-    out = f"/tmp/iib_index_cache/v{FORMAT_VERSION}/{key}"
+    # per-user private cache dir (same reasoning as the webpages plan cache:
+    # a world-writable shared /tmp dir could be pre-seeded with a poisoned
+    # index by another local user)
+    root = f"/tmp/iib_index_cache_{os.getuid()}"
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    try:
+        os.chmod(root, 0o700)
+    except OSError:
+        pass
+    out = f"{root}/v{FORMAT_VERSION}/{key}"
     if _INDEX_CACHE.get(sf_dir) != out or not os.path.exists(
         os.path.join(out, "manifest.json")
     ):
@@ -425,7 +434,12 @@ def q_lineitem_quantiles(sf_dir: str):
     """Distributed exact discrete quantiles of l_quantity: per-batch value
     counts (map-side combine), a tiny 50-key aggregate, and a driver-side
     pick at index ceil(q*N)-1 — DuckDB quantile_disc semantics, integer-
-    exact at any scale because only (value, count) pairs ever move."""
+    exact at any scale because only (value, count) pairs ever move.
+
+    CONTRACT: exact and scale-safe only for LOW-CARDINALITY value domains
+    (distinct values bounded, like l_quantity's 50); on continuous columns
+    distinct ≈ N and this would ship ~N rows to the driver — use
+    ``quantiles.exact_quantiles_disc`` (q_price_quantiles) there."""
     path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
 
     def value_counts(batch: pa.Table) -> pa.Table:
