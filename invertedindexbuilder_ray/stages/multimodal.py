@@ -25,6 +25,17 @@ import ray.data as rd
 IMAGE_FEATURE_DIM = 64
 
 
+def _frame_ranges(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... concatenated (vectorized arange)."""
+    lens = lens.astype(np.int64, copy=False)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    ids = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    return np.arange(total, dtype=np.int64) - starts[ids]
+
+
 def _binary_buffers(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """View a binary column as (flat uint8 bytes, int64 row offsets) —
     zero-copy; nulls fall back to a per-row path (treated as empty)."""
@@ -251,26 +262,30 @@ class SampleVideoFramesStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data, offsets = _binary_buffers(batch["payload"])
-        ids, fidx, frames, sizes = [], [], [], []
-        mv = memoryview(data)
-        for i in range(batch.num_rows):
-            s, e = int(offsets[i]), int(offsets[i + 1])
-            ln = e - s
-            k = min(self.n_frames, max(ln, 1))
-            step = max(ln // k, 1)
-            for j in range(k if ln else 0):
-                fs = s + j * step
-                fe = min(fs + step, e)
-                ids.append(batch["id"][i].as_py())
-                fidx.append(j)
-                frames.append(bytes(mv[fs:fe]))
-                sizes.append(fe - fs)
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = np.diff(offsets)
+        k = np.where(ln > 0, np.minimum(self.n_frames, np.maximum(ln, 1)), 0)
+        step = np.maximum(ln // np.maximum(k, 1), 1)
+        # per-frame arrays, fully vectorized (no per-row/per-frame loop):
+        # frame j of row i = bytes [j*step, min((j+1)*step, ln)) of payload i
+        fidx = _frame_ranges(k)
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), k)
+        f_len = np.minimum(step[row], ln[row] - fidx * step[row])
+        f_start = offsets[:-1][row] + fidx * step[row]
+        gather = np.repeat(f_start, f_len) + _frame_ranges(f_len)
+        flat = data[gather] if len(gather) else np.empty(0, np.uint8)
+        out_offsets = np.concatenate([[0], np.cumsum(f_len)]).astype(np.int32)
+        payload = pa.BinaryArray.from_buffers(
+            pa.binary(),
+            len(f_len),
+            [None, pa.py_buffer(out_offsets.tobytes()), pa.py_buffer(flat.tobytes())],
+        )
         return pa.table(
             {
-                "id": pa.array(ids, pa.int64()),
-                "frame_idx": pa.array(fidx, pa.int32()),
-                "frame_payload": pa.array(frames, pa.binary()),
-                "frame_bytes": pa.array(sizes, pa.int64()),
+                "id": pa.array(ids[row], pa.int64()),
+                "frame_idx": pa.array(fidx.astype(np.int32), pa.int32()),
+                "frame_payload": payload,
+                "frame_bytes": pa.array(f_len, pa.int64()),
             }
         )
 

@@ -144,3 +144,40 @@ def test_minimal_bmp_wellformed():
     assert int.from_bytes(b[10:14], "little") == 54
     assert int.from_bytes(b[18:22], "little", signed=True) == 7
     assert int.from_bytes(b[22:26], "little", signed=True) == 5
+
+
+def test_video_frame_slicing_matches_reference_loop():
+    """Vectorized frame slicing vs a straightforward per-row loop across
+    edge sizes: empty, 1 byte, < n_frames bytes, exact multiples, ragged."""
+    import numpy as np
+    import pyarrow as pa
+
+    from invertedindexbuilder_ray.stages.multimodal import SampleVideoFramesStub
+
+    rng = np.random.RandomState(11)
+    payloads = [b"", b"x", b"ab", b"abc", bytes(rng.bytes(17)), bytes(rng.bytes(64)),
+                bytes(rng.bytes(65)), bytes(rng.bytes(4)), bytes(rng.bytes(1000))]
+    batch = pa.table(
+        {
+            "id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    n_frames = 4
+    got = SampleVideoFramesStub(n_frames=n_frames)(batch).to_pandas()
+
+    exp_rows = []
+    for i, p in enumerate(payloads):
+        ln = len(p)
+        if ln == 0:
+            continue
+        k = min(n_frames, max(ln, 1))
+        step = max(ln // k, 1)
+        for j in range(k):
+            fs, fe = j * step, min((j + 1) * step, ln)
+            exp_rows.append((i, j, p[fs:fe], fe - fs))
+    assert len(got) == len(exp_rows)
+    for (i, j, fp, fb), (_, row) in zip(exp_rows, got.iterrows()):
+        assert (row.id, row.frame_idx, bytes(row.frame_payload), row.frame_bytes) == (
+            i, j, fp, fb
+        )
