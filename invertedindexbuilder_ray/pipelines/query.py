@@ -353,16 +353,27 @@ class BatchQueryEngine:
         self.algorithm = algorithm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = batch.column_names
+        terms_col = batch["terms"].to_pylist()  # strings: materialize once
+        qid_col = batch["query_id"].to_numpy(zero_copy_only=False)
+        k_col = (
+            batch["k"].to_numpy(zero_copy_only=False)
+            if "k" in cols
+            else np.full(batch.num_rows, 10)
+        )
+        mode_col = (
+            batch["mode"].to_numpy(zero_copy_only=False)
+            if "mode" in cols
+            else np.full(batch.num_rows, CONJUNCTIVE)
+        )
         qids, ranks, docs, urls, scores = [], [], [], [], []
-        for row in batch.to_pylist():
+        for i in range(batch.num_rows):  # per QUERY, not per row of data
             hits = self.engine.search(
-                row["terms"],
-                int(row.get("k", 10)),
-                int(row.get("mode", CONJUNCTIVE)),
+                terms_col[i], int(k_col[i]), int(mode_col[i]),
                 algorithm=self.algorithm,
             )
             for h in hits:
-                qids.append(row["query_id"])
+                qids.append(int(qid_col[i]))
                 ranks.append(h["rank"])
                 docs.append(h["doc_id"])
                 urls.append(h["url"])
