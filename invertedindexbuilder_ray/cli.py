@@ -78,6 +78,36 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    """Run any catalog pipeline over an sf-style table dir; write parquet
+    or print.  `--list` enumerates the available pipelines."""
+    from .pipelines.catalog import QUERIES
+
+    if args.list:
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+    if args.pipeline not in QUERIES:
+        raise SystemExit(
+            f"unknown pipeline {args.pipeline!r}; `run --list` shows the catalog"
+        )
+    _init_ray(args.num_cpus)
+    fn, _sql = QUERIES[args.pipeline]
+    res = fn(args.input)
+    if args.out:
+        import pandas as pd
+        import ray.data as rd
+
+        if isinstance(res, pd.DataFrame):
+            res = rd.from_pandas(res)
+        res.write_parquet(args.out)
+        print(json.dumps({"pipeline": args.pipeline, "out": args.out}))
+    else:
+        df = res if hasattr(res, "to_string") else res.to_pandas()
+        print(df.to_string(index=False, max_rows=50))
+    return 0
+
+
 def cmd_query(args) -> int:
     _init_ray(args.num_cpus)
     from .pipelines.query import CONJUNCTIVE, DISJUNCTIVE, QueryEngine
@@ -139,6 +169,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     mg.add_argument("--no-resume", action="store_true")
     mg.set_defaults(fn=cmd_merge)
+
+    rn = sub.add_parser(
+        "run", help="run a catalog pipeline (dedup/similarity/text/clean/...) over a table dir"
+    )
+    rn.add_argument("--pipeline", default="")
+    rn.add_argument("--input", default="", help="dir holding the sf-style parquet tables")
+    rn.add_argument("--out", default=None, help="write result parquet here (else print)")
+    rn.add_argument("--list", action="store_true")
+    rn.set_defaults(fn=cmd_run)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)

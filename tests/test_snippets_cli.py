@@ -82,3 +82,32 @@ def test_cli_build_and_query(ray_session, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "BM25" in out and "[1]" in out
+
+
+def test_cli_run_pipeline(ray_session, tmp_path):
+    """`run` executes a catalog pipeline and writes parquet; `--list` shows
+    the catalog."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyarrow.parquet as pq_
+
+    from invertedindexbuilder_ray.cli import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["run", "--list"]) == 0
+    names = buf.getvalue().split()
+    assert "corpus_clean" in names and "dedup_minhash" in names
+
+    out = str(tmp_path / "langs")
+    with redirect_stdout(io.StringIO()):
+        assert main(["run", "--pipeline", "lang_counts",
+                     "--input", "/root/testdata/sf0.001", "--out", out]) == 0
+    rows = pq_.read_table(out).to_pylist()
+    assert sum(r["n_docs"] for r in rows) == 500
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="unknown pipeline"):
+        main(["run", "--pipeline", "nope", "--input", "x"])
