@@ -14,10 +14,10 @@ expressed as ONE Ray pipeline over the documents table.  Shape (scales):
   input-scaled P — the pipeline's only shuffle;
 * MinHash near-dup losers (doc_b of each verified pair) are a small set
   by construction (only near-duplicates); they broadcast via ``ray.put``
-  and filter inside map_batches.  A corpus that is mostly duplicates
-  would need the semi/anti partitioned fallback (catalog._semi_anti);
-  the loser count is asserted against ``CLEAN_MAX_BROADCAST_LOSERS``
-  so the assumption fails loudly, not silently.
+  and filter inside map_batches.  Above ``CLEAN_MAX_BROADCAST_LOSERS``
+  (a mostly-duplicate corpus) the pipeline switches to a partitioned
+  anti-join against the deduplicated loser table — the same hybrid rule
+  as ``catalog._semi_anti`` — so the driver never holds the loser set.
 
 Each stage is individually hash-checked by its own catalog entry; this
 entry checks their COMPOSITION against one composed DuckDB oracle.
@@ -121,11 +121,13 @@ def corpus_clean(
     min_alnum: float = CLEAN_MIN_ALNUM,
     min_stopword: float = CLEAN_MIN_STOPWORD,
     jaccard_threshold: float = CLEAN_JACCARD,
+    max_broadcast_losers: int = CLEAN_MAX_BROADCAST_LOSERS,
 ) -> rd.Dataset:
     """(doc_id, lang_pred, n_tokens) of documents that survive the chain."""
+    import pyarrow.compute as pc
     import ray
 
-    from .dedup import _join_partitions, minhash_dedup_pairs
+    from .dedup import _join_partitions, _sharded_groupby, minhash_dedup_pairs
     from .joins import partitioned_hash_join
 
     docs = _docs(sf_dir)
@@ -137,15 +139,13 @@ def corpus_clean(
     flags = _exact_keep_flags(docs, n)
 
     # near-dup losers: doc_b of every verified pair — small by construction
-    pairs = minhash_dedup_pairs(sf_dir, threshold=jaccard_threshold)
-    loser_rows = pairs.select_columns(["doc_b"]).take_all()
-    if len(loser_rows) > CLEAN_MAX_BROADCAST_LOSERS:
-        raise ValueError(
-            f"{len(loser_rows)} near-dup losers exceeds the broadcast bound; "
-            "swap in the partitioned anti-join (catalog._semi_anti pattern)"
-        )
-    losers = np.unique(np.array([r["doc_b"] for r in loser_rows], np.int64))
-    lref = ray.put(losers)
+    pairs = minhash_dedup_pairs(sf_dir, threshold=jaccard_threshold).materialize()
+    n_pairs = pairs.count()
+    broadcast = n_pairs <= max_broadcast_losers
+    if broadcast:
+        loser_rows = pairs.select_columns(["doc_b"]).take_all()
+        losers = np.unique(np.array([r["doc_b"] for r in loser_rows], np.int64))
+        lref = ray.put(losers)
 
     joined = partitioned_hash_join(
         signals, flags, left_on="doc_id", right_on="doc_id",
@@ -153,8 +153,6 @@ def corpus_clean(
     )
 
     def keep(batch: pa.Table) -> pa.Table:
-        ls = ray.get(lref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         ok = (
             batch["exact_keep"].to_numpy(zero_copy_only=False)
             & (batch["lang_pred"].to_numpy(zero_copy_only=False) != "und")
@@ -162,10 +160,42 @@ def corpus_clean(
             & (batch["alnum_ratio"].to_numpy(zero_copy_only=False) >= min_alnum)
             & (batch["stopword_ratio"].to_numpy(zero_copy_only=False) >= min_stopword)
         )
-        if len(ls):
-            pos = np.searchsorted(ls, ids)
-            in_losers = (pos < len(ls)) & (ls[np.minimum(pos, len(ls) - 1)] == ids)
-            ok &= ~in_losers
+        if broadcast:
+            ls = ray.get(lref)
+            if len(ls):
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(ls, ids)
+                hit = (pos < len(ls)) & (ls[np.minimum(pos, len(ls) - 1)] == ids)
+                ok &= ~hit
         return batch.filter(pa.array(ok)).select(["doc_id", "lang_pred", "n_tokens"])
 
-    return joined.map_batches(keep, batch_format="pyarrow")
+    kept = joined.map_batches(keep, batch_format="pyarrow")
+    if broadcast:
+        return kept
+
+    # mostly-duplicate corpus: distinct losers via sharded groupby, then a
+    # partitioned LEFT join + null test — the driver never sees the set
+    losers_ds = _sharded_groupby(
+        pairs.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_b"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["doc_id"],
+        lambda g: g.drop_duplicates(subset=["doc_id"]),
+        empty_schema=pa.schema([("doc_id", pa.int64())]),
+    ).map_batches(
+        lambda t: t.append_column(
+            "__dup", pa.array(np.ones(t.num_rows, np.int8), pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+    anti = partitioned_hash_join(
+        kept, losers_ds, left_on="doc_id", right_on="doc_id",
+        num_partitions=_join_partitions(n_pairs), how="left",
+    )
+    return anti.map_batches(
+        lambda t: t.filter(pc.is_null(t["__dup"])).select(
+            ["doc_id", "lang_pred", "n_tokens"]
+        ),
+        batch_format="pyarrow",
+    )

@@ -305,3 +305,23 @@ def test_session_windows_no_per_user_groupby():
 
     src = inspect.getsource(w)
     assert 'groupby("user_id")' not in src
+
+
+def test_corpus_clean_antijoin_fallback_matches_broadcast(ray_session):
+    """max_broadcast_losers=0 forces the partitioned anti-join path; the
+    kept set must be identical to the broadcast path."""
+    from invertedindexbuilder_ray.pipelines.clean import corpus_clean
+
+    a = (
+        corpus_clean(SF_SMALL)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        corpus_clean(SF_SMALL, max_broadcast_losers=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
