@@ -32,6 +32,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..sources.util import actor_pool
 from .textpipe import LangId, QualityScore, _docs
 
 CLEAN_MIN_TOKENS = 15
@@ -134,7 +135,7 @@ def corpus_clean(
     n = docs.count()  # parquet metadata
     signals = docs.map_batches(
         CleanSignals, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4),
+        concurrency=actor_pool(),
     )
     flags = _exact_keep_flags(docs, n)
 

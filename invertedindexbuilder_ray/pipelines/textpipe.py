@@ -17,6 +17,7 @@ from ..functions.hashing import _FNV_OFFSET, _FNV_PRIME
 from ..functions.rounding import round_half_away
 from ..functions.tokenize import token_spans
 from ..sources.documents import load_documents
+from ..sources.util import actor_pool
 
 STOPWORDS = {
     "en": ["the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "on", "with"],
@@ -98,7 +99,8 @@ class LangId:
 
 def langid_ds(source: str | rd.Dataset) -> rd.Dataset:
     return _docs(source).map_batches(
-        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        LangId, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=actor_pool(),
     )
 
 
@@ -177,7 +179,8 @@ class QualityScore:
 
 def quality_ds(source: str | rd.Dataset) -> rd.Dataset:
     return _docs(source).map_batches(
-        QualityScore, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        QualityScore, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=actor_pool(),
     )
 
 

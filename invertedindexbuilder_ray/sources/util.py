@@ -31,3 +31,15 @@ def read_parquet_sized(
     return rd.read_parquet(
         path, columns=columns, override_num_blocks=sized_num_blocks(path)
     )
+
+
+def actor_pool(min_actors: int = 1, max_frac: float = 1.0) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the CLUSTER, not a constant:
+    a fixed ``(1, 4)`` cap pins a stage to 4 actors on a 256-node cluster.
+    The pool only spawns actors demand warrants, so a high cap costs
+    nothing locally.  ``max_frac`` reserves headroom for neighbour stages
+    (use < 1.0 when the pipeline runs several actor pools at once)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (min_actors, max(4, int(cpus * max_frac)))

@@ -22,6 +22,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from ..sources.util import actor_pool
+
 IMAGE_FEATURE_DIM = 64
 
 
@@ -168,7 +170,7 @@ class ByteHistogramFeatures:
 
 def image_features(
     ds: rd.Dataset, *, id_col: str = "id", payload_col: str = "payload",
-    batch_size: int = 64, concurrency=(1, 4),
+    batch_size: int = 64, concurrency=None,
 ) -> rd.Dataset:
     """payload column -> (id, feature list<float32>) via the actor pool."""
     renamed = ds.map_batches(
@@ -180,13 +182,13 @@ def image_features(
         ByteHistogramFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,   # small: payload bytes dominate block size
-        concurrency=concurrency,
+        concurrency=concurrency or actor_pool(),
     )
 
 
 def decode_images(
     ds: rd.Dataset, *, id_col: str = "id", payload_col: str = "payload",
-    batch_size: int = 64, concurrency=(1, 4),
+    batch_size: int = 64, concurrency=None,
 ) -> rd.Dataset:
     renamed = ds.map_batches(
         lambda t: t.select([id_col, payload_col]).rename_columns(["id", "payload"]),
@@ -197,7 +199,7 @@ def decode_images(
         DecodeImageStub,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or actor_pool(),
     )
 
 
@@ -236,7 +238,7 @@ class ResizeImageStub:
 
 def resize_images(
     ds: rd.Dataset, *, target: tuple[int, int] = (224, 224),
-    batch_size: int = 256, concurrency=(1, 4),
+    batch_size: int = 256, concurrency=None,
 ) -> rd.Dataset:
     """decode (stub) -> resize plan; chained actor-pool stages."""
     return decode_images(ds).map_batches(
@@ -244,7 +246,7 @@ def resize_images(
         fn_constructor_kwargs={"target": target},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or actor_pool(),
     )
 
 
@@ -292,7 +294,7 @@ class SampleVideoFramesStub:
 
 def sample_video_frames(
     ds: rd.Dataset, *, id_col: str = "id", payload_col: str = "payload",
-    n_frames: int = 4, batch_size: int = 16, concurrency=(1, 4),
+    n_frames: int = 4, batch_size: int = 16, concurrency=None,
 ) -> rd.Dataset:
     """Frame-sample explode: small batch_size — the fan-out multiplies
     payload bytes per output block by n_frames."""
@@ -306,7 +308,7 @@ def sample_video_frames(
         fn_constructor_kwargs={"n_frames": n_frames},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or actor_pool(),
     )
 
 
@@ -352,7 +354,7 @@ class AudioEnergyFeatures:
 
 def audio_energy(
     ds: rd.Dataset, *, id_col: str = "id", payload_col: str = "payload",
-    batch_size: int = 64, concurrency=(1, 4),
+    batch_size: int = 64, concurrency=None,
 ) -> rd.Dataset:
     renamed = ds.map_batches(
         lambda t: t.select([id_col, payload_col]).rename_columns(["id", "payload"]),
@@ -363,5 +365,5 @@ def audio_energy(
         AudioEnergyFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or actor_pool(),
     )
