@@ -121,17 +121,27 @@ def index_for(sf_dir: str) -> str:
     except OSError:
         pass
     out = f"{root}/v{FORMAT_VERSION}/{key}"
-    if _INDEX_CACHE.get(sf_dir) != out or not os.path.exists(
-        os.path.join(out, "manifest.json")
-    ):
-        build_index(
-            load_documents(sf_dir),
-            out,
-            num_partitions=8,
-            input_fingerprint=fp,
-            resume=True,
-        )
-        _INDEX_CACHE[sf_dir] = out
+    if _INDEX_CACHE.get(sf_dir) == out:
+        return out
+    # manifest is written LAST (atomic) and carries the fingerprint: when it
+    # already matches, the index is complete — skip even the resume pass
+    # (which still runs a stats aggregate + per-partition skip checks)
+    try:
+        from ..state.manifest import IndexManifest
+
+        if IndexManifest.load(out).input_fingerprint == fp:
+            _INDEX_CACHE[sf_dir] = out
+            return out
+    except (OSError, ValueError, TypeError):
+        pass
+    build_index(
+        load_documents(sf_dir),
+        out,
+        num_partitions=8,
+        input_fingerprint=fp,
+        resume=True,
+    )
+    _INDEX_CACHE[sf_dir] = out
     return out
 
 
