@@ -581,7 +581,8 @@ def _semi_anti(sf_dir: str, anti: bool, *, key_limit: int = SEMI_BROADCAST_KEY_L
             marked,
             left_on="l_orderkey",
             right_on="o_orderkey",
-            num_partitions=_join_partitions(n_keys),
+            # P sized to the LARGER side (lineitem count is parquet metadata)
+            num_partitions=_join_partitions(max(n_keys, lineitem.count())),
             how="left",
         )
         want_null = anti
