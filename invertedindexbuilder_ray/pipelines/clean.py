@@ -192,7 +192,7 @@ def corpus_clean(
     )
     anti = partitioned_hash_join(
         kept, losers_ds, left_on="doc_id", right_on="doc_id",
-        num_partitions=_join_partitions(n_pairs), how="left",
+        num_partitions=_join_partitions(max(n, n_pairs)), how="left",
     )
     return anti.map_batches(
         lambda t: t.filter(pc.is_null(t["__dup"])).select(
