@@ -74,6 +74,10 @@ class QueryEngine:
             index_dir, truncate_lexicon_14=truncate_lexicon_14
         )
         self.conformance = conformance
+        # sharded serving (pipelines/shards.py) injects corpus-GLOBAL term
+        # dfs here (with reader.n_docs/d_avr overridden alongside) so a
+        # shard's scores are bit-identical to the monolithic computation
+        self.df_override: dict[str, int] = {}
 
     # ------------------------------------------------------------------
     def _bm25(self, tf: int, df: int, doc_id: int) -> float:
@@ -86,6 +90,9 @@ class QueryEngine:
         # lexicon lookup; unknown terms silently dropped (src/query.c:248-260);
         # stable sort by df ascending (lvComparator, src/query.c:120,264)
         lists = [c for t in terms if (c := self.reader.open_list(t)) is not None]
+        if self.df_override:
+            for c in lists:  # global dfs BEFORE the sort — order must match
+                c.df = self.df_override.get(c.term, c.df)
         lists.sort(key=lambda c: c.df)
         for i, c in enumerate(lists):
             c.order = i

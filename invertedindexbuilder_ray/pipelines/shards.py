@@ -1,0 +1,168 @@
+"""Document-partitioned query tier: scatter-gather BM25 over N shard
+indexes, rank-identical to one monolithic index.
+
+At 10^12 docs a single ``IndexReader`` is impossible — its doc-length
+table alone is terabytes — so production serving document-partitions the
+corpus: each shard is a normal index over a corpus slice (exactly what
+``build_index`` per slice / ``merge_indexes`` inputs are), queries fan
+out to per-shard searcher ACTORS (the one place the engine drops to raw
+``@ray.remote``: a shard's warm lexicon + doc table is long-lived
+mutable state no Dataset op expresses), and per-shard top-k results
+merge on the driver.
+
+Rank identity with the monolithic index is NOT automatic — BM25 scores
+depend on corpus-GLOBAL statistics — and is achieved by injecting them:
+
+1. a df prepass sums each query term's document frequency across shards
+   (lexicon lookups only, no posting decode);
+2. every shard scores with the global (n_docs, d_avr, df) triple, so a
+   doc's score is bit-identical to the monolithic computation;
+3. a term that exists globally but not in a shard makes that shard
+   return nothing for conjunctive queries (the monolithic AND could
+   never match its docs) instead of silently AND-ing fewer terms;
+4. the reference heap processed in ascending doc order is EXACTLY top-k
+   under the total order (score desc, doc_id asc) — a later tie never
+   evicts (strict ``>``) and an earlier tie is never reachable — so each
+   shard's local top-k is a superset of the global winners inside it and
+   the merged top-k SET (doc_ids and scores) is identical to the
+   monolithic engine's.
+
+One DOCUMENTED deviation: the monolithic engine's output ORDER among
+EQUAL-score results reflects the C heap's internal array layout, a
+function of the full insertion history (including evicted docs) that
+shards cannot replay.  Sharded results therefore come back in the
+deterministic (score desc, doc_id asc) order; same members, same
+scores, canonical tie order.  ``tests/test_shards.py`` asserts set+score
+identity and exact order identity after canonicalizing both sides.
+
+Block-max WAND is excluded here: per-block upper bounds are baked at
+build time with SHARD-local stats and are not valid under the global
+triple; shards use the exhaustive paths (which the monolithic WAND is
+rank-identical to anyway).
+
+doc_id contract matches ``merge_indexes``: shard i's local ids shift by
+the sum of earlier shards' ``max_doc_id``.
+"""
+
+from __future__ import annotations
+
+from ..oracle import _RefHeap, _out_rank_heap, _to_rank_heap, tokenize as oracle_tokenize
+from ..state.manifest import IndexManifest
+from .query import CONJUNCTIVE
+
+
+def _make_searcher():
+    import ray
+
+    @ray.remote
+    class ShardSearcher:
+        """One warm engine per corpus shard (lexicon + doc table loaded
+        once, reused across queries)."""
+
+        def __init__(self, index_dir: str, doc_id_offset: int, conformance: bool):
+            from .query import QueryEngine
+
+            self.engine = QueryEngine(index_dir, conformance=conformance)
+            self.offset = doc_id_offset
+
+        def term_dfs(self, terms: list[str]) -> dict[str, int]:
+            out = {}
+            for t in set(terms):
+                c = self.engine.reader.open_list(t)
+                if c is not None:
+                    out[t] = int(c.df)
+            return out
+
+        def search(
+            self,
+            terms: list[str],
+            k: int,
+            mode: int,
+            n_docs: int,
+            d_avr: float,
+            dfs: dict[str, int],
+        ) -> list[tuple[int, float]]:
+            eng = self.engine
+            local = self.term_dfs(terms)
+            if mode == CONJUNCTIVE and any(
+                t in dfs and t not in local for t in terms
+            ):
+                # globally-present term absent from this shard: no local doc
+                # can satisfy the monolithic AND
+                return []
+            r = eng.reader
+            saved = (r.n_docs, r.d_avr, eng.df_override)
+            r.n_docs, r.d_avr = n_docs, d_avr
+            eng.df_override = dfs
+            try:
+                if mode == CONJUNCTIVE:
+                    ranked = eng.conjunctive(terms, k)
+                else:
+                    ranked = eng.disjunctive(terms, k)
+            finally:
+                r.n_docs, r.d_avr, eng.df_override = saved
+            return [(doc + self.offset, score) for doc, score in ranked]
+
+    return ShardSearcher
+
+
+class ShardedEngine:
+    """Scatter-gather searcher over document-partitioned shard indexes."""
+
+    def __init__(
+        self,
+        index_dirs: list[str],
+        *,
+        conformance: bool = False,
+        offset_doc_ids: bool = True,
+    ):
+        """``offset_doc_ids`` follows the ``merge_indexes`` contract: True
+        when shards were built from consecutive corpus slices with LOCAL
+        dense ids (webpages source); False when the source already carries
+        globally unique doc_ids (documents-table source)."""
+        mans = [IndexManifest.load(d) for d in index_dirs]
+        self.n_docs = sum(m.n_docs for m in mans)
+        sum_dl = sum(m.sum_dl for m in mans)
+        # quirk Q6 over the UNION — matches the merged index's manifest
+        self.d_avr = (
+            sum_dl / (self.n_docs - 1) if self.n_docs > 1 else float(sum_dl)
+        )
+        cls = _make_searcher()
+        self.actors = []
+        off = 0
+        for d, m in zip(index_dirs, mans):
+            self.actors.append(cls.remote(d, off if offset_doc_ids else 0, conformance))
+            off += m.max_doc_id
+
+    def search_terms(
+        self, terms: list[str], k: int = 10, mode: int = CONJUNCTIVE
+    ) -> list[tuple[int, float]]:
+        import ray
+
+        # phase 1: global df per term (lexicon lookups only)
+        dfs_list = ray.get([a.term_dfs.remote(terms) for a in self.actors])
+        dfs: dict[str, int] = {}
+        for d in dfs_list:
+            for t, v in d.items():
+                dfs[t] = dfs.get(t, 0) + v
+        # phase 2: per-shard top-k under the GLOBAL stats triple
+        results = ray.get(
+            [
+                a.search.remote(terms, k, mode, self.n_docs, self.d_avr, dfs)
+                for a in self.actors
+            ]
+        )
+        # merge: replay candidates ascending by global doc_id through the
+        # reference heap (exact top-k set under (score desc, doc asc)),
+        # then emit in that canonical order (see module docstring)
+        cands = sorted(c for r in results for c in r)
+        hp = _RefHeap()
+        for doc, score in cands:
+            _to_rank_heap(hp, doc, score, k)
+        ranked = _out_rank_heap(hp)
+        return sorted(ranked, key=lambda p: (-p[1], p[0]))
+
+    def search(self, query: str, k: int = 10, mode: int = CONJUNCTIVE):
+        return self.search_terms(
+            oracle_tokenize(query + " ", drop_trailing=True), k, mode
+        )

@@ -1,0 +1,80 @@
+"""Document-partitioned scatter-gather querying must be rank-identical to
+one monolithic index over the concatenated corpus (global-stats injection,
+pipelines/shards.py)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from invertedindexbuilder_ray.pipelines.build import build_index
+from invertedindexbuilder_ray.pipelines.query import CONJUNCTIVE, DISJUNCTIVE, QueryEngine
+from invertedindexbuilder_ray.pipelines.shards import ShardedEngine
+from invertedindexbuilder_ray.sources.webpages import load_webpages
+
+QUERIES = [
+    "the data",            # hot terms, everywhere
+    "data join merge",     # multi-term AND/OR
+    "vector",              # single term
+    "data missingzzz",     # one term globally absent
+    "the of and a to in",  # many hot ties (Zipf scores collide)
+]
+
+
+@pytest.fixture(scope="module")
+def sharded_setup(ray_session, webpages_medium, tmp_path_factory):
+    root = tmp_path_factory.mktemp("shards")
+    tbl = webpages_medium
+    slices = [tbl.slice(0, 400), tbl.slice(400, 300), tbl.slice(700)]
+    shard_dirs = []
+    for i, sl in enumerate(slices):
+        src = root / f"src{i}"
+        src.mkdir()
+        pq.write_table(sl, src / "w.parquet", row_group_size=100)
+        idx = str(root / f"idx{i}")
+        build_index(load_webpages(str(src)), idx, num_partitions=4)
+        shard_dirs.append(idx)
+    full_src = root / "full"
+    full_src.mkdir()
+    pq.write_table(tbl, full_src / "w.parquet", row_group_size=100)
+    full = str(root / "idx_full")
+    build_index(load_webpages(str(full_src)), full, num_partitions=4)
+    return shard_dirs, full
+
+
+def _canon(ranked):
+    return sorted(ranked, key=lambda p: (-p[1], p[0]))
+
+
+@pytest.mark.parametrize("mode", [CONJUNCTIVE, DISJUNCTIVE])
+@pytest.mark.parametrize("conformance", [False, True])
+def test_sharded_rank_identical(sharded_setup, mode, conformance):
+    """Same top-k members, bit-identical scores; order compared after
+    canonicalizing both sides (the monolithic heap's EQUAL-score pop
+    layout depends on full insertion history — documented deviation)."""
+    shard_dirs, full = sharded_setup
+    mono = QueryEngine(full, conformance=conformance)
+    sharded = ShardedEngine(shard_dirs, conformance=conformance)
+    for q in QUERIES:
+        for k in (3, 10, 50):
+            terms = mono.parse_query(q)
+            if mode == CONJUNCTIVE:
+                want = mono.conjunctive(terms, k)
+            else:
+                want = mono.disjunctive(terms, k)
+            got = sharded.search_terms(terms, k, mode)
+            assert _canon(got) == _canon(want), (q, k, mode, conformance)
+            # canonical order IS sharded output order
+            assert got == _canon(got)
+
+
+def test_sharded_single_shard_degenerates_to_mono(sharded_setup):
+    shard_dirs, full = sharded_setup
+    mono = QueryEngine(full, conformance=False)
+    one = ShardedEngine([full], conformance=False)
+    got = one.search("data join", 10, CONJUNCTIVE)
+    want = [
+        (h["doc_id"], h["score"])
+        for h in mono.search("data join", 10, CONJUNCTIVE)
+    ]
+    assert _canon(got) == _canon(want)
