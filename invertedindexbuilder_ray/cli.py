@@ -112,8 +112,24 @@ def cmd_query(args) -> int:
     _init_ray(args.num_cpus)
     from .pipelines.query import CONJUNCTIVE, DISJUNCTIVE, QueryEngine
 
-    eng = QueryEngine(args.index, conformance=args.conformance)
+    if not args.shards and not args.index:
+        raise SystemExit("query needs --index or --shards")
     mode = CONJUNCTIVE if args.mode == "and" else DISJUNCTIVE
+    if args.shards:
+        from .pipelines.shards import ShardedEngine
+
+        eng = ShardedEngine(
+            args.shards,
+            conformance=args.conformance,
+            offset_doc_ids=not args.global_ids,
+        )
+        ranked = eng.search(args.terms, args.k, mode)
+        for rank, (doc, score) in enumerate(ranked, 1):
+            print(f"[{rank}]\tdoc:{doc}\nBM25: \t{score:.6f}\n")
+        if not ranked:
+            print("No result found.")
+        return 0
+    eng = QueryEngine(args.index, conformance=args.conformance)
     hits = eng.search(args.terms, args.k, mode, algorithm=args.algorithm)
     for h in hits:
         print(f"[{h['rank']}]\t{h['url']}\nBM25: \t{h['score']:.6f}\n")
@@ -180,7 +196,15 @@ def main(argv: list[str] | None = None) -> int:
     rn.set_defaults(fn=cmd_run)
 
     q = sub.add_parser("query")
-    q.add_argument("--index", required=True)
+    q.add_argument("--index", default=None)
+    q.add_argument(
+        "--shards", nargs="+", default=None,
+        help="query N shard indexes scatter-gather (document-partitioned tier)",
+    )
+    q.add_argument(
+        "--global-ids", action="store_true",
+        help="shards already carry globally unique doc_ids (no offsetting)",
+    )
     q.add_argument("--terms", required=True)
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", choices=["and", "or"], default="and")

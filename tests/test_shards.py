@@ -78,3 +78,16 @@ def test_sharded_single_shard_degenerates_to_mono(sharded_setup):
         for h in mono.search("data join", 10, CONJUNCTIVE)
     ]
     assert _canon(got) == _canon(want)
+
+
+def test_cli_sharded_query(sharded_setup, capsys):
+    from invertedindexbuilder_ray.cli import main
+
+    shard_dirs, full = sharded_setup
+    assert main(["query", "--shards", *shard_dirs, "--terms", "data join",
+                 "--k", "3", "--mode", "and"]) == 0
+    out = capsys.readouterr().out
+    assert "BM25:" in out and "[1]" in out
+
+    with pytest.raises(SystemExit, match="--index or --shards"):
+        main(["query", "--terms", "x"])
