@@ -133,18 +133,26 @@ class ShardedEngine:
         for d, m in zip(index_dirs, mans):
             self.actors.append(cls.remote(d, off if offset_doc_ids else 0, conformance))
             off += m.max_doc_id
+        # term dfs are static per index — cache so repeated vocabulary
+        # skips the prepass RPC round (0 = globally absent)
+        self._df_cache: dict[str, int] = {}
 
     def search_terms(
         self, terms: list[str], k: int = 10, mode: int = CONJUNCTIVE
     ) -> list[tuple[int, float]]:
         import ray
 
-        # phase 1: global df per term (lexicon lookups only)
-        dfs_list = ray.get([a.term_dfs.remote(terms) for a in self.actors])
-        dfs: dict[str, int] = {}
-        for d in dfs_list:
-            for t, v in d.items():
-                dfs[t] = dfs.get(t, 0) + v
+        # phase 1: global df per term (lexicon lookups only, cached)
+        missing = [t for t in set(terms) if t not in self._df_cache]
+        if missing:
+            dfs_list = ray.get(
+                [a.term_dfs.remote(missing) for a in self.actors]
+            )
+            for t in missing:
+                self._df_cache[t] = sum(d.get(t, 0) for d in dfs_list)
+        dfs = {
+            t: self._df_cache[t] for t in set(terms) if self._df_cache[t] > 0
+        }
         # phase 2: per-shard top-k under the GLOBAL stats triple
         results = ray.get(
             [
