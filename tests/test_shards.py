@@ -91,3 +91,28 @@ def test_cli_sharded_query(sharded_setup, capsys):
 
     with pytest.raises(SystemExit, match="--index or --shards"):
         main(["query", "--terms", "x"])
+
+
+def test_sharded_identity_fuzz(sharded_setup):
+    """Random query mixes over the corpus vocabulary, both modes, boundary
+    k values — canonical-order identity must hold for every one."""
+    import numpy as np
+
+    shard_dirs, full = sharded_setup
+    mono = QueryEngine(full, conformance=False)
+    sharded = ShardedEngine(shard_dirs, conformance=False)
+    vocab = list(mono.reader.lexicon)[:200] if hasattr(mono.reader, "lexicon") else []
+    if not vocab:  # fall back: harvest terms from a hot query's docs
+        vocab = ["the", "data", "join", "merge", "of", "a", "model", "vector"]
+    rng = np.random.RandomState(5)
+    for trial in range(25):
+        n_terms = int(rng.randint(1, 5))
+        terms = [vocab[i] for i in rng.randint(0, len(vocab), n_terms)]
+        k = int(rng.choice([1, 2, 7, 100]))
+        mode = int(rng.randint(0, 2))
+        want = (
+            mono.conjunctive(terms, k) if mode == CONJUNCTIVE
+            else mono.disjunctive(terms, k)
+        )
+        got = sharded.search_terms(terms, k, mode)
+        assert _canon(got) == _canon(want), (terms, k, mode)
