@@ -116,3 +116,34 @@ def test_sharded_identity_fuzz(sharded_setup):
         )
         got = sharded.search_terms(terms, k, mode)
         assert _canon(got) == _canon(want), (terms, k, mode)
+
+
+def test_rolling_delta_served_as_shard(ray_session, webpages_medium, tmp_path):
+    """Zero-downtime rolling ingestion: a fresh delta index is queryable
+    IMMEDIATELY as a second shard (same doc_id offset contract as
+    merge_indexes), identical to the eventual compacted index — compaction
+    becomes a background concern, not a serving prerequisite."""
+    import pyarrow.parquet as pq_
+
+    from invertedindexbuilder_ray.pipelines.merge import merge_indexes
+
+    tbl = webpages_medium
+    for name, sl in [("base", tbl.slice(0, 700)), ("new", tbl.slice(700))]:
+        d = tmp_path / name
+        d.mkdir()
+        pq_.write_table(sl, d / "w.parquet", row_group_size=100)
+    base_idx, delta_idx = str(tmp_path / "ib"), str(tmp_path / "id")
+    build_index(load_webpages(str(tmp_path / "base")), base_idx, num_partitions=4)
+    build_index(load_webpages(str(tmp_path / "new")), delta_idx, num_partitions=4)
+
+    live = ShardedEngine([base_idx, delta_idx], conformance=False)
+    compacted = str(tmp_path / "im")
+    merge_indexes([base_idx, delta_idx], compacted)
+    mono = QueryEngine(compacted, conformance=False)
+    for q in ["the data", "data join merge", "vector"]:
+        got = live.search(q, 10, DISJUNCTIVE)
+        want = [(h["doc_id"], h["score"]) for h in mono.search(q, 10, DISJUNCTIVE)]
+        assert _canon(got) == _canon(want), q
+        got_and = live.search(q, 10, CONJUNCTIVE)
+        want_and = mono.conjunctive(mono.parse_query(q), 10)
+        assert _canon(got_and) == _canon(want_and), q
