@@ -114,6 +114,11 @@ def cmd_query(args) -> int:
 
     if not args.shards and not args.index:
         raise SystemExit("query needs --index or --shards")
+    if args.shards and args.algorithm:
+        raise SystemExit(
+            "--algorithm is not supported with --shards (block-max bounds are "
+            "baked with shard-local stats); shards use the exhaustive paths"
+        )
     mode = CONJUNCTIVE if args.mode == "and" else DISJUNCTIVE
     if args.shards:
         from .pipelines.shards import ShardedEngine

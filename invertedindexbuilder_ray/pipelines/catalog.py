@@ -539,6 +539,7 @@ def _semi_anti(sf_dir: str, anti: bool, *, key_limit: int = SEMI_BROADCAST_KEY_L
         expr=f"o_totalprice > {SEMI_JOIN_PRICE}"
     )
     lineitem = read_parquet_sized(li_path, columns=["l_orderkey", "l_quantity"])
+    keys_ds = keys_ds.materialize()  # count + consume without re-scanning
     n_keys = keys_ds.count()
 
     if n_keys <= key_limit:

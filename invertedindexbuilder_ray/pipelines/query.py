@@ -36,6 +36,19 @@ CONJUNCTIVE = 0
 DISJUNCTIVE = 1
 
 
+def _total_topk(docs, scores, k: int) -> list[tuple[int, float]]:
+    """EXACT top-k under the total order (score desc, doc_id asc).
+
+    Unlike the reference heap — whose surviving member among EQUAL scores
+    depends on the heap array layout, i.e. the full insertion history —
+    this selection is a pure function of the candidate (doc, score) SET,
+    so it decomposes over document shards (pipelines/shards.py)."""
+    docs = np.asarray(docs, dtype=np.int64)
+    scores = np.asarray(scores, dtype=np.float64)
+    order = np.lexsort((docs, -scores))[:k]
+    return [(int(docs[i]), float(scores[i])) for i in order]
+
+
 def _heap_topk(docs: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
     """Exact replay of the reference rank heap over (doc-ascending) scored
     candidates, with a safe vectorized prefilter: after the fill phase the
@@ -69,11 +82,17 @@ class QueryEngine:
         *,
         conformance: bool = True,
         truncate_lexicon_14: bool = False,
+        total_order_topk: bool = False,
     ):
         self.reader = IndexReader(
             index_dir, truncate_lexicon_14=truncate_lexicon_14
         )
         self.conformance = conformance
+        # sharded serving selects under the deterministic total order
+        # (score desc, doc asc) instead of the reference heap, whose
+        # equal-score survivors are insertion-history-dependent and
+        # therefore not distributable (see _total_topk)
+        self.total_order_topk = total_order_topk
         # sharded serving (pipelines/shards.py) injects corpus-GLOBAL term
         # dfs here (with reader.n_docs/d_avr overridden alongside) so a
         # shard's scores are bit-identical to the monolithic computation
@@ -85,6 +104,11 @@ class QueryEngine:
         idf = np.log2((r.n_docs - df + 0.5) / (df + 0.5))
         dl = r.doc_len(doc_id)
         return float(idf * (1.2 + 1) * tf / (1.2 * ((1 - 0.75) + 0.75 * dl / r.d_avr) + tf))
+
+    def _topk(self, docs, scores, k: int) -> list[tuple[int, float]]:
+        if self.total_order_topk:
+            return _total_topk(docs, scores, k)
+        return _heap_topk(docs, scores, k)
 
     def _open_lists(self, terms: list[str]) -> list[PostingCursor]:
         # lexicon lookup; unknown terms silently dropped (src/query.c:248-260);
@@ -123,7 +147,7 @@ class QueryEngine:
         docs, tfs = c.decode_all_remaining()
         dls = r.docs.dl[docs].astype(np.float64)
         scores = bm25_components(tfs, dls, c.df, r.n_docs, r.d_avr)
-        return _heap_topk(docs, scores, k)
+        return self._topk(docs, scores, k)
 
     def _conjunctive_conformance(self, lists: list[PostingCursor], k: int):
         max_doc = self.reader.max_doc_id
@@ -135,6 +159,8 @@ class QueryEngine:
             if meta is not None and lists[0].df >= meta.n_blocks:
                 c.preload()
         hp = _RefHeap()
+        cd: list[int] = []
+        cs: list[float] = []
         did = 0
         d = 0  # deliberately persists across iterations (reference stale local)
         while did < max_doc:
@@ -151,8 +177,14 @@ class QueryEngine:
                 did = d
             else:
                 score = sum(self._bm25(c.curr_freq, c.df, did) for c in lists)
-                _to_rank_heap(hp, did, score, k)
+                if self.total_order_topk:
+                    cd.append(did)
+                    cs.append(score)
+                else:
+                    _to_rank_heap(hp, did, score, k)
                 did += 1
+        if self.total_order_topk:
+            return _total_topk(cd, cs, k)
         return _out_rank_heap(hp)
 
     def _conjunctive_correct(self, lists: list[PostingCursor], k: int):
@@ -179,11 +211,13 @@ class QueryEngine:
                 tfs_i[sel], r.docs.dl[base_docs].astype(np.float64), c.df, r.n_docs, r.d_avr
             )
             total = total + np.where(ok, contrib, 0.0)
-        return _heap_topk(base_docs[mask], total[mask], k)
+        return self._topk(base_docs[mask], total[mask], k)
 
     def _conjunctive_correct_leapfrog(self, lists: list[PostingCursor], k: int):
         max_doc = self.reader.max_doc_id
         hp = _RefHeap()
+        cd: list[int] = []
+        cs: list[float] = []
         candidate = 0
         while True:
             candidate = lists[0].seek_geq(candidate)
@@ -198,8 +232,14 @@ class QueryEngine:
                     break
             if matched:
                 score = sum(self._bm25(c.curr_freq, c.df, candidate) for c in lists)
-                _to_rank_heap(hp, candidate, score, k)
+                if self.total_order_topk:
+                    cd.append(candidate)
+                    cs.append(score)
+                else:
+                    _to_rank_heap(hp, candidate, score, k)
                 candidate += 1
+        if self.total_order_topk:
+            return _total_topk(cd, cs, k)
         return _out_rank_heap(hp)
 
     # ------------------------------------------------------------------
@@ -230,10 +270,15 @@ class QueryEngine:
         else:
             uniq, inv = np.unique(docs_cat, return_inverse=True)
             sums = np.bincount(inv, weights=scores_cat)
-        return _heap_topk(uniq, sums, k)
+        return self._topk(uniq, sums, k)
 
     def wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         """Block-max WAND — rank-identical to :meth:`disjunctive`."""
+        if self.total_order_topk:
+            raise ValueError(
+                "wand is heap-threshold-driven; use disjunctive under "
+                "total_order_topk (sharded serving)"
+            )
         lists = self._open_lists(terms)
         if not lists:
             return []

@@ -20,20 +20,22 @@ depend on corpus-GLOBAL statistics — and is achieved by injecting them:
 3. a term that exists globally but not in a shard makes that shard
    return nothing for conjunctive queries (the monolithic AND could
    never match its docs) instead of silently AND-ing fewer terms;
-4. the reference heap processed in ascending doc order is EXACTLY top-k
-   under the total order (score desc, doc_id asc) — a later tie never
-   evicts (strict ``>``) and an earlier tie is never reachable — so each
-   shard's local top-k is a superset of the global winners inside it and
-   the merged top-k SET (doc_ids and scores) is identical to the
-   monolithic engine's.
+4. selection runs under the deterministic TOTAL ORDER (score desc,
+   doc_id asc) at every level — per-shard engines are constructed with
+   ``total_order_topk=True`` and the merge re-selects under the same
+   order.  Exact-top-k-under-a-total-order is a pure function of the
+   candidate SET, so local top-k ⊇ the global winners inside each shard
+   and the merged result is EXACTLY the total-order top-k of the whole
+   corpus.
 
-One DOCUMENTED deviation: the monolithic engine's output ORDER among
-EQUAL-score results reflects the C heap's internal array layout, a
-function of the full insertion history (including evicted docs) that
-shards cannot replay.  Sharded results therefore come back in the
-deterministic (score desc, doc_id asc) order; same members, same
-scores, canonical tie order.  ``tests/test_shards.py`` asserts set+score
-identity and exact order identity after canonicalizing both sides.
+One DOCUMENTED deviation: the reference heap (quirk Q-T) is NOT a total
+order — which member survives among EQUAL scores depends on the heap
+array layout, i.e. the full insertion history including evicted docs
+(counterexample in ``tests/test_shards.py::test_ref_heap_ties_are_not_
+distributable``).  No distributed merge can replay that from per-shard
+top-ks, so sharded serving defines its semantics as the total order
+above: same scores, deterministic tie membership and order.  The
+monolithic engine keeps the quirk heap for reference conformance.
 
 Block-max WAND is excluded here: per-block upper bounds are baked at
 build time with SHARD-local stats and are not valid under the global
@@ -46,9 +48,9 @@ the sum of earlier shards' ``max_doc_id``.
 
 from __future__ import annotations
 
-from ..oracle import _RefHeap, _out_rank_heap, _to_rank_heap, tokenize as oracle_tokenize
+from ..oracle import tokenize as oracle_tokenize
 from ..state.manifest import IndexManifest
-from .query import CONJUNCTIVE
+from .query import CONJUNCTIVE, _total_topk
 
 
 def _make_searcher():
@@ -62,7 +64,9 @@ def _make_searcher():
         def __init__(self, index_dir: str, doc_id_offset: int, conformance: bool):
             from .query import QueryEngine
 
-            self.engine = QueryEngine(index_dir, conformance=conformance)
+            self.engine = QueryEngine(
+                index_dir, conformance=conformance, total_order_topk=True
+            )
             self.offset = doc_id_offset
 
         def term_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -160,15 +164,12 @@ class ShardedEngine:
                 for a in self.actors
             ]
         )
-        # merge: replay candidates ascending by global doc_id through the
-        # reference heap (exact top-k set under (score desc, doc asc)),
-        # then emit in that canonical order (see module docstring)
-        cands = sorted(c for r in results for c in r)
-        hp = _RefHeap()
-        for doc, score in cands:
-            _to_rank_heap(hp, doc, score, k)
-        ranked = _out_rank_heap(hp)
-        return sorted(ranked, key=lambda p: (-p[1], p[0]))
+        # merge: exact top-k of the candidate union under the same total
+        # order the shards selected with (see module docstring)
+        cands = [c for r in results for c in r]
+        return _total_topk(
+            [c[0] for c in cands], [c[1] for c in cands], k
+        )
 
     def search(self, query: str, k: int = 10, mode: int = CONJUNCTIVE):
         return self.search_terms(

@@ -37,9 +37,12 @@ def actor_pool(min_actors: int = 1, max_frac: float = 1.0) -> tuple[int, int]:
     """Autoscaling actor-pool bounds sized to the CLUSTER, not a constant:
     a fixed ``(1, 4)`` cap pins a stage to 4 actors on a 256-node cluster.
     The pool only spawns actors demand warrants, so a high cap costs
-    nothing locally.  ``max_frac`` reserves headroom for neighbour stages
-    (use < 1.0 when the pipeline runs several actor pools at once)."""
+    nothing locally.  The cap always leaves at least one CPU slot free —
+    a pool that reserves every slot starves the surrounding dataset tasks
+    and can deadlock the pipeline (observed locally at num_cpus=2,
+    concurrency=2; see BatchQueryEngine).  ``max_frac`` reserves more
+    headroom when several actor pools run at once."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return (min_actors, max(4, int(cpus * max_frac)))
+    return (min_actors, max(min_actors, int(cpus * max_frac) - 1))

@@ -276,9 +276,11 @@ class SampleVideoFramesStub:
         f_start = offsets[:-1][row] + fidx * step[row]
         gather = np.repeat(f_start, f_len) + _frame_ranges(f_len)
         flat = data[gather] if len(gather) else np.empty(0, np.uint8)
-        out_offsets = np.concatenate([[0], np.cumsum(f_len)]).astype(np.int32)
-        payload = pa.BinaryArray.from_buffers(
-            pa.binary(),
+        # int64 offsets (large_binary): int32 offsets would WRAP silently
+        # past 2 GiB of frame bytes per batch
+        out_offsets = np.concatenate([[0], np.cumsum(f_len)]).astype(np.int64)
+        payload = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
             len(f_len),
             [None, pa.py_buffer(out_offsets.tobytes()), pa.py_buffer(flat.tobytes())],
         )

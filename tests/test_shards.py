@@ -1,6 +1,9 @@
-"""Document-partitioned scatter-gather querying must be rank-identical to
-one monolithic index over the concatenated corpus (global-stats injection,
-pipelines/shards.py)."""
+"""Document-partitioned scatter-gather querying must be EXACTLY the
+total-order top-k — (score desc, doc_id asc) — of the whole corpus, with
+scores bit-identical to the monolithic engine (global-stats injection,
+pipelines/shards.py).  The reference heap's equal-score tie membership is
+insertion-history-dependent and provably not distributable (see the
+counterexample test), so sharded semantics are DEFINED as the total order."""
 
 from __future__ import annotations
 
@@ -8,7 +11,12 @@ import pyarrow.parquet as pq
 import pytest
 
 from invertedindexbuilder_ray.pipelines.build import build_index
-from invertedindexbuilder_ray.pipelines.query import CONJUNCTIVE, DISJUNCTIVE, QueryEngine
+from invertedindexbuilder_ray.pipelines.query import (
+    CONJUNCTIVE,
+    DISJUNCTIVE,
+    QueryEngine,
+    _total_topk,
+)
 from invertedindexbuilder_ray.pipelines.shards import ShardedEngine
 from invertedindexbuilder_ray.sources.webpages import load_webpages
 
@@ -42,42 +50,84 @@ def sharded_setup(ray_session, webpages_medium, tmp_path_factory):
     return shard_dirs, full
 
 
-def _canon(ranked):
-    return sorted(ranked, key=lambda p: (-p[1], p[0]))
+def _mono_truth(mono: QueryEngine, terms, k, mode):
+    """Ground truth: total-order top-k over the monolithic FULL ranking
+    (k = corpus size, so the quirk heap keeps every match)."""
+    k_all = mono.reader.max_doc_id + 1
+    if mode == CONJUNCTIVE:
+        full = mono.conjunctive(terms, k_all)
+    else:
+        full = mono.disjunctive(terms, k_all)
+    return _total_topk([d for d, _ in full], [s for _, s in full], k)
 
 
 @pytest.mark.parametrize("mode", [CONJUNCTIVE, DISJUNCTIVE])
 @pytest.mark.parametrize("conformance", [False, True])
-def test_sharded_rank_identical(sharded_setup, mode, conformance):
-    """Same top-k members, bit-identical scores; order compared after
-    canonicalizing both sides (the monolithic heap's EQUAL-score pop
-    layout depends on full insertion history — documented deviation)."""
+def test_sharded_is_exact_total_order_topk(sharded_setup, mode, conformance):
     shard_dirs, full = sharded_setup
     mono = QueryEngine(full, conformance=conformance)
     sharded = ShardedEngine(shard_dirs, conformance=conformance)
     for q in QUERIES:
         for k in (3, 10, 50):
             terms = mono.parse_query(q)
-            if mode == CONJUNCTIVE:
-                want = mono.conjunctive(terms, k)
-            else:
-                want = mono.disjunctive(terms, k)
+            want = _mono_truth(mono, terms, k, mode)
             got = sharded.search_terms(terms, k, mode)
-            assert _canon(got) == _canon(want), (q, k, mode, conformance)
-            # canonical order IS sharded output order
-            assert got == _canon(got)
+            assert got == want, (q, k, mode, conformance)
 
 
 def test_sharded_single_shard_degenerates_to_mono(sharded_setup):
     shard_dirs, full = sharded_setup
     mono = QueryEngine(full, conformance=False)
     one = ShardedEngine([full], conformance=False)
-    got = one.search("data join", 10, CONJUNCTIVE)
-    want = [
-        (h["doc_id"], h["score"])
-        for h in mono.search("data join", 10, CONJUNCTIVE)
-    ]
-    assert _canon(got) == _canon(want)
+    terms = mono.parse_query("data join")
+    got = one.search_terms(terms, 10, CONJUNCTIVE)
+    assert got == _mono_truth(mono, terms, 10, CONJUNCTIVE)
+
+
+def test_total_order_engine_same_members_as_heap(sharded_setup):
+    """A monolithic engine in total-order mode returns the same SCORE
+    multiset as the quirk-heap engine (tie membership may differ)."""
+    _, full = sharded_setup
+    heap_eng = QueryEngine(full, conformance=False)
+    tot_eng = QueryEngine(full, conformance=False, total_order_topk=True)
+    for q in QUERIES:
+        terms = heap_eng.parse_query(q)
+        a = heap_eng.disjunctive(terms, 10)
+        b = tot_eng.disjunctive(terms, 10)
+        assert sorted(round(s, 9) for _, s in a) == sorted(
+            round(s, 9) for _, s in b
+        ), q
+
+
+def test_ref_heap_ties_are_not_distributable():
+    """The documented counterexample: with k+1 boundary ties split across
+    shards, the quirk heap's surviving tie member depends on the full
+    insertion history — per-shard top-k replay picks a DIFFERENT member.
+    This is why sharded serving defines total-order semantics instead."""
+    from invertedindexbuilder_ray.oracle import (
+        _RefHeap,
+        _out_rank_heap,
+        _to_rank_heap,
+    )
+
+    def heap_topk(cands, k):
+        hp = _RefHeap()
+        for d, s in sorted(cands):
+            _to_rank_heap(hp, d, s, k)
+        return _out_rank_heap(hp)
+
+    shard_a = [(1, 5.0), (2, 5.0), (3, 5.0), (4, 7.0)]
+    shard_b = [(5, 6.0)]
+    k = 3
+    mono = heap_topk(shard_a + shard_b, k)
+    merged = heap_topk(heap_topk(shard_a, k) + heap_topk(shard_b, k), k)
+    assert {d for d, _ in mono} != {d for d, _ in merged}  # the divergence
+
+    # total order decomposes exactly on the same input
+    def tot(cands, k):
+        return _total_topk([d for d, _ in cands], [s for _, s in cands], k)
+
+    assert tot(shard_a + shard_b, k) == tot(tot(shard_a, k) + tot(shard_b, k), k)
 
 
 def test_cli_sharded_query(sharded_setup, capsys):
@@ -91,31 +141,28 @@ def test_cli_sharded_query(sharded_setup, capsys):
 
     with pytest.raises(SystemExit, match="--index or --shards"):
         main(["query", "--terms", "x"])
+    with pytest.raises(SystemExit, match="not supported with --shards"):
+        main(["query", "--shards", *shard_dirs, "--terms", "x",
+              "--mode", "or", "--algorithm", "wand"])
 
 
 def test_sharded_identity_fuzz(sharded_setup):
     """Random query mixes over the corpus vocabulary, both modes, boundary
-    k values — canonical-order identity must hold for every one."""
+    k values — exact total-order identity must hold for every one."""
     import numpy as np
 
     shard_dirs, full = sharded_setup
     mono = QueryEngine(full, conformance=False)
     sharded = ShardedEngine(shard_dirs, conformance=False)
-    vocab = list(mono.reader.lexicon)[:200] if hasattr(mono.reader, "lexicon") else []
-    if not vocab:  # fall back: harvest terms from a hot query's docs
-        vocab = ["the", "data", "join", "merge", "of", "a", "model", "vector"]
+    vocab = sorted(mono.reader.lexicon)[:200]
     rng = np.random.RandomState(5)
     for trial in range(25):
         n_terms = int(rng.randint(1, 5))
         terms = [vocab[i] for i in rng.randint(0, len(vocab), n_terms)]
         k = int(rng.choice([1, 2, 7, 100]))
         mode = int(rng.randint(0, 2))
-        want = (
-            mono.conjunctive(terms, k) if mode == CONJUNCTIVE
-            else mono.disjunctive(terms, k)
-        )
         got = sharded.search_terms(terms, k, mode)
-        assert _canon(got) == _canon(want), (terms, k, mode)
+        assert got == _mono_truth(mono, terms, k, mode), (terms, k, mode)
 
 
 def test_rolling_delta_served_as_shard(ray_session, webpages_medium, tmp_path):
@@ -141,9 +188,7 @@ def test_rolling_delta_served_as_shard(ray_session, webpages_medium, tmp_path):
     merge_indexes([base_idx, delta_idx], compacted)
     mono = QueryEngine(compacted, conformance=False)
     for q in ["the data", "data join merge", "vector"]:
-        got = live.search(q, 10, DISJUNCTIVE)
-        want = [(h["doc_id"], h["score"]) for h in mono.search(q, 10, DISJUNCTIVE)]
-        assert _canon(got) == _canon(want), q
-        got_and = live.search(q, 10, CONJUNCTIVE)
-        want_and = mono.conjunctive(mono.parse_query(q), 10)
-        assert _canon(got_and) == _canon(want_and), q
+        terms = mono.parse_query(q)
+        for mode in (CONJUNCTIVE, DISJUNCTIVE):
+            got = live.search_terms(terms, 10, mode)
+            assert got == _mono_truth(mono, terms, 10, mode), (q, mode)
