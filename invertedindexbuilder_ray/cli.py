@@ -87,6 +87,11 @@ def cmd_run(args) -> int:
         for name in sorted(QUERIES):
             print(name)
         return 0
+    if not args.pipeline or not args.input:
+        raise SystemExit(
+            "usage: run --pipeline NAME --input DIR [--out PATH] "
+            "(or `run --list` to enumerate pipelines)"
+        )
     if args.pipeline not in QUERIES:
         raise SystemExit(
             f"unknown pipeline {args.pipeline!r}; `run --list` shows the catalog"
@@ -114,10 +119,13 @@ def cmd_query(args) -> int:
 
     if not args.shards and not args.index:
         raise SystemExit("query needs --index or --shards")
+    # --shards needs no --algorithm: disjunctive queries already run
+    # block-max WAND inside each shard (bounds rescaled to the global
+    # stats triple, pipelines/shards.py); the flag selects nothing extra
     if args.shards and args.algorithm:
         raise SystemExit(
-            "--algorithm is not supported with --shards (block-max bounds are "
-            "baked with shard-local stats); shards use the exhaustive paths"
+            "--algorithm is redundant with --shards: sharded disjunctive "
+            "queries run block-max WAND automatically"
         )
     mode = CONJUNCTIVE if args.mode == "and" else DISJUNCTIVE
     if args.shards:

@@ -266,7 +266,35 @@ class BuildPartition:
 
 def _fingerprint(source: str | list[str] | rd.Dataset) -> str:
     if isinstance(source, rd.Dataset):
-        return f"dataset:{source.schema()}"
+        # Schema alone would let two same-shaped corpora satisfy a stale
+        # resume (round-3 verdict).  Fold in row count and an ORDER-
+        # INDEPENDENT content hash (wraparound sum of per-row hashes —
+        # Ray block arrival order is not deterministic, so an order-
+        # sensitive sample would false-alarm on legitimate resumes).
+        # This is one streaming pass over the Dataset; path-backed
+        # callers use the cheap stat() branch below, and callers that
+        # cannot afford a pass may pass their own input_fingerprint.
+        import pandas as pd
+
+        def h(batch: pa.Table) -> pa.Table:
+            hv = pd.util.hash_pandas_object(
+                batch.to_pandas(), index=False
+            ).to_numpy()
+            with np.errstate(over="ignore"):
+                s = np.uint64(hv.view(np.uint64).sum())
+            return pa.table(
+                {
+                    "n": pa.array([batch.num_rows], pa.int64()),
+                    "h": pa.array([int(s)], pa.uint64()),
+                }
+            )
+
+        parts = source.map_batches(h, batch_format="pyarrow").take_all()
+        n = sum(p["n"] for p in parts)
+        tot = 0
+        for p in parts:
+            tot = (tot + int(p["h"])) & ((1 << 64) - 1)
+        return f"dataset:{source.schema()}:n={n}:h={tot:016x}"
     paths = source if isinstance(source, list) else [source]
     parts = []
     for p in paths:

@@ -123,12 +123,21 @@ def corpus_clean(
     min_stopword: float = CLEAN_MIN_STOPWORD,
     jaccard_threshold: float = CLEAN_JACCARD,
     max_broadcast_losers: int = CLEAN_MAX_BROADCAST_LOSERS,
+    pairs: rd.Dataset | None = None,
 ) -> rd.Dataset:
-    """(doc_id, lang_pred, n_tokens) of documents that survive the chain."""
+    """(doc_id, lang_pred, n_tokens) of documents that survive the chain.
+
+    ``pairs`` lets a caller supply precomputed near-dup pairs (e.g. the
+    ``dedup_minhash`` catalog result); otherwise the memoized
+    ``minhash_dedup_pairs_cached`` reuses any pass already run this
+    session on the same file — corpus_clean's warm cost is then just its
+    non-minhash residue."""
     import pyarrow.compute as pc
     import ray
 
-    from .dedup import _join_partitions, _sharded_groupby, minhash_dedup_pairs
+    from .dedup import (
+        _join_partitions, _sharded_groupby, minhash_dedup_pairs_cached,
+    )
     from .joins import partitioned_hash_join
 
     docs = _docs(sf_dir)
@@ -140,7 +149,9 @@ def corpus_clean(
     flags = _exact_keep_flags(docs, n)
 
     # near-dup losers: doc_b of every verified pair — small by construction
-    pairs = minhash_dedup_pairs(sf_dir, threshold=jaccard_threshold).materialize()
+    if pairs is None:
+        pairs = minhash_dedup_pairs_cached(sf_dir, threshold=jaccard_threshold)
+    pairs = pairs.materialize()
     n_pairs = pairs.count()
     broadcast = n_pairs <= max_broadcast_losers
     if broadcast:

@@ -32,19 +32,34 @@ import pyarrow as pa
 import ray.data as rd
 
 _BIAS = 1 << 63
+# all NaN bit patterns (positive- AND negative-sign) collapse onto ONE
+# deterministic key ordered after +inf — the raw bit trick would have
+# scattered negative-NaN patterns below -inf (round-3 advice).  The key is
+# bits(+inf) + 1, which views back as a (quiet) NaN in key_to_double.
+# NOTE: quantile extraction additionally DROPS NaNs before keying
+# (``exact_quantiles_disc.keys_of``): measured DuckDB behavior is that
+# quantile_disc ignores NaN like NULL ([1,2,3,NaN] @ q=1.0 -> 3.0,
+# all-NaN -> NULL), even though ORDER BY sorts NaN last.
+NAN_KEY = np.uint64(0x7FF0000000000001 + _BIAS)
 
 
 def doubles_to_keys(v: np.ndarray) -> np.ndarray:
     """float64 -> uint64, strictly order-preserving (-0.0 and 0.0 collide,
-    which is correct: they compare equal)."""
-    b = np.ascontiguousarray(v, np.float64).view(np.int64)
+    which is correct: they compare equal; every NaN maps to NAN_KEY,
+    ordered after +inf to match DuckDB)."""
+    v = np.ascontiguousarray(v, np.float64)
+    b = v.view(np.int64)
     # negatives: value order is the REVERSE of bit order; -2^63 - b maps
     # (-0.0 .. -max) onto (0 .. -2^63+1) keeping value order ascending
     with np.errstate(over="ignore"):
         k = np.where(b >= 0, b, np.int64(-(1 << 63)) - b)
-        return (k.astype(np.int64).view(np.uint64) + np.uint64(_BIAS)).astype(
+        keys = (k.astype(np.int64).view(np.uint64) + np.uint64(_BIAS)).astype(
             np.uint64
         )
+    nan = np.isnan(v)
+    if nan.any():
+        keys[nan] = NAN_KEY
+    return keys
 
 
 def key_to_double(k: int) -> float:
@@ -76,6 +91,7 @@ def exact_quantiles_disc(
         if arr.null_count:
             arr = arr.drop_null()  # quantile ignores NULLs (DuckDB semantics)
         v = arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        v = v[~np.isnan(v)]  # ...and NaNs too (measured: see NAN_KEY note)
         return doubles_to_keys(v)
 
     # ---- pass 1: N + global key range (per-batch partials, tiny rows)

@@ -116,11 +116,47 @@ class QueryEngine:
         lists = [c for t in terms if (c := self.reader.open_list(t)) is not None]
         if self.df_override:
             for c in lists:  # global dfs BEFORE the sort — order must match
+                df_local = c.df
                 c.df = self.df_override.get(c.term, c.df)
+                self._set_bound_scale(c, df_local, c.df)
         lists.sort(key=lambda c: c.df)
         for i, c in enumerate(lists):
             c.order = i
         return lists
+
+    def _set_bound_scale(self, c: PostingCursor, df_local: int, df_global: int) -> None:
+        """Make the baked (shard-local) block/term score bounds valid under
+        the injected GLOBAL stats triple, without storing anything new.
+
+        A baked bound is ``idf_l * max_p g_l(p)`` with ``g(tf, dl) =
+        (k1+1)tf / (k1((1-b) + b*dl/d_avr) + tf)``.  Per posting, the
+        mediant inequality gives ``g_g(p) <= max(1, d_avr_g/d_avr_l) *
+        g_l(p)``, so for positive local idf the global bound is the baked
+        bound scaled by ``(idf_g/idf_l) * max(1, d_avr_g/d_avr_l)``.
+        Negative global idf caps the contribution at 0; the rare
+        ``idf_l <= 0 < idf_g`` term (baked bound useless) falls back to
+        the universal ``idf_g * (k1+1)`` cap (``g < k1+1`` always)."""
+        man = self.reader.manifest
+        n_l, davr_l = man.n_docs, man.d_avr
+        r = self.reader
+        idf_l = float(np.log2((n_l - df_local + 0.5) / (df_local + 0.5)))
+        idf_g = float(np.log2((r.n_docs - df_global + 0.5) / (df_global + 0.5)))
+        if idf_g <= 0.0:
+            c.bound_cap = 0.0
+        elif idf_l > 0.0 and davr_l > 0.0:
+            c.bound_scale = (idf_g / idf_l) * max(1.0, float(r.d_avr) / davr_l)
+        else:
+            c.bound_cap = idf_g * (1.2 + 1)
+
+    def _ub_term(self, c: PostingCursor) -> float:
+        if c.bound_cap is not None:
+            return c.bound_cap
+        return max(float(c.max_score), 0.0) * c.bound_scale
+
+    def _ub_block(self, c: PostingCursor, doc: int) -> float:
+        if c.bound_cap is not None:
+            return c.bound_cap
+        return max(float(c.block_max_geq(doc)), 0.0) * c.bound_scale
 
     def parse_query(self, query: str) -> list[str]:
         # query tokenizer = same alnum scanner; trailing token NOT dropped at
@@ -273,12 +309,18 @@ class QueryEngine:
         return self._topk(uniq, sums, k)
 
     def wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
-        """Block-max WAND — rank-identical to :meth:`disjunctive`."""
-        if self.total_order_topk:
-            raise ValueError(
-                "wand is heap-threshold-driven; use disjunctive under "
-                "total_order_topk (sharded serving)"
-            )
+        """Block-max WAND — rank-identical to :meth:`disjunctive`.
+
+        Works under BOTH selection semantics.  With the reference heap,
+        entry requires strict ``score > root``, so a pivot is skipped when
+        its bound ``<= theta``.  Under ``total_order_topk`` (sharded
+        serving) a candidate tying the k-th SCORE can still win on the
+        doc-id tiebreak, so skipping requires a STRICT ``bound < theta``
+        — the bound comparisons below use >=/> accordingly.  Baked bounds
+        are rescaled for injected global stats (``_set_bound_scale``), so
+        the sharded tier's disjunctive queries skip blocks too."""
+        import heapq
+
         lists = self._open_lists(terms)
         if not lists:
             return []
@@ -287,7 +329,9 @@ class QueryEngine:
             # identical result via the vectorized path
             return self._score_single_list(lists[0], k)
         max_doc = self.reader.max_doc_id
+        total = self.total_order_topk
         hp = _RefHeap()
+        theap: list[tuple[float, int]] = []  # (score, -doc): min = evictee
         cursors = []
         for c in lists:
             if c.seek_geq(0) < max_doc:
@@ -295,12 +339,17 @@ class QueryEngine:
         NEG_INF = float("-inf")
         while cursors:
             cursors.sort(key=lambda c: c.curr_doc)
-            theta = hp.elem[0][0] if hp.size >= k else NEG_INF
+            if total:
+                full = len(theap) >= k
+                theta = theap[0][0] if full else NEG_INF
+            else:
+                full = hp.size >= k
+                theta = hp.elem[0][0] if full else NEG_INF
             acc = 0.0
             pivot_idx = -1
             for i, c in enumerate(cursors):
-                acc += max(float(c.max_score), 0.0)
-                if acc > theta:
+                acc += self._ub_term(c)
+                if acc > theta or (total and acc >= theta):
                     pivot_idx = i
                     break
             if pivot_idx < 0:
@@ -310,21 +359,31 @@ class QueryEngine:
                 at_pivot = [c for c in cursors if c.curr_doc == pivot_doc]
                 # block-max refinement: skip full scoring when the tight
                 # per-block bound already can't beat theta
-                bm_ub = sum(max(c.block_max_geq(pivot_doc), 0.0) for c in at_pivot)
-                if hp.size < k or bm_ub > theta:
+                bm_ub = sum(self._ub_block(c, pivot_doc) for c in at_pivot)
+                if not full or bm_ub > theta or (total and bm_ub >= theta):
                     # sum in df-ascending list order so the float result is
                     # bit-identical to the exhaustive path's accumulation
                     score = sum(
                         self._bm25(c.curr_freq, c.df, pivot_doc)
                         for c in sorted(at_pivot, key=lambda c: c.order)
                     )
-                    _to_rank_heap(hp, pivot_doc, score, k)
+                    if total:
+                        item = (score, -pivot_doc)
+                        if len(theap) < k:
+                            heapq.heappush(theap, item)
+                        elif item > theap[0]:
+                            heapq.heapreplace(theap, item)
+                    else:
+                        _to_rank_heap(hp, pivot_doc, score, k)
                 for c in at_pivot:
                     c.advance()
             else:
                 # advance the leading cursor up to the pivot
                 cursors[0].seek_geq(pivot_doc)
             cursors = [c for c in cursors if c.curr_doc < max_doc]
+        if total:
+            ranked = sorted(theap, key=lambda it: (-it[0], -it[1]))
+            return [(-nd, s) for s, nd in ranked]
         return _out_rank_heap(hp)
 
     # ------------------------------------------------------------------
@@ -407,7 +466,9 @@ class BatchQueryEngine:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = batch.column_names
         terms_col = batch["terms"].to_pylist()  # strings: materialize once
-        qid_col = batch["query_id"].to_numpy(zero_copy_only=False)
+        # preserve the caller's query_id values/type verbatim (round-3
+        # advice: an int() coercion corrupted non-integer ids)
+        qid_arr = batch["query_id"].combine_chunks()
         k_col = (
             batch["k"].to_numpy(zero_copy_only=False)
             if "k" in cols
@@ -418,21 +479,22 @@ class BatchQueryEngine:
             if "mode" in cols
             else np.full(batch.num_rows, CONJUNCTIVE)
         )
-        qids, ranks, docs, urls, scores = [], [], [], [], []
+        qidx, ranks, docs, urls, scores = [], [], [], [], []
         for i in range(batch.num_rows):  # per QUERY, not per row of data
             hits = self.engine.search(
                 terms_col[i], int(k_col[i]), int(mode_col[i]),
                 algorithm=self.algorithm,
             )
             for h in hits:
-                qids.append(int(qid_col[i]))
+                qidx.append(i)
                 ranks.append(h["rank"])
                 docs.append(h["doc_id"])
                 urls.append(h["url"])
                 scores.append(h["score"])
         return pa.table(
             {
-                "query_id": pa.array(qids, pa.int64()),
+                # take() keeps the input column's exact type and values
+                "query_id": qid_arr.take(pa.array(qidx, pa.int64())),
                 "rank": pa.array(ranks, pa.int32()),
                 "doc_id": pa.array(docs, pa.int64()),
                 "url": pa.array(urls, pa.string()),

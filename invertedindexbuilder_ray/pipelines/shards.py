@@ -37,10 +37,16 @@ top-ks, so sharded serving defines its semantics as the total order
 above: same scores, deterministic tie membership and order.  The
 monolithic engine keeps the quirk heap for reference conformance.
 
-Block-max WAND is excluded here: per-block upper bounds are baked at
-build time with SHARD-local stats and are not valid under the global
-triple; shards use the exhaustive paths (which the monolithic WAND is
-rank-identical to anyway).
+Block-max WAND runs INSIDE each shard for disjunctive queries: the
+per-block upper bounds baked at build time use SHARD-local stats, but a
+valid bound under the injected global triple is the baked bound scaled
+by ``(idf_global/idf_local) * max(1, d_avr_global/d_avr_local)``
+(``QueryEngine._set_bound_scale`` — mediant inequality on the BM25
+length normalizer; negative-IDF edges clamp/cap).  Selection uses the
+total-order threshold (skip only on a STRICT bound < theta, since a
+score tie can still win on doc id), so sharded WAND is identical to
+sharded exhaustive — asserted by the fuzz tests.  Indexes built with
+``block_max=False`` fall back to the exhaustive union.
 
 doc_id contract matches ``merge_indexes``: shard i's local ids shift by
 the sum of earlier shards' ``max_doc_id``.
@@ -101,6 +107,11 @@ def _make_searcher():
             try:
                 if mode == CONJUNCTIVE:
                     ranked = eng.conjunctive(terms, k)
+                elif r.block_max:
+                    # block-max WAND with globally rescaled bounds —
+                    # identical result to the exhaustive union, fewer
+                    # scored blocks (the 10^12-doc OR serving path)
+                    ranked = eng.wand(terms, k)
                 else:
                     ranked = eng.disjunctive(terms, k)
             finally:

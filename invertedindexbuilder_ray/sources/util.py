@@ -44,5 +44,21 @@ def actor_pool(min_actors: int = 1, max_frac: float = 1.0) -> tuple[int, int]:
     headroom when several actor pools run at once."""
     import ray
 
-    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    else:
+        # pipelines are normally CONSTRUCTED after ray.init (the driver /
+        # bench / tests own the session); a pre-init construction would
+        # silently pin the stage to a 3-actor cap on a big cluster, so
+        # make the fallback loud (round-3 advice)
+        import warnings
+
+        warnings.warn(
+            "actor_pool() called before ray.init(): falling back to a "
+            "4-CPU sizing; construct pipelines after ray.init so actor "
+            "pools scale to the cluster",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        cpus = 4
     return (min_actors, max(min_actors, int(cpus * max_frac) - 1))

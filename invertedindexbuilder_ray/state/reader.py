@@ -35,7 +35,7 @@ class PostingCursor:
     __slots__ = (
         "meta", "max_doc_id", "df", "max_score", "_blk", "_i",
         "_docs", "_tfs", "curr_doc", "curr_freq", "term", "order",
-        "_preloaded",
+        "_preloaded", "bound_scale", "bound_cap",
     )
 
     def __init__(self, buf: np.ndarray, *, block_max: bool, max_doc_id: int,
@@ -53,6 +53,11 @@ class PostingCursor:
         self.curr_freq = 0
         self.order = 0              # position in the engine's df-sorted list set
         self._preloaded = False
+        # sharded serving: baked block/term bounds use BUILD-time (shard-
+        # local) stats; QueryEngine rescales them to stay valid under the
+        # injected global triple (see QueryEngine._set_bound_scale)
+        self.bound_scale = 1.0
+        self.bound_cap: float | None = None
 
     # -- internals ---------------------------------------------------------
     def preload(self) -> None:
@@ -173,7 +178,8 @@ class SegmentedCursor:
     """
 
     __slots__ = ("reader", "term", "df", "max_doc_id", "max_score",
-                 "entries", "_si", "_cur", "curr_doc", "curr_freq", "order")
+                 "entries", "_si", "_cur", "curr_doc", "curr_freq", "order",
+                 "bound_scale", "bound_cap")
 
     def __init__(self, reader: "IndexReader", term: str, df: int, entries):
         self.reader = reader
@@ -187,6 +193,8 @@ class SegmentedCursor:
         self.curr_doc = EXHAUSTED
         self.curr_freq = 0
         self.order = 0
+        self.bound_scale = 1.0
+        self.bound_cap: float | None = None
 
     def _next_segment(self) -> bool:
         if self._si + 1 >= len(self.entries):

@@ -141,7 +141,7 @@ def test_cli_sharded_query(sharded_setup, capsys):
 
     with pytest.raises(SystemExit, match="--index or --shards"):
         main(["query", "--terms", "x"])
-    with pytest.raises(SystemExit, match="not supported with --shards"):
+    with pytest.raises(SystemExit, match="redundant with --shards"):
         main(["query", "--shards", *shard_dirs, "--terms", "x",
               "--mode", "or", "--algorithm", "wand"])
 
@@ -163,6 +163,48 @@ def test_sharded_identity_fuzz(sharded_setup):
         mode = int(rng.randint(0, 2))
         got = sharded.search_terms(terms, k, mode)
         assert got == _mono_truth(mono, terms, k, mode), (terms, k, mode)
+
+
+def test_total_order_wand_identical_to_disjunctive(sharded_setup):
+    """Round-4: WAND under total_order_topk (the sharded serving path)
+    must return EXACTLY the total-order disjunctive result — including
+    score ties resolved by doc id (skip condition is strict < theta)."""
+    import numpy as np
+
+    _, full = sharded_setup
+    eng = QueryEngine(full, conformance=False, total_order_topk=True)
+    vocab = sorted(eng.reader.lexicon)[:200]
+    rng = np.random.RandomState(17)
+    for q in QUERIES:
+        terms = eng.parse_query(q)
+        for k in (1, 3, 10, 50):
+            assert eng.wand(terms, k) == eng.disjunctive(terms, k), (q, k)
+    for _ in range(25):
+        n_terms = int(rng.randint(1, 6))
+        terms = [vocab[i] for i in rng.randint(0, len(vocab), n_terms)]
+        k = int(rng.choice([1, 2, 7, 100]))
+        assert eng.wand(terms, k) == eng.disjunctive(terms, k), (terms, k)
+
+
+def test_sharded_wand_bound_rescale_fuzz(sharded_setup):
+    """Round-4: sharded disjunctive now runs block-max WAND with bounds
+    rescaled to the injected global triple — identity with the monolithic
+    total-order truth must survive a dedicated OR-heavy fuzz (uneven
+    shards make local d_avr/idf differ from global, exercising every
+    branch of _set_bound_scale)."""
+    import numpy as np
+
+    shard_dirs, full = sharded_setup
+    mono = QueryEngine(full, conformance=False)
+    sharded = ShardedEngine(shard_dirs, conformance=False)
+    vocab = sorted(mono.reader.lexicon)
+    rng = np.random.RandomState(23)
+    for _ in range(40):
+        n_terms = int(rng.randint(1, 7))
+        terms = [vocab[i] for i in rng.randint(0, len(vocab), n_terms)]
+        k = int(rng.choice([1, 3, 10, 100]))
+        got = sharded.search_terms(terms, k, DISJUNCTIVE)
+        assert got == _mono_truth(mono, terms, k, DISJUNCTIVE), (terms, k)
 
 
 def test_rolling_delta_served_as_shard(ray_session, webpages_medium, tmp_path):
