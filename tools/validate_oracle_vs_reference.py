@@ -14,10 +14,16 @@ Known-defect terms are excluded: the lexicographically last term (D4) and
 df==1 lists whose only posting is doc 0 (D3).
 
 Usage: python tools/validate_oracle_vs_reference.py   (prints PASS/FAIL)
+       python tools/validate_oracle_vs_reference.py --dump-goldens PATH
+           additionally records the binary's per-query output (urls +
+           scores) plus the defect-exclusion sets as JSON, so sandboxes
+           WITHOUT gcc can still assert oracle-vs-binary conformance
+           from the recorded goldens (tests/test_reference_binary.py).
 """
 
 from __future__ import annotations
 
+import json
 import re
 import shutil
 import subprocess
@@ -120,7 +126,7 @@ def _duplicate_lexicon_terms() -> set[str]:
     return {t for t, n in Counter(terms).items() if n > 1}
 
 
-def main() -> int:
+def main(dump_goldens: str | None = None) -> int:
     from invertedindexbuilder_ray import corpus, oracle
 
     binary = build_patched_binary()
@@ -159,8 +165,20 @@ def main() -> int:
     disj_single = [q for q in ["hotterm", "rare007", "zz9", "x", "the", "everywhere"] if ok_terms(q)]
 
     failures = []
+    goldens: dict = {
+        "corpus": {"n_docs": 300, "seed": 4242},
+        "k": 5,
+        "excluded": {
+            "d3": sorted(d3_terms),
+            "d4": [last_term],
+            "d7": sorted(d7_terms),
+        },
+        "conjunctive": {},
+        "disjunctive_single": {},
+    }
     got_all = run_queries(binary, 0, 5, conj_queries)
     for q, got in zip(conj_queries, got_all):
+        goldens["conjunctive"][q] = [[u, round(s, 6)] for u, s in got]
         terms = oracle.tokenize(q + " ")
         want = oracle.conjunctive_topk(ora, terms, 5, mode="conformance")
         want_fmt = [(ora.urls[d], round(s, 6)) for d, s in want]
@@ -172,6 +190,7 @@ def main() -> int:
 
     got_all = run_queries(binary, 1, 5, disj_single)
     for q, got in zip(disj_single, got_all):
+        goldens["disjunctive_single"][q] = [[u, round(s, 6)] for u, s in got]
         terms = oracle.tokenize(q + " ")
         want = oracle.disjunctive_topk(ora, terms, 5)
         want_fmt = [(ora.urls[d], round(s, 6)) for d, s in want]
@@ -182,6 +201,9 @@ def main() -> int:
             failures.append(("OR1", q, got_fmt, want_fmt))
 
     n = len(conj_queries) + len(disj_single)
+    if dump_goldens and not failures:
+        Path(dump_goldens).write_text(json.dumps(goldens, indent=1, sort_keys=True))
+        print(f"goldens written to {dump_goldens}")
     if failures:
         for f in failures:
             print("MISMATCH:", f[0], f[1])
@@ -195,4 +217,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    dump = None
+    if "--dump-goldens" in sys.argv:
+        dump = sys.argv[sys.argv.index("--dump-goldens") + 1]
+    sys.exit(main(dump_goldens=dump))
