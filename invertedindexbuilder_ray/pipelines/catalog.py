@@ -1013,10 +1013,17 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
-# The stride-picked codebook makes the WHOLE IVF pipeline (assignment,
-# probing, scoring, ranking) SQL-reproducible: no RNG, all tie-breaks are
-# (score DESC, id ASC).  n_centroids = ceil(sqrt(N)) in both engines
-# (IEEE sqrt is correctly rounded -> integer-exact below 2^52).
+# The stride-picked codebook makes the WHOLE IVF pipeline (super pick,
+# membership, assignment, probing, scoring, ranking) SQL-reproducible: no
+# RNG, all tie-breaks are (score DESC, id ASC).  TWO-LEVEL quantizer
+# (round-3 verdict item 5): n_centroids = ceil(sqrt(N)), supers = every
+# sstride-th centroid with sstride = max(1, n_cents // ceil(sqrt(n_cents)))
+# (~N^(1/4) supers); each centroid belongs to its nearest super; vectors
+# and queries consider only the member centroids of their IVF_ASSIGN_PROBE
+# nearest supers.  All integer derivations come from count(*) (IEEE sqrt
+# is correctly rounded -> integer-exact below 2^52).
+from .similarity import IVF_ASSIGN_PROBE  # noqa: E402
+
 SQL_ANN_IVF = f"""
 WITH params AS (
     SELECT greatest(1, count(*) //
@@ -1027,23 +1034,58 @@ v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
 cents AS (
     SELECT vec_id AS cid, ve AS ce FROM v, params WHERE vec_id % params.stride = 0
 ),
-asg_ranked AS (
-    SELECT v.vec_id, c.cid,
+sparams AS (
+    SELECT greatest(1, count(*) //
+               greatest(1, ceil(sqrt(count(*)))::BIGINT)) AS sstride
+    FROM cents
+),
+supers AS (
+    SELECT cid AS scid, ce AS se FROM cents, params, sparams
+    WHERE cid % (params.stride * sparams.sstride) = 0
+),
+casg_ranked AS (
+    SELECT c.cid, s.scid,
+           row_number() OVER (
+               PARTITION BY c.cid
+               ORDER BY list_cosine_similarity(c.ce, s.se) DESC, s.scid
+           ) AS rn
+    FROM cents c CROSS JOIN supers s
+),
+casg AS (SELECT cid, scid FROM casg_ranked WHERE rn = 1),
+vsup_ranked AS (
+    SELECT v.vec_id, s.scid,
            row_number() OVER (
                PARTITION BY v.vec_id
-               ORDER BY list_cosine_similarity(v.ve, c.ce) DESC, c.cid
+               ORDER BY list_cosine_similarity(v.ve, s.se) DESC, s.scid
            ) AS rn
-    FROM v CROSS JOIN cents c
+    FROM v CROSS JOIN supers s
+),
+vcand AS (
+    SELECT vr.vec_id, ca.cid
+    FROM vsup_ranked vr JOIN casg ca ON ca.scid = vr.scid
+    WHERE vr.rn <= {IVF_ASSIGN_PROBE}
+),
+asg_ranked AS (
+    SELECT vc.vec_id, vc.cid,
+           row_number() OVER (
+               PARTITION BY vc.vec_id
+               ORDER BY list_cosine_similarity(v.ve, c.ce) DESC, vc.cid
+           ) AS rn
+    FROM vcand vc
+    JOIN v ON v.vec_id = vc.vec_id
+    JOIN cents c ON c.cid = vc.cid
 ),
 asg AS (SELECT vec_id, cid FROM asg_ranked WHERE rn = 1),
 q AS (SELECT vec_id AS qid, ve AS qe FROM v WHERE vec_id < {IVF_N_QUERIES}),
 probe_ranked AS (
-    SELECT q.qid, c.cid,
+    SELECT q.qid, vc.cid,
            row_number() OVER (
                PARTITION BY q.qid
-               ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid
+               ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, vc.cid
            ) AS rn
-    FROM q CROSS JOIN cents c
+    FROM q
+    JOIN vcand vc ON vc.vec_id = q.qid
+    JOIN cents c ON c.cid = vc.cid
 ),
 probes AS (SELECT qid, cid FROM probe_ranked WHERE rn <= {IVF_N_PROBE}),
 cand AS (

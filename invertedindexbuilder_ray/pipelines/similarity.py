@@ -40,6 +40,7 @@ LSH_SEED = 13
 LSH_MIN_BITS = 4
 LSH_MAX_BITS = 24
 ANN_TARGET_BUCKET = 1024  # expected vectors per LSH bucket
+IVF_ASSIGN_PROBE = 3  # super-cells probed per vector/query (two-level IVF)
 
 
 def lsh_bits_for(n: int, *, target_bucket: int = ANN_TARGET_BUCKET) -> int:
@@ -58,6 +59,14 @@ def ivf_centroids_for(n: int) -> int:
     correctly rounded, so ceil(sqrt(n)) is integer-exact for n < 2^52
     and the SQL oracle reproduces it."""
     return max(1, math.ceil(math.sqrt(n)))
+
+
+def ivf_superstride_for(n_cents: int) -> int:
+    """Super-centroid stride for the two-level quantizer: ~sqrt(n_cents)
+    supers (~N^(1/4) overall), picked as every ``sstride``-th centroid.
+    Same integer-exactness argument as ``ivf_centroids_for``."""
+    n_super = max(1, math.ceil(math.sqrt(n_cents)))
+    return max(1, n_cents // n_super)
 
 
 def _embeddings(sf_dir: str) -> rd.Dataset:
@@ -223,16 +232,25 @@ def ann_ivf(
 ) -> rd.Dataset:
     """IVF approximate nearest neighbors — the second scale path.
 
-    Coarse quantizer: every ``stride``-th vector (``vec_id % stride == 0``
-    with ``stride = max(1, N // n_centroids)``) is a centroid — a
-    k-means-init-style codebook with NO training pass and no RNG, so the
-    whole pipeline (assignment, probing, scoring, ranking) is exactly
-    reproducible by the DuckDB oracle.  ``n_centroids`` defaults to
-    ``ivf_centroids_for(N)`` (~sqrt(N), so list sizes stay ~sqrt(N) at
-    any corpus size).  Every vector is assigned to its nearest centroid
-    with ONE matmul per batch (the centroid matrix rides ``ray.put``);
-    queries probe their ``n_probe`` nearest centroid lists.  All
-    argmax/probe/rank tie-breaks are (score desc, id asc)."""
+    TWO-LEVEL coarse quantizer (round-3 verdict item 5): every
+    ``stride``-th vector is a centroid (~sqrt(N), k-means-init-style, no
+    RNG) and every ``sstride``-th centroid is a SUPER-centroid
+    (~N^(1/4)).  Each centroid belongs to its nearest super; a vector is
+    assigned by probing its ``IVF_ASSIGN_PROBE`` nearest supers and
+    taking the nearest centroid among those supers' members — so the
+    per-batch assignment matmul is rows x N^(1/4) plus small per-group
+    matmuls against ~IVF_ASSIGN_PROBE * N^(1/4) member centroids,
+    instead of rows x sqrt(N).  Queries build their candidate centroid
+    set the same way and probe their ``n_probe`` nearest candidates.
+    Every step (super pick, membership, assignment, probing, scoring,
+    ranking) is deterministic with (score desc, id asc) tie-breaks, so
+    the DuckDB oracle (catalog.SQL_ANN_IVF) reproduces it exactly.
+
+    The codebook is streamed into numpy from Arrow batches (no per-row
+    Python objects) and broadcast ONCE via ``ray.put``; at ~10^12
+    vectors the O(sqrt(N)) codebook bytes live in the object store, and
+    only the member lists of probed supers are touched per row group.
+    """
     import ray
 
     ds = _embeddings(sf_dir)
@@ -245,23 +263,73 @@ def ann_ivf(
         mask = (b["vec_id"].to_numpy(zero_copy_only=False) % stride) == 0
         return b.filter(pa.array(mask))
 
-    crows = ds.map_batches(pick_cents, batch_format="pyarrow").take_all()
-    crows.sort(key=lambda r: r["vec_id"])  # centroid order = cid ascending
-    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
-    cents = np.stack([np.asarray(r["embedding"], np.float64) for r in crows])
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    cref = ray.put(cents)  # ~sqrt(N) x dim — broadcast once, not per task
+    cid_parts, emb_parts = [], []
+    for b in ds.map_batches(pick_cents, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            cid_parts.append(
+                b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            emb_parts.append(_emb_matrix(b))  # normalized rows
+    cids = np.concatenate(cid_parts) if cid_parts else np.empty(0, np.int64)
+    cents = (
+        np.vstack(emb_parts) if emb_parts else np.empty((0, 1), np.float64)
+    )
+    order = np.argsort(cids, kind="stable")  # centroid order = cid ascending
+    cids, cents = cids[order], cents[order]
+    n_cents = len(cids)
+
+    sstride = ivf_superstride_for(n_cents)
+    sup_pos = np.flatnonzero((cids // stride) % sstride == 0)
+    supers = cents[sup_pos]  # scid ascending (cids are sorted)
+    ap = min(IVF_ASSIGN_PROBE, len(sup_pos))
+
+    # centroid -> nearest super (sim desc, scid asc via first-max argmax)
+    cassign = np.argmax(cents @ supers.T, axis=1)
+    members = [
+        np.flatnonzero(cassign == s).astype(np.int64)  # cid-asc positions
+        for s in range(len(sup_pos))
+    ]
+
+    def _probe_supers(mat_n: np.ndarray) -> np.ndarray:
+        """Each row's ``ap`` nearest supers; stable argsort on -sims with
+        supers in scid order == (sim desc, scid asc)."""
+        ssims = mat_n @ supers.T
+        return np.sort(np.argsort(-ssims, axis=1, kind="stable")[:, :ap], axis=1)
+
+    def _candidates(probe_set: np.ndarray) -> np.ndarray:
+        cand = [members[s] for s in probe_set]
+        return np.unique(np.concatenate(cand)) if cand else np.empty(0, np.int64)
+
+    cref = ray.put((cents, supers, members))  # broadcast once, not per task
 
     qids, qmat_n = _load_queries(ds, n_queries)
-    qsims = qmat_n @ cents.T
     probe_buckets = []
+    qsup = _probe_supers(qmat_n) if len(qids) else np.empty((0, ap), np.int64)
     for qi in range(len(qids)):
-        # probe order: sim desc, cid asc (same total order as the oracle)
-        order = np.lexsort((cids, -qsims[qi]))[: min(n_probe, cents.shape[0])]
-        probe_buckets.append(np.array(sorted(int(c) for c in order), np.int64))
+        cand = _candidates(qsup[qi])
+        if not len(cand):
+            probe_buckets.append(np.empty(0, np.int64))
+            continue
+        sims = cents[cand] @ qmat_n[qi]
+        # probe order: sim desc, cid asc (cand is cid-ascending positions)
+        sel = cand[np.lexsort((cand, -sims))[: min(n_probe, len(cand))]]
+        probe_buckets.append(np.array(sorted(int(c) for c in sel), np.int64))
 
     def bucket_fn(mat_n: np.ndarray) -> np.ndarray:
-        c = ray.get(cref)
-        return np.argmax(mat_n @ c.T, axis=1).astype(np.int64)
+        c, sup, mem = ray.get(cref)
+        ssims = mat_n @ sup.T
+        top = np.sort(np.argsort(-ssims, axis=1, kind="stable")[:, :ap], axis=1)
+        out = np.full(len(mat_n), -1, np.int64)  # -1 = unassigned (empty cells)
+        uniq, inv = np.unique(top, axis=0, return_inverse=True)
+        for gi in range(len(uniq)):  # loop over distinct probe SETS, not rows
+            rows = np.flatnonzero(inv == gi)
+            cand = np.unique(np.concatenate([mem[s] for s in uniq[gi]]))
+            if not len(cand):
+                continue
+            sims = mat_n[rows] @ c[cand].T
+            out[rows] = cand[np.argmax(sims, axis=1)]  # first-max -> cid asc
+        return out
 
     return _probe_topk(ds, bucket_fn, qids, qmat_n, probe_buckets, top_k)
