@@ -119,14 +119,6 @@ def cmd_query(args) -> int:
 
     if not args.shards and not args.index:
         raise SystemExit("query needs --index or --shards")
-    # --shards needs no --algorithm: disjunctive queries already run
-    # block-max WAND inside each shard (bounds rescaled to the global
-    # stats triple, pipelines/shards.py); the flag selects nothing extra
-    if args.shards and args.algorithm:
-        raise SystemExit(
-            "--algorithm is redundant with --shards: sharded disjunctive "
-            "queries run block-max WAND automatically"
-        )
     mode = CONJUNCTIVE if args.mode == "and" else DISJUNCTIVE
     if args.shards:
         from .pipelines.shards import ShardedEngine
@@ -136,7 +128,10 @@ def cmd_query(args) -> int:
             conformance=args.conformance,
             offset_doc_ids=not args.global_ids,
         )
-        ranked = eng.search(args.terms, args.k, mode)
+        # --algorithm wand opts each shard into block-max WAND with
+        # globally rescaled bounds (identical results; see shards.py for
+        # why the measured default is the exhaustive union)
+        ranked = eng.search(args.terms, args.k, mode, args.algorithm)
         for rank, (doc, score) in enumerate(ranked, 1):
             print(f"[{rank}]\tdoc:{doc}\nBM25: \t{score:.6f}\n")
         if not ranked:

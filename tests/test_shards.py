@@ -141,9 +141,13 @@ def test_cli_sharded_query(sharded_setup, capsys):
 
     with pytest.raises(SystemExit, match="--index or --shards"):
         main(["query", "--terms", "x"])
-    with pytest.raises(SystemExit, match="redundant with --shards"):
-        main(["query", "--shards", *shard_dirs, "--terms", "x",
-              "--mode", "or", "--algorithm", "wand"])
+    # --algorithm wand opts the shards into block-max WAND (identical output)
+    assert main(["query", "--shards", *shard_dirs, "--terms", "data join",
+                 "--k", "3", "--mode", "or", "--algorithm", "wand"]) == 0
+    wand_out = capsys.readouterr().out
+    assert main(["query", "--shards", *shard_dirs, "--terms", "data join",
+                 "--k", "3", "--mode", "or"]) == 0
+    assert capsys.readouterr().out == wand_out
 
 
 def test_sharded_identity_fuzz(sharded_setup):
@@ -187,11 +191,13 @@ def test_total_order_wand_identical_to_disjunctive(sharded_setup):
 
 
 def test_sharded_wand_bound_rescale_fuzz(sharded_setup):
-    """Round-4: sharded disjunctive now runs block-max WAND with bounds
-    rescaled to the injected global triple — identity with the monolithic
-    total-order truth must survive a dedicated OR-heavy fuzz (uneven
-    shards make local d_avr/idf differ from global, exercising every
-    branch of _set_bound_scale)."""
+    """Round-4: sharded disjunctive can run block-max WAND (opt-in,
+    ``algorithm="wand"``) with bounds rescaled to the injected global
+    triple — identity with the monolithic total-order truth must survive
+    a dedicated OR-heavy fuzz (uneven shards make local d_avr/idf differ
+    from global, exercising every branch of _set_bound_scale).  The
+    default exhaustive path is fuzzed side by side: both algorithms must
+    produce the identical result."""
     import numpy as np
 
     shard_dirs, full = sharded_setup
@@ -203,8 +209,11 @@ def test_sharded_wand_bound_rescale_fuzz(sharded_setup):
         n_terms = int(rng.randint(1, 7))
         terms = [vocab[i] for i in rng.randint(0, len(vocab), n_terms)]
         k = int(rng.choice([1, 3, 10, 100]))
-        got = sharded.search_terms(terms, k, DISJUNCTIVE)
-        assert got == _mono_truth(mono, terms, k, DISJUNCTIVE), (terms, k)
+        truth = _mono_truth(mono, terms, k, DISJUNCTIVE)
+        got_wand = sharded.search_terms(terms, k, DISJUNCTIVE, algorithm="wand")
+        assert got_wand == truth, (terms, k)
+        got_default = sharded.search_terms(terms, k, DISJUNCTIVE)
+        assert got_default == truth, (terms, k)
 
 
 def test_rolling_delta_served_as_shard(ray_session, webpages_medium, tmp_path):
