@@ -162,7 +162,7 @@ def run_bench() -> dict:
     catalog_names = [] if os.environ.get("IIB_SCALING_CHILD") else [
         "postings", "term_stats", "bm25_all_or", "dedup_minhash",
         "dedup_simhash", "knn_cosine", "quality", "dedup_exact",
-        "embedding_neardup", "ann_ivf", "ann_lsh", "fingerprint",
+        "embedding_neardup", "embedding_neardup_srp", "ann_ivf", "ann_lsh", "fingerprint",
         "token_count_bpe", "orders_by_segment", "sample_hash",
         "events_sessions", "price_quantiles", "corpus_clean",
     ]

@@ -646,8 +646,41 @@ def q_orders_by_segment(sf_dir: str):
         right_on="c_custkey",
         num_partitions=_join_partitions(max(orders.count(), cust.count())),
     )
-    agg = j.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue_raw")
+
+    # Map-side partial combine: each join-output block collapses to <= 5
+    # rows (one per segment) BEFORE the groupby's sort exchange, so the
+    # all-to-all moves O(segments x blocks) rows instead of every joined
+    # row — the count/sum algebra re-associates exactly (2-dp rounding
+    # absorbs double-sum order at these magnitudes, same as the oracle).
+    _P_SCHEMA = pa.schema(
+        [
+            ("c_mktsegment", pa.string()),
+            ("pcnt", pa.int64()),
+            ("psum", pa.float64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _P_SCHEMA.empty_table()
+        g = b.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "count"), ("o_totalprice", "sum")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "pcnt": g["o_totalprice_count"].cast(pa.int64()),
+                "psum": g["o_totalprice_sum"].cast(pa.float64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("pcnt", alias_name="n_orders"),
+            Sum("psum", alias_name="revenue_raw"),
+        )
     )
     return agg.map_batches(
         lambda b: b.append_column(
@@ -881,6 +914,59 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= {EMB_NEARDUP_THRESHOLD}
+"""
+
+
+# High-threshold variant pinned to the SRP-banded prefilter plan.  At sf
+# scale the auto-picker always chooses the grid (G=1 beats any band count),
+# so without this entry the recall-guaranteed LSH path — the plan that
+# actually runs at 100 TB — would never face the driver's hash gate.  The
+# sf tables contain NO pairs above cosine 0.8, so the entry runs over a
+# deterministically augmented table (every AUG_EVERY-th vector duplicated
+# under vec_id + AUG_OFFSET, replicated in the SQL CTE) — otherwise the
+# gate would only ever compare empty-to-empty.
+EMB_NEARDUP_HI_THRESHOLD = 0.9
+EMB_AUG_EVERY = 100
+EMB_AUG_OFFSET = 10_000_000
+
+
+def q_embedding_neardup_srp(sf_dir: str):
+    from .dedup import embedding_dedup_pairs
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % EMB_AUG_EVERY == 0)
+        dup = b.filter(mask)
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(dup["vec_id"], EMB_AUG_OFFSET),
+        )
+        return pa.concat_tables([b, dup])
+
+    return embedding_dedup_pairs(
+        ds.map_batches(aug, batch_format="pyarrow"),
+        threshold=EMB_NEARDUP_HI_THRESHOLD,
+        method="lsh",
+    )
+
+
+SQL_EMBEDDING_NEARDUP_SRP = f"""
+WITH aug AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {EMB_AUG_OFFSET} AS vec_id, embedding
+    FROM embeddings WHERE vec_id % {EMB_AUG_EVERY} = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {EMB_NEARDUP_HI_THRESHOLD}
 """
 
 
@@ -1288,6 +1374,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "embedding_neardup_srp": (q_embedding_neardup_srp, SQL_EMBEDDING_NEARDUP_SRP),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "langid": (q_langid, _sql_langid()),

@@ -935,6 +935,14 @@ EMB_LSH_EPS = 1e-12
 EMB_LSH_MAX_BANDS = 512
 EMB_LSH_SEED = 0xE5BED5
 
+# Output schema of embedding_dedup_pairs.  When every candidate is rejected
+# at verify, Ray coalesces the all-empty blocks into a SCHEMALESS dataset
+# (to_pandas returns a DataFrame with no columns); both physical plans
+# union one typed empty block so the schema survives an empty result.
+_EMB_PAIRS_SCHEMA = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+)
+
 
 def _emb_lsh_params(threshold: float, n: int) -> tuple[int, int] | None:
     """(bits_per_band, n_bands) for the SRP prefilter, or None when the
@@ -1045,8 +1053,13 @@ def _embedding_pairs_lsh(
             {"doc_id": batch["vec_id"].cast(pa.int64()), "emb": arr}
         )
 
-    emb_b = ds.map_batches(emb_bytes, batch_format="pyarrow", zero_copy_batch=True)
     n_pairs = pairs.count()
+    if n_pairs == 0:
+        # No candidate buckets collided: downstream joins would yield a
+        # zero-block Dataset whose schema is LOST (empty DataFrame with no
+        # columns — fails any schema gate).  Return a schema-bearing empty.
+        return rd.from_arrow(_EMB_PAIRS_SCHEMA.empty_table())
+    emb_b = ds.map_batches(emb_bytes, batch_format="pyarrow", zero_copy_batch=True)
     join_p = _join_partitions(n_pairs)
     j1 = partitioned_hash_join(
         pairs, emb_b, left_on="doc_a", right_on="doc_id",
@@ -1083,7 +1096,9 @@ def _embedding_pairs_lsh(
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    return j2.map_batches(verify, batch_format="pyarrow").union(
+        rd.from_arrow(_EMB_PAIRS_SCHEMA.empty_table())
+    )
 
 
 def embedding_dedup_pairs(
@@ -1202,4 +1217,5 @@ def embedding_dedup_pairs(
         ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cell")
         .map_groups(cell_pairs, batch_format="pyarrow")
+        .union(rd.from_arrow(_EMB_PAIRS_SCHEMA.empty_table()))
     )

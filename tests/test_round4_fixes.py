@@ -145,6 +145,28 @@ def test_emb_lsh_matches_grid_exactly(ray_session, tmp_path_factory):
     assert key(lsh) == key(grid)
 
 
+def test_emb_lsh_empty_result_keeps_schema(ray_session):
+    """Zero surviving candidate pairs must still return a Dataset whose
+    schema() reports (vec_a, vec_b, cosine).  Without the typed-empty
+    union (and the n_pairs==0 early return) the all-empty pipeline yields
+    a SCHEMALESS dataset.  NOTE this is the strongest guarantee a Dataset
+    can give: Ray's to_pandas()/iter_batches drop empty blocks entirely,
+    so ANY all-empty Dataset converts to a column-less DataFrame — which
+    is why driver-facing catalog entries must never be empty at sf scale
+    (the SRP entry runs over an augmented table for exactly this reason)."""
+    from invertedindexbuilder_ray.pipelines.dedup import embedding_dedup_pairs
+
+    # sf0.001 embeddings have NO pairs above cosine 0.8 (checked in
+    # DuckDB), so threshold 0.9 exercises the empty path.
+    ds = embedding_dedup_pairs("/root/testdata/sf0.001", threshold=0.9, method="lsh")
+    assert sorted(ds.schema().names) == ["cosine", "vec_a", "vec_b"]
+    assert ds.count() == 0
+    # grid plan, same guarantee
+    ds_g = embedding_dedup_pairs("/root/testdata/sf0.001", threshold=0.9, method="grid")
+    assert sorted(ds_g.schema().names) == ["cosine", "vec_a", "vec_b"]
+    assert ds_g.count() == 0
+
+
 def test_emb_auto_picks_lsh_at_scale_params(ray_session, tmp_path_factory):
     """method='auto' routes high-threshold joins through the prefilter
     once the band count undercuts the grid replication factor."""
