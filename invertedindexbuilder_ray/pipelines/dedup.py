@@ -935,6 +935,12 @@ EMB_LSH_EPS = 1e-12
 EMB_LSH_MAX_BANDS = 512
 EMB_LSH_SEED = 0xE5BED5
 
+# Broadcast-verify bounds for the SRP plan: above either, the verify falls
+# back to the two partitioned hash joins (pair table ~32 MB driver-side at
+# the pair cap; the matrix bound is enforced while gathering).
+EMB_VERIFY_BCAST_PAIRS = 2_000_000
+EMB_VERIFY_BCAST_BYTES = 256 << 20
+
 # Output schema of embedding_dedup_pairs.  When every candidate is rejected
 # at verify, Ray coalesces the all-empty blocks into a SCHEMALESS dataset
 # (to_pandas returns a DataFrame with no columns); both physical plans
@@ -1059,6 +1065,82 @@ def _embedding_pairs_lsh(
         # zero-block Dataset whose schema is LOST (empty DataFrame with no
         # columns — fails any schema gate).  Return a schema-bearing empty.
         return rd.from_arrow(_EMB_PAIRS_SCHEMA.empty_table())
+
+    # Hybrid verify (the Ray-guide small-side rule, same shape as
+    # minhash_dedup_pairs): at high thresholds the candidate set is a small
+    # multiple of the true near-dup count, so shipping embeddings through
+    # TWO partitioned-join exchanges is almost always wasted data movement.
+    # Instead: gather the (bounded) pair ids to the driver, stream ONE
+    # filter pass over the embeddings to pull only the referenced vectors,
+    # broadcast that matrix once via ray.put, and verify each pair batch
+    # with two vectorized gathers — no shuffle.  Loud bounds: above
+    # EMB_VERIFY_BCAST_PAIRS pairs, or if the gathered matrix would exceed
+    # EMB_VERIFY_BCAST_BYTES (guarded WHILE gathering, so an unexpectedly
+    # wide embedding column cannot blow the driver heap), fall back to the
+    # partitioned joins below.
+    if n_pairs <= EMB_VERIFY_BCAST_PAIRS:
+        import ray
+
+        ptbl = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
+        needed = np.unique(
+            np.concatenate(
+                [
+                    ptbl["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    ptbl["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ]
+            )
+        )
+        nref = ray.put(needed)  # sorted by construction (np.unique)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            need = ray.get(nref)
+            return batch.filter(pa.array(np.isin(ids, need, assume_unique=True)))
+
+        gathered: list[pa.Table] = []
+        size = 0
+        for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            size += b.nbytes * 2  # float64 matrix is ~2x the float32 lists
+            gathered.append(b)
+            if size > EMB_VERIFY_BCAST_BYTES:
+                break
+        if size <= EMB_VERIFY_BCAST_BYTES:
+            stbl = pa.concat_tables(gathered)
+            sids = stbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(sids)
+            sids = sids[order]
+            mat = _emb_matrix(stbl)[order]  # normalized float64 rows
+            mref = ray.put((sids, mat))
+
+            def verify_bcast(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return _EMB_PAIRS_SCHEMA.empty_table()
+                ids_s, m = ray.get(mref)
+                da = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+                db = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+                cos = np.einsum(
+                    "ij,ij->i", m[np.searchsorted(ids_s, da)],
+                    m[np.searchsorted(ids_s, db)],
+                )
+                keep = cos >= threshold
+                return pa.table(
+                    {
+                        "vec_a": pa.array(da[keep], pa.int64()),
+                        "vec_b": pa.array(db[keep], pa.int64()),
+                        "cosine": pa.array(
+                            round_half_away(cos[keep], 6), pa.float64()
+                        ),
+                    }
+                )
+
+            return pairs.map_batches(verify_bcast, batch_format="pyarrow").union(
+                rd.from_arrow(_EMB_PAIRS_SCHEMA.empty_table())
+            )
+
     emb_b = ds.map_batches(emb_bytes, batch_format="pyarrow", zero_copy_batch=True)
     join_p = _join_partitions(n_pairs)
     j1 = partitioned_hash_join(

@@ -145,6 +145,23 @@ def test_emb_lsh_matches_grid_exactly(ray_session, tmp_path_factory):
     assert key(lsh) == key(grid)
 
 
+def test_emb_lsh_broadcast_verify_matches_join_fallback(
+    ray_session, tmp_path_factory, monkeypatch
+):
+    """The broadcast-small-side verify (default for bounded candidate sets)
+    and the partitioned-join fallback must produce the identical pair set —
+    same hybrid-parity contract as minhash_dedup_pairs."""
+    from invertedindexbuilder_ray.pipelines import dedup
+
+    root = _clustered_embeddings(tmp_path_factory, "emb_bcast")
+    bcast = dedup.embedding_dedup_pairs(root, threshold=0.9, method="lsh").to_pandas()
+    monkeypatch.setattr(dedup, "EMB_VERIFY_BCAST_PAIRS", 0)  # force the joins
+    joins = dedup.embedding_dedup_pairs(root, threshold=0.9, method="lsh").to_pandas()
+    key = lambda df: sorted(map(tuple, df[["vec_a", "vec_b", "cosine"]].to_numpy()))
+    assert len(bcast) > 100
+    assert key(bcast) == key(joins)
+
+
 def test_emb_lsh_empty_result_keeps_schema(ray_session):
     """Zero surviving candidate pairs must still return a Dataset whose
     schema() reports (vec_a, vec_b, cosine).  Without the typed-empty
