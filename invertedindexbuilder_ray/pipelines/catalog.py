@@ -1492,3 +1492,135 @@ SELECT lang, doc_id, n_chars, rank::BIGINT AS rank FROM (
 """
 
 QUERIES["top_docs_per_lang"] = (q_top_docs_per_lang, SQL_TOP_DOCS_PER_LANG)
+
+# --------------------------------------------------------------------------
+# temporal joins (as-of, range-join aggregate) — pipelines/temporal.py
+
+
+def q_events_asof_prior_click(sf_dir: str):
+    """As-of join: for each 'purchase' event, the user's most recent
+    'click' at-or-before it (DuckDB ASOF semantics, ties broken to the
+    largest click event_id so the oracle is deterministic).  Unmatched
+    purchases keep the -1 sentinel — nullable-int round-trips through
+    pandas are a dtype minefield the driver compare doesn't need."""
+    from .temporal import _partitions_for, asof_join
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    import pyarrow.parquet as _pq
+
+    # partition count from parquet METADATA (free) — a count() would run
+    # the filter stage twice just to size the exchange
+    n_part = _partitions_for(_pq.ParquetFile(path).metadata.num_rows)
+
+    def _typed(kind: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], kind)).select(
+                ["event_id", "user_id", "ts"]
+            )
+        return f
+
+    ev = lambda kind: read_parquet_sized(  # noqa: E731
+        path, columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(_typed(kind), batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = asof_join(
+        ev("purchase"),
+        ev("click"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"event_id": "last_click_id", "ts": "last_click_ts"},
+        direction="backward",
+        tie_on="event_id",
+        num_partitions=n_part,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "ts_us": b["ts"].cast(pa.int64()),
+                "last_click_id": pc.fill_null(b["last_click_id"], -1),
+                "last_click_ts_us": pc.fill_null(
+                    b["last_click_ts"].cast(pa.int64()), -1
+                ),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+m AS (
+    SELECT p.event_id,
+           c.event_id AS last_click_id,
+           epoch_us(c.ts) AS last_click_ts_us,
+           row_number() OVER (
+               PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+           ) AS rn
+    FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       coalesce(m.last_click_id, -1) AS last_click_id,
+       coalesce(m.last_click_ts_us, -1) AS last_click_ts_us
+FROM p LEFT JOIN m ON m.event_id = p.event_id AND m.rn = 1
+"""
+
+QUERIES["events_asof_prior_click"] = (q_events_asof_prior_click, SQL_EVENTS_ASOF)
+
+
+def q_events_window_agg(sf_dir: str):
+    """Range-join aggregate: for each event, count/min/max of the SAME
+    user's event values in the following day ([ts, ts+1d), self-
+    inclusive so every row has >=1 match).  count/min/max are order-
+    independent — exact against the SQL oracle where a float sum is
+    reduction-order-dependent."""
+    from .temporal import _partitions_for, range_join_agg
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    import pyarrow.parquet as _pq
+
+    n_part = _partitions_for(_pq.ParquetFile(path).metadata.num_rows)
+    left = read_parquet_sized(path, columns=["event_id", "user_id", "ts"])
+    right = read_parquet_sized(path, columns=["user_id", "ts", "value"])
+    out = range_join_agg(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_us=0,
+        upper_us=86_400_000_000,  # 1 day
+        value_col="value",
+        num_partitions=n_part,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "n_events": b["n_match"],
+                "min_value": b["min_value"],
+                "max_value": b["max_value"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW_AGG = """
+SELECT a.event_id,
+       count(*)::BIGINT AS n_events,
+       min(b.value) AS min_value,
+       max(b.value) AS max_value
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts >= a.ts
+ AND b.ts < a.ts + INTERVAL 1 DAY
+GROUP BY 1
+"""
+
+QUERIES["events_window_agg"] = (q_events_window_agg, SQL_EVENTS_WINDOW_AGG)

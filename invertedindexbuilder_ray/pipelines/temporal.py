@@ -1,0 +1,381 @@
+"""Temporal joins: as-of join and range-join aggregate.
+
+Ray Data has no native as-of / range join, and the naive SQL shapes
+(``row_number() OVER`` on the exploded match set, or a θ-join) explode
+row counts.  Both operators here reuse the engine's one portable
+exchange shape (``joins.partitioned_hash_join``): tag the two sides,
+hash-bucket by the join key, union, ONE ``groupby("__bucket")``, and a
+fully vectorized numpy kernel inside each bucket — no per-key groupby,
+no sort network, no row explosion.
+
+Inside a bucket the right side is lexsorted once by
+``(key, ts, tie)`` and every left row resolves with O(log n)
+``np.searchsorted`` probes over a rank-composed uint64 key::
+
+    combined = (key_rank << 32) | ts_rank
+
+which is lexicographically ordered, so "latest right row with the same
+key and ts <= t" is one binary search.  Range aggregates (count / min /
+max over ``[t+lo, t+hi)``) come from the window ``[j_lo, j_hi)`` in the
+same sorted array: count is the width, min/max are two overlapping
+power-of-two blocks of a sparse table (O(n log n) build, O(1)/query).
+min/max/count are ORDER-INDEPENDENT, so results compare exactly against
+a SQL oracle — unlike a float sum, whose value depends on reduction
+order.
+
+Partitioning assumption (document per the scale contract): a bucket
+holds every row of the keys hashed to it, so ``num_partitions`` must
+keep buckets to ~``JOIN_ROWS_PER_PARTITION`` rows (callers scale it
+with input size via ``_partitions_for``).  A single pathologically hot
+key (one user with 10M events) still lands in one bucket; the kernel
+stays vectorized O(n log n) there, but that key's bucket is the
+straggler — salt such keys upstream if they exist.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .joins import _bucket_hash
+
+JOIN_ROWS_PER_PARTITION = 200_000
+
+
+def _partitions_for(n_rows: int) -> int:
+    return int(min(1024, max(8, -(-n_rows // JOIN_ROWS_PER_PARTITION))))
+
+
+def _ts_int64(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """timestamp[us] (or any int-like) -> int64 view, order-preserving."""
+    return col.cast(pa.int64())
+
+
+# --------------------------------------------------------------------------
+# vectorized in-bucket kernels
+
+
+def _combined_keys(
+    lk: np.ndarray, lt: np.ndarray, rk: np.ndarray, rt: np.ndarray, tie: np.ndarray
+):
+    """Shared setup: factorize keys over BOTH sides, rank right ts, and
+    lexsort the right side by (key, ts, tie).  Returns
+    (order, combined_sorted, kid_l, U) where ``combined_sorted`` is the
+    sorted uint64 (key_rank << 32 | ts_rank) array and ``U`` the sorted
+    unique right-ts values (for rank lookups of left-side probes)."""
+    uniq = np.unique(np.concatenate([lk, rk]))
+    if len(uniq) >= (1 << 31):  # pragma: no cover - 2B distinct keys/bucket
+        raise ValueError("bucket has >=2^31 distinct keys; raise num_partitions")
+    kid_l = np.searchsorted(uniq, lk).astype(np.uint64)
+    kid_r = np.searchsorted(uniq, rk).astype(np.uint64)
+    U = np.unique(rt)
+    if len(U) >= (1 << 32):  # pragma: no cover
+        raise ValueError("bucket has >=2^32 distinct timestamps; raise num_partitions")
+    tr_rank = np.searchsorted(U, rt).astype(np.uint64)
+    order = np.lexsort((tie, tr_rank, kid_r))
+    combined = (kid_r << np.uint64(32)) | tr_rank
+    return order, combined[order], kid_l, U
+
+
+def asof_indices(
+    lk: np.ndarray,
+    lt: np.ndarray,
+    rk: np.ndarray,
+    rt: np.ndarray,
+    tie: np.ndarray,
+    *,
+    direction: str = "backward",
+    strict: bool = False,
+) -> np.ndarray:
+    """For each left row i, the index into the RIGHT arrays of its as-of
+    match, or -1.  backward: last right row with rk==lk[i] and
+    rt <= lt[i] (< if strict), ties broken to the LARGEST ``tie``.
+    forward: first right row with rt >= lt[i] (>), ties to the SMALLEST
+    ``tie``."""
+    if len(rk) == 0:
+        return np.full(len(lk), -1, np.int64)
+    order, comb, kid_l, U = _combined_keys(lk, lt, rk, rt, tie)
+    kid_sorted = comb >> np.uint64(32)
+    if direction == "backward":
+        side = "left" if strict else "right"
+        rank = np.searchsorted(U, lt, side=side).astype(np.uint64)
+        j = np.searchsorted(comb, (kid_l << np.uint64(32)) | rank, side="left") - 1
+        valid = j >= 0
+        jj = np.maximum(j, 0)
+        valid &= kid_sorted[jj] == kid_l
+    elif direction == "forward":
+        side = "right" if strict else "left"
+        rank = np.searchsorted(U, lt, side=side).astype(np.uint64)
+        j = np.searchsorted(comb, (kid_l << np.uint64(32)) | rank, side="left")
+        valid = j < len(comb)
+        jj = np.minimum(j, len(comb) - 1)
+        valid &= kid_sorted[jj] == kid_l
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    return np.where(valid, order[jj], -1).astype(np.int64)
+
+
+def range_windows(
+    lk: np.ndarray,
+    lt: np.ndarray,
+    rk: np.ndarray,
+    rt: np.ndarray,
+    lower: int,
+    upper: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Half-open windows: for each left row, the slice [j_lo, j_hi) of
+    the (key, ts)-sorted right side whose rows satisfy rk==lk and
+    lt+lower <= rt < lt+upper.  Returns (order, j_lo, j_hi)."""
+    if len(rk) == 0:
+        z = np.zeros(len(lk), np.int64)
+        return np.empty(0, np.int64), z, z.copy()
+    tie = np.zeros(len(rk), np.int64)
+    order, comb, kid_l, U = _combined_keys(lk, lt, rk, rt, tie)
+    hi_bits = kid_l << np.uint64(32)
+    rank_lo = np.searchsorted(U, lt + lower, side="left").astype(np.uint64)
+    rank_hi = np.searchsorted(U, lt + upper, side="left").astype(np.uint64)
+    j_lo = np.searchsorted(comb, hi_bits | rank_lo, side="left")
+    j_hi = np.searchsorted(comb, hi_bits | rank_hi, side="left")
+    j_hi = np.maximum(j_hi, j_lo)
+    return order, j_lo.astype(np.int64), j_hi.astype(np.int64)
+
+
+def range_max(vals_sorted: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """max over half-open windows [lo, hi) of ``vals_sorted`` via a
+    sparse table (two overlapping power-of-two blocks per window); NaN
+    where the window is empty.  Exact integer floor-log2 via frexp (a
+    float np.log2 can round 2^k down to k-eps and break coverage)."""
+    m = len(lo)
+    out = np.full(m, np.nan)
+    w = hi - lo
+    nz = w > 0
+    if len(vals_sorted) == 0 or not nz.any():
+        return out
+    k = np.zeros(m, np.int64)
+    k[nz] = np.frexp(w[nz].astype(np.float64))[1] - 1  # exact floor(log2 w)
+    kmax = int(k[nz].max())
+    sp = [vals_sorted.astype(np.float64, copy=False)]
+    for lev in range(1, kmax + 1):
+        half = 1 << (lev - 1)
+        prev = sp[-1]
+        sp.append(np.maximum(prev[:-half], prev[half:]))
+    for lev in np.unique(k[nz]):
+        sel = nz & (k == lev)
+        blk = 1 << int(lev)
+        t = sp[int(lev)]
+        out[sel] = np.maximum(t[lo[sel]], t[hi[sel] - blk])
+    return out
+
+
+def range_min(vals_sorted: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    return -range_max(-vals_sorted, lo, hi)
+
+
+# --------------------------------------------------------------------------
+# Dataset operators
+
+
+def _restore_null_types(g: pa.Table, expected: dict[str, pa.DataType]) -> pa.Table:
+    # Ray's shuffle can strip the type from an ALL-NULL column (same
+    # defect joins.partitioned_hash_join works around)
+    for idx, name in enumerate(g.column_names):
+        want = expected.get(name)
+        if want is not None and pa.types.is_null(g.column(idx).type):
+            g = g.set_column(idx, name, pa.nulls(g.num_rows, want))
+    return g
+
+
+def _np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False)
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str | tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    direction: str = "backward",
+    strict: bool = False,
+    tie_on: str | None = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """As-of join (DuckDB ``ASOF JOIN`` semantics, made deterministic).
+
+    For each left row, attach the payload of the single right row with
+    the same key whose ``right_ts`` is the latest <= ``left_ts``
+    (``direction="backward"``; ``"forward"`` = earliest >=; ``strict``
+    excludes equality).  Unmatched left rows keep NULL payloads (as-of
+    is LEFT by construction).  When several right rows share the
+    match timestamp, the row with the largest (backward) / smallest
+    (forward) ``tie_on`` wins — DuckDB's ASOF leaves that choice
+    unspecified, so pass ``tie_on`` whenever (key, ts) can repeat.
+
+    ``payload`` maps right column -> output name; key/ts columns are
+    int64 or timestamp[us].
+    """
+    lkey, rkey = (on, on) if isinstance(on, str) else on
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    lcols = list(lschema.names)
+    ltypes = {c: lschema.field(c).type for c in lcols}
+    ptypes = {out: rschema.field(src).type for src, out in payload.items()}
+    clash = set(ptypes) & set(lcols)
+    if clash:
+        raise ValueError(f"payload output names collide with left columns: {clash}")
+    if num_partitions is None:
+        num_partitions = _partitions_for(max(left.count(), right.count()))
+
+    def pad_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {c: b[c] for c in lcols}
+        cols["__k"] = b[lkey].cast(pa.int64())
+        cols["__t"] = _ts_int64(b[left_ts])
+        cols["__tie"] = pa.nulls(n, pa.int64())
+        for out in payload.values():
+            cols[out] = pa.nulls(n, ptypes[out])
+        cols["__bucket"] = pa.array(_bucket_hash(cols["__k"], num_partitions))
+        cols["__side"] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {c: pa.nulls(n, ltypes[c]) for c in lcols}
+        cols["__k"] = b[rkey].cast(pa.int64())
+        cols["__t"] = _ts_int64(b[right_ts])
+        cols["__tie"] = (
+            b[tie_on].cast(pa.int64()) if tie_on else pa.array(np.zeros(n, np.int64))
+        )
+        for src, out in payload.items():
+            cols[out] = b[src]
+        cols["__bucket"] = pa.array(_bucket_hash(cols["__k"], num_partitions))
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    out_cols = lcols + list(payload.values())
+    expected = {
+        **ltypes,
+        **ptypes,
+        "__k": pa.int64(),
+        "__t": pa.int64(),
+        "__tie": pa.int64(),
+    }
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        g = _restore_null_types(g, expected)
+        mask_l = pc.equal(g["__side"], 0)
+        lg = g.filter(mask_l)
+        if lg.num_rows == 0:
+            return pa.table({c: pa.array([], expected[c]) for c in out_cols})
+        rg = g.filter(pc.invert(mask_l))
+        idx = asof_indices(
+            _np(lg["__k"]), _np(lg["__t"]),
+            _np(rg["__k"]), _np(rg["__t"]), _np(rg["__tie"]),
+            direction=direction, strict=strict,
+        )
+        take = pa.array(np.maximum(idx, 0), pa.int64(), mask=idx < 0)
+        cols = {c: lg[c] for c in lcols}
+        for out in payload.values():
+            cols[out] = rg[out].combine_chunks().take(take)
+        return pa.table(cols)
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow")
+    rt = right.map_batches(pad_right, batch_format="pyarrow")
+    out = lt.union(rt).groupby("__bucket").map_groups(
+        merge_group, batch_format="pyarrow"
+    )
+    empty = pa.table({c: pa.array([], expected[c]) for c in out_cols})
+    return out.map_batches(lambda t: t, batch_format="pyarrow").union(
+        rd.from_arrow(empty)
+    )
+
+
+def range_join_agg(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str | tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Range join + aggregate, without materializing the match set.
+
+    For each left row: over right rows with the same key and
+    ``left_ts + lower_us <= right_ts < left_ts + upper_us`` (half-open),
+    emit ``n_match`` (int64, 0 when none), ``min_value`` / ``max_value``
+    (float64, NULL when none).  count/min/max are order-independent, so
+    the result compares EXACTLY against a SQL oracle; a float sum would
+    not (reduction-order ulps).
+    """
+    lkey, rkey = (on, on) if isinstance(on, str) else on
+    lschema = left.schema().base_schema
+    lcols = list(lschema.names)
+    ltypes = {c: lschema.field(c).type for c in lcols}
+    if num_partitions is None:
+        num_partitions = _partitions_for(max(left.count(), right.count()))
+
+    def pad_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {c: b[c] for c in lcols}
+        cols["__k"] = b[lkey].cast(pa.int64())
+        cols["__t"] = _ts_int64(b[left_ts])
+        cols["__v"] = pa.nulls(n, pa.float64())
+        cols["__bucket"] = pa.array(_bucket_hash(cols["__k"], num_partitions))
+        cols["__side"] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {c: pa.nulls(n, ltypes[c]) for c in lcols}
+        cols["__k"] = b[rkey].cast(pa.int64())
+        cols["__t"] = _ts_int64(b[right_ts])
+        cols["__v"] = b[value_col].cast(pa.float64())
+        cols["__bucket"] = pa.array(_bucket_hash(cols["__k"], num_partitions))
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    out_extra = {"n_match": pa.int64(), "min_value": pa.float64(),
+                 "max_value": pa.float64()}
+    out_cols = lcols + list(out_extra)
+    expected = {**ltypes, "__k": pa.int64(), "__t": pa.int64(), "__v": pa.float64()}
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        g = _restore_null_types(g, expected)
+        mask_l = pc.equal(g["__side"], 0)
+        lg = g.filter(mask_l)
+        if lg.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], (expected | out_extra)[c]) for c in out_cols}
+            )
+        rg = g.filter(pc.invert(mask_l))
+        order, j_lo, j_hi = range_windows(
+            _np(lg["__k"]), _np(lg["__t"]), _np(rg["__k"]), _np(rg["__t"]),
+            int(lower_us), int(upper_us),
+        )
+        vals = _np(rg["__v"])[order] if len(order) else np.empty(0)
+        n = j_hi - j_lo
+        mn = range_min(vals, j_lo, j_hi)
+        mx = range_max(vals, j_lo, j_hi)
+        cols = {c: lg[c] for c in lcols}
+        cols["n_match"] = pa.array(n, pa.int64())
+        cols["min_value"] = pa.array(mn, pa.float64(), mask=np.isnan(mn))
+        cols["max_value"] = pa.array(mx, pa.float64(), mask=np.isnan(mx))
+        return pa.table(cols)
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow")
+    rt = right.map_batches(pad_right, batch_format="pyarrow")
+    out = lt.union(rt).groupby("__bucket").map_groups(
+        merge_group, batch_format="pyarrow"
+    )
+    empty = pa.table({c: pa.array([], (expected | out_extra)[c]) for c in out_cols})
+    return out.map_batches(lambda t: t, batch_format="pyarrow").union(
+        rd.from_arrow(empty)
+    )

@@ -1,0 +1,186 @@
+"""Temporal joins (pipelines/temporal.py) vs brute-force oracles.
+
+Kernel tests are pure numpy (no Ray); dataset tests use the session
+fixture.  The catalog entries (events_asof_prior_click /
+events_window_agg) are additionally gated against DuckDB SQL by
+test_catalog_vs_duckdb.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from invertedindexbuilder_ray.pipelines.temporal import (
+    asof_indices,
+    asof_join,
+    range_join_agg,
+    range_max,
+    range_min,
+    range_windows,
+)
+
+
+def _rand_case(seed: int, n_left: int = 200, n_right: int = 300):
+    rng = np.random.default_rng(seed)
+    lk = rng.integers(0, 12, n_left).astype(np.int64)
+    lt = rng.integers(0, 50, n_left).astype(np.int64)  # many duplicate ts
+    rk = rng.integers(0, 12, n_right).astype(np.int64)
+    rt = rng.integers(0, 50, n_right).astype(np.int64)
+    tie = rng.permutation(n_right).astype(np.int64)  # unique -> deterministic
+    return lk, lt, rk, rt, tie
+
+
+def _brute_asof(lk, lt, rk, rt, tie, direction, strict):
+    out = np.full(len(lk), -1, np.int64)
+    for i, (k, t) in enumerate(zip(lk, lt)):
+        if direction == "backward":
+            ok = (rk == k) & ((rt < t) if strict else (rt <= t))
+        else:
+            ok = (rk == k) & ((rt > t) if strict else (rt >= t))
+        cand = np.flatnonzero(ok)
+        if len(cand) == 0:
+            continue
+        if direction == "backward":
+            cand = cand[rt[cand] == rt[cand].max()]
+            out[i] = cand[np.argmax(tie[cand])]
+        else:
+            cand = cand[rt[cand] == rt[cand].min()]
+            out[i] = cand[np.argmin(tie[cand])]
+    return out
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_kernel_fuzz(seed, direction, strict):
+    lk, lt, rk, rt, tie = _rand_case(seed)
+    got = asof_indices(lk, lt, rk, rt, tie, direction=direction, strict=strict)
+    want = _brute_asof(lk, lt, rk, rt, tie, direction, strict)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_asof_kernel_empty_right():
+    lk = np.array([1, 2], np.int64)
+    got = asof_indices(lk, lk, np.empty(0, np.int64), np.empty(0, np.int64),
+                       np.empty(0, np.int64))
+    np.testing.assert_array_equal(got, [-1, -1])
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_range_window_kernel_fuzz(seed):
+    lk, lt, rk, rt, _ = _rand_case(seed)
+    rng = np.random.default_rng(seed + 1000)
+    vals = np.round(rng.uniform(0, 100, len(rk)), 2)
+    lower, upper = -3, 7
+    order, j_lo, j_hi = range_windows(lk, lt, rk, rt, lower, upper)
+    sv = vals[order]
+    n = j_hi - j_lo
+    mn = range_min(sv, j_lo, j_hi)
+    mx = range_max(sv, j_lo, j_hi)
+    for i, (k, t) in enumerate(zip(lk, lt)):
+        ok = (rk == k) & (rt >= t + lower) & (rt < t + upper)
+        assert n[i] == ok.sum()
+        if ok.any():
+            assert mn[i] == vals[ok].min()
+            assert mx[i] == vals[ok].max()
+        else:
+            assert np.isnan(mn[i]) and np.isnan(mx[i])
+
+
+def test_range_minmax_single_and_full_span():
+    vals = np.array([5.0, 1.0, 9.0, 3.0])
+    lo = np.array([0, 0, 2, 1])
+    hi = np.array([4, 1, 3, 1])  # full span, single, single, empty
+    np.testing.assert_array_equal(range_max(vals, lo, hi)[:3], [9.0, 5.0, 9.0])
+    np.testing.assert_array_equal(range_min(vals, lo, hi)[:3], [1.0, 5.0, 9.0])
+    assert np.isnan(range_max(vals, lo, hi)[3])
+
+
+# --------------------------------------------------------------------------
+# Dataset-level
+
+
+def _ds(tbl: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+def test_asof_join_dataset(ray_session):
+    left = pa.table(
+        {
+            "oid": pa.array([1, 2, 3, 4], pa.int64()),
+            "k": pa.array([10, 10, 20, 30], pa.int64()),
+            "t": pa.array([100, 50, 100, 100], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array([7, 8, 9, 11], pa.int64()),
+            "k": pa.array([10, 10, 10, 20], pa.int64()),
+            # rows 8 and 9 tie on (k=10, t=60): tie_on=rid -> 9 wins
+            "t": pa.array([40, 60, 60, 200], pa.int64()),
+        }
+    )
+    out = (
+        asof_join(
+            _ds(left), _ds(right), on="k", left_ts="t", right_ts="t",
+            payload={"rid": "match_rid", "t": "match_t"}, tie_on="rid",
+            num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    assert out["match_rid"].tolist() == [9, 7, None, None] or [
+        x if pd.notna(x) else None for x in out["match_rid"]
+    ] == [9, 7, None, None]
+    assert [x if pd.notna(x) else None for x in out["match_t"]] == [
+        60, 40, None, None]
+
+
+def test_range_join_agg_dataset(ray_session):
+    left = pa.table(
+        {"oid": pa.array([1, 2], pa.int64()),
+         "k": pa.array([10, 20], pa.int64()),
+         "t": pa.array([100, 100], pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array([10, 10, 10, 20], pa.int64()),
+         "t": pa.array([100, 105, 110, 99], pa.int64()),
+         "v": pa.array([5.0, 1.0, 9.0, 2.0], pa.float64())}
+    )
+    out = (
+        range_join_agg(
+            _ds(left), _ds(right), on="k", left_ts="t", right_ts="t",
+            lower_us=0, upper_us=10, value_col="v", num_partitions=3,
+        )
+        .to_pandas()
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    # oid=1: rows at t=100,105 -> n=2, min=1, max=5; oid=2: none in [100,110)
+    assert out["n_match"].tolist() == [2, 0]
+    assert out["min_value"].tolist()[0] == 1.0
+    assert out["max_value"].tolist()[0] == 5.0
+    assert pd.isna(out["min_value"][1]) and pd.isna(out["max_value"][1])
+
+
+def test_asof_join_schema_stable_when_empty(ray_session):
+    empty = pa.table(
+        {"oid": pa.array([], pa.int64()), "k": pa.array([], pa.int64()),
+         "t": pa.array([], pa.int64())}
+    )
+    right = pa.table(
+        {"rid": pa.array([1], pa.int64()), "k": pa.array([1], pa.int64()),
+         "t": pa.array([1], pa.int64())}
+    )
+    out = asof_join(
+        _ds(empty), _ds(right), on="k", left_ts="t", right_ts="t",
+        payload={"rid": "match_rid"}, num_partitions=2,
+    )
+    assert set(out.schema().names) == {"oid", "k", "t", "match_rid"}
+    assert out.count() == 0
