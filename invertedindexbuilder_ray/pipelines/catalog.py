@@ -1624,3 +1624,21 @@ GROUP BY 1
 """
 
 QUERIES["events_window_agg"] = (q_events_window_agg, SQL_EVENTS_WINDOW_AGG)
+
+
+def q_approx_distinct_hll(sf_dir: str):
+    """HyperLogLog registers over the clean-tokenization token-hash
+    stream (the sketch stream).  The driver gate compares the REGISTER
+    table — pure integers, bit-exact vs sketch_sql.sql_hll_registers;
+    the float estimate is a deterministic driver-side function of it
+    (distinct.hll_estimate, accuracy-tested in test_distinct.py)."""
+    from .dedup import _docs
+    from .distinct import hll_token_registers
+
+    return hll_token_registers(_docs(sf_dir))
+
+
+QUERIES["approx_distinct_hll"] = (
+    q_approx_distinct_hll,
+    _sketch_sql.sql_hll_registers(),
+)

@@ -183,3 +183,21 @@ hams AS (
 )
 SELECT doc_a, doc_b, hamming FROM hams WHERE hamming <= {max_hamming}
 """
+
+
+def sql_hll_registers(*, p: int = 12) -> str:
+    """HyperLogLog register table in DuckDB, bit-exact vs
+    pipelines/distinct.py: same FNV token-hash stream (th), bucket =
+    h // 2^(64-p), rank = leading-zero count of the low (64-p) bits + 1
+    computed EXACTLY as (64-p+1) - length(bin(w)) — no float log2,
+    whose 1-ulp error near powers of two would mis-rank."""
+    w_div = 1 << (64 - p)
+    wb1 = (64 - p) + 1
+    return f"""
+WITH {_token_hash_ctes()},
+hw AS (SELECT h // {w_div} AS bucket, h % {w_div} AS w FROM th)
+SELECT bucket::BIGINT AS bucket,
+       max(CASE WHEN w = 0 THEN {wb1}
+                ELSE {wb1} - length(bin(w::BIGINT)) END)::BIGINT AS maxrank
+FROM hw GROUP BY 1
+"""

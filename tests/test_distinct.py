@@ -1,0 +1,94 @@
+"""HyperLogLog (pipelines/distinct.py): merge algebra + estimate accuracy.
+
+SQL bit-exactness of the registers is gated by test_catalog_vs_duckdb.py
+(approx_distinct_hll entry); here we test what SQL can't — the sketch's
+associativity under block splits and the estimator's error bounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from invertedindexbuilder_ray.pipelines.distinct import (
+    HLL_M,
+    _batch_registers,
+    hll_estimate,
+    hll_token_registers,
+)
+
+
+def _merge(tables):
+    reg = np.zeros(HLL_M, np.int64)
+    for t in tables:
+        b = t["bucket"].to_numpy()
+        r = t["maxrank"].to_numpy()
+        np.maximum.at(reg, b, r)
+    nz = np.flatnonzero(reg)
+    return pa.table({"bucket": pa.array(nz, pa.int64()),
+                     "maxrank": pa.array(reg[nz], pa.int64())})
+
+
+def test_registers_split_invariant():
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 1 << 64, 50_000, dtype=np.uint64)
+    whole = _batch_registers(h)
+    parts = [_batch_registers(c) for c in np.array_split(h, 7)]
+    assert _merge([whole]).equals(_merge(parts))
+
+
+def test_registers_duplicate_invariant():
+    rng = np.random.default_rng(8)
+    h = rng.integers(0, 1 << 64, 10_000, dtype=np.uint64)
+    once = _batch_registers(h)
+    thrice = _batch_registers(np.concatenate([h, h, h]))
+    assert once.equals(thrice)
+
+
+def test_estimate_accuracy_large():
+    rng = np.random.default_rng(9)
+    for n in (50_000, 200_000):
+        h = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+        n_true = len(np.unique(h))
+        est = hll_estimate(_batch_registers(h))
+        assert abs(est - n_true) / n_true < 0.05  # ~1.04/sqrt(4096) = 1.6% sd
+
+
+def test_estimate_small_range_linear_counting():
+    rng = np.random.default_rng(10)
+    h = rng.integers(0, 1 << 64, 300, dtype=np.uint64)
+    est = hll_estimate(_batch_registers(h))
+    assert abs(est - 300) / 300 < 0.10
+
+
+def test_estimate_empty():
+    assert hll_estimate(pa.table({"bucket": pa.array([], pa.int64()),
+                                  "maxrank": pa.array([], pa.int64())})) == 0.0
+
+
+def test_dataset_registers_match_single_batch(ray_session):
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.functions.sketch import _token_hashes
+
+    texts = [f"alpha beta{i} gamma delta{i % 7} epsilon" for i in range(500)]
+    tbl = pa.table({"text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(5)
+    got = (
+        hll_token_registers(ds)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    h, _ = _token_hashes(tbl["text"])
+    want = (
+        _batch_registers(h)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    est = hll_estimate(pa.table({"bucket": pa.array(got["bucket"]),
+                                 "maxrank": pa.array(got["maxrank"])}))
+    n_true = len(np.unique(h))
+    assert abs(est - n_true) / n_true < 0.10
