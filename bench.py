@@ -165,6 +165,7 @@ def run_bench() -> dict:
         "embedding_neardup", "embedding_neardup_srp", "ann_ivf", "ann_lsh", "fingerprint",
         "token_count_bpe", "orders_by_segment", "sample_hash",
         "events_sessions", "price_quantiles", "corpus_clean",
+        "events_asof_prior_click", "events_window_agg", "approx_distinct_hll",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]
@@ -229,6 +230,25 @@ def run_scaling() -> dict:
     lo_cpus = int(os.environ.get("IIB_SCALE_LO", "1"))
     hi_cpus = int(os.environ.get("IIB_SCALE_HI", "4"))
     n_runs = int(os.environ.get("IIB_SCALE_RUNS", "2"))
+    # VM-weather yardsticks: this sandbox has multi-hour Ray-side bad
+    # windows (2.5-5x slow while the raw-CPU probe stays healthy —
+    # BASELINE.md).  Bracket the legs with a cheap 100k/32-CPU build so
+    # every scaling number carries its own health evidence: healthy is
+    # ~3.3-4 s; readings >2x that mean the run straddled a bad window
+    # and must be discarded, whatever the efficiency says (a degraded
+    # 1-CPU leg FAKES superlinearity just as a degraded 4-CPU leg fakes
+    # sublinearity).
+
+    def yardstick() -> float:
+        env = dict(os.environ, IIB_SCALING_CHILD="1", IIB_BENCH_DOCS="100000")
+        env.pop("RAY_GRAFT_CPUS", None)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return float(json.loads(out.strip().splitlines()[-1])["value"])
+
+    y_before = yardstick()
     # INTERLEAVED, alternating order: the VM's throughput drifts over tens
     # of minutes, so lo-block-then-hi-block would systematically bias one
     # level; alternating (lo,hi),(hi,lo),... decorrelates drift from level.
@@ -241,7 +261,10 @@ def run_scaling() -> dict:
     hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    y_after = yardstick()
     return {
+        "yardstick_100k_sec_before": y_before,
+        "yardstick_100k_sec_after": y_after,
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
