@@ -1642,3 +1642,95 @@ QUERIES["approx_distinct_hll"] = (
     q_approx_distinct_hll,
     _sketch_sql.sql_hll_registers(),
 )
+
+
+def q_events_hourly_users(sf_dir: str):
+    """Windowed distinct-count: events and DISTINCT users per hour bucket.
+
+    Distinct-count is the aggregate that punishes naive plans at scale
+    (count(DISTINCT) forces key movement); here hours are hash-sharded
+    (dedup._sharded_groupby, 64 Ray groups regardless of hour count) and
+    each shard runs a vectorized pandas nunique at C speed.  The standard
+    sharded-agg caveat applies: one pathologically hot hour lands in one
+    worker — salt by user-hash prefix upstream if an hour can exceed a
+    worker's heap.  (The HLL sketch, approx_distinct_hll, is the
+    approximate path when even per-window exactness is too expensive.)"""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        bucket = pc.cast(pc.divide(us, 3_600_000_000), pa.int64())
+        return pa.table({"hour_bucket": bucket, "user_id": batch["user_id"]})
+
+    ds = read_parquet_sized(path, columns=["ts", "user_id"]).map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("hour_bucket", as_index=False).agg(
+            n_events=("user_id", "size"), n_users=("user_id", "nunique")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    schema = pa.schema(
+        [("hour_bucket", pa.int64()), ("n_events", pa.int64()),
+         ("n_users", pa.int64())]
+    )
+    return _sharded_groupby(ds, ["hour_bucket"], agg, empty_schema=schema)
+
+
+SQL_EVENTS_HOURLY_USERS = """
+SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1
+"""
+
+QUERIES["events_hourly_users"] = (q_events_hourly_users, SQL_EVENTS_HOURLY_USERS)
+
+
+def q_bigram_topk(sf_dir: str):
+    """Top-20 bigram collocations (adjacent kept tokens, clean
+    tokenization — the sketch stream's adjacency, which both sides form
+    AFTER dropping >15-char tokens).  Deterministic under the total
+    order (count desc, bigram asc)."""
+    from ..sources.documents import load_documents
+    from .textpipe import bigram_topk
+
+    return bigram_topk(load_documents(sf_dir))
+
+
+SQL_BIGRAM_TOPK = """
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS pos
+    FROM filt
+),
+nxt AS (
+    SELECT term,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+    FROM toks
+),
+cnt AS (
+    SELECT term || ' ' || t2 AS bigram, count(*)::BIGINT AS n
+    FROM nxt WHERE t2 IS NOT NULL GROUP BY 1
+)
+SELECT bigram, n, rank::BIGINT AS rank FROM (
+    SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rank
+    FROM cnt
+) WHERE rank <= 20
+"""
+
+QUERIES["bigram_topk"] = (q_bigram_topk, SQL_BIGRAM_TOPK)

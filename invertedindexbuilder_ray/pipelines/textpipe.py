@@ -264,3 +264,102 @@ def fingerprint_groups_ds(source: str | rd.Dataset) -> rd.Dataset:
         ),
         num_shards=shards,
     )
+
+
+# --------------------------------------------------------------------------
+# bigram collocations (top-k adjacent-token pairs)
+
+BIGRAM_TOPK_K = 20
+
+
+def _token_string_array(
+    mapped: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> pa.Array:
+    """Zero-copy-ish Arrow utf8 array of the kept tokens: one vectorized
+    gather compacts the (non-contiguous) token spans of the lowercased
+    byte buffer into an offsets+data pair."""
+    n = len(starts)
+    total = int(lens.sum())
+    ends = np.cumsum(lens)
+    outs = ends - lens
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(outs, lens)
+        + np.repeat(starts, lens)
+    )
+    compact = mapped[idx] if total else np.empty(0, np.uint8)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    offsets[1:] = ends
+    return pa.Array.from_buffers(
+        pa.utf8(), n, [None, pa.py_buffer(offsets.tobytes()),
+                       pa.py_buffer(compact.tobytes())]
+    )
+
+
+def bigram_topk(docs: rd.Dataset, *, k: int = BIGRAM_TOPK_K,
+                text_col: str = "text") -> rd.Dataset:
+    """Top-k bigram collocations under the total order (count desc,
+    bigram asc) — deterministic, so a SQL row_number() oracle matches.
+
+    Shape: per-batch partial counts (Arrow group_by — the bigram space
+    is compressed ~10-100x before anything moves), sharded global sum
+    (shard key = FNV pair-hash, so one bigram's rows always co-locate;
+    64 Ray groups regardless of bigram cardinality), per-shard top-k
+    (safe: the global top-k is a subset of the union of per-shard
+    top-ks since each bigram's TOTAL count lives in one shard), then a
+    tiny final sort+limit over <= 64*k rows."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import _span_hashes
+    from .dedup import _sharded_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mapped, starts, lens, row_idx = token_spans(
+            batch[text_col], drop_trailing=False
+        )
+        n = len(starts)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.utf8()),
+                             "bh": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        toks = _token_string_array(mapped, starts, lens)
+        h, _h2 = _span_hashes(mapped, starts, lens)
+        keep = row_idx[:-1] == row_idx[1:]
+        joined = pc.binary_join_element_wise(
+            toks.slice(0, n - 1), toks.slice(1, n - 1), " "
+        ).filter(pa.array(keep))
+        with np.errstate(over="ignore"):
+            bh = ((h[:-1] ^ h[1:]) * np.uint64(_FNV_PRIME))[keep]
+        t = pa.table({"bigram": joined,
+                      "bh": pa.array(bh.view(np.int64), pa.int64())})
+        agg = t.group_by("bigram").aggregate([("bh", "min"), ("bigram", "count")])
+        return pa.table({"bigram": agg["bigram"],
+                         "bh": agg["bh_min"],
+                         "n": agg["bigram_count"].cast(pa.int64())})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("bigram", as_index=False)["n"].sum()
+        tot = tot.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+        return tot
+
+    schema = pa.schema([("bigram", pa.utf8()), ("n", pa.int64())])
+    tops = _sharded_groupby(partials, ["bh"], agg, empty_schema=schema)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n", "bigram"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df[["bigram", "n", "rank"]],
+                                    preserve_index=False)
+
+    # <= 64*k rows remain: one block, one deterministic re-sort.
+    # batch_size=None = whole block (the default 1024 could SPLIT 64*k
+    # rows into two finalize calls -> two rank sequences)
+    return tops.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
