@@ -166,6 +166,7 @@ def run_bench() -> dict:
         "token_count_bpe", "orders_by_segment", "sample_hash",
         "events_sessions", "price_quantiles", "corpus_clean",
         "events_asof_prior_click", "events_window_agg", "approx_distinct_hll",
+        "events_hourly_users", "bigram_topk",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]
