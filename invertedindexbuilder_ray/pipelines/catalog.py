@@ -1734,3 +1734,209 @@ SELECT bigram, n, rank::BIGINT AS rank FROM (
 """
 
 QUERIES["bigram_topk"] = (q_bigram_topk, SQL_BIGRAM_TOPK)
+
+
+# --------------------------------------------------------------------------
+# curation tier (round 4): repetition quality, PII, decontamination,
+# tf-idf top terms, stratified sampling — see pipelines/curation.py
+
+_SQL_TOKS_LIST = """
+filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+)
+"""
+
+
+def q_gopher_repetition(sf_dir: str):
+    from .curation import gopher_repetition_ds
+
+    return gopher_repetition_ds(sf_dir)
+
+
+def _sql_gopher_repetition() -> str:
+    from .curation import (
+        GOPHER_MAX_DUP_FRAC,
+        GOPHER_MAX_TOP_BIGRAM_FRAC,
+        GOPHER_MIN_TOKENS,
+    )
+
+    return f"""
+WITH {_SQL_TOKS_LIST},
+tok AS (
+    SELECT doc_id, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS pos
+    FROM filt
+),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+pd AS (
+    SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct
+    FROM tf GROUP BY 1
+),
+bg AS (
+    SELECT doc_id,
+           term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+    FROM tok
+),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2),
+bt AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n FROM bc GROUP BY 1),
+j AS (
+    SELECT d.doc_id,
+           coalesce(pd.n_tokens, 0) AS n_tokens,
+           coalesce(pd.n_distinct, 0) AS n_distinct,
+           coalesce(bt.top_bigram_n, 0) AS top_bigram_n
+    FROM documents d
+    LEFT JOIN pd ON d.doc_id = pd.doc_id
+    LEFT JOIN bt ON d.doc_id = bt.doc_id
+),
+r AS (
+    SELECT doc_id, n_tokens, n_distinct, top_bigram_n,
+           round((n_tokens - n_distinct) / greatest(n_tokens, 1)::DOUBLE, 6)
+               AS dup_frac,
+           round(2.0 * top_bigram_n / greatest(n_tokens, 1)::DOUBLE, 6)
+               AS top_bigram_frac
+    FROM j
+)
+SELECT doc_id, n_tokens, n_distinct, top_bigram_n, dup_frac, top_bigram_frac,
+       (n_tokens >= {GOPHER_MIN_TOKENS}
+        AND dup_frac <= {GOPHER_MAX_DUP_FRAC}
+        AND top_bigram_frac <= {GOPHER_MAX_TOP_BIGRAM_FRAC})::BIGINT AS passes
+FROM r
+"""
+
+
+QUERIES["gopher_repetition"] = (q_gopher_repetition, _sql_gopher_repetition())
+
+
+def q_pii_scan(sf_dir: str):
+    from .curation import pii_scan_ds
+
+    return pii_scan_ds(sf_dir)
+
+
+def _sql_pii_scan() -> str:
+    from .curation import PII_EMAIL_EVERY, PII_EMAIL_RE, PII_IP_EVERY, PII_IPV4_RE
+
+    return f"""
+WITH aug AS (
+    SELECT doc_id,
+           text ||
+           CASE WHEN doc_id % {PII_EMAIL_EVERY} = 0
+                THEN ' contact user' || doc_id || '@example.com now'
+                ELSE '' END ||
+           CASE WHEN doc_id % {PII_IP_EVERY} = 0
+                THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+                     || ' port'
+                ELSE '' END AS t
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t, '{PII_IPV4_RE}'))::BIGINT AS n_ips,
+       length(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{PII_IPV4_RE}', '<IP>', 'g'))::BIGINT
+           AS redacted_len
+FROM aug
+"""
+
+
+QUERIES["pii_scan"] = (q_pii_scan, _sql_pii_scan())
+
+
+def q_decontaminate(sf_dir: str):
+    from .curation import decontaminate_ds
+
+    return decontaminate_ds(sf_dir)
+
+
+def _sql_decontaminate() -> str:
+    from .curation import DECON_BENCH_EVERY, DECON_WINDOW
+
+    w = DECON_WINDOW
+    return f"""
+WITH {_SQL_TOKS_LIST},
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - {w - 2}),
+                                 j -> array_to_string(toks[j:j + {w - 1}], ' ')))
+               AS shingle
+    FROM filt
+    WHERE len(toks) >= {w}
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECON_BENCH_EVERY} = 0),
+cnt AS (
+    SELECT sh.doc_id,
+           count(*)::BIGINT AS n_sh,
+           sum(CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_cont
+    FROM sh LEFT JOIN bench USING (shingle)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(cnt.n_sh, 0)::BIGINT AS n_shingles,
+       coalesce(cnt.n_cont, 0)::BIGINT AS n_contaminated,
+       (coalesce(cnt.n_cont, 0) > 0)::BIGINT AS contaminated
+FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+"""
+
+
+QUERIES["decontaminate"] = (q_decontaminate, _sql_decontaminate())
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    from .curation import tfidf_top_terms_ds
+
+    return tfidf_top_terms_ds(sf_dir)
+
+
+def _sql_tfidf_top_terms() -> str:
+    from .curation import TFIDF_TOP_K
+
+    return f"""
+WITH {_SQL_TOKS_LIST},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ranked AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * log2((n.n + 1) / (df.df + 1)), 6) AS score,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+               AS rank
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+QUERIES["tfidf_top_terms"] = (q_tfidf_top_terms, _sql_tfidf_top_terms())
+
+
+def q_stratified_sample(sf_dir: str):
+    from .curation import stratified_sample_ds
+
+    return stratified_sample_ds(sf_dir)
+
+
+def _sql_stratified_sample() -> str:
+    from .curation import STRATA_DEFAULT_RATE, STRATA_RATES
+
+    case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_RATES.items())
+        )
+        + f" ELSE {STRATA_DEFAULT_RATE} END"
+    )
+    return f"""
+SELECT doc_id, lang, strlen(text)::BIGINT AS dl
+FROM documents
+WHERE ((doc_id::HUGEINT * {SAMPLE_MULT}) % 18446744073709551616) % 100 < {case}
+"""
+
+
+QUERIES["stratified_sample"] = (q_stratified_sample, _sql_stratified_sample())

@@ -1,0 +1,512 @@
+"""Training-data curation operators over the documents table.
+
+Extends the engine's text-analytics tier (tokenizer substrate:
+``functions/tokenize.py``; reference anchor for the token semantics is
+the quirk scanner it cross-validates, see SURVEY.md §8) with the
+operations a 100-TB LLM training-data pipeline runs between crawl and
+tokenizer:
+
+- :func:`gopher_repetition_ds` — per-doc repetition/quality signals in
+  the style of the Gopher rules (duplicate-word fraction, top-bigram
+  mass) with a pass/fail flag.
+- :func:`pii_scan_ds` — regex PII detection + redaction (emails, IPv4),
+  RE2 on both the Ray side (Arrow ``count_substring_regex`` /
+  ``replace_substring_regex``) and the DuckDB oracle, so counts and the
+  redacted length are bit-comparable.
+- :func:`decontaminate_ds` — benchmark n-gram decontamination: count
+  per doc the 8-token shingles that appear in a (small, broadcast)
+  benchmark shingle set.
+- :func:`tfidf_top_terms_ds` — per-doc top-k terms under the exact
+  integer order (tf desc, df asc, term asc) with a rounded tf-idf
+  score; df computed via a term-sharded exchange, never a per-key Ray
+  groupby.
+- :func:`stratified_sample_ds` — per-language deterministic hash
+  sampling (rebalancing): same Fibonacci multiply hash as
+  ``sample_hash``, with a per-group keep rate.
+
+Scale notes (100 TB): every operator is a streaming ``map_batches``
+plan; per-doc aggregates use per-batch Arrow ``group_by`` (a document
+never spans batches); corpus-wide state is either a bounded broadcast
+(the benchmark shingle set — small BY DESIGN; loudly bounded) or a
+hash-sharded exchange (`dedup._sharded_groupby`, shard count fixed,
+vectorized pandas inside).  No driver-side row loops, no full
+materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.rounding import round_half_away
+from ..functions.tokenize import _span_hashes, token_spans
+from .textpipe import _docs, _token_string_array
+
+# ---------------------------------------------------------------------------
+# shared: clean token stream -> (doc_id-aligned tokens, per-batch)
+
+
+def _batch_tokens(batch: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray,
+                                            np.ndarray, np.ndarray]:
+    """Clean kept tokens (lowercased [a-z0-9]+ runs, len<=15 dropped, NO
+    trailing-token quirk) for one batch: returns ``(tokens, token_doc,
+    row_idx, h1, h2)`` where ``token_doc[i]`` is the doc_id owning token
+    i and (h1, h2) are the dual 64-bit span hashes."""
+    mapped, starts, lens, row_idx = token_spans(batch["text"], drop_trailing=False)
+    toks = _token_string_array(mapped, starts, lens)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h1, h2 = _span_hashes(mapped, starts, lens)
+    return toks, doc_ids[row_idx], row_idx, h1, h2
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality signals
+
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_DUP_FRAC = 0.6
+GOPHER_MAX_TOP_BIGRAM_FRAC = 0.2
+
+
+def gopher_repetition_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """Per-doc repetition signals + Gopher-style pass flag.
+
+    Columns: ``doc_id, n_tokens, n_distinct, top_bigram_n, dup_frac,
+    top_bigram_frac, passes``.  ``dup_frac = (n_tokens - n_distinct) /
+    n_tokens`` and ``top_bigram_frac = 2 * top_bigram_n / n_tokens``
+    (both rounded half-away to 6, matching DuckDB ``round``);
+    ``passes`` applies the module thresholds to the ROUNDED values so
+    the SQL oracle's comparisons agree bit-for-bit.
+
+    Everything is per-batch Arrow ``group_by`` (documents never span
+    batches) — zero cross-batch exchange.
+    """
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        toks, token_doc, row_idx, _h1, _h2 = _batch_tokens(batch)
+        n = len(toks)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        if n:
+            t = pa.table({"doc_id": pa.array(token_doc, pa.int64()), "term": toks})
+            tf = t.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+            per_doc = tf.group_by("doc_id").aggregate(
+                [("term_count", "sum"), ("term_count", "count")]
+            )
+            pdoc = per_doc["doc_id"].to_numpy(zero_copy_only=False)
+            ptok = per_doc["term_count_sum"].to_numpy(zero_copy_only=False)
+            pdis = per_doc["term_count_count"].to_numpy(zero_copy_only=False)
+        else:
+            pdoc = np.empty(0, np.int64)
+            ptok = pdis = np.empty(0, np.int64)
+
+        # bigram mass: adjacent kept tokens within one doc
+        if n >= 2:
+            keep = row_idx[:-1] == row_idx[1:]
+            bg = pc.binary_join_element_wise(
+                toks.slice(0, n - 1), toks.slice(1, n - 1), " "
+            ).filter(pa.array(keep))
+            bdoc = token_doc[:-1][keep]
+            bt = pa.table({"doc_id": pa.array(bdoc, pa.int64()), "bg": bg})
+            bc = bt.group_by(["doc_id", "bg"]).aggregate([("bg", "count")])
+            btop = bc.group_by("doc_id").aggregate([("bg_count", "max")])
+            bdoc2 = btop["doc_id"].to_numpy(zero_copy_only=False)
+            bmax = btop["bg_count_max"].to_numpy(zero_copy_only=False)
+        else:
+            bdoc2 = np.empty(0, np.int64)
+            bmax = np.empty(0, np.int64)
+
+        # align per-doc aggregates back to the batch's doc order
+        # (vectorized: doc_id is unique per row, sorted probe)
+        out_tok = np.zeros(len(doc_ids), np.int64)
+        out_dis = np.zeros(len(doc_ids), np.int64)
+        out_big = np.zeros(len(doc_ids), np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        if len(pdoc):
+            idx = order[np.searchsorted(doc_ids[order], pdoc)]
+            out_tok[idx] = ptok
+            out_dis[idx] = pdis
+        if len(bdoc2):
+            idx = order[np.searchsorted(doc_ids[order], bdoc2)]
+            out_big[idx] = bmax
+
+        safe_n = np.maximum(out_tok, 1).astype(np.float64)
+        dup = round_half_away((out_tok - out_dis) / safe_n, 6)
+        big = round_half_away(2.0 * out_big / safe_n, 6)
+        passes = (
+            (out_tok >= GOPHER_MIN_TOKENS)
+            & (dup <= GOPHER_MAX_DUP_FRAC)
+            & (big <= GOPHER_MAX_TOP_BIGRAM_FRAC)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(out_tok, pa.int64()),
+                "n_distinct": pa.array(out_dis, pa.int64()),
+                "top_bigram_n": pa.array(out_big, pa.int64()),
+                "dup_frac": pa.array(dup, pa.float64()),
+                "top_bigram_frac": pa.array(big, pa.float64()),
+                "passes": pa.array(passes, pa.int64()),
+            }
+        )
+
+    return _docs(source).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+
+# RE2 on both sides: Arrow's count/replace_substring_regex and DuckDB's
+# regexp_* are both RE2, so match spans are identical by construction.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+# sf augmentation: the synthetic corpus contains no PII, and an
+# all-zero-count result would be a weak oracle.  Deterministically
+# append a synthetic email to every 7th doc and an IPv4 to every 11th
+# (replicated in the SQL oracle) — same pattern as the
+# embedding_neardup_srp dup-every-100th CTE.
+PII_EMAIL_EVERY = 7
+PII_IP_EVERY = 11
+
+
+def _pii_augment(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    id_str = pc.cast(batch["doc_id"], pa.string())
+    email = pc.binary_join_element_wise(
+        pa.array([" contact user"] * n, pa.string()),
+        id_str,
+        pa.array(["@example.com now"] * n, pa.string()),
+        "",
+    )
+    ip = pc.binary_join_element_wise(
+        pa.array([" from 10."] * n, pa.string()),
+        pc.cast(pa.array(ids % 256, pa.int64()), pa.string()),
+        pa.array([".0."] * n, pa.string()),
+        pc.cast(pa.array(ids % 100, pa.int64()), pa.string()),
+        pa.array([" port"] * n, pa.string()),
+        "",
+    )
+    empty = pa.array([""] * n, pa.string())
+    text = pc.binary_join_element_wise(
+        pc.cast(batch["text"], pa.string()),
+        pc.if_else(pa.array(ids % PII_EMAIL_EVERY == 0), email, empty),
+        pc.if_else(pa.array(ids % PII_IP_EVERY == 0), ip, empty),
+        "",
+    )
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
+def pii_scan_ds(source: str | rd.Dataset, *, augment: bool = True) -> rd.Dataset:
+    """Per-doc PII counts + redacted length.
+
+    Columns: ``doc_id, n_emails, n_ips, redacted_len``.  Redaction
+    replaces emails with ``<EMAIL>`` then IPv4s with ``<IP>``;
+    ``redacted_len`` is the character length of the redacted text
+    (ASCII corpus, so Arrow utf8_length == DuckDB length).
+
+    One RE2 scan per pattern per batch — no per-row Python.  ``augment``
+    injects deterministic synthetic PII (sf tables contain none).
+    """
+    ds = _docs(source)
+    if augment:
+        ds = ds.map_batches(_pii_augment, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        n_emails = pc.cast(
+            pc.count_substring_regex(text, pattern=PII_EMAIL_RE), pa.int64()
+        )
+        n_ips = pc.cast(
+            pc.count_substring_regex(text, pattern=PII_IPV4_RE), pa.int64()
+        )
+        red = pc.replace_substring_regex(
+            text, pattern=PII_EMAIL_RE, replacement="<EMAIL>"
+        )
+        red = pc.replace_substring_regex(
+            red, pattern=PII_IPV4_RE, replacement="<IP>"
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_emails": n_emails,
+                "n_ips": n_ips,
+                "redacted_len": pc.cast(pc.utf8_length(red), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+DECON_WINDOW = 8  # tokens per shingle
+DECON_BENCH_EVERY = 50  # sf benchmark set: every 50th doc's shingles
+# A benchmark/eval set is small BY DESIGN (the thing you must not train
+# on); it is broadcast once per run.  Bound it loudly rather than let a
+# mis-pointed "benchmark" silently become a second corpus.
+DECON_MAX_BENCH_SHINGLES = 5_000_000
+
+
+def _shingle_strings(batch: pa.Table) -> tuple[pa.Array, np.ndarray]:
+    """All ``DECON_WINDOW``-token shingle strings in the batch and the
+    doc_id owning each (tokens joined by a single space)."""
+    toks, token_doc, row_idx, _h1, _h2 = _batch_tokens(batch)
+    n = len(toks)
+    w = DECON_WINDOW
+    if n < w:
+        return pa.array([], pa.utf8()), np.empty(0, np.int64)
+    # row_idx is sorted, so endpoints equal => whole window in one doc
+    keep = row_idx[: n - w + 1] == row_idx[w - 1 :]
+    pieces = [toks.slice(i, n - w + 1) for i in range(w)]
+    joined = pc.binary_join_element_wise(*pieces, " ").filter(pa.array(keep))
+    return joined, token_doc[: n - w + 1][keep]
+
+
+def decontaminate_ds(
+    source: str | rd.Dataset,
+    benchmark: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Per-doc benchmark-overlap counts.
+
+    Columns: ``doc_id, n_shingles, n_contaminated, contaminated``.
+    ``n_contaminated`` counts shingle POSITIONS (not distinct shingles)
+    whose 8-token window appears in the benchmark shingle set;
+    ``contaminated`` is the 0/1 flag a filter stage would key on.
+
+    ``benchmark`` defaults to the sf stand-in: the shingles of every
+    ``DECON_BENCH_EVERY``-th document (real pipelines pass the eval-set
+    corpus here).  The distinct benchmark shingles are ``ray.put`` once
+    and probed with one vectorized ``is_in`` per batch — zero shuffle;
+    the scan streams.
+    """
+    docs = _docs(source)
+    if benchmark is None:
+
+        def every_nth(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(ids % DECON_BENCH_EVERY == 0))
+
+        benchmark = docs.map_batches(
+            every_nth, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        sh, _doc = _shingle_strings(batch)
+        return pa.table({"shingle": pc.unique(sh)})
+
+    bench_tbls = (
+        benchmark.map_batches(bench_shingles, batch_format="pyarrow")
+        .take_all()
+    )
+    uniq: set[str] = set()
+    for row in bench_tbls:
+        uniq.add(row["shingle"])
+        if len(uniq) > DECON_MAX_BENCH_SHINGLES:
+            raise ValueError(
+                f"benchmark shingle set exceeds {DECON_MAX_BENCH_SHINGLES:,}; "
+                "a benchmark this large should be hash-joined, not broadcast "
+                "— pass a smaller eval set or shard it"
+            )
+    bench_arr = pa.array(sorted(uniq), pa.utf8())
+    bref = ray.put(bench_arr)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bref)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh, sh_doc = _shingle_strings(batch)
+        n_sh = np.zeros(len(doc_ids), np.int64)
+        n_hit = np.zeros(len(doc_ids), np.int64)
+        if len(sh):
+            order = np.argsort(doc_ids, kind="stable")
+            idx = order[np.searchsorted(doc_ids[order], sh_doc)]
+            np.add.at(n_sh, idx, 1)
+            hit = pc.is_in(sh, value_set=bench).to_numpy(zero_copy_only=False)
+            np.add.at(n_hit, idx[hit], 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_shingles": pa.array(n_sh, pa.int64()),
+                "n_contaminated": pa.array(n_hit, pa.int64()),
+                "contaminated": pa.array((n_hit > 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# per-doc TF-IDF top terms
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms_ds(source: str | rd.Dataset, *, k: int = TFIDF_TOP_K) -> rd.Dataset:
+    """Top-k terms per document under the EXACT integer order
+    (tf desc, df asc, term asc) with a rounded tf-idf score.
+
+    Columns: ``doc_id, term, tf, df, score, rank`` where ``score =
+    round(tf * log2((N + 1) / (df + 1)), 6)``.  The RANK is taken on
+    integer keys only, so float log differences can never reorder rows
+    — the score is a payload, rounded identically to DuckDB.
+
+    Shape: per-batch Arrow group_by -> exact (doc, term, tf) rows
+    (documents never span batches); term-sharded exchange computes df
+    and joins it in place (`_sharded_groupby`, vectorized pandas — the
+    same one-exchange df pattern as the index build's term partitions,
+    cf. reference merge stage src/sort.c provenance in build.py);
+    doc-sharded exchange takes the per-doc top-k.  Two bounded
+    exchanges, no broadcast of the vocabulary.
+    """
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+    n_docs = docs.count()
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        toks, token_doc, _row_idx, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.utf8()),
+                    "tf": pa.array([], pa.int64()),
+                    "th": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "doc_id": pa.array(token_doc, pa.int64()),
+                "term": toks,
+                "th": pa.array(h1.view(np.int64), pa.int64()),
+            }
+        )
+        tf = t.group_by(["doc_id", "term"]).aggregate(
+            [("term", "count"), ("th", "min")]
+        )
+        return pa.table(
+            {
+                "doc_id": tf["doc_id"],
+                "term": tf["term"],
+                "tf": tf["term_count"].cast(pa.int64()),
+                "th": tf["th_min"],
+            }
+        )
+
+    tf_rows = docs.map_batches(tf_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def df_join(g: pd.DataFrame) -> pd.DataFrame:
+        # one row per (doc, term): df = row count per term in this shard
+        # (a term's rows all land in this shard — the shard key is the
+        # term hash)
+        g = g.copy()
+        g["df"] = g.groupby("term")["term"].transform("size").astype("int64")
+        return g[["doc_id", "term", "tf", "df"]]
+
+    tfdf_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.utf8()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+        ]
+    )
+    tfdf = _sharded_groupby(tf_rows, ["th"], df_join, empty_schema=tfdf_schema)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        g["rank"] = g.groupby("doc_id").cumcount() + 1
+        g = g[g["rank"] <= k].copy()
+        idf = np.log2((float(n_docs) + 1.0) / (g["df"].to_numpy() + 1.0))
+        g["score"] = round_half_away(g["tf"].to_numpy() * idf, 6)
+        g["rank"] = g["rank"].astype("int64")
+        return g[["doc_id", "term", "tf", "df", "score", "rank"]]
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("term", pa.utf8()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("score", pa.float64()),
+            ("rank", pa.int64()),
+        ]
+    )
+    return _sharded_groupby(tfdf, ["doc_id"], topk, empty_schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# stratified per-language sampling
+
+# per-language keep rates in percent (rebalancing: downsample the
+# over-represented head, keep the tail) — arbitrary but fixed; the SQL
+# oracle carries the same table.
+STRATA_RATES: dict[str, int] = {"en": 10, "zh": 80, "es": 50, "de": 50, "fr": 50}
+STRATA_DEFAULT_RATE = 25
+
+
+def stratified_sample_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """Deterministic per-language hash sample: keep a doc iff its
+    Fibonacci-multiply hash bucket (same hash as ``sample_hash``) falls
+    under its language's keep rate.  Columns: ``doc_id, lang, dl``.
+
+    Same rows at ANY parallelism / cluster size — no RNG, no state.
+    """
+    from .catalog import SAMPLE_MULT
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            bucket = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(100)
+        # rate lookup via dictionary codes: Python touches only the
+        # (few) distinct languages, never the rows
+        enc = pc.dictionary_encode(batch["lang"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        rate_by_code = np.fromiter(
+            (
+                STRATA_RATES.get(v, STRATA_DEFAULT_RATE)
+                for v in enc.dictionary.to_pylist()
+            ),
+            np.uint64,
+            len(enc.dictionary),
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        keep = bucket < rate_by_code[codes]
+        kept = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+                "lang": pc.cast(kept["lang"], pa.string()),
+                "dl": pc.cast(
+                    pc.binary_length(pc.cast(kept["text"], pa.binary())), pa.int64()
+                ),
+            }
+        )
+
+    from ..sources.util import read_parquet_sized
+    import os
+
+    if isinstance(source, rd.Dataset):
+        ds = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        ds = read_parquet_sized(path, columns=["doc_id", "lang", "text"])
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
