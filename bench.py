@@ -167,6 +167,8 @@ def run_bench() -> dict:
         "events_sessions", "price_quantiles", "corpus_clean",
         "events_asof_prior_click", "events_window_agg", "approx_distinct_hll",
         "events_hourly_users", "bigram_topk",
+        "gopher_repetition", "pii_scan", "decontaminate", "tfidf_top_terms",
+        "stratified_sample", "substring_dup_spans", "length_outlier_filter",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

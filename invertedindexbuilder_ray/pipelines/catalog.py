@@ -1940,3 +1940,80 @@ WHERE ((doc_id::HUGEINT * {SAMPLE_MULT}) % 18446744073709551616) % 100 < {case}
 
 
 QUERIES["stratified_sample"] = (q_stratified_sample, _sql_stratified_sample())
+
+
+def q_substring_dup_spans(sf_dir: str):
+    from .curation import substring_dup_spans_ds
+
+    return substring_dup_spans_ds(sf_dir)
+
+
+def _sql_substring_dup_spans() -> str:
+    from .curation import SUBSTR_CLONE_EVERY, SUBSTR_CLONE_OFFSET, SUBSTR_WINDOW
+
+    w = SUBSTR_WINDOW
+    return f"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {SUBSTR_CLONE_OFFSET}, text FROM documents
+    WHERE doc_id % {SUBSTR_CLONE_EVERY} = 0
+),
+filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM aug
+),
+win AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - {w - 2}),
+                                 j -> array_to_string(toks[j:j + {w - 1}], ' ')))
+               AS sh
+    FROM filt
+    WHERE len(toks) >= {w}
+),
+shared AS (SELECT sh FROM win GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+dup AS (
+    SELECT doc_id, count(*)::BIGINT AS n_dup
+    FROM win JOIN shared USING (sh)
+    GROUP BY 1
+),
+base AS (
+    SELECT doc_id, greatest(len(toks) - {w - 1}, 0)::BIGINT AS n_windows
+    FROM filt
+)
+SELECT b.doc_id,
+       b.n_windows,
+       coalesce(d.n_dup, 0)::BIGINT AS n_dup_windows,
+       round(coalesce(d.n_dup, 0) / greatest(b.n_windows, 1)::DOUBLE, 6)
+           AS dup_frac,
+       (coalesce(d.n_dup, 0) > 0)::BIGINT AS has_dup
+FROM base b LEFT JOIN dup d USING (doc_id)
+"""
+
+
+QUERIES["substring_dup_spans"] = (q_substring_dup_spans, _sql_substring_dup_spans())
+
+
+def q_length_outlier_filter(sf_dir: str):
+    from .curation import length_outlier_filter_ds
+
+    return length_outlier_filter_ds(sf_dir)
+
+
+def _sql_length_outlier_filter() -> str:
+    from .curation import OUTLIER_HI_Q, OUTLIER_LO_Q
+
+    return f"""
+SELECT doc_id, strlen(text)::BIGINT AS n_chars
+FROM documents
+WHERE strlen(text) >= (SELECT quantile_disc(strlen(text), {OUTLIER_LO_Q})
+                       FROM documents)
+  AND strlen(text) <= (SELECT quantile_disc(strlen(text), {OUTLIER_HI_Q})
+                       FROM documents)
+"""
+
+
+QUERIES["length_outlier_filter"] = (q_length_outlier_filter,
+                                    _sql_length_outlier_filter())

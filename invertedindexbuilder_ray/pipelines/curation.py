@@ -510,3 +510,201 @@ def stratified_sample_ds(source: str | rd.Dataset) -> rd.Dataset:
         )
         ds = read_parquet_sized(path, columns=["doc_id", "lang", "text"])
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-doc duplicated-substring spans (exact-substring dedup, shingle
+# granularity — the Ray-Data shape of the suffix-array substring dedup
+# used on LLM training corpora)
+
+SUBSTR_WINDOW = 20  # tokens per window
+SUBSTR_CLONE_EVERY = 100  # sf augmentation: clone every 100th doc
+SUBSTR_CLONE_OFFSET = 10_000_000
+
+
+def _substr_augment(batch: pa.Table) -> pa.Table:
+    """Deterministic sf augmentation (mirrored in the SQL oracle): append
+    a clone of every ``SUBSTR_CLONE_EVERY``-th doc under a shifted id, so
+    the synthetic corpus (whose 20-token windows never repeat naturally)
+    exercises the duplicated-span path."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = ids % SUBSTR_CLONE_EVERY == 0
+    clones = batch.filter(pa.array(m))
+    shifted = pa.table(
+        {
+            "doc_id": pc.add(clones["doc_id"], SUBSTR_CLONE_OFFSET),
+            "text": clones["text"],
+        }
+    )
+    base = pa.table({"doc_id": batch["doc_id"], "text": batch["text"]})
+    return pa.concat_tables([base, shifted])
+
+
+def substring_dup_spans_ds(
+    source: str | rd.Dataset, *, augment: bool = True
+) -> rd.Dataset:
+    """Per-doc duplicated-substring statistics: a window position is
+    duplicated iff its ``SUBSTR_WINDOW``-token shingle occurs in >= 2
+    DISTINCT documents.  Columns: ``doc_id, n_windows, n_dup_windows,
+    dup_frac, has_dup``.
+
+    Shape: one shingle exchange (`_sharded_groupby` keyed on an INTERNAL
+    dual-FNV window hash — the key never reaches the output, so the SQL
+    oracle needn't replicate it; groups are compared on the exact
+    shingle STRING inside the shard), partial per-doc dup counts, then a
+    doc-keyed sharded sum merges them with the formula-derived window
+    totals.  Exactness note: strings ride the exchange (~6x the hash
+    bytes) — the declared cost of EXACT substring semantics; the
+    hash-only variant with a verify pass is the 100-TB bandwidth
+    optimization, same plan shape.
+    """
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+    if augment:
+        docs = docs.map_batches(
+            _substr_augment, batch_format="pyarrow", zero_copy_batch=True
+        )
+    w = SUBSTR_WINDOW
+
+    def windows(batch: pa.Table) -> pa.Table:
+        toks, token_doc, row_idx, h1, h2 = _batch_tokens(batch)
+        n = len(toks)
+        if n < w:
+            return pa.table(
+                {
+                    "wh": pa.array([], pa.int64()),
+                    "shingle": pa.array([], pa.utf8()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        keep = row_idx[: n - w + 1] == row_idx[w - 1 :]
+        pieces = [toks.slice(i, n - w + 1) for i in range(w)]
+        joined = pc.binary_join_element_wise(*pieces, " ").filter(pa.array(keep))
+        # internal shard key: XOR-rotate fold of the token dual-hashes
+        # (deterministic; collisions only co-locate more strings)
+        acc = np.zeros(n - w + 1, np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(w):
+                hv = h1[i : i + n - w + 1]
+                acc = (acc ^ hv) * np.uint64(1099511628211)
+        return pa.table(
+            {
+                "wh": pa.array(acc[keep].view(np.int64), pa.int64()),
+                "shingle": joined,
+                "doc_id": pa.array(token_doc[: n - w + 1][keep], pa.int64()),
+            }
+        )
+
+    win = docs.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dup_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # a shingle's rows ALL land in this shard (shard key = its hash):
+        # exact distinct-doc count per shingle string
+        ndocs = g.groupby("shingle")["doc_id"].transform("nunique")
+        dup = g[ndocs >= 2]
+        out = dup.groupby("doc_id", as_index=False).size()
+        out.columns = ["doc_id", "n_dup_windows"]
+        out["n_windows"] = np.int64(0)
+        return out[["doc_id", "n_windows", "n_dup_windows"]]
+
+    part_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_windows", pa.int64()),
+            ("n_dup_windows", pa.int64()),
+        ]
+    )
+    dup_parts = _sharded_groupby(win, ["wh"], dup_partial, empty_schema=part_schema)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        _toks, _td, row_idx, _h1, _h2 = _batch_tokens(batch)
+        n_rows = batch.num_rows
+        cnt = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_windows": pa.array(np.maximum(cnt - w + 1, 0), pa.int64()),
+                "n_dup_windows": pa.array(np.zeros(n_rows, np.int64), pa.int64()),
+            }
+        )
+
+    tot = docs.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id", as_index=False).sum()
+        nw = m["n_windows"].to_numpy(np.int64)
+        nd = m["n_dup_windows"].to_numpy(np.int64)
+        m["dup_frac"] = round_half_away(nd / np.maximum(nw, 1), 6)
+        m["has_dup"] = (nd > 0).astype(np.int64)
+        return m[["doc_id", "n_windows", "n_dup_windows", "dup_frac", "has_dup"]]
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_windows", pa.int64()),
+            ("n_dup_windows", pa.int64()),
+            ("dup_frac", pa.float64()),
+            ("has_dup", pa.int64()),
+        ]
+    )
+    return _sharded_groupby(tot.union(dup_parts), ["doc_id"], merge,
+                            empty_schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# length-outlier filter (quantile-composed)
+
+OUTLIER_LO_Q = 0.05
+OUTLIER_HI_Q = 0.95
+
+
+def length_outlier_filter_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """Keep docs whose byte length lies within the corpus's
+    [``OUTLIER_LO_Q``, ``OUTLIER_HI_Q``] quantile_disc band — the
+    standard "drop truncated fragments and concatenation monsters" pass.
+    Columns: ``doc_id, n_chars``.
+
+    Composes the exact-quantile machinery (`quantiles.exact_quantiles_disc`:
+    histogram refinement over order-preserving keys; only fixed-size
+    histograms reach the driver) with a threshold broadcast and one
+    streaming filter scan.
+    """
+    from .quantiles import exact_quantiles_disc
+
+    docs = _docs(source)
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_chars": pc.cast(
+                    pc.binary_length(pc.cast(batch["text"], pa.binary())),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    lens = docs.map_batches(lengths, batch_format="pyarrow", zero_copy_batch=True)
+    qdf = exact_quantiles_disc(lens, "n_chars", [OUTLIER_LO_Q, OUTLIER_HI_Q])
+    lo = float(qdf["value"].iloc[0])
+    hi = float(qdf["value"].iloc[1])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        nc = (
+            pc.binary_length(pc.cast(batch["text"], pa.binary()))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = (nc >= lo) & (nc <= hi)
+        kept = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": pc.cast(kept["doc_id"], pa.int64()),
+                "n_chars": pc.cast(
+                    pc.binary_length(pc.cast(kept["text"], pa.binary())), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)

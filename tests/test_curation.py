@@ -233,3 +233,81 @@ def test_stratified_rates_and_determinism(ray_session):
     assert set(got["lang"]) == {"en", "zh", "ko"}
     again = stratified_sample_ds(_docs_ds(texts, langs=langs)).to_pandas()
     assert sorted(again["doc_id"].tolist()) == want_ids.tolist()
+
+
+# ---------------------------------------------------------------------------
+# substring dup spans
+
+
+def test_substring_dup_hand_checked(ray_session):
+    from invertedindexbuilder_ray.pipelines.curation import substring_dup_spans_ds
+
+    shared = " ".join(f"s{i}" for i in range(20))  # exactly one 20-token window
+    docs = [
+        shared + " extra1 extra2",  # 22 tokens -> 3 windows, 1 shared
+        shared,  # 20 tokens -> 1 window, shared
+        " ".join(f"u{i}" for i in range(25)),  # unique -> 6 windows, 0 dup
+        "tiny doc",  # < 20 tokens -> 0 windows
+    ]
+    df = (
+        substring_dup_spans_ds(_docs_ds(docs), augment=False)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert df.loc[0, "n_windows"] == 3 and df.loc[0, "n_dup_windows"] == 1
+    assert df.loc[1, "n_windows"] == 1 and df.loc[1, "n_dup_windows"] == 1
+    assert df.loc[1, "dup_frac"] == 1.0 and df.loc[1, "has_dup"] == 1
+    assert df.loc[2, "n_dup_windows"] == 0 and df.loc[2, "has_dup"] == 0
+    assert df.loc[3, "n_windows"] == 0 and df.loc[3, "has_dup"] == 0
+
+
+def test_substring_dup_within_one_doc_not_counted(ray_session):
+    from invertedindexbuilder_ray.pipelines.curation import substring_dup_spans_ds
+
+    # the same window twice in ONE doc is repetition, not cross-doc dup
+    block = " ".join(f"r{i}" for i in range(20))
+    df = (
+        substring_dup_spans_ds(_docs_ds([block + " gap " + block]), augment=False)
+        .to_pandas()
+    )
+    assert df["n_dup_windows"].tolist() == [0]
+
+
+def test_substring_dup_split_invariant(ray_session):
+    from invertedindexbuilder_ray.pipelines.curation import substring_dup_spans_ds
+
+    texts = [" ".join(f"t{(i * 3 + j) % 11}" for j in range(30)) for i in range(50)]
+    texts += texts[:5]  # cross-doc dups
+    one = (
+        substring_dup_spans_ds(_docs_ds(texts, blocks=1), augment=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    many = (
+        substring_dup_spans_ds(_docs_ds(texts, blocks=8), augment=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert one.equals(many)
+    # the 5 cloned docs and their sources are flagged
+    assert one[one["has_dup"] == 1].shape[0] >= 10
+
+
+# ---------------------------------------------------------------------------
+# length outlier filter
+
+
+def test_length_outlier_filter(ray_session):
+    from invertedindexbuilder_ray.pipelines.curation import length_outlier_filter_ds
+
+    # 100 docs of length ~5..500; the 5%/95% band must drop both tails
+    texts = ["x" * (5 * (i + 1)) for i in range(100)]
+    df = length_outlier_filter_ds(_docs_ds(texts)).to_pandas()
+    kept = sorted(df["n_chars"].tolist())
+    assert len(df) < 100
+    # quantile_disc(0.05) of 5,10,...,500 is 25; 0.95 is 475
+    assert kept[0] == 25 and kept[-1] == 475
+    assert df["doc_id"].is_unique
