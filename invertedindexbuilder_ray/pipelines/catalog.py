@@ -2017,3 +2017,32 @@ WHERE strlen(text) >= (SELECT quantile_disc(strlen(text), {OUTLIER_LO_Q})
 
 QUERIES["length_outlier_filter"] = (q_length_outlier_filter,
                                     _sql_length_outlier_filter())
+
+
+def q_sequence_pack(sf_dir: str):
+    from .curation import sequence_pack_ds
+
+    return sequence_pack_ds(sf_dir)
+
+
+def _sql_sequence_pack() -> str:
+    from .curation import SEQ_PACK_LEN
+
+    return f"""
+WITH {_SQL_TOKS_LIST},
+t AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM filt),
+c AS (
+    SELECT doc_id, n_tokens,
+           (sum(n_tokens) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+            - n_tokens)::BIGINT AS tok_offset
+    FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       (tok_offset // {SEQ_PACK_LEN})::BIGINT AS seq_id
+FROM c
+"""
+
+
+QUERIES["sequence_pack"] = (q_sequence_pack, _sql_sequence_pack())

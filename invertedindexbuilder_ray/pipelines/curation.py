@@ -708,3 +708,97 @@ def length_outlier_filter_ds(source: str | rd.Dataset) -> rd.Dataset:
         )
 
     return docs.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed ordered prefix-scan)
+
+SEQ_PACK_LEN = 256  # token budget per training sequence
+# bucket width for the two-level scan: bucket count stays <= ~1M at any
+# corpus size (driver holds one int64 per bucket); a third scan level is
+# the 10^13-doc extension, same shape
+SEQ_PACK_MIN_BUCKET = 4096
+
+
+def sequence_pack_ds(
+    source: str | rd.Dataset, *, seq_len: int = SEQ_PACK_LEN
+) -> rd.Dataset:
+    """Global token offsets + fixed-budget sequence assignment in
+    doc_id order.  Columns: ``doc_id, n_tokens, tok_offset, seq_id``
+    where ``tok_offset`` is the EXCLUSIVE prefix sum of clean-token
+    counts ordered by doc_id and ``seq_id = tok_offset // seq_len`` —
+    the deterministic "which training sequence does this doc start in"
+    assignment every packing pipeline needs, identical at any
+    parallelism.
+
+    Shape — two-level distributed scan: (1) one streaming pass emits
+    per-doc counts plus per-BUCKET partial sums (bucket = doc_id //
+    width, width sized so bucket count <= ~1M); the driver exclusive-
+    cumsums the tiny bucket table and broadcasts it; (2) a bucket-keyed
+    sharded exchange computes intra-bucket cumsums (all rows of a
+    bucket co-locate) and adds the bucket offset.  Only O(#buckets)
+    rows ever reach the driver.
+    """
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+    n_docs = docs.count()
+    width = max(SEQ_PACK_MIN_BUCKET, -(-n_docs // 1_000_000))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        _toks, _td, row_idx, _h1, _h2 = _batch_tokens(batch)
+        n_rows = batch.num_rows
+        cnt = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(cnt, pa.int64()),
+                "bucket": pa.array(ids // width, pa.int64()),
+            }
+        )
+
+    per_doc = docs.map_batches(counts, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("bucket").aggregate([("n_tokens", "sum")])
+        return pa.table(
+            {"bucket": agg["bucket"], "bsum": agg["n_tokens_sum"].cast(pa.int64())}
+        )
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("bucket", as_index=False)["bsum"].sum()
+
+    bsch = pa.schema([("bucket", pa.int64()), ("bsum", pa.int64())])
+    bucket_rows = _sharded_groupby(
+        per_doc.map_batches(bucket_partial, batch_format="pyarrow"),
+        ["bucket"],
+        bucket_merge,
+        empty_schema=bsch,
+    ).take_all()
+    buckets = np.array([r["bucket"] for r in bucket_rows], np.int64)
+    bsums = np.array([r["bsum"] for r in bucket_rows], np.int64)
+    order = np.argsort(buckets)
+    buckets, bsums = buckets[order], bsums[order]
+    offsets = np.concatenate([[0], np.cumsum(bsums)[:-1]]) if len(bsums) else bsums
+    bref = ray.put((buckets, offsets))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        bk, off = ray.get(bref)
+        g = g.sort_values("doc_id", kind="mergesort").copy()
+        local = g.groupby("bucket")["n_tokens"].cumsum() - g["n_tokens"]
+        base = off[np.searchsorted(bk, g["bucket"].to_numpy(np.int64))]
+        g["tok_offset"] = (base + local.to_numpy(np.int64)).astype("int64")
+        g["seq_id"] = (g["tok_offset"] // seq_len).astype("int64")
+        return g[["doc_id", "n_tokens", "tok_offset", "seq_id"]]
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("tok_offset", pa.int64()),
+            ("seq_id", pa.int64()),
+        ]
+    )
+    return _sharded_groupby(per_doc, ["bucket"], scan, empty_schema=out_schema)

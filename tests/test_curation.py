@@ -311,3 +311,48 @@ def test_length_outlier_filter(ray_session):
     # quantile_disc(0.05) of 5,10,...,500 is 25; 0.95 is 475
     assert kept[0] == 25 and kept[-1] == 475
     assert df["doc_id"].is_unique
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed prefix scan)
+
+
+def test_sequence_pack_hand_checked(ray_session):
+    from invertedindexbuilder_ray.pipelines.curation import sequence_pack_ds
+
+    # token counts: 3, 2, 4 -> exclusive offsets 0, 3, 5
+    docs = ["a b c", "d e", "f g h i"]
+    df = (
+        sequence_pack_ds(_docs_ds(docs), seq_len=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df["n_tokens"].tolist() == [3, 2, 4]
+    assert df["tok_offset"].tolist() == [0, 3, 5]
+    assert df["seq_id"].tolist() == [0, 0, 1]
+
+
+def test_sequence_pack_multibucket_and_split_invariant(ray_session, monkeypatch):
+    import invertedindexbuilder_ray.pipelines.curation as cur
+
+    # force the two-level scan across many buckets (width=8 over 100 docs)
+    monkeypatch.setattr(cur, "SEQ_PACK_MIN_BUCKET", 8)
+    texts = [" ".join("w" * 1 for _ in range((i * 13) % 7 + 1)) for i in range(100)]
+    one = (
+        cur.sequence_pack_ds(_docs_ds(texts, blocks=1))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    many = (
+        cur.sequence_pack_ds(_docs_ds(texts, blocks=9))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert one.equals(many)
+    # offsets are the serial exclusive cumsum
+    want = np.concatenate([[0], np.cumsum(one["n_tokens"].to_numpy())[:-1]])
+    assert one["tok_offset"].tolist() == want.tolist()
+    assert (one["seq_id"] == one["tok_offset"] // 256).all()
