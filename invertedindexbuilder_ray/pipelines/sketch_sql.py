@@ -28,7 +28,7 @@ M61 = (1 << 61) - 1
 U64_MAX = M64 - 1
 
 
-def _token_hash_ctes() -> str:
+def _token_hash_ctes(keep_term: bool = False) -> str:
     """CTE chain: documents -> toks(doc_id, pos, term) -> th(doc_id, pos, h).
 
     ``h`` is the engine's token hash: FNV-1a folded over the token's
@@ -45,6 +45,7 @@ def _token_hash_ctes() -> str:
             f"((h - (h % 256) + CAST(xor((h % 256)::BIGINT, {byte}) AS HUGEINT))"
             f" * {FNV_PRIME}) % {M64} AS h FROM th{j - 1})"
         )
+    term_sel = ", term" if keep_term else ""
     return f"""
 filt AS (
     SELECT doc_id,
@@ -59,7 +60,7 @@ toks AS (
 ),
 th0 AS (SELECT doc_id, pos, term, CAST({FNV_OFFSET} AS HUGEINT) AS h FROM toks),
 {", ".join(steps)},
-th AS (SELECT doc_id, pos, h FROM th16)
+th AS (SELECT doc_id, pos{term_sel}, h FROM th16)
 """
 
 
@@ -200,4 +201,51 @@ SELECT bucket::BIGINT AS bucket,
        max(CASE WHEN w = 0 THEN {wb1}
                 ELSE {wb1} - length(bin(w::BIGINT)) END)::BIGINT AS maxrank
 FROM hw GROUP BY 1
+"""
+
+
+def sql_cms_estimates() -> str:
+    """Count-Min-Sketch probe estimates in DuckDB, bit-exact vs
+    pipelines/heavyhitters.py: same FNV token-hash stream (th, term
+    kept); registers per row i are counts grouped by the multiply-shift
+    bucket ``((h * A_i + B_i) % 2^64) // 2^(64-w_bits)`` (A_i < 2^62
+    keeps h*A below int128 overflow); est = least over the d rows'
+    registers at the probe term's buckets; exact = the term's true
+    occurrence count.  Probe set = distinct terms of the min-doc_id
+    document."""
+    from .heavyhitters import CMS_A, CMS_B, CMS_D, CMS_SHIFT
+
+    div = 1 << CMS_SHIFT
+    bucket_exprs = [
+        f"((h * {CMS_A[i]} + {CMS_B[i]}) % {M64}) // {div}" for i in range(CMS_D)
+    ]
+    reg_union = "\n        UNION ALL ".join(
+        f"SELECT {i} AS i, {bucket_exprs[i]} AS bucket FROM th"
+        for i in range(CMS_D)
+    )
+    est_joins = "\n    ".join(
+        f"JOIN regs r{i} ON r{i}.i = {i} AND r{i}.bucket = "
+        f"((p.h * {CMS_A[i]} + {CMS_B[i]}) % {M64}) // {div}"
+        for i in range(CMS_D)
+    )
+    least = "least(" + ", ".join(f"r{i}.cnt" for i in range(CMS_D)) + ")"
+    return f"""
+WITH {_token_hash_ctes(keep_term=True)},
+regs AS (
+    SELECT i, bucket, count(*)::BIGINT AS cnt FROM (
+        {reg_union}
+    ) GROUP BY 1, 2
+),
+probe AS (
+    SELECT DISTINCT term, h FROM th
+    WHERE doc_id = (SELECT min(doc_id) FROM documents)
+),
+exact AS (
+    SELECT term, count(*)::BIGINT AS exact FROM th
+    WHERE term IN (SELECT term FROM probe) GROUP BY 1
+)
+SELECT p.term, {least}::BIGINT AS est, e.exact
+FROM probe p
+{est_joins}
+JOIN exact e ON e.term = p.term
 """

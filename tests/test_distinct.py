@@ -92,3 +92,66 @@ def test_dataset_registers_match_single_batch(ray_session):
                                  "maxrank": pa.array(got["maxrank"])}))
     n_true = len(np.unique(h))
     assert abs(est - n_true) / n_true < 0.10
+
+
+# ---------------------------------------------------------------------------
+# Count-Min-Sketch heavy hitters (pipelines/heavyhitters.py)
+
+
+def _docs_tbl(texts):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_cms_est_one_sided_and_exact_counts(ray_session):
+    import numpy as np
+
+    from invertedindexbuilder_ray.pipelines.heavyhitters import (
+        cms_probe_estimates,
+    )
+
+    # doc 0 (the probe doc) uses a small vocab with known counts; the rest
+    # of the corpus floods the sketch with 5k distinct terms so row
+    # collisions overcount SOME probe term
+    probe_doc = "alpha alpha beta gamma"
+    flood = [" ".join(f"f{i}x{j}" for j in range(40)) for i in range(125)]
+    df = cms_probe_estimates(_docs_tbl([probe_doc] + flood)).set_index("term")
+    assert df.loc["alpha", "exact"] == 2
+    assert df.loc["beta", "exact"] == 1
+    assert (df["est"] >= df["exact"]).all()  # CMS one-sided guarantee
+    # error bound sanity: est - exact <= corpus tokens / w (expected),
+    # allow 10x slack for the 4-row min
+    n_tokens = 4 + 125 * 40
+    assert ((df["est"] - df["exact"]) <= max(10 * n_tokens // 1024, 5)).all()
+
+
+def test_cms_registers_split_invariant(ray_session):
+    from invertedindexbuilder_ray.pipelines.heavyhitters import (
+        cms_token_registers,
+    )
+
+    texts = [" ".join(f"w{(i * 5 + j) % 97}" for j in range(30)) for i in range(80)]
+    one = (
+        cms_token_registers(_docs_tbl(texts))
+        .to_pandas()
+        .sort_values("slot")
+        .reset_index(drop=True)
+    )
+    many = (
+        cms_token_registers(_docs_tbl(texts).repartition(9))
+        .to_pandas()
+        .sort_values("slot")
+        .reset_index(drop=True)
+    )
+    assert one.equals(many)
+    # total register mass per row == total token count
+    assert one["cnt"].sum() == 4 * 80 * 30
