@@ -2062,3 +2062,15 @@ QUERIES["heavy_hitters_cms"] = (
     q_heavy_hitters_cms,
     _sketch_sql.sql_cms_estimates(),
 )
+
+
+def q_bloom_probe(sf_dir: str):
+    """Bloom-filter seen-set prefilter: membership verdicts for the
+    held-out vocabulary (+ synthetic negatives) against a filter built
+    over the base split.  See pipelines/bloom.py."""
+    from .bloom import bloom_probe
+
+    return bloom_probe(sf_dir)
+
+
+QUERIES["bloom_probe"] = (q_bloom_probe, _sketch_sql.sql_bloom_probe())

@@ -249,3 +249,72 @@ FROM probe p
 {est_joins}
 JOIN exact e ON e.term = p.term
 """
+
+
+def _term_fold_steps(prefix: str) -> str:
+    """16-step FNV-1a fold over a CTE named ``{prefix}0`` carrying
+    (term, h); produces ``{prefix}16``.  Same math as _token_hash_ctes
+    but source-agnostic (first 16 bytes of ``term``)."""
+    steps = []
+    for j in range(1, 17):
+        byte = (
+            f"(CASE WHEN length(term) >= {j} "
+            f"THEN ord(substr(term, {j}, 1)) ELSE 0 END)"
+        )
+        steps.append(
+            f"{prefix}{j} AS (SELECT term, "
+            f"((h - (h % 256) + CAST(xor((h % 256)::BIGINT, {byte}) AS HUGEINT))"
+            f" * {FNV_PRIME}) % {M64} AS h FROM {prefix}{j - 1})"
+        )
+    return ", ".join(steps)
+
+
+def sql_bloom_probe() -> str:
+    """Bloom membership verdicts in DuckDB, bit-exact vs
+    pipelines/bloom.py: 2^16-bit filter as 32-bit words over the base
+    split's token hashes (multiply-shift bit positions, the CMS
+    constants), probed by the held-out vocabulary plus 16-byte-truncated
+    synthetic negatives.  ``actually_in_base`` matches by HASH (exactly
+    the engine's broadcast-probe semantics), not by string."""
+    from .bloom import (
+        BLOOM_HOLDOUT_EVERY,
+        BLOOM_K,
+        BLOOM_NEG_SUFFIX,
+        BLOOM_SHIFT,
+    )
+    from .heavyhitters import CMS_A, CMS_B
+
+    div = 1 << BLOOM_SHIFT
+    bit_exprs = [
+        f"((h * {CMS_A[i]} + {CMS_B[i]}) % {M64}) // {div}" for i in range(BLOOM_K)
+    ]
+    bit_union = "\n        UNION ".join(
+        f"SELECT DISTINCT {e} AS bit FROM base_th" for e in bit_exprs
+    )
+    maybe_conds = " AND ".join(
+        f"({e}) IN (SELECT bit FROM bitset)" for e in bit_exprs
+    )
+    return f"""
+WITH {_token_hash_ctes(keep_term=True)},
+base_th AS (SELECT term, h FROM th WHERE doc_id % {BLOOM_HOLDOUT_EVERY} != 0),
+held_terms AS (
+    SELECT DISTINCT term FROM th WHERE doc_id % {BLOOM_HOLDOUT_EVERY} = 0
+),
+probe_terms AS (
+    SELECT term FROM held_terms
+    UNION
+    SELECT substr(term || '{BLOOM_NEG_SUFFIX}', 1, 16) FROM held_terms
+),
+p0 AS (SELECT term, CAST({FNV_OFFSET} AS HUGEINT) AS h FROM probe_terms),
+{_term_fold_steps('p')},
+ph AS (SELECT term, h FROM p16),
+bitset AS (
+    {bit_union}
+),
+base_h AS (SELECT DISTINCT h FROM base_th)
+SELECT ph.term,
+       (CASE WHEN {maybe_conds} THEN 1 ELSE 0 END)::BIGINT AS maybe_in_base,
+       (CASE WHEN ph.h IN (SELECT h FROM base_h) THEN 1 ELSE 0 END)::BIGINT
+           AS actually_in_base
+FROM ph
+"""

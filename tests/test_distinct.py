@@ -155,3 +155,45 @@ def test_cms_registers_split_invariant(ray_session):
     assert one.equals(many)
     # total register mass per row == total token count
     assert one["cnt"].sum() == 4 * 80 * 30
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (pipelines/bloom.py)
+
+
+def test_bloom_one_sided_and_negatives(ray_session):
+    from invertedindexbuilder_ray.pipelines.bloom import bloom_probe
+
+    # doc_ids 0,5,10 are held out; their terms overlap the base partially
+    texts = [f"shared{i % 7} only{i} common word" for i in range(20)]
+    df = bloom_probe(_docs_tbl(texts)).set_index("term")
+    # no false negatives, ever
+    assert (df["maybe_in_base"] >= df["actually_in_base"]).all()
+    # 'common' and 'word' are in every doc -> in base, and the filter says so
+    assert df.loc["common", "actually_in_base"] == 1
+    assert df.loc["common", "maybe_in_base"] == 1
+    # held-out-only terms (only0/only5/...) are definitely new
+    assert df.loc["only0", "actually_in_base"] == 0
+    # at least one probe exercises the definitely-new fast path
+    assert (df["maybe_in_base"] == 0).any()
+    # synthetic negatives present and (at this tiny fill rate) rejected
+    assert df.loc["commonqq9", "actually_in_base"] == 0
+
+
+def test_bloom_words_split_invariant(ray_session):
+    from invertedindexbuilder_ray.pipelines.bloom import bloom_term_words
+
+    texts = [" ".join(f"w{(i * 5 + j) % 97}" for j in range(30)) for i in range(80)]
+    one = (
+        bloom_term_words(_docs_tbl(texts))
+        .to_pandas()
+        .sort_values("word")
+        .reset_index(drop=True)
+    )
+    many = (
+        bloom_term_words(_docs_tbl(texts).repartition(9))
+        .to_pandas()
+        .sort_values("word")
+        .reset_index(drop=True)
+    )
+    assert one.equals(many)
