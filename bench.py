@@ -169,7 +169,7 @@ def run_bench() -> dict:
         "events_hourly_users", "bigram_topk",
         "gopher_repetition", "pii_scan", "decontaminate", "tfidf_top_terms",
         "stratified_sample", "substring_dup_spans", "length_outlier_filter",
-        "sequence_pack", "heavy_hitters_cms", "bloom_probe",
+        "sequence_pack", "heavy_hitters_cms", "bloom_probe", "events_band_join",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

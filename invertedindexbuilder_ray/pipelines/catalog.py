@@ -2074,3 +2074,67 @@ def q_bloom_probe(sf_dir: str):
 
 
 QUERIES["bloom_probe"] = (q_bloom_probe, _sketch_sql.sql_bloom_probe())
+
+
+BAND_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_events_band_join(sf_dir: str):
+    """Stream-stream band join materializing pairs: every (click, view)
+    of the same user with the view in the hour BEFORE the click
+    ([click-1h, click)).  gap_us is integer microseconds — exact on
+    both sides.  See temporal.band_join_pairs."""
+    from .temporal import _partitions_for, band_join_pairs
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    import pyarrow.parquet as _pq
+
+    n_part = _partitions_for(_pq.ParquetFile(path).metadata.num_rows)
+    ev = read_parquet_sized(path, columns=["event_id", "user_id", "ts", "event_type"])
+
+    def typed(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).select(
+                ["event_id", "user_id", "ts"]
+            )
+
+        return ev.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = band_join_pairs(
+        typed("click"),
+        typed("view"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_us=-BAND_JOIN_WINDOW_US,
+        upper_us=0,
+        left_id="event_id",
+        right_id="event_id",
+        num_partitions=n_part,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "click_id": b["left_id"],
+                "view_id": b["right_id"],
+                "user_id": b["key"],
+                "gap_us": b["gap_us"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_EVENTS_BAND_JOIN = f"""
+SELECT c.event_id AS click_id,
+       v.event_id AS view_id,
+       c.user_id,
+       (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+FROM events c JOIN events v ON v.user_id = c.user_id
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+  AND epoch_us(v.ts) >= epoch_us(c.ts) - {BAND_JOIN_WINDOW_US}
+  AND epoch_us(v.ts) < epoch_us(c.ts)
+"""
+
+QUERIES["events_band_join"] = (q_events_band_join, SQL_EVENTS_BAND_JOIN)

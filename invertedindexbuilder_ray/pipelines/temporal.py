@@ -379,3 +379,101 @@ def range_join_agg(
     return out.map_batches(lambda t: t, batch_format="pyarrow").union(
         rd.from_arrow(empty)
     )
+
+
+def band_join_pairs(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str | tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    left_id: str,
+    right_id: str,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Stream-stream band join MATERIALIZING the matched pairs: for each
+    left row, every right row with the same key and ``left_ts + lower_us
+    <= right_ts < left_ts + upper_us`` (half-open).  Columns:
+    ``left_id, right_id, key, gap_us`` with ``gap_us = left_ts -
+    right_ts`` (integer microseconds — exact on both sides).
+
+    Same bucketed exchange as :func:`range_join_agg`; the per-bucket
+    kernel explodes windows with ONE vectorized gather (the repeat/
+    cumsum index trick — no Python loop over matches).  Row explosion
+    is the declared semantics of a pair join: output size is the true
+    match count, bounded per task by the bucket row cap times the
+    window selectivity; use :func:`range_join_agg` when an aggregate
+    suffices.
+    """
+    lkey, rkey = (on, on) if isinstance(on, str) else on
+    if num_partitions is None:
+        num_partitions = _partitions_for(max(left.count(), right.count()))
+
+    def pad(b: pa.Table, *, side: int) -> pa.Table:
+        n = b.num_rows
+        key_col = lkey if side == 0 else rkey
+        ts_col = left_ts if side == 0 else right_ts
+        id_col = left_id if side == 0 else right_id
+        k = b[key_col].cast(pa.int64())
+        return pa.table(
+            {
+                "__id": b[id_col].cast(pa.int64()),
+                "__k": k,
+                "__t": _ts_int64(b[ts_col]),
+                "__bucket": pa.array(_bucket_hash(k, num_partitions)),
+                "__side": pa.array(np.full(n, side, np.int8)),
+            }
+        )
+
+    out_types = {
+        "left_id": pa.int64(),
+        "right_id": pa.int64(),
+        "key": pa.int64(),
+        "gap_us": pa.int64(),
+    }
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        expected = {"__id": pa.int64(), "__k": pa.int64(), "__t": pa.int64()}
+        g = _restore_null_types(g, expected)
+        mask_l = pc.equal(g["__side"], 0)
+        lg = g.filter(mask_l)
+        rg = g.filter(pc.invert(mask_l))
+        empty = pa.table({c: pa.array([], t) for c, t in out_types.items()})
+        if lg.num_rows == 0 or rg.num_rows == 0:
+            return empty
+        lk, lt = _np(lg["__k"]), _np(lg["__t"])
+        order, j_lo, j_hi = range_windows(
+            lk, lt, _np(rg["__k"]), _np(rg["__t"]), int(lower_us), int(upper_us)
+        )
+        n = j_hi - j_lo
+        total = int(n.sum())
+        if total == 0:
+            return empty
+        rid_sorted = _np(rg["__id"])[order]
+        rt_sorted = _np(rg["__t"])[order]
+        # vectorized window explode: pair p belongs to left row
+        # rep[p] and right sorted position j_lo[rep[p]] + offset
+        rep = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        outs = np.cumsum(n) - n
+        ridx = np.arange(total, dtype=np.int64) - np.repeat(outs, n) + np.repeat(j_lo, n)
+        return pa.table(
+            {
+                "left_id": pa.array(_np(lg["__id"])[rep], pa.int64()),
+                "right_id": pa.array(rid_sorted[ridx], pa.int64()),
+                "key": pa.array(lk[rep], pa.int64()),
+                "gap_us": pa.array(lt[rep] - rt_sorted[ridx], pa.int64()),
+            }
+        )
+
+    lt_ds = left.map_batches(lambda b: pad(b, side=0), batch_format="pyarrow")
+    rt_ds = right.map_batches(lambda b: pad(b, side=1), batch_format="pyarrow")
+    out = lt_ds.union(rt_ds).groupby("__bucket").map_groups(
+        merge_group, batch_format="pyarrow"
+    )
+    empty = pa.table({c: pa.array([], t) for c, t in out_types.items()})
+    return out.map_batches(lambda t: t, batch_format="pyarrow").union(
+        rd.from_arrow(empty)
+    )

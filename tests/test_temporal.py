@@ -184,3 +184,76 @@ def test_asof_join_schema_stable_when_empty(ray_session):
     )
     assert set(out.schema().names) == {"oid", "k", "t", "match_rid"}
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# band_join_pairs (stream-stream pair join)
+
+
+def _ev_ds(rows, blocks=1):
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "id": pa.array([r[0] for r in rows], pa.int64()),
+            "k": pa.array([r[1] for r in rows], pa.int64()),
+            "t": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def test_band_join_pairs_hand_checked(ray_session):
+    from invertedindexbuilder_ray.pipelines.temporal import band_join_pairs
+
+    left = _ev_ds([(1, 7, 100), (2, 7, 200), (3, 8, 100)])
+    right = _ev_ds([(10, 7, 95), (11, 7, 100), (12, 7, 199), (13, 9, 95)])
+    # window [t-10, t): half-open — right at EXACTLY left t excluded
+    df = (
+        band_join_pairs(
+            left, right, on="k", left_ts="t", right_ts="t",
+            lower_us=-10, upper_us=0, left_id="id", right_id="id",
+        )
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    got = list(df[["left_id", "right_id", "gap_us"]].itertuples(index=False, name=None))
+    # left 1 (k7,t100): right 95 (gap 5); right 100 excluded (rt < lt)
+    # left 2 (k7,t200): right 199 (gap 1)
+    # left 3 (k8): no same-key rights
+    assert got == [(1, 10, 5), (2, 12, 1)]
+    assert df["key"].tolist() == [7, 7]
+
+
+def test_band_join_pairs_split_invariant(ray_session):
+    from invertedindexbuilder_ray.pipelines.temporal import band_join_pairs
+
+    rows_l = [(i, i % 5, i * 7 % 1000) for i in range(200)]
+    rows_r = [(1000 + i, i % 5, i * 13 % 1000) for i in range(300)]
+    kw = dict(on="k", left_ts="t", right_ts="t", lower_us=-50, upper_us=0,
+              left_id="id", right_id="id")
+    one = (
+        band_join_pairs(_ev_ds(rows_l), _ev_ds(rows_r), **kw)
+        .to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    )
+    many = (
+        band_join_pairs(_ev_ds(rows_l, 7), _ev_ds(rows_r, 9), **kw)
+        .to_pandas().sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    )
+    assert len(one) > 0 and one.equals(many)
+
+
+def test_band_join_pairs_empty_sides(ray_session):
+    from invertedindexbuilder_ray.pipelines.temporal import band_join_pairs
+
+    left = _ev_ds([(1, 7, 100)])
+    # right side has no matching keys -> zero pairs, typed empty result
+    right = _ev_ds([(9, 99, 1)])
+    df = band_join_pairs(
+        left, right, on="k", left_ts="t", right_ts="t",
+        lower_us=-10, upper_us=0, left_id="id", right_id="id",
+    ).to_pandas()
+    assert len(df) == 0
