@@ -2138,3 +2138,77 @@ WHERE c.event_type = 'click' AND v.event_type = 'view'
 """
 
 QUERIES["events_band_join"] = (q_events_band_join, SQL_EVENTS_BAND_JOIN)
+
+
+def q_events_rolling_agg(sf_dir: str):
+    """Row-frame window aggregate (ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW) per user ordered by (ts, event_id): frame count + max value.
+    See temporal.rolling_row_agg."""
+    from .temporal import rolling_row_agg
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_row_agg(
+        ev, key="user_id", ts="ts", tie="event_id", value_col="value",
+        preceding=3,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["tie"],
+                "n_frame": b["n_frame"],
+                "max_value": b["max_value"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_EVENTS_ROLLING_AGG = """
+SELECT event_id,
+       count(*) OVER w::BIGINT AS n_frame,
+       max(value) OVER w AS max_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["events_rolling_agg"] = (q_events_rolling_agg, SQL_EVENTS_ROLLING_AGG)
+
+
+def q_lineitem_running_sum(sf_dir: str):
+    """Per-order running quantity (sum OVER PARTITION BY ... ORDER BY):
+    l_quantity is integer-valued so the float64 cumsum is exact and
+    order-independent.  See temporal.running_sum."""
+    from .temporal import running_sum
+
+    path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
+    li = read_parquet_sized(
+        path, columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    out = running_sum(
+        li, key="l_orderkey", order_col="l_linenumber", value_col="l_quantity"
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["key"],
+                "l_linenumber": b["ord"],
+                "running_qty": b["running"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_LINEITEM_RUNNING_SUM = """
+SELECT l_orderkey,
+       l_linenumber::BIGINT AS l_linenumber,
+       sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+           AS running_qty
+FROM lineitem
+"""
+
+QUERIES["lineitem_running_sum"] = (q_lineitem_running_sum, SQL_LINEITEM_RUNNING_SUM)

@@ -477,3 +477,157 @@ def band_join_pairs(
     return out.map_batches(lambda t: t, batch_format="pyarrow").union(
         rd.from_arrow(empty)
     )
+
+
+def rolling_row_agg(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    ts: str,
+    tie: str,
+    value_col: str,
+    preceding: int,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Row-frame window aggregate: for each row, ``count`` and ``max`` of
+    ``value_col`` over the frame ``ROWS BETWEEN {preceding} PRECEDING AND
+    CURRENT ROW`` within its key, ordered by ``(ts, tie)`` — the SQL
+    row-frame window family (distinct from the TIME-range windows of
+    :func:`range_join_agg`).  Output: ``(tie, n_frame, max_value)``.
+
+    ``tie`` must be a unique int64 column (total order => deterministic
+    frames on both sides).  One bucketed exchange; inside a bucket one
+    lexsort by (key, ts, tie), per-key run starts via a boundary diff,
+    frame maxima from the sparse range-max table — O(n log n), zero
+    Python loops.  max/count are order-independent: exact vs SQL.
+    """
+    if num_partitions is None:
+        num_partitions = _partitions_for(ds.count())
+
+    def pad(b: pa.Table) -> pa.Table:
+        k = b[key].cast(pa.int64())
+        return pa.table(
+            {
+                "__k": k,
+                "__t": _ts_int64(b[ts]),
+                "__tie": b[tie].cast(pa.int64()),
+                "__v": b[value_col].cast(pa.float64()),
+                "__bucket": pa.array(_bucket_hash(k, num_partitions)),
+            }
+        )
+
+    out_types = {"tie": pa.int64(), "n_frame": pa.int64(),
+                 "max_value": pa.float64()}
+
+    def kernel(g: pa.Table) -> pa.Table:
+        expected = {"__k": pa.int64(), "__t": pa.int64(),
+                    "__tie": pa.int64(), "__v": pa.float64()}
+        g = _restore_null_types(g, expected)
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], t) for c, t in out_types.items()})
+        k, t, ti, v = (_np(g[c]) for c in ("__k", "__t", "__tie", "__v"))
+        order = np.lexsort((ti, t, k))
+        k, t, ti, v = k[order], t[order], ti[order], v[order]
+        n = len(k)
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        run_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        lo = np.maximum(idx - preceding, run_start)
+        hi = idx + 1
+        mx = range_max(v, lo, hi)
+        return pa.table(
+            {
+                "tie": pa.array(ti, pa.int64()),
+                "n_frame": pa.array(hi - lo, pa.int64()),
+                "max_value": pa.array(mx, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(pad, batch_format="pyarrow").groupby("__bucket").map_groups(
+        kernel, batch_format="pyarrow"
+    )
+    empty = pa.table({c: pa.array([], t) for c, t in out_types.items()})
+    return out.map_batches(lambda x: x, batch_format="pyarrow").union(
+        rd.from_arrow(empty)
+    )
+
+
+def running_sum(
+    ds: rd.Dataset,
+    *,
+    key: str,
+    order_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-key cumulative sum ordered by ``order_col``: SQL's
+    ``sum(v) OVER (PARTITION BY key ORDER BY ord)`` with the SQL default
+    RANGE frame — ties on ``ord`` are PEERS and share one total (the sf
+    lineitem has duplicate (orderkey, linenumber) pairs, so this is
+    load-bearing).  Output: ``(key, ord, running)``.
+
+    EXACTNESS CONTRACT: ``value_col`` must be integer-valued (the sf
+    l_quantity case) so the float64 cumsum is exact and order-
+    independent; true-float running sums are reduction-order-dependent
+    and can't be SQL-hash-paired.  One bucketed exchange, per-bucket
+    lexsort + one ``np.cumsum`` rebased at key-run starts and broadcast
+    forward to each peer group's END — zero Python loops.
+    """
+    if num_partitions is None:
+        num_partitions = _partitions_for(ds.count())
+
+    def pad(b: pa.Table) -> pa.Table:
+        k = b[key].cast(pa.int64())
+        return pa.table(
+            {
+                "__k": k,
+                "__o": b[order_col].cast(pa.int64()),
+                "__v": b[value_col].cast(pa.float64()),
+                "__bucket": pa.array(_bucket_hash(k, num_partitions)),
+            }
+        )
+
+    out_types = {"key": pa.int64(), "ord": pa.int64(), "running": pa.float64()}
+
+    def kernel(g: pa.Table) -> pa.Table:
+        expected = {"__k": pa.int64(), "__o": pa.int64(), "__v": pa.float64()}
+        g = _restore_null_types(g, expected)
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], t) for c, t in out_types.items()})
+        k, o, v = _np(g["__k"]), _np(g["__o"]), _np(g["__v"])
+        order = np.lexsort((o, k))
+        k, o, v = k[order], o[order], v[order]
+        c = np.cumsum(v)
+        n = len(k)
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        # prefix BEFORE each key run, broadcast down the run
+        base = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        prefix = (c - v)[base]
+        # RANGE frame: peers (same key AND ord) share the cumsum at the
+        # peer group's LAST row — backward min-accumulate of last-row idx
+        idx = np.arange(n, dtype=np.int64)
+        is_last = np.empty(n, bool)
+        is_last[-1] = True
+        is_last[:-1] = (k[1:] != k[:-1]) | (o[1:] != o[:-1])
+        end_idx = np.minimum.accumulate(
+            np.where(is_last, idx, n - 1)[::-1]
+        )[::-1]
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "ord": pa.array(o, pa.int64()),
+                "running": pa.array(c[end_idx] - prefix, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(pad, batch_format="pyarrow").groupby("__bucket").map_groups(
+        kernel, batch_format="pyarrow"
+    )
+    empty = pa.table({c: pa.array([], t) for c, t in out_types.items()})
+    return out.map_batches(lambda x: x, batch_format="pyarrow").union(
+        rd.from_arrow(empty)
+    )

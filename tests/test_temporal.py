@@ -257,3 +257,86 @@ def test_band_join_pairs_empty_sides(ray_session):
         lower_us=-10, upper_us=0, left_id="id", right_id="id",
     ).to_pandas()
     assert len(df) == 0
+
+
+# ---------------------------------------------------------------------------
+# rolling_row_agg / running_sum (window-function family)
+
+
+def test_rolling_row_agg_hand_checked(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.temporal import rolling_row_agg
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "u": pa.array([7, 7, 7, 7, 7, 8], pa.int64()),
+            "ts": pa.array([10, 20, 30, 40, 50, 10], pa.int64()),
+            "v": pa.array([5.0, 1.0, 9.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    df = (
+        rolling_row_agg(
+            rd.from_arrow(t), key="u", ts="ts", tie="id", value_col="v",
+            preceding=2,
+        )
+        .to_pandas()
+        .sort_values("tie")
+        .reset_index(drop=True)
+    )
+    # frames (2 preceding + current): [5],[5,1],[5,1,9],[1,9,2],[9,2,3],[4]
+    assert df["n_frame"].tolist() == [1, 2, 3, 3, 3, 1]
+    assert df["max_value"].tolist() == [5.0, 5.0, 9.0, 9.0, 9.0, 4.0]
+
+
+def test_rolling_split_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.temporal import rolling_row_agg
+
+    n = 500
+    t = pa.table(
+        {
+            "id": pa.array(list(range(n)), pa.int64()),
+            "u": pa.array([i % 9 for i in range(n)], pa.int64()),
+            "ts": pa.array([(i * 37) % 211 for i in range(n)], pa.int64()),
+            "v": pa.array([float((i * 13) % 50) for i in range(n)]),
+        }
+    )
+    kw = dict(key="u", ts="ts", tie="id", value_col="v", preceding=3)
+    one = (
+        rolling_row_agg(rd.from_arrow(t), **kw)
+        .to_pandas().sort_values("tie").reset_index(drop=True)
+    )
+    many = (
+        rolling_row_agg(rd.from_arrow(t).repartition(11), **kw)
+        .to_pandas().sort_values("tie").reset_index(drop=True)
+    )
+    assert one.equals(many)
+
+
+def test_running_sum_range_peers(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.temporal import running_sum
+
+    # key 7 has ord ties (peers share the total, SQL RANGE default)
+    t = pa.table(
+        {
+            "k": pa.array([7, 7, 7, 7, 8], pa.int64()),
+            "o": pa.array([1, 2, 2, 3, 1], pa.int64()),
+            "v": pa.array([10.0, 5.0, 5.0, 1.0, 2.0]),
+        }
+    )
+    df = (
+        running_sum(rd.from_arrow(t), key="k", order_col="o", value_col="v")
+        .to_pandas()
+        .sort_values(["key", "ord", "running"])
+        .reset_index(drop=True)
+    )
+    assert df[df["key"] == 7]["running"].tolist() == [10.0, 20.0, 20.0, 21.0]
+    assert df[df["key"] == 8]["running"].tolist() == [2.0]
