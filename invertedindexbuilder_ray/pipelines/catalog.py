@@ -2212,3 +2212,141 @@ FROM lineitem
 """
 
 QUERIES["lineitem_running_sum"] = (q_lineitem_running_sum, SQL_LINEITEM_RUNNING_SUM)
+
+
+def q_qty_by_nation(sf_dir: str):
+    """Star join: lineitem |><| orders |><| customer with the tiny nation
+    dimension broadcast (never shuffled), rolled up to quantity per
+    nation.  Two partitioned-hash-join exchanges on the fact chain; the
+    measure is sum(l_quantity) — integer-valued, so the float64 sum is
+    order-independent-exact (a price*discount revenue sum would not be).
+    """
+    from .dedup import _join_partitions
+    from .joins import partitioned_hash_join
+
+    d = sf_dir if os.path.isdir(sf_dir) else os.path.dirname(sf_dir)
+    li = read_parquet_sized(
+        os.path.join(d, "lineitem.parquet"), columns=["l_orderkey", "l_quantity"]
+    )
+    orders = read_parquet_sized(
+        os.path.join(d, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    cust = read_parquet_sized(
+        os.path.join(d, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    # nation: a 25-row dimension — take_all + ray.put, the broadcast side
+    nat_rows = read_parquet_sized(
+        os.path.join(d, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nat_name = {int(r["n_nationkey"]): r["n_name"] for r in nat_rows}
+
+    n_part = _join_partitions(li.count())
+    oc = partitioned_hash_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey",
+        num_partitions=_join_partitions(orders.count()), how="inner",
+    )
+    j = partitioned_hash_join(
+        li, oc.select_columns(["o_orderkey", "c_nationkey"]),
+        left_on="l_orderkey", right_on="o_orderkey",
+        num_partitions=n_part, how="inner",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = b.group_by("c_nationkey").aggregate(
+            [("l_quantity", "sum"), ("c_nationkey", "count")]
+        )
+        return pa.table(
+            {
+                "nk": agg["c_nationkey"].cast(pa.int64()),
+                "qty": agg["l_quantity_sum"].cast(pa.float64()),
+                "n": agg["c_nationkey_count"].cast(pa.int64()),
+            }
+        )
+
+    rows = j.map_batches(partial, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    df = (
+        pd.DataFrame(rows, columns=["nk", "qty", "n"])
+        .groupby("nk", as_index=False)
+        .sum()
+    )
+    df["n_name"] = df["nk"].map(nat_name)
+    df = df.sort_values("n_name").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "n_name": df["n_name"],
+            "n_rows": df["n"].astype("int64"),
+            "sum_qty": df["qty"],
+        }
+    )
+
+
+SQL_QTY_BY_NATION = """
+SELECT n.n_name,
+       count(*)::BIGINT AS n_rows,
+       sum(l.l_quantity) AS sum_qty
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+
+QUERIES["qty_by_nation"] = (q_qty_by_nation, SQL_QTY_BY_NATION)
+
+
+def q_quantity_percent_rank(sf_dir: str):
+    """percent_rank() OVER (ORDER BY l_quantity), one row per distinct
+    value: pr = count_less / (N - 1) — identical integer division on
+    both sides, no rounding needed.  Distributed shape = the
+    low-cardinality value-count combine of lineitem_quantiles: only
+    (value, count) pairs reach the driver."""
+    path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch["l_quantity"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "value": pa.array(vals, pa.float64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        read_parquet_sized(path, columns=["l_quantity"])
+        .map_batches(value_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .take_all()
+    )
+    import pandas as pd
+
+    vals = np.array([r["value"] for r in rows])
+    ns = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(vals)
+    vals, ns = vals[order], ns[order]
+    total = int(ns.sum())
+    count_less = np.concatenate([[0], np.cumsum(ns)[:-1]]).astype(np.int64)
+    pr = count_less / max(total - 1, 1)
+    return pd.DataFrame({"value": vals, "count_less": count_less, "pr": pr})
+
+
+SQL_QUANTITY_PERCENT_RANK = """
+WITH c AS (SELECT l_quantity AS value, count(*)::BIGINT AS n
+           FROM lineitem GROUP BY 1),
+t AS (SELECT value, n,
+             (sum(n) OVER (ORDER BY value) - n)::BIGINT AS count_less,
+             (SELECT count(*) FROM lineitem)::BIGINT AS total
+      FROM c)
+SELECT value, count_less,
+       count_less / greatest(total - 1, 1)::DOUBLE AS pr
+FROM t
+"""
+
+QUERIES["quantity_percent_rank"] = (
+    q_quantity_percent_rank,
+    SQL_QUANTITY_PERCENT_RANK,
+)
