@@ -29,6 +29,8 @@ FUZZ_ENTRIES = [
     "sequence_pack",
     "stratified_sample",
     "length_outlier_filter",
+    "heavy_hitters_cms",
+    "bloom_probe",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
