@@ -45,17 +45,16 @@ BLOOM_HOLDOUT_EVERY = 5
 BLOOM_NEG_SUFFIX = "qq9"
 
 
+# the probe vocabulary is broadcast once (ray.put of sorted hashes) and
+# held on the driver — bound it loudly, same as DECON_MAX_BENCH_SHINGLES
+# (at 100 TB, probe in chunks or shard the probe set instead)
+BLOOM_MAX_PROBE_TERMS = 5_000_000
+
+
 def _bit_positions(h: np.ndarray) -> list[np.ndarray]:
-    out = []
-    with np.errstate(over="ignore"):
-        for i in range(BLOOM_K):
-            out.append(
-                (
-                    (h * np.uint64(CMS_A[i]) + np.uint64(CMS_B[i]))
-                    >> np.uint64(BLOOM_SHIFT)
-                ).astype(np.int64)
-            )
-    return out
+    from .heavyhitters import _buckets
+
+    return [_buckets(h, i, BLOOM_SHIFT) for i in range(BLOOM_K)]
 
 
 def bloom_term_words(docs: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
@@ -128,10 +127,18 @@ def bloom_probe(source: str | rd.Dataset) -> pd.DataFrame:
     # substr(term || suffix, 1, 16)); a 16-char result can never be a
     # base token (tokenizer caps at 15), and even if a shorter one
     # collides with a real term the EXACT side decides truth on both
-    # sides identically
-    probe_terms = probe_terms + sorted(
-        {(t + BLOOM_NEG_SUFFIX)[:16] for t in probe_terms}
+    # sides identically.  SET UNION, not concatenation: a natural held
+    # term can EQUAL a truncated negative, and a duplicate probe row
+    # would let the final drop_duplicates keep the un-marked copy
+    # (mirrors the SQL's UNION dedup)
+    probe_terms = sorted(
+        set(probe_terms) | {(t + BLOOM_NEG_SUFFIX)[:16] for t in probe_terms}
     )
+    if len(probe_terms) > BLOOM_MAX_PROBE_TERMS:
+        raise ValueError(
+            f"probe vocabulary exceeds {BLOOM_MAX_PROBE_TERMS:,} terms; "
+            "a probe set this large should be sharded, not broadcast"
+        )
     probe_h = (
         term_hash(pa.array(probe_terms, pa.utf8())).astype(np.uint64)
         if probe_terms
@@ -156,9 +163,9 @@ def bloom_probe(source: str | rd.Dataset) -> pd.DataFrame:
         h, _row = _token_hashes(t["text"])
         if not len(h) or not len(hs):
             return pa.table({"pidx": pa.array([], pa.int64())})
-        pos = np.searchsorted(hs, h)
-        pos = np.minimum(pos, len(hs) - 1)
-        hit = hs[pos] == h
+        from .heavyhitters import probe_hits
+
+        pos, hit = probe_hits(hs, h)
         return pa.table({"pidx": pa.array(np.unique(pos[hit]), pa.int64())})
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
@@ -184,9 +191,5 @@ def bloom_probe(source: str | rd.Dataset) -> pd.DataFrame:
             "actually_in_base": actually,
         }
     )
-    # dedup in case a natural term equals a synthetic negative
-    return (
-        df.sort_values("term")
-        .drop_duplicates("term")
-        .reset_index(drop=True)
-    )
+    # probe_terms is already a sorted set — no duplicates by construction
+    return df.sort_values("term").reset_index(drop=True)

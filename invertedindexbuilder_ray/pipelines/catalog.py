@@ -2052,7 +2052,6 @@ def q_heavy_hitters_cms(sf_dir: str):
     """Count-Min-Sketch probe estimates (term, est, exact) — additive
     integer registers stream+merge; est >= exact by the CMS one-sided
     guarantee.  See pipelines/heavyhitters.py."""
-    from .curation import _batch_tokens  # noqa: F401 (documents adapter dep)
     from .heavyhitters import cms_probe_estimates
 
     return cms_probe_estimates(sf_dir)

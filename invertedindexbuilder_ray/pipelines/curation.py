@@ -63,6 +63,17 @@ def _batch_tokens(batch: pa.Table) -> tuple[pa.Array, np.ndarray, np.ndarray,
     return toks, doc_ids[row_idx], row_idx, h1, h2
 
 
+def _align_to_rows(doc_ids: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Row index of each ``keys`` value in the batch's (unique) doc_id
+    array — the vectorized argsort+searchsorted alignment both
+    per-doc-aggregate operators share.  PRECONDITION: every key occurs
+    in ``doc_ids`` (a per-batch aggregate key always does); a missing
+    key would silently map to the wrong row, so don't reuse this for
+    cross-batch keys."""
+    order = np.argsort(doc_ids, kind="stable")
+    return order[np.searchsorted(doc_ids[order], keys)]
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style repetition / quality signals
 
@@ -120,18 +131,15 @@ def gopher_repetition_ds(source: str | rd.Dataset) -> rd.Dataset:
             bmax = np.empty(0, np.int64)
 
         # align per-doc aggregates back to the batch's doc order
-        # (vectorized: doc_id is unique per row, sorted probe)
         out_tok = np.zeros(len(doc_ids), np.int64)
         out_dis = np.zeros(len(doc_ids), np.int64)
         out_big = np.zeros(len(doc_ids), np.int64)
-        order = np.argsort(doc_ids, kind="stable")
         if len(pdoc):
-            idx = order[np.searchsorted(doc_ids[order], pdoc)]
+            idx = _align_to_rows(doc_ids, pdoc)
             out_tok[idx] = ptok
             out_dis[idx] = pdis
         if len(bdoc2):
-            idx = order[np.searchsorted(doc_ids[order], bdoc2)]
-            out_big[idx] = bmax
+            out_big[_align_to_rows(doc_ids, bdoc2)] = bmax
 
         safe_n = np.maximum(out_tok, 1).astype(np.float64)
         dup = round_half_away((out_tok - out_dis) / safe_n, 6)
@@ -326,8 +334,7 @@ def decontaminate_ds(
         n_sh = np.zeros(len(doc_ids), np.int64)
         n_hit = np.zeros(len(doc_ids), np.int64)
         if len(sh):
-            order = np.argsort(doc_ids, kind="stable")
-            idx = order[np.searchsorted(doc_ids[order], sh_doc)]
+            idx = _align_to_rows(doc_ids, sh_doc)
             np.add.at(n_sh, idx, 1)
             hit = pc.is_in(sh, value_set=bench).to_numpy(zero_copy_only=False)
             np.add.at(n_hit, idx[hit], 1)

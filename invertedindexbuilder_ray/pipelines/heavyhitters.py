@@ -47,12 +47,26 @@ CMS_B = (
 )
 
 
-def _buckets(h: np.ndarray, i: int) -> np.ndarray:
+def _buckets(h: np.ndarray, i: int, shift: int = CMS_SHIFT) -> np.ndarray:
+    """Multiply-shift bucket of hash row ``i`` (shared by CMS and the
+    Bloom filter, which passes its own ``shift``)."""
     with np.errstate(over="ignore"):
         return (
             (h * np.uint64(CMS_A[i]) + np.uint64(CMS_B[i]))
-            >> np.uint64(CMS_SHIFT)
+            >> np.uint64(shift)
         ).astype(np.int64)
+
+
+def probe_hits(sorted_h: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized membership probe of hashes ``h`` against a SORTED,
+    DEDUPLICATED hash array: returns ``(pos, hit)`` where ``pos`` is the
+    candidate index into ``sorted_h`` and ``hit`` marks true matches.
+    Shared by the CMS and Bloom exact-truth passes — the
+    searchsorted/clamp subtlety lives in exactly one place.
+    ``sorted_h`` MUST be unique (callers build it from a set/unique)."""
+    pos = np.searchsorted(sorted_h, h)
+    pos = np.minimum(pos, len(sorted_h) - 1)
+    return pos, sorted_h[pos] == h
 
 
 def cms_token_registers(docs: rd.Dataset, *, text_col: str = "text") -> rd.Dataset:
@@ -146,9 +160,7 @@ def cms_probe_estimates(source: str | rd.Dataset) -> pd.DataFrame:
             return pa.table(
                 {"pidx": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
             )
-        pos = np.searchsorted(hs, h)
-        pos = np.minimum(pos, len(hs) - 1)
-        hit = hs[pos] == h
+        pos, hit = probe_hits(hs, h)
         cnt = np.bincount(pos[hit], minlength=len(hs)).astype(np.int64)
         nz = np.flatnonzero(cnt)
         return pa.table(

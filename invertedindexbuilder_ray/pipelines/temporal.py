@@ -597,6 +597,12 @@ def running_sum(
         if g.num_rows == 0:
             return pa.table({c: pa.array([], t) for c, t in out_types.items()})
         k, o, v = _np(g["__k"]), _np(g["__o"]), _np(g["__v"])
+        if not np.all(v == np.floor(v)):
+            raise ValueError(
+                "running_sum requires an integer-valued value column: the "
+                "bucket-wide float cumsum is only order-independent-exact "
+                "for integers (see the EXACTNESS CONTRACT in the docstring)"
+            )
         order = np.lexsort((o, k))
         k, o, v = k[order], o[order], v[order]
         c = np.cumsum(v)

@@ -197,3 +197,22 @@ def test_bloom_words_split_invariant(ray_session):
         .reset_index(drop=True)
     )
     assert one.equals(many)
+
+
+def test_bloom_duplicate_probe_term_marked_correctly(ray_session):
+    # a natural held term EQUAL to a truncated synthetic negative that
+    # also exists in base: the probe set must dedup (set union) so the
+    # single row carries actually_in_base=1 (review finding, round 4)
+    from invertedindexbuilder_ray.pipelines.bloom import bloom_probe
+
+    texts = [
+        "abc abcqq9 held stuff",  # doc 0: held (0 % 5 == 0)
+        "abcqq9 base stuff",      # docs 1-4: base
+        "filler one",
+        "filler two",
+        "filler three",
+    ]
+    df = bloom_probe(_docs_tbl(texts)).set_index("term")
+    assert not df.index.has_duplicates
+    assert df.loc["abcqq9", "actually_in_base"] == 1
+    assert df.loc["abcqq9", "maybe_in_base"] == 1

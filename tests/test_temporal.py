@@ -340,3 +340,23 @@ def test_running_sum_range_peers(ray_session):
     )
     assert df[df["key"] == 7]["running"].tolist() == [10.0, 20.0, 20.0, 21.0]
     assert df[df["key"] == 8]["running"].tolist() == [2.0]
+
+
+def test_running_sum_rejects_fractional_values(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.temporal import running_sum
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "o": pa.array([1, 2], pa.int64()),
+            "v": pa.array([1.5, 2.0]),
+        }
+    )
+    with pytest.raises(Exception, match="integer-valued"):
+        running_sum(
+            rd.from_arrow(t), key="k", order_col="o", value_col="v"
+        ).materialize()
