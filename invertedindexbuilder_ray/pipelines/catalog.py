@@ -2349,3 +2349,60 @@ QUERIES["quantity_percent_rank"] = (
     q_quantity_percent_rank,
     SQL_QUANTITY_PERCENT_RANK,
 )
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_events_funnel(sf_dir: str):
+    """Funnel analysis: per user, progress through view -> click ->
+    purchase with strictly increasing timestamps (greedy-earliest, which
+    is provably optimal for reach).  See temporal.funnel_stages."""
+    from .temporal import funnel_stages
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["user_id", "ts", "event_type"])
+    out = funnel_stages(
+        ev, key="user_id", ts="ts", type_col="event_type", stages=FUNNEL_STAGES
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["key"], "stage": b["stage"]}
+        for i in range(len(FUNNEL_STAGES)):
+            cols[f"t{i + 1}_us"] = b[f"t{i + 1}_us"]
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_events_funnel() -> str:
+    names = FUNNEL_STAGES
+    ctes = ["u AS (SELECT DISTINCT user_id FROM events)"]
+    prev = None
+    for i, s in enumerate(names, start=1):
+        if prev is None:
+            ctes.append(
+                f"s{i} AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS t{i} "
+                f"FROM events WHERE event_type = '{s}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS t{i} "
+                f"FROM events e JOIN s{prev} USING (user_id) "
+                f"WHERE e.event_type = '{s}' AND epoch_us(e.ts) > s{prev}.t{prev} "
+                f"GROUP BY 1)"
+            )
+        prev = i
+    stage_expr = " + ".join(
+        f"(s{i}.user_id IS NOT NULL)::INT" for i in range(1, len(names) + 1)
+    )
+    t_cols = ", ".join(f"s{i}.t{i} AS t{i}_us" for i in range(1, len(names) + 1))
+    joins = " ".join(f"LEFT JOIN s{i} USING (user_id)" for i in range(1, len(names) + 1))
+    return f"""
+WITH {", ".join(ctes)}
+SELECT u.user_id, ({stage_expr})::BIGINT AS stage, {t_cols}
+FROM u {joins}
+"""
+
+
+QUERIES["events_funnel"] = (q_events_funnel, _sql_events_funnel())

@@ -637,3 +637,96 @@ def running_sum(
     return out.map_batches(lambda x: x, batch_format="pyarrow").union(
         rd.from_arrow(empty)
     )
+
+
+def funnel_stages(
+    events: rd.Dataset,
+    *,
+    key: str,
+    ts: str,
+    type_col: str,
+    stages: list[str],
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Funnel analysis (sequential pattern match): per key, how far
+    through the ordered ``stages`` list its events progress, where stage
+    i+1 must occur STRICTLY AFTER the chosen (earliest-completing)
+    stage-i event.  Output: ``(key, stage, t1_us..tk_us)`` — ``stage``
+    is the count of stages reached, ``ti_us`` the completion timestamps
+    (epoch microseconds, NULL when not reached; values < 2^53 so the
+    float64 the driver compares through is exact).
+
+    Greedy-earliest is optimal here: taking the earliest valid event at
+    each stage can only enlarge the set of valid continuations, so the
+    reached-stage count equals the maximum over all orderings.
+
+    One bucketed exchange on the key; inside a bucket the kernel loops
+    over the (constant, small) stage list, never over rows: per stage,
+    one user-index gather + mask + ``np.minimum.at`` computes each
+    key's earliest qualifying event.
+    """
+    if num_partitions is None:
+        num_partitions = _partitions_for(events.count())
+    n_stages = len(stages)
+
+    def pad(b: pa.Table) -> pa.Table:
+        # stage index; non-stage event types are dropped at the map side
+        # but every key must still appear (stage-0 users) -> keep one
+        # marker row per input row with y = -1 for non-stage types
+        y = np.full(b.num_rows, -1, np.int64)
+        tv = b[type_col]
+        for i, s in enumerate(stages):
+            y[pc.equal(tv, s).to_numpy(zero_copy_only=False)] = i
+        k = b[key].cast(pa.int64())
+        return pa.table(
+            {
+                "__k": k,
+                "__t": _ts_int64(b[ts]),
+                "__y": pa.array(y, pa.int64()),
+                "__bucket": pa.array(_bucket_hash(k, num_partitions)),
+            }
+        )
+
+    out_types = {"key": pa.int64(), "stage": pa.int64()}
+    for i in range(n_stages):
+        out_types[f"t{i + 1}_us"] = pa.int64()
+
+    SENTINEL = np.int64(2**62)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        expected = {"__k": pa.int64(), "__t": pa.int64(), "__y": pa.int64()}
+        g = _restore_null_types(g, expected)
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], t) for c, t in out_types.items()})
+        k, t, y = _np(g["__k"]), _np(g["__t"]), _np(g["__y"])
+        uk = np.unique(k)
+        uidx = np.searchsorted(uk, k)
+        cur = np.full(len(uk), -SENTINEL, np.int64)  # "before everything"
+        cols = {"key": pa.array(uk, pa.int64())}
+        stage_count = np.zeros(len(uk), np.int64)
+        ts_cols = []
+        for i in range(n_stages):
+            sel = y == i
+            best = np.full(len(uk), SENTINEL, np.int64)
+            if sel.any():
+                ui = uidx[sel]
+                tv = t[sel]
+                ok = tv > cur[ui]
+                np.minimum.at(best, ui[ok], tv[ok])
+            reached = best < SENTINEL
+            stage_count += reached.astype(np.int64)
+            ts_cols.append((best, reached))
+            # unreached keys get +SENTINEL so no later stage can qualify
+            cur = np.where(reached, best, SENTINEL)
+        cols["stage"] = pa.array(stage_count, pa.int64())
+        for i, (best, reached) in enumerate(ts_cols):
+            cols[f"t{i + 1}_us"] = pa.array(best, pa.int64(), mask=~reached)
+        return pa.table(cols)
+
+    out = events.map_batches(pad, batch_format="pyarrow").groupby(
+        "__bucket"
+    ).map_groups(kernel, batch_format="pyarrow")
+    empty = pa.table({c: pa.array([], t) for c, t in out_types.items()})
+    return out.map_batches(lambda x: x, batch_format="pyarrow").union(
+        rd.from_arrow(empty)
+    )

@@ -360,3 +360,74 @@ def test_running_sum_rejects_fractional_values(ray_session):
         running_sum(
             rd.from_arrow(t), key="k", order_col="o", value_col="v"
         ).materialize()
+
+
+def test_funnel_hand_checked(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.temporal import funnel_stages
+
+    rows = [
+        # user 1: full funnel (view 10, click 20, purchase 30)
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: click BEFORE view -> stage stops at 1 (strictly after)
+        (2, 20, "view"), (2, 10, "click"),
+        # user 3: purchase first doesn't count; view 5, click 7 -> stage 2
+        (3, 1, "purchase"), (3, 5, "view"), (3, 7, "click"),
+        # user 4: only unrelated events -> stage 0
+        (4, 1, "error"),
+        # user 5: simultaneous view/click (strict >) -> stage 1
+        (5, 10, "view"), (5, 10, "click"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    df = (
+        funnel_stages(
+            rd.from_arrow(t), key="user_id", ts="ts", type_col="event_type",
+            stages=["view", "click", "purchase"],
+        )
+        .to_pandas()
+        .set_index("key")
+        .sort_index()
+    )
+    assert df["stage"].tolist() == [3, 1, 2, 0, 1]
+    assert df.loc[1, "t3_us"] == 30
+    assert df.loc[3, "t2_us"] == 7
+    import pandas as pd
+
+    assert pd.isna(df.loc[2, "t2_us"]) and pd.isna(df.loc[4, "t1_us"])
+
+
+def test_funnel_split_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.temporal import funnel_stages
+
+    n = 600
+    types = ["view", "click", "purchase", "error"]
+    t = pa.table(
+        {
+            "user_id": pa.array([i % 37 for i in range(n)], pa.int64()),
+            "ts": pa.array([(i * 17) % 997 for i in range(n)], pa.int64()),
+            "event_type": pa.array([types[(i * 7) % 4] for i in range(n)]),
+        }
+    )
+    kw = dict(key="user_id", ts="ts", type_col="event_type",
+              stages=["view", "click", "purchase"])
+    one = (
+        funnel_stages(rd.from_arrow(t), **kw)
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    many = (
+        funnel_stages(rd.from_arrow(t).repartition(13), **kw)
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    assert one.equals(many)
+    assert (one["stage"] >= 0).all() and (one["stage"] <= 3).all()
