@@ -597,14 +597,17 @@ def _semi_anti(sf_dir: str, anti: bool, *, key_limit: int = SEMI_BROADCAST_KEY_L
     agg = filtered.aggregate(Count(), Sum("l_quantity")) or {}
     import pandas as pd
 
-    return pd.DataFrame(
-        [
-            {
-                "n_rows": int(agg.get("count()") or 0),
-                "sum_qty": round_half_away(float(agg.get("sum(l_quantity)") or 0.0), 2),
-            }
-        ]
+    n_rows = int(agg.get("count()") or 0)
+    total = agg.get("sum(l_quantity)")
+    # SQL sum() over ZERO rows is NULL, not 0 — mirror it (found by the
+    # relational fuzz; the sf tables always keep rows so the driver gate
+    # never exercised the empty branch)
+    sum_qty = (
+        round_half_away(float(total), 2)
+        if n_rows > 0 and total is not None
+        else float("nan")
     )
+    return pd.DataFrame([{"n_rows": n_rows, "sum_qty": sum_qty}])
 
 
 def q_semi_join(sf_dir: str):

@@ -1,0 +1,124 @@
+"""Fuzz the relational catalog entries on RANDOM TPC-H-ish tables.
+
+Generated lineitem/orders/customer/nation parquet with adversarial
+shapes the sf tables don't exercise: duplicate (orderkey, linenumber)
+pairs, orders with no lineitems and vice versa, customers with no
+nation match, empty segments.  l_quantity stays integer-valued (the
+documented exactness contract for summed measures); o_totalprice is
+2-decimal but only ever filtered on, never summed, in the fuzzed
+entries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+FUZZ_ENTRIES = [
+    "lineitem_running_sum",
+    "quantity_percent_rank",
+    "lineitem_quantiles",
+    "semi_join",
+    "anti_join",
+    "qty_by_nation",
+]
+
+_LINE = st.tuples(
+    st.integers(min_value=0, max_value=30),  # l_orderkey (some dangling)
+    st.integers(min_value=1, max_value=4),  # l_linenumber (dups likely)
+    st.integers(min_value=1, max_value=50),  # l_quantity (integer-valued)
+)
+_ORDER = st.tuples(
+    st.integers(min_value=0, max_value=25),  # o_orderkey
+    st.integers(min_value=0, max_value=12),  # o_custkey
+    st.integers(min_value=0, max_value=40_000_000),  # totalprice cents
+)
+
+
+def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
+                "l_linenumber": pa.array([r[1] for r in lines], pa.int64()),
+                "l_quantity": pa.array([float(r[2]) for r in lines], pa.float64()),
+            }
+        ),
+        os.path.join(tmpdir, "lineitem.parquet"),
+    )
+    # dedup orderkeys (o_orderkey must be unique for the semi-join's
+    # no-row-multiplication precondition, as in TPC-H)
+    seen: dict[int, tuple] = {}
+    for r in orders:
+        seen.setdefault(r[0], r)
+    orows = list(seen.values())
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orows], pa.int64()),
+                "o_totalprice": pa.array(
+                    [r[2] / 100.0 for r in orows], pa.float64()
+                ),
+            }
+        ),
+        os.path.join(tmpdir, "orders.parquet"),
+    )
+    # customers 0..9 only: custkeys 10-12 dangle; nations 0..3
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(list(range(10)), pa.int64()),
+                "c_nationkey": pa.array([i % 4 for i in range(10)], pa.int64()),
+            }
+        ),
+        os.path.join(tmpdir, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(list(range(4)), pa.int64()),
+                "n_name": pa.array([f"N{i}" for i in range(4)], pa.string()),
+            }
+        ),
+        os.path.join(tmpdir, "nation.parquet"),
+    )
+    return tmpdir
+
+
+def _run_pair(name: str, sf_dir: str):
+    from invertedindexbuilder_ray.pipelines.catalog import QUERIES
+
+    from test_catalog_vs_duckdb import _compare, _to_df
+
+    fn, sql = QUERIES[name]
+    got = _to_df(fn(sf_dir))
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    want = con.execute(sql).fetchdf()
+    if len(got) == 0 and len(want) == 0:
+        return
+    _compare(name, got, want)
+
+
+@pytest.mark.parametrize("name", FUZZ_ENTRIES)
+@settings(max_examples=5, deadline=None)
+@given(
+    lines=st.lists(_LINE, min_size=1, max_size=60),
+    orders=st.lists(_ORDER, min_size=1, max_size=40),
+)
+def test_relational_fuzz_vs_duckdb(
+    ray_session, tmp_path_factory, name, lines, orders
+):
+    tmpdir = str(tmp_path_factory.mktemp("fuzzrel"))
+    _run_pair(name, _write_tables(tmpdir, lines, orders))
