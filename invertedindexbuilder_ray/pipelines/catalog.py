@@ -2488,3 +2488,53 @@ QUERIES["events_props_extract"] = (
     q_events_props_extract,
     SQL_EVENTS_PROPS_EXTRACT,
 )
+
+
+def q_orders_rollup(sf_dir: str):
+    """ROLLUP aggregate (grouping sets): order counts at (status,
+    priority), (status), and grand-total levels, NULL-filled like SQL
+    ROLLUP.  Distributed shape: per-batch Arrow partial counts of the
+    FINEST level only (low cardinality by contract — status x priority
+    is ~15 here); coarser levels derive from those partials on the
+    driver, so the rollup costs ONE combine regardless of level count.
+    """
+    path = os.path.join(sf_dir, "orders.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ords = read_parquet_sized(path, columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("o_orderstatus", "count")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": agg["o_orderstatus"],
+                "o_orderpriority": agg["o_orderpriority"],
+                "n": agg["o_orderstatus_count"].cast(pa.int64()),
+            }
+        )
+
+    rows = ords.map_batches(partial, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    base = (
+        pd.DataFrame(rows, columns=["o_orderstatus", "o_orderpriority", "n"])
+        .groupby(["o_orderstatus", "o_orderpriority"], as_index=False)["n"]
+        .sum()
+    )
+    lvl1 = base.groupby("o_orderstatus", as_index=False)["n"].sum()
+    lvl1["o_orderpriority"] = None
+    total = pd.DataFrame(
+        [{"o_orderstatus": None, "o_orderpriority": None, "n": base["n"].sum()}]
+    )
+    out = pd.concat([base, lvl1, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["o_orderstatus", "o_orderpriority", "n"]]
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+QUERIES["orders_rollup"] = (q_orders_rollup, SQL_ORDERS_ROLLUP)
