@@ -2249,14 +2249,17 @@ def q_qty_by_nation(sf_dir: str):
     nat_name = {int(r["n_nationkey"]): r["n_name"] for r in nat_rows}
 
     n_part = _join_partitions(li.count())
-    import pyarrow.parquet as _pq
-
-    n_cust = _pq.ParquetFile(os.path.join(d, "customer.parquet")).metadata.num_rows
-    if n_cust <= STAR_DIM_BROADCAST_LIMIT:
+    n_cust = cust.count()  # parquet metadata, no scan
+    crows = cust.take_all() if n_cust <= STAR_DIM_BROADCAST_LIMIT else []
+    ck = np.array([r["c_custkey"] for r in crows], np.int64)
+    # the broadcast lookup returns ONE nationkey per order; an inner join
+    # multiplies rows on duplicate custkeys.  c_custkey is a primary key
+    # by contract (TPC-H), but ENFORCE it: duplicates fall back to the
+    # partitioned join, whose semantics match the SQL oracle exactly.
+    unique_pk = len(np.unique(ck)) == len(ck)
+    if n_cust <= STAR_DIM_BROADCAST_LIMIT and n_cust > 0 and unique_pk:
         # broadcast the custkey -> nationkey map: orders gains
         # c_nationkey with a vectorized sorted probe, zero exchange
-        crows = cust.take_all()
-        ck = np.array([r["c_custkey"] for r in crows], np.int64)
         cn = np.array([r["c_nationkey"] for r in crows], np.int64)
         o = np.argsort(ck)
         cref = ray.put((ck[o], cn[o]))
@@ -2276,7 +2279,18 @@ def q_qty_by_nation(sf_dir: str):
 
         oc = orders.map_batches(enrich, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    else:  # exercised by the fallback-parity test (limit monkeypatched)
+    elif n_cust == 0:
+        # inner join with an empty dimension keeps nothing
+        oc = rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "c_nationkey": pa.array([], pa.int64()),
+                }
+            )
+        )
+    else:  # over-limit or duplicate custkeys: exact join semantics
+        # (exercised by the fallback-parity test, limit monkeypatched)
         oc = partitioned_hash_join(
             orders, cust, left_on="o_custkey", right_on="c_custkey",
             num_partitions=_join_partitions(orders.count()), how="inner",
@@ -2457,19 +2471,19 @@ def q_events_props_extract(sf_dir: str):
     def extract(b: pa.Table) -> pa.Table:
         # Arrow's extract_regex requires a NAMED group; DuckDB's
         # regexp_extract takes the same RE2 pattern with group index 1 —
-        # match spans are identical, only the capture syntax differs
+        # match spans are identical, only the capture syntax differs.
+        # A props row without the field yields NULL and NULL propagates
+        # through cast/divide (SQL ''::BIGINT would error; null-out is
+        # the graceful contract on the Ray side)
         m = pc.extract_regex(b["props"], pattern=r'"k": (?P<k>[0-9]+)')
         k = pc.cast(pc.struct_field(m, "k"), pa.int64())
         return pa.table(
             {
                 "event_id": pc.cast(b["event_id"], pa.int64()),
                 "k_val": k,
-                "k_bucket": pc.cast(
-                    pa.array(
-                        k.to_numpy(zero_copy_only=False) // 10, pa.int64()
-                    ),
-                    pa.int64(),
-                ),
+                # Arrow int64 divide truncates; k is non-negative so
+                # trunc == floor == DuckDB //
+                "k_bucket": pc.divide(k, pa.scalar(10, pa.int64())),
             }
         )
 
@@ -2478,8 +2492,8 @@ def q_events_props_extract(sf_dir: str):
 
 SQL_EVENTS_PROPS_EXTRACT = r"""
 SELECT event_id,
-       regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT AS k_val,
-       (regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT // 10)::BIGINT
+       nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '')::BIGINT AS k_val,
+       (nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '')::BIGINT // 10)::BIGINT
            AS k_bucket
 FROM events
 """
@@ -2502,14 +2516,16 @@ def q_orders_rollup(sf_dir: str):
     ords = read_parquet_sized(path, columns=["o_orderstatus", "o_orderpriority"])
 
     def partial(b: pa.Table) -> pa.Table:
+        # count_all, NOT a column count: NULL grouping keys form real
+        # groups in SQL ROLLUP and a column count would skip null rows
         agg = b.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
-            [("o_orderstatus", "count")]
+            [([], "count_all")]
         )
         return pa.table(
             {
                 "o_orderstatus": agg["o_orderstatus"],
                 "o_orderpriority": agg["o_orderpriority"],
-                "n": agg["o_orderstatus_count"].cast(pa.int64()),
+                "n": agg["count_all"].cast(pa.int64()),
             }
         )
 
@@ -2518,17 +2534,25 @@ def q_orders_rollup(sf_dir: str):
 
     base = (
         pd.DataFrame(rows, columns=["o_orderstatus", "o_orderpriority", "n"])
-        .groupby(["o_orderstatus", "o_orderpriority"], as_index=False)["n"]
+        .groupby(["o_orderstatus", "o_orderpriority"], as_index=False,
+                 dropna=False)["n"]
         .sum()
     )
-    lvl1 = base.groupby("o_orderstatus", as_index=False)["n"].sum()
+    lvl1 = base.groupby("o_orderstatus", as_index=False, dropna=False)["n"].sum()
     lvl1["o_orderpriority"] = None
     total = pd.DataFrame(
         [{"o_orderstatus": None, "o_orderpriority": None, "n": base["n"].sum()}]
     )
     out = pd.concat([base, lvl1, total], ignore_index=True)
     out["n"] = out["n"].astype("int64")
-    return out[["o_orderstatus", "o_orderpriority", "n"]]
+    out = out[["o_orderstatus", "o_orderpriority", "n"]]
+    # NULL grouping keys surface as NaN after pandas groupby(dropna=False)
+    # while the synthesized subtotal rows carry None — normalize to None
+    # (what DuckDB returns for both)
+    for c in ("o_orderstatus", "o_orderpriority"):
+        col = out[c].astype(object)
+        out[c] = col.where(pd.notna(col), None)
+    return out
 
 
 SQL_ORDERS_ROLLUP = """

@@ -676,7 +676,10 @@ def funnel_stages(
         y = np.full(b.num_rows, -1, np.int64)
         tv = b[type_col]
         for i, s in enumerate(stages):
-            y[pc.equal(tv, s).to_numpy(zero_copy_only=False)] = i
+            # fill_null: a NULL event_type is "not this stage" (SQL's
+            # `event_type = s` semantics), not an object-dtype mask crash
+            eq = pc.fill_null(pc.equal(tv, s), False)
+            y[eq.to_numpy(zero_copy_only=False)] = i
         k = b[key].cast(pa.int64())
         return pa.table(
             {

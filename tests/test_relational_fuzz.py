@@ -27,6 +27,7 @@ FUZZ_ENTRIES = [
     "semi_join",
     "anti_join",
     "qty_by_nation",
+    "orders_rollup",
 ]
 
 _LINE = st.tuples(
@@ -37,7 +38,7 @@ _LINE = st.tuples(
 _ORDER = st.tuples(
     st.integers(min_value=0, max_value=25),  # o_orderkey
     st.integers(min_value=0, max_value=12),  # o_custkey
-    st.integers(min_value=0, max_value=40_000_000),  # totalprice cents
+    st.integers(min_value=0, max_value=80_000_000),  # totalprice cents (some > the 400k filter)
 )
 
 
@@ -65,6 +66,16 @@ def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
                 "o_custkey": pa.array([r[1] for r in orows], pa.int64()),
                 "o_totalprice": pa.array(
                     [r[2] / 100.0 for r in orows], pa.float64()
+                ),
+                # occasional NULL grouping keys: SQL ROLLUP keeps NULL
+                # groups, so the Ray side must too
+                "o_orderstatus": pa.array(
+                    [None if r[1] == 12 else "FO"[r[0] % 2] for r in orows],
+                    pa.string(),
+                ),
+                "o_orderpriority": pa.array(
+                    [None if r[2] % 7 == 0 else f"P{r[2] % 3}" for r in orows],
+                    pa.string(),
                 ),
             }
         ),

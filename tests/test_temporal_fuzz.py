@@ -34,7 +34,7 @@ _TYPES = ["view", "click", "purchase", "signup", "error"]
 _EVENT = st.tuples(
     st.integers(min_value=0, max_value=5),  # user_id
     st.integers(min_value=0, max_value=400),  # coarse ts grid slot
-    st.integers(min_value=0, max_value=4),  # event type idx
+    st.integers(min_value=0, max_value=5),  # event type idx (5 = NULL)
     st.integers(min_value=0, max_value=9999),  # value cents
     st.integers(min_value=0, max_value=99),  # props k
 )
@@ -54,9 +54,14 @@ def _write_events(tmpdir: str, rows: list[tuple]) -> str:
                 pa.timestamp("us"),
             ),
             "user_id": pa.array([r[0] for r in rows], pa.int64()),
-            "event_type": pa.array([_TYPES[r[2]] for r in rows], pa.string()),
+            "event_type": pa.array(
+                [_TYPES[r[2]] if r[2] < 5 else None for r in rows], pa.string()
+            ),
             "value": pa.array([r[3] / 100.0 for r in rows], pa.float64()),
-            "props": pa.array(['{"k": %d}' % r[4] for r in rows], pa.string()),
+            # k == 0 -> field-less props: exercises the NULL-extract path
+            "props": pa.array(
+                ['{"k": %d}' % r[4] if r[4] else '{}' for r in rows], pa.string()
+            ),
         }
     )
     pq.write_table(tbl, os.path.join(tmpdir, "events.parquet"))
