@@ -172,7 +172,7 @@ def run_bench() -> dict:
         "sequence_pack", "heavy_hitters_cms", "bloom_probe", "events_band_join",
         "events_rolling_agg", "lineitem_running_sum", "qty_by_nation",
         "quantity_percent_rank", "events_funnel", "events_props_extract",
-        "orders_rollup",
+        "orders_rollup", "fuzzy_term_join",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

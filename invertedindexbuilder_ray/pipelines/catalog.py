@@ -2562,3 +2562,32 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 QUERIES["orders_rollup"] = (q_orders_rollup, SQL_ORDERS_ROLLUP)
+
+
+def q_fuzzy_term_join(sf_dir: str):
+    """Fuzzy string self-join on the corpus vocabulary (edit distance
+    <= 1) via FastSS deletion signatures + exact vectorized verify.
+    See curation.fuzzy_term_pairs_ds."""
+    from .curation import fuzzy_term_pairs_ds
+
+    return fuzzy_term_pairs_ds(sf_dir)
+
+
+def _sql_fuzzy_term_join() -> str:
+    from .curation import FUZZY_MIN_LEN
+
+    return f"""
+WITH {_SQL_TOKS_LIST},
+tok AS (SELECT DISTINCT unnest(toks) AS term FROM filt),
+vocab AS (
+    SELECT term FROM tok
+    UNION
+    SELECT substr(term, 2) FROM tok WHERE length(term) >= {FUZZY_MIN_LEN}
+)
+SELECT a.term AS term_a, b.term AS term_b, 1::BIGINT AS dist
+FROM vocab a JOIN vocab b
+  ON a.term < b.term AND levenshtein(a.term, b.term) <= 1
+"""
+
+
+QUERIES["fuzzy_term_join"] = (q_fuzzy_term_join, _sql_fuzzy_term_join())

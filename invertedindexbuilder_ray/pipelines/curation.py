@@ -809,3 +809,188 @@ def sequence_pack_ds(
         ]
     )
     return _sharded_groupby(per_doc, ["bucket"], scan, empty_schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy string join (edit distance <= 1) via deletion signatures
+
+FUZZY_MIN_LEN = 4  # sf typo augmentation: only words long enough to maul
+
+
+def _ed1_verify(a: np.ndarray, b: np.ndarray, la: np.ndarray,
+                lb: np.ndarray) -> np.ndarray:
+    """Vectorized exact edit-distance<=1 check over zero-padded (n, 16)
+    byte matrices (``hashing.pack16`` layout).  Candidates arrive with
+    |len(a) - len(b)| <= 1 and a != b; true iff one substitution (equal
+    lengths, exactly one mismatching column) or one deletion (len diff
+    1: bytes equal up to the first mismatch, then the longer shifted
+    left by one equals the shorter's tail)."""
+    n = len(la)
+    if n == 0:
+        return np.zeros(0, bool)
+    mism = a != b  # (n, 16)
+    n_mism = mism.sum(axis=1)
+    out = np.zeros(n, bool)
+    same_len = la == lb
+    out[same_len] = n_mism[same_len] == 1
+    # deletion case: order so x is the LONGER word
+    dl = ~same_len
+    if dl.any():
+        swap = lb > la
+        x = np.where(swap[:, None], b, a)
+        y = np.where(swap[:, None], a, b)
+        # first mismatching column per row (16 if none — impossible here
+        # since x != y)
+        first = np.where(mism.any(axis=1), mism.argmax(axis=1), 16)
+        # shift x left by one from the mismatch on: x[:, j+1] vs y[:, j]
+        xs = np.zeros_like(x)
+        xs[:, :-1] = x[:, 1:]
+        tail_eq = xs == y
+        cols = np.arange(16)[None, :]
+        tail_ok = (tail_eq | (cols < first[:, None])).all(axis=1)
+        out[dl] = tail_ok[dl]
+    return out
+
+
+def fuzzy_term_pairs_ds(source: str | rd.Dataset, *, augment: bool = True) -> rd.Dataset:
+    """All UNORDERED pairs of distinct corpus terms at edit distance
+    <= 1 (the spell-variant / fuzzy-string join).  Columns:
+    ``term_a, term_b, dist`` with ``term_a < term_b``, dist in {1}.
+
+    Shape — FastSS deletion signatures: every vocab word emits itself
+    plus its single-char deletions (<= 16 signatures/word); two words
+    within edit distance 1 ALWAYS share a signature (guaranteed recall
+    — delete the substituted/inserted position), so candidates are
+    signature-bucket pairs, verified EXACTLY by a vectorized byte-matrix
+    check — never an all-pairs scan.  One sharded exchange keyed on the
+    signature hash; a second dedups pairs (a pair can share several
+    signatures).
+
+    ``augment`` adds substr(term, 2) variants of long words (mirrored in
+    the SQL oracle) because the sf vocabulary has no natural typos.
+    """
+    from ..functions.hashing import pack16, term_hash
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+
+    def vocab_batch(batch: pa.Table) -> pa.Table:
+        toks, _td, _ri, _h1, _h2 = _batch_tokens(batch)
+        u = pc.unique(toks)
+        if augment and len(u):
+            import pyarrow.compute as _pc
+
+            lens = _pc.utf8_length(u)
+            longw = u.filter(_pc.greater_equal(lens, FUZZY_MIN_LEN))
+            u = pc.unique(
+                pa.concat_arrays([u, _pc.utf8_slice_codeunits(longw, 1)])
+            )
+        return pa.table({"term": u})
+
+    vocab_parts = docs.map_batches(vocab_batch, batch_format="pyarrow")
+
+    # global distinct via term-hash sharding (vectorized inside shards)
+    def add_h(t: pa.Table) -> pa.Table:
+        h = term_hash(t["term"]).view(np.int64)
+        return t.append_column("th", pa.array(h, pa.int64()))
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("term")[["term"]]
+
+    vschema = pa.schema([("term", pa.utf8())])
+    vocab = _sharded_groupby(
+        vocab_parts.map_batches(add_h, batch_format="pyarrow"),
+        ["th"],
+        distinct,
+        empty_schema=vschema,
+    )
+
+    def signatures(t: pa.Table) -> pa.Table:
+        terms = t["term"]
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        n = len(terms)
+        if n == 0:
+            return pa.table(
+                {"sh": pa.array([], pa.int64()), "term": pa.array([], pa.utf8())}
+            )
+        packed = pack16(terms)  # (n, 16)
+        lens = np.char.str_len(np.asarray(terms.to_pylist(), dtype=object).astype(str))
+        sig_terms: list[pa.Array] = [terms]
+        sig_bytes: list[np.ndarray] = [packed]
+        # deletion variants, one shift per position (byte matrices only)
+        maxlen = int(lens.max())
+        for i in range(maxlen):
+            has = lens > i
+            sub = packed[has]
+            d = sub.copy()
+            d[:, i:-1] = sub[:, i + 1 :]
+            d[:, -1] = 0
+            sig_bytes.append(d)
+            sig_terms.append(terms.filter(pa.array(has)))
+        allb = np.vstack(sig_bytes)
+        # hash the signature bytes (FNV over the 16 columns)
+        with np.errstate(over="ignore"):
+            h = np.full(len(allb), np.uint64(1469598103934665603))
+            for j in range(16):
+                h = (h ^ allb[:, j].astype(np.uint64)) * np.uint64(1099511628211)
+        return pa.table(
+            {
+                "sh": pa.array(h.view(np.int64), pa.int64()),
+                "term": pa.concat_arrays(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+                     for x in sig_terms]
+                ),
+            }
+        )
+
+    sigs = vocab.map_batches(signatures, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # pairs within each signature bucket; buckets are tiny (a word's
+        # deletion neighborhood), so the quadratic is per-bucket bounded
+        out_a, out_b = [], []
+        for _, grp in g.groupby("sh"):
+            ts = sorted(set(grp["term"]))
+            if len(ts) < 2:
+                continue
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    out_a.append(ts[i])
+                    out_b.append(ts[j])
+        return pd.DataFrame({"term_a": out_a, "term_b": out_b})
+
+    pschema = pa.schema([("term_a", pa.utf8()), ("term_b", pa.utf8())])
+    cand = _sharded_groupby(sigs, ["sh"], bucket_pairs, empty_schema=pschema)
+
+    def add_pair_h(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import term_hash as th
+
+        h = th(t["term_a"]).view(np.int64) ^ th(t["term_b"]).view(np.int64)
+        return t.append_column("ph", pa.array(h, pa.int64()))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import pack16 as p16
+
+        g = g.drop_duplicates(["term_a", "term_b"])
+        if not len(g):
+            return pd.DataFrame({"term_a": [], "term_b": [], "dist": []})
+        ta = pa.array(g["term_a"].tolist(), pa.utf8())
+        tb = pa.array(g["term_b"].tolist(), pa.utf8())
+        a, b = p16(ta), p16(tb)
+        la = np.fromiter((len(x) for x in g["term_a"]), np.int64, len(g))
+        lb = np.fromiter((len(x) for x in g["term_b"]), np.int64, len(g))
+        keep = (np.abs(la - lb) <= 1) & _ed1_verify(a, b, la, lb)
+        out = g[keep].copy()
+        out["dist"] = np.int64(1)
+        return out[["term_a", "term_b", "dist"]]
+
+    oschema = pa.schema(
+        [("term_a", pa.utf8()), ("term_b", pa.utf8()), ("dist", pa.int64())]
+    )
+    return _sharded_groupby(
+        cand.map_batches(add_pair_h, batch_format="pyarrow"),
+        ["ph"],
+        verify,
+        empty_schema=oschema,
+    )

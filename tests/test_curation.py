@@ -356,3 +356,84 @@ def test_sequence_pack_multibucket_and_split_invariant(ray_session, monkeypatch)
     want = np.concatenate([[0], np.cumsum(one["n_tokens"].to_numpy())[:-1]])
     assert one["tok_offset"].tolist() == want.tolist()
     assert (one["seq_id"] == one["tok_offset"] // 256).all()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy term join (edit distance <= 1)
+
+
+def test_fuzzy_pairs_hand_checked(ray_session):
+    from invertedindexbuilder_ray.pipelines.curation import fuzzy_term_pairs_ds
+
+    # vocab: substitution (cat/bat), deletion (cat/at), insertion
+    # (cat/cart), far word (dog), ed=2 pair (cat/ca_ -> none vs dog)
+    df = (
+        fuzzy_term_pairs_ds(_docs_ds(["cat bat at cart dog scan"]), augment=False)
+        .to_pandas()
+        .sort_values(["term_a", "term_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(map(tuple, df[["term_a", "term_b"]].itertuples(index=False)))
+    assert ("bat", "cat") in pairs  # substitution
+    assert ("at", "cat") in pairs  # deletion
+    assert ("cart", "cat") in pairs  # insertion
+    assert ("at", "bat") in pairs
+    assert not any("dog" in p or "scan" in p for p in pairs)
+    assert (df["dist"] == 1).all()
+    # canonical order and no self/dup pairs
+    assert (df["term_a"] < df["term_b"]).all()
+    assert not df.duplicated(["term_a", "term_b"]).any()
+
+
+def test_fuzzy_pairs_recall_vs_bruteforce(ray_session):
+    from invertedindexbuilder_ray.pipelines.curation import fuzzy_term_pairs_ds
+
+    # deterministic vocab with planted neighbors
+    words = sorted(
+        {f"w{i}xy"[: 3 + i % 4] for i in range(40)}
+        | {"alpha", "alpia", "alph", "aalpha", "beta", "betta"}
+    )
+    text = " ".join(words)
+
+    def ed(a: str, b: str) -> int:
+        import numpy as _np
+
+        dp = _np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev = dp.copy()
+            dp[0] = i
+            for j, cb in enumerate(b, 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (ca != cb))
+        return int(dp[-1])
+
+    want = {
+        (a, b)
+        for i, a in enumerate(words)
+        for b in words[i + 1 :]
+        if ed(a, b) <= 1
+    }
+    got = set(
+        map(
+            tuple,
+            fuzzy_term_pairs_ds(_docs_ds([text]), augment=False)
+            .to_pandas()[["term_a", "term_b"]]
+            .itertuples(index=False),
+        )
+    )
+    assert got == want and len(want) > 0
+
+
+def test_fuzzy_pairs_split_invariant(ray_session):
+    from invertedindexbuilder_ray.pipelines.curation import fuzzy_term_pairs_ds
+
+    texts = [f"base{i % 11} base{(i + 1) % 11}x tail{i % 5}" for i in range(60)]
+    one = (
+        fuzzy_term_pairs_ds(_docs_ds(texts, blocks=1))
+        .to_pandas().sort_values(["term_a", "term_b"]).reset_index(drop=True)
+    )
+    many = (
+        fuzzy_term_pairs_ds(_docs_ds(texts, blocks=7))
+        .to_pandas().sort_values(["term_a", "term_b"]).reset_index(drop=True)
+    )
+    assert one.equals(many) and len(one) > 0

@@ -31,6 +31,7 @@ FUZZ_ENTRIES = [
     "length_outlier_filter",
     "heavy_hitters_cms",
     "bloom_probe",
+    "fuzzy_term_join",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
