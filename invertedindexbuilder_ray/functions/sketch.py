@@ -15,6 +15,9 @@ import pyarrow as pa
 from .hashing import _FNV_OFFSET, _FNV_PRIME
 from .tokenize import token_spans
 
+# shingle-fold mixer (see shingle_hashes): odd, < 2^62 for HUGEINT SQL
+_SHINGLE_MIX_MULT = np.uint64(2685821657736338717)
+
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
 
@@ -65,9 +68,18 @@ def shingle_hashes(
             np.zeros(n_rows + 1, np.int64),
         )
     with np.errstate(over="ignore"):
+        # xor-shift mix BEFORE the polynomial fold.  The raw FNV token
+        # hashes differ by exact multiples of FNV-prime powers for
+        # near-miss tokens (low-byte xor deltas), and a fold in the SAME
+        # prime cancels those deltas: ('w10','w1','w0') and
+        # ('w11','w2','w0') collided DETERMINISTICALLY (found by the
+        # prefix-filter recall fuzz, round 4).  The mix breaks the
+        # additive structure; constant < 2^62 so the DuckDB HUGEINT
+        # replication (sketch_sql) cannot overflow int128.
+        mh = (th ^ (th >> np.uint64(31))) * _SHINGLE_MIX_MULT
         sh = np.zeros(max(len(th) - k + 1, 0), dtype=np.uint64)
         for j in range(k):
-            sh = sh * np.uint64(1099511628211) + th[j : len(th) - k + 1 + j]
+            sh = sh * np.uint64(1099511628211) + mh[j : len(th) - k + 1 + j]
     # a shingle is valid only if all k tokens belong to the same doc
     valid = row_idx[: len(sh)] == row_idx[k - 1 :]
     sh = sh[valid]

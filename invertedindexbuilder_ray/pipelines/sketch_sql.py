@@ -25,6 +25,8 @@ FNV_OFFSET = 1469598103934665603
 FNV_PRIME = 1099511628211
 M64 = 1 << 64
 M61 = (1 << 61) - 1
+MIX_MULT = 2685821657736338717  # sketch._SHINGLE_MIX_MULT
+MIX_SHIFT_DIV = 1 << 31  # h >> 31
 U64_MAX = M64 - 1
 
 
@@ -99,13 +101,21 @@ def sql_minhash_pairs(
         fold = _fold_expr(fold, f"max(CASE WHEN s.j % {r} = {k} THEN s.sig END)")
     return f"""
 WITH {_token_hash_ctes()},
+thm AS (
+    -- xor-shift mix of the token hash before the shingle fold (exact
+    -- replica of sketch._SHINGLE_MIX_MULT; see shingle_hashes for why)
+    SELECT doc_id, pos,
+           (CAST(xor(CAST(h AS UBIGINT), CAST(h // {MIX_SHIFT_DIV} AS UBIGINT))
+                 AS HUGEINT) * {MIX_MULT}) % {M64} AS h
+    FROM th
+),
 sh3 AS (
     SELECT a.doc_id,
            ((((a.h * {FNV_PRIME}) % {M64} + b.h) % {M64}) * {FNV_PRIME}
             % {M64} + c.h) % {M64} AS sh
-    FROM th a
-    JOIN th b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-    JOIN th c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    FROM thm a
+    JOIN thm b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN thm c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
 ),
 xs AS (SELECT doc_id, (sh % {M61}) AS x FROM sh3),
 perms(j, a, b) AS MATERIALIZED (VALUES {perm_rows}),

@@ -101,3 +101,26 @@ def test_prefix_filter_exact_recall(ray_session, docs, threshold):
             if len(sh[i] & sh[j]) / len(union) >= threshold:
                 want.add((i, j))
     assert got_pairs == want
+
+
+def test_shingle_fold_no_structural_collision():
+    """Round-4 regression: with the raw FNV token hashes, the shingle
+    fold in the SAME prime cancelled near-miss token deltas and
+    ('w10','w1','w0') == ('w11','w2','w0') DETERMINISTICALLY (found by
+    the recall fuzz).  The xor-shift mix must keep them distinct."""
+    import numpy as np
+    import pyarrow as pa
+
+    from invertedindexbuilder_ray.functions.sketch import shingle_hashes
+
+    sh, _rows, bounds = shingle_hashes(
+        pa.array(["w10 w1 w0", "w11 w2 w0"]), k=3
+    )
+    assert sh[0] != sh[1]
+    # and the falsifying corpus now verifies to the true Jaccard
+    docs = ["w0 w0 w0 w1 w0 w10 w1 w0 w0", "w1 w11 w2 w0 w0 w10 w1 w0 w0"]
+    sh2, _r2, b2 = shingle_hashes(pa.array(docs), k=3)
+    a = np.unique(sh2[b2[0]:b2[1]])
+    b = np.unique(sh2[b2[1]:b2[2]])
+    inter = len(np.intersect1d(a, b))
+    assert (len(a), len(b), inter) == (7, 7, 3)  # J = 3/11 < 0.3
