@@ -2591,3 +2591,47 @@ FROM vocab a JOIN vocab b
 
 
 QUERIES["fuzzy_term_join"] = (q_fuzzy_term_join, _sql_fuzzy_term_join())
+
+
+def q_term_cooccurrence(sf_dir: str):
+    """Top co-occurring term pairs among the most frequent vocabulary
+    with lift (= exp(PMI); transcendental-free so the SQL pairing is
+    exact) as a rounded payload.  See curation.term_cooccurrence."""
+    from .curation import term_cooccurrence
+
+    return term_cooccurrence(sf_dir)
+
+
+def _sql_term_cooccurrence() -> str:
+    from .curation import COOC_TOP_PAIRS, COOC_TOP_VOCAB
+
+    return f"""
+WITH {_SQL_TOKS_LIST},
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM filt),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+topv AS (SELECT term, df FROM dfc ORDER BY df DESC, term LIMIT {COOC_TOP_VOCAB}),
+tv AS (SELECT t.doc_id, t.term FROM tok t JOIN topv USING (term)),
+pairs AS (
+    SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS c_ab
+    FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+    SELECT p.term_a, p.term_b, p.c_ab, va.df AS df_a, vb.df AS df_b,
+           round((p.c_ab * n.n_docs)::DOUBLE / (va.df * vb.df)::DOUBLE, 6)
+               AS lift
+    FROM pairs p
+    JOIN topv va ON va.term = p.term_a
+    JOIN topv vb ON vb.term = p.term_b
+    CROSS JOIN n
+)
+SELECT term_a, term_b, c_ab, df_a, df_b, lift,
+       row_number() OVER (ORDER BY c_ab DESC, term_a, term_b)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= {COOC_TOP_PAIRS}
+ORDER BY rank
+"""
+
+
+QUERIES["term_cooccurrence"] = (q_term_cooccurrence, _sql_term_cooccurrence())

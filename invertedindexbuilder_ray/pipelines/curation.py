@@ -994,3 +994,168 @@ def fuzzy_term_pairs_ds(source: str | rd.Dataset, *, augment: bool = True) -> rd
         verify,
         empty_schema=oschema,
     )
+
+
+# ---------------------------------------------------------------------------
+# term co-occurrence / association strength (lift)
+
+COOC_TOP_VOCAB = 64
+COOC_TOP_PAIRS = 50
+
+
+def term_cooccurrence(
+    source: str | rd.Dataset,
+    *,
+    top_vocab: int = COOC_TOP_VOCAB,
+    top_pairs: int = COOC_TOP_PAIRS,
+) -> pd.DataFrame:
+    """Top co-occurring term pairs (document-level presence) among the
+    ``top_vocab`` most frequent terms, with the association ``lift`` =
+    P(a,b) / (P(a)·P(b)) = c_ab·N / (df_a·df_b) as a rounded payload.
+
+    Lift is exp(PMI) — the same ranking, chosen over PMI itself so the
+    SQL pairing never computes a transcendental (libm ``ln`` can differ
+    from DuckDB's in the last ulp; a ratio of exact int64 products is
+    IEEE-deterministic on both sides).  The RANK is taken on integer
+    keys only (c_ab desc, term_a asc, term_b asc).
+
+    Shape (100 TB): pass 1 computes df per term via per-batch distinct
+    presence + a term-sharded exchange and keeps only the per-shard
+    top-``top_vocab`` candidates (bounded driver merge).  Pass 2 ships
+    the tiny vocabulary to every task and accumulates the V×V
+    co-occurrence matrix with ONE boolean-matrix matmul per batch —
+    fixed-size partials, no pair explosion, no shuffle.  Columns:
+    ``term_a, term_b, c_ab, df_a, df_b, lift, rank``.
+    """
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+    n_docs = docs.count()
+
+    def df_batch(batch: pa.Table) -> pa.Table:
+        toks, token_doc, _r, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return pa.table(
+                {
+                    "term": pa.array([], pa.utf8()),
+                    "th": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table(
+            {
+                "doc_id": pa.array(token_doc, pa.int64()),
+                "term": toks,
+                "th": pa.array(h1.view(np.int64), pa.int64()),
+            }
+        )
+        d = t.group_by(["doc_id", "term"]).aggregate([("th", "min")])
+        g = (
+            pa.table({"term": d["term"], "th": d["th_min"]})
+            .group_by(["term"])
+            .aggregate([("th", "min"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "term": g["term"],
+                "th": g["th_min"],
+                "df": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def shard_topv(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("term", as_index=False)["df"].sum()
+        s = s.sort_values(
+            ["df", "term"], ascending=[False, True], kind="mergesort"
+        ).head(top_vocab)
+        s["df"] = s["df"].astype("int64")
+        return s[["term", "df"]]
+
+    vschema = pa.schema([("term", pa.utf8()), ("df", pa.int64())])
+    cand = _sharded_groupby(
+        docs.map_batches(df_batch, batch_format="pyarrow", zero_copy_batch=True),
+        ["th"],
+        shard_topv,
+        empty_schema=vschema,
+    ).to_pandas()
+    out_cols = ["term_a", "term_b", "c_ab", "df_a", "df_b", "lift", "rank"]
+    if len(cand) < 2:
+        return pd.DataFrame(columns=out_cols)
+    top = cand.sort_values(
+        ["df", "term"], ascending=[False, True], kind="mergesort"
+    ).head(top_vocab)
+    vocab_terms = top["term"].tolist()
+    vocab_df = top["df"].to_numpy().astype(np.int64)
+    vocab_arr = pa.array(vocab_terms, pa.utf8())
+    nv = len(vocab_terms)
+
+    def cooc_batch(batch: pa.Table) -> pa.Table:
+        toks, token_doc, *_ = _batch_tokens(batch)
+        empty = pa.table(
+            {
+                "ia": pa.array([], pa.int64()),
+                "ib": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if not len(toks):
+            return empty
+        idx = pc.index_in(toks, value_set=vocab_arr)
+        iv = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = iv >= 0
+        if not keep.any():
+            return empty
+        urows, dinv = np.unique(token_doc[keep], return_inverse=True)
+        m = np.zeros((len(urows), nv), np.int64)
+        m[dinv, iv[keep]] = 1
+        cm = m.T @ m
+        ia, ib = np.triu_indices(nv, k=1)
+        c = cm[ia, ib]
+        nz = c > 0
+        return pa.table(
+            {
+                "ia": pa.array(ia[nz].astype(np.int64)),
+                "ib": pa.array(ib[nz].astype(np.int64)),
+                "c": pa.array(c[nz]),
+            }
+        )
+
+    parts = docs.map_batches(
+        cooc_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(columns=out_cols)
+    agg = parts.groupby(["ia", "ib"], as_index=False)["c"].sum()
+    ia = agg["ia"].to_numpy().astype(np.int64)
+    ib = agg["ib"].to_numpy().astype(np.int64)
+    c_ab = agg["c"].to_numpy().astype(np.int64)
+    sa = np.asarray(vocab_terms, dtype=object)[ia]
+    sb = np.asarray(vocab_terms, dtype=object)[ib]
+    # canonicalize to lexicographic (term_a < term_b) like the SQL join
+    swap = sa > sb
+    term_a = np.where(swap, sb, sa)
+    term_b = np.where(swap, sa, sb)
+    df_a = np.where(swap, vocab_df[ib], vocab_df[ia])
+    df_b = np.where(swap, vocab_df[ia], vocab_df[ib])
+    lift = round_half_away(
+        (c_ab * np.int64(n_docs)).astype(np.float64)
+        / (df_a * df_b).astype(np.float64),
+        6,
+    )
+    out = pd.DataFrame(
+        {
+            "term_a": term_a,
+            "term_b": term_b,
+            "c_ab": c_ab,
+            "df_a": df_a.astype("int64"),
+            "df_b": df_b.astype("int64"),
+            "lift": lift,
+        }
+    ).sort_values(
+        ["c_ab", "term_a", "term_b"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    )
+    out = out.head(top_pairs).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[out_cols]

@@ -32,6 +32,7 @@ FUZZ_ENTRIES = [
     "heavy_hitters_cms",
     "bloom_probe",
     "fuzzy_term_join",
+    "term_cooccurrence",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
