@@ -2635,3 +2635,34 @@ ORDER BY rank
 
 
 QUERIES["term_cooccurrence"] = (q_term_cooccurrence, _sql_term_cooccurrence())
+
+
+def q_events_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences (the
+    lag/lead window shape).  See temporal.event_transitions."""
+    from .temporal import event_transitions
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["user_id", "ts", "event_type", "event_id"])
+    return event_transitions(ev)
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH seq AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+p AS (
+    SELECT from_type, to_type, count(*)::BIGINT AS n
+    FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_type, sum(n)::BIGINT AS total_from FROM p GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n, t.total_from,
+       round(p.n::DOUBLE / t.total_from::DOUBLE, 6) AS prob
+FROM p JOIN t ON p.from_type IS NOT DISTINCT FROM t.from_type
+"""
+
+QUERIES["events_transitions"] = (q_events_transitions, SQL_EVENTS_TRANSITIONS)

@@ -733,3 +733,81 @@ def funnel_stages(
     return out.map_batches(lambda x: x, batch_format="pyarrow").union(
         rd.from_arrow(empty)
     )
+
+
+# --------------------------------------------------------------------------
+# event-sequence transition counts (Markov chain over per-user streams)
+
+
+def event_transitions(
+    ds: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    tie: str = "event_id",
+) -> "pd.DataFrame":
+    """Adjacent-pair transition counts over per-key event sequences:
+    for each key, order events by ``(ts, tie)`` (the tie column makes
+    the order total — the synthetic events table has duplicate
+    timestamps on a grid) and count (from_type -> to_type) pairs
+    globally, with ``prob = round(n / total_from, 6)`` as a rounded
+    payload of exact int64 counts.
+
+    Matches ``lead(type) OVER (PARTITION BY key ORDER BY ts, tie)``: a
+    pair is dropped when its successor type is NULL — whether that NULL
+    is end-of-partition or a genuinely NULL event type (SQL cannot
+    distinguish them either).  NULL from_types form real groups.
+
+    Shape (100 TB): keys are hash-sharded (``dedup._sharded_groupby``),
+    a shard sorts once and shifts — every key's sequence lives in
+    exactly one shard, so adjacency never crosses tasks; each shard
+    emits at most |type alphabet|^2 partial counts, and only those tiny
+    partials reach the driver.
+    """
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, tie], kind="mergesort")
+        same = g[key].to_numpy()[1:] == g[key].to_numpy()[:-1]
+        frm = g[type_col].to_numpy()[:-1][same]
+        to = g[type_col].to_numpy()[1:][same]
+        pairs = pd.DataFrame({"from_type": frm, "to_type": to})
+        pairs = pairs[pd.notna(pairs["to_type"])]
+        out = pairs.groupby(["from_type", "to_type"], as_index=False,
+                            dropna=False).size()
+        out = out.rename(columns={"size": "n"})
+        # an all-NULL shard would otherwise infer Arrow `null`, which
+        # clashes with utf8 blocks from other shards at union time
+        out["from_type"] = out["from_type"].astype("string")
+        out["to_type"] = out["to_type"].astype("string")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    pschema = pa.schema(
+        [("from_type", pa.utf8()), ("to_type", pa.utf8()), ("n", pa.int64())]
+    )
+    parts = _sharded_groupby(
+        ds, [key], shard_pairs, empty_schema=pschema
+    ).to_pandas()
+    cols = ["from_type", "to_type", "n", "total_from", "prob"]
+    if not len(parts):
+        return pd.DataFrame(columns=cols)
+    agg = parts.groupby(["from_type", "to_type"], as_index=False,
+                        dropna=False)["n"].sum()
+    agg["n"] = agg["n"].astype("int64")
+    tot = agg.groupby("from_type", dropna=False)["n"].transform("sum")
+    agg["total_from"] = tot.astype("int64")
+    from ..functions.rounding import round_half_away
+
+    agg["prob"] = round_half_away(
+        agg["n"].to_numpy().astype(np.float64)
+        / agg["total_from"].to_numpy().astype(np.float64),
+        6,
+    )
+    for c in ("from_type", "to_type"):
+        col = agg[c].astype(object)
+        agg[c] = col.where(col.notna(), None)
+    return agg[cols]

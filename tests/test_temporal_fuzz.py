@@ -27,6 +27,7 @@ FUZZ_ENTRIES = [
     "events_rolling_agg",
     "events_funnel",
     "events_props_extract",
+    "events_transitions",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
