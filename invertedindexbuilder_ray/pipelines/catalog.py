@@ -2666,3 +2666,128 @@ FROM p JOIN t ON p.from_type IS NOT DISTINCT FROM t.from_type
 """
 
 QUERIES["events_transitions"] = (q_events_transitions, SQL_EVENTS_TRANSITIONS)
+
+
+HIST_LO, HIST_W, HIST_NBINS = 0.0, 5.0, 20
+
+
+def q_events_value_histogram(sf_dir: str):
+    """Fixed-bin histogram of the event value with per-bin min/max:
+    bin = clamp(floor((value - lo) / w)) with an underflow (-1) and an
+    overflow (NBINS) bin.  floor/divide on IEEE doubles is deterministic
+    on both sides; min/max are order-independent, so the float columns
+    compare exactly.  Shape: per-batch Arrow group_by partials (at most
+    NBINS+3 groups each), one driver combine of fixed-size partials —
+    the histogram never shuffles row data."""
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        vb = v[ok]
+        bins = np.clip(
+            np.floor((vb - HIST_LO) / HIST_W).astype(np.int64), -1, HIST_NBINS
+        )
+        t = pa.table(
+            {
+                "bin": pa.array(bins, pa.int64()),
+                "value": pa.array(vb, pa.float64()),
+            }
+        )
+        g = t.group_by(["bin"]).aggregate(
+            [([], "count_all"), ("value", "min"), ("value", "max")]
+        )
+        return pa.table(
+            {
+                "bin": g["bin"],
+                "n": g["count_all"].cast(pa.int64()),
+                "vmin": g["value_min"],
+                "vmax": g["value_max"],
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    import pandas as pd
+
+    if not len(parts):
+        return pd.DataFrame(columns=["bin", "n", "vmin", "vmax"])
+    out = parts.groupby("bin", as_index=False).agg(
+        n=("n", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max")
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["bin", "n", "vmin", "vmax"]]
+
+
+SQL_EVENTS_VALUE_HISTOGRAM = f"""
+SELECT least(greatest(floor((value - {HIST_LO}) / {HIST_W})::BIGINT, -1),
+             {HIST_NBINS}) AS bin,
+       count(*)::BIGINT AS n,
+       min(value) AS vmin,
+       max(value) AS vmax
+FROM events
+WHERE value IS NOT NULL AND NOT isnan(value)
+GROUP BY 1
+"""
+
+QUERIES["events_value_histogram"] = (
+    q_events_value_histogram,
+    SQL_EVENTS_VALUE_HISTOGRAM,
+)
+
+
+def q_user_mode_event(sf_dir: str):
+    """Per-user modal (most frequent) non-NULL event type under the
+    deterministic total order (count desc, type asc).  Shape: per-batch
+    Arrow group_by partials of (user, type) counts, then ONE user-hashed
+    exchange (`dedup._sharded_groupby`) combines counts and picks each
+    user's mode vectorized — never a per-key Ray groupby."""
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["event_type"]))
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g["user_id"].cast(pa.int64()),
+                "event_type": g["event_type"],
+                "n": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    rows = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        m = c.drop_duplicates("user_id", keep="first").copy()
+        m["n"] = m["n"].astype("int64")
+        return m.rename(columns={"event_type": "mode_type"})[
+            ["user_id", "mode_type", "n"]
+        ]
+
+    mschema = pa.schema(
+        [("user_id", pa.int64()), ("mode_type", pa.utf8()), ("n", pa.int64())]
+    )
+    return _sharded_groupby(rows, ["user_id"], mode, empty_schema=mschema)
+
+
+SQL_USER_MODE_EVENT = """
+WITH c AS (
+    SELECT user_id, event_type, count(*)::BIGINT AS n
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT user_id, event_type AS mode_type, n
+FROM c
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY n DESC, event_type
+) = 1
+"""
+
+QUERIES["user_mode_event"] = (q_user_mode_event, SQL_USER_MODE_EVENT)

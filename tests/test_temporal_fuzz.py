@@ -28,6 +28,8 @@ FUZZ_ENTRIES = [
     "events_funnel",
     "events_props_extract",
     "events_transitions",
+    "events_value_histogram",
+    "user_mode_event",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
