@@ -2791,3 +2791,79 @@ QUALIFY row_number() OVER (
 """
 
 QUERIES["user_mode_event"] = (q_user_mode_event, SQL_USER_MODE_EVENT)
+
+
+CENTROID_Q = 1 << 20  # quantization scale: floor(x * Q) per dimension
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids with an EXACT SQL pairing: float
+    sums are reduction-order-dependent, so each dimension is quantized
+    to floor(x * 2^20) int64 first — integer sums are order-independent
+    and bit-exact — and the centroid is a rounded payload of the exact
+    (qsum, n) pair.  Shape: per-batch label-sorted reduceat partials
+    (|labels| x d rows per task), one driver combine; nearest-centroid
+    classification / cluster profiling is a lookup against this tiny
+    result."""
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float64)
+        d = mat.size // len(b) if len(b) else 0
+        mat = mat.reshape(len(b), d)
+        q = np.floor(mat * CENTROID_Q).astype(np.int64)
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        ul, starts = np.unique(labels[order], return_index=True)
+        qsum = np.add.reduceat(q[order], starts, axis=0)
+        n = np.diff(np.append(starts, len(labels))).astype(np.int64)
+        nl = len(ul)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(ul, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), nl)),
+                "qsum": pa.array(qsum.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(n, d), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    import pandas as pd
+
+    if not len(parts):
+        return pd.DataFrame(columns=["label", "dim", "n", "qsum", "centroid"])
+    out = parts.groupby(["label", "dim"], as_index=False).agg(
+        n=("n", "sum"), qsum=("qsum", "sum")
+    )
+    for c in ("label", "dim", "n", "qsum"):
+        out[c] = out[c].astype("int64")
+    from ..functions.rounding import round_half_away
+
+    out["centroid"] = round_half_away(
+        out["qsum"].to_numpy().astype(np.float64)
+        / (out["n"].to_numpy() * np.int64(CENTROID_Q)).astype(np.float64),
+        6,
+    )
+    return out[["label", "dim", "n", "qsum", "centroid"]]
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH u AS (
+    SELECT label::BIGINT AS label,
+           generate_subscripts(embedding, 1)::BIGINT AS dim,
+           floor(unnest(embedding)::DOUBLE * {CENTROID_Q})::BIGINT AS q
+    FROM embeddings
+),
+s AS (
+    SELECT label, dim, sum(q)::BIGINT AS qsum, count(*)::BIGINT AS n
+    FROM u GROUP BY 1, 2
+)
+SELECT label, dim, n, qsum,
+       round(qsum::DOUBLE / (n * {CENTROID_Q})::DOUBLE, 6) AS centroid
+FROM s
+"""
+
+QUERIES["label_centroids"] = (q_label_centroids, SQL_LABEL_CENTROIDS)
