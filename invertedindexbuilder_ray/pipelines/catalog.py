@@ -2867,3 +2867,37 @@ FROM s
 """
 
 QUERIES["label_centroids"] = (q_label_centroids, SQL_LABEL_CENTROIDS)
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Per-doc OOV rate against the global top-V vocabulary (rare-token
+    quality signal).  See curation.vocab_coverage_ds."""
+    from .curation import vocab_coverage_ds
+
+    return vocab_coverage_ds(sf_dir)
+
+
+def _sql_vocab_coverage() -> str:
+    from .curation import OOV_TOP_VOCAB
+
+    return f"""
+WITH {_SQL_TOKS_LIST},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+dfc AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+topv AS (SELECT term FROM dfc ORDER BY df DESC, term LIMIT {OOV_TOP_VOCAB}),
+per AS (
+    SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           count(v.term)::BIGINT AS n_in
+    FROM tok t LEFT JOIN topv v USING (term) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(per.n_in, 0)::BIGINT AS n_in_vocab,
+       CASE WHEN per.n_tokens > 0 THEN
+           round((per.n_tokens - per.n_in)::DOUBLE / per.n_tokens::DOUBLE, 6)
+       END AS oov_rate
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+QUERIES["vocab_coverage"] = (q_vocab_coverage, _sql_vocab_coverage())

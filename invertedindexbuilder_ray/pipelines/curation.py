@@ -1003,34 +1003,14 @@ COOC_TOP_VOCAB = 64
 COOC_TOP_PAIRS = 50
 
 
-def term_cooccurrence(
-    source: str | rd.Dataset,
-    *,
-    top_vocab: int = COOC_TOP_VOCAB,
-    top_pairs: int = COOC_TOP_PAIRS,
-) -> pd.DataFrame:
-    """Top co-occurring term pairs (document-level presence) among the
-    ``top_vocab`` most frequent terms, with the association ``lift`` =
-    P(a,b) / (P(a)·P(b)) = c_ab·N / (df_a·df_b) as a rounded payload.
-
-    Lift is exp(PMI) — the same ranking, chosen over PMI itself so the
-    SQL pairing never computes a transcendental (libm ``ln`` can differ
-    from DuckDB's in the last ulp; a ratio of exact int64 products is
-    IEEE-deterministic on both sides).  The RANK is taken on integer
-    keys only (c_ab desc, term_a asc, term_b asc).
-
-    Shape (100 TB): pass 1 computes df per term via per-batch distinct
-    presence + a term-sharded exchange and keeps only the per-shard
-    top-``top_vocab`` candidates (bounded driver merge).  Pass 2 ships
-    the tiny vocabulary to every task and accumulates the V×V
-    co-occurrence matrix with ONE boolean-matrix matmul per batch —
-    fixed-size partials, no pair explosion, no shuffle.  Columns:
-    ``term_a, term_b, c_ab, df_a, df_b, lift, rank``.
-    """
+def top_vocab_df(docs: rd.Dataset, top_vocab: int) -> pd.DataFrame:
+    """The ``top_vocab`` most document-frequent terms (df = distinct
+    presence) under the deterministic order (df desc, term asc).
+    Per-batch distinct presence + a term-sharded exchange that keeps
+    only the per-shard top-``top_vocab`` candidates — a shard owns all
+    rows of its terms, so the global top-V is always contained in the
+    union of per-shard top-Vs and the driver merge is bounded."""
     from .dedup import _sharded_groupby
-
-    docs = _docs(source)
-    n_docs = docs.count()
 
     def df_batch(batch: pa.Table) -> pa.Table:
         toks, token_doc, _r, h1, _h2 = _batch_tokens(batch)
@@ -1078,14 +1058,48 @@ def term_cooccurrence(
         shard_topv,
         empty_schema=vschema,
     ).to_pandas()
+    if not len(cand):
+        # Ray drops typed empty blocks -> column-less frame on an
+        # all-empty corpus; restore the contract
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "df": pd.Series([], dtype="int64")})
+    return cand.sort_values(
+        ["df", "term"], ascending=[False, True], kind="mergesort"
+    ).head(top_vocab)
+
+
+def term_cooccurrence(
+    source: str | rd.Dataset,
+    *,
+    top_vocab: int = COOC_TOP_VOCAB,
+    top_pairs: int = COOC_TOP_PAIRS,
+) -> pd.DataFrame:
+    """Top co-occurring term pairs (document-level presence) among the
+    ``top_vocab`` most frequent terms, with the association ``lift`` =
+    P(a,b) / (P(a)·P(b)) = c_ab·N / (df_a·df_b) as a rounded payload.
+
+    Lift is exp(PMI) — the same ranking, chosen over PMI itself so the
+    SQL pairing never computes a transcendental (libm ``ln`` can differ
+    from DuckDB's in the last ulp; a ratio of exact int64 products is
+    IEEE-deterministic on both sides).  The RANK is taken on integer
+    keys only (c_ab desc, term_a asc, term_b asc).
+
+    Shape (100 TB): pass 1 computes df per term via per-batch distinct
+    presence + a term-sharded exchange and keeps only the per-shard
+    top-``top_vocab`` candidates (bounded driver merge).  Pass 2 ships
+    the tiny vocabulary to every task and accumulates the V×V
+    co-occurrence matrix with ONE boolean-matrix matmul per batch —
+    fixed-size partials, no pair explosion, no shuffle.  Columns:
+    ``term_a, term_b, c_ab, df_a, df_b, lift, rank``.
+    """
+    docs = _docs(source)
+    n_docs = docs.count()
+    cand = top_vocab_df(docs, top_vocab)
     out_cols = ["term_a", "term_b", "c_ab", "df_a", "df_b", "lift", "rank"]
     if len(cand) < 2:
         return pd.DataFrame(columns=out_cols)
-    top = cand.sort_values(
-        ["df", "term"], ascending=[False, True], kind="mergesort"
-    ).head(top_vocab)
-    vocab_terms = top["term"].tolist()
-    vocab_df = top["df"].to_numpy().astype(np.int64)
+    vocab_terms = cand["term"].tolist()
+    vocab_df = cand["df"].to_numpy().astype(np.int64)
     vocab_arr = pa.array(vocab_terms, pa.utf8())
     nv = len(vocab_terms)
 
@@ -1159,3 +1173,61 @@ def term_cooccurrence(
     out = out.head(top_pairs).reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[out_cols]
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV-rate quality signal
+
+OOV_TOP_VOCAB = 64
+
+
+def vocab_coverage_ds(
+    source: str | rd.Dataset, *, top_vocab: int = OOV_TOP_VOCAB
+) -> rd.Dataset:
+    """Per-doc vocabulary coverage against the global top-``top_vocab``
+    document-frequency vocabulary: ``n_tokens`` (kept tokens, with
+    multiplicity), ``n_in_vocab`` and ``oov_rate = round((n_tokens -
+    n_in_vocab) / n_tokens, 6)`` (NULL for token-less docs) — the
+    rare-token-rate quality signal (cf. the Gopher "stop word /
+    frequent word fraction" family).
+
+    Shape: one bounded vocabulary pass (:func:`top_vocab_df`), then a
+    single streaming map_batches with the tiny vocab shipped in the
+    closure — integer counts per doc, float only as a rounded payload.
+    """
+    docs = _docs(source)
+    vocab = top_vocab_df(docs, top_vocab)
+    vocab_arr = pa.array(vocab["term"].tolist(), pa.utf8())
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        toks, token_doc, _row_idx, _h1, _h2 = _batch_tokens(batch)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.zeros(len(doc_ids), np.int64)
+        n_in = np.zeros(len(doc_ids), np.int64)
+        if len(toks):
+            in_vocab = pc.is_in(toks, value_set=vocab_arr).to_numpy(
+                zero_copy_only=False
+            )
+            ud, counts = np.unique(token_doc, return_counts=True)
+            idx = _align_to_rows(doc_ids, ud)
+            n_tok[idx] = counts
+            ud2, counts2 = np.unique(token_doc[in_vocab], return_counts=True)
+            if len(ud2):
+                n_in[_align_to_rows(doc_ids, ud2)] = counts2
+        safe = np.maximum(n_tok, 1).astype(np.float64)
+        rate = round_half_away((n_tok - n_in) / safe, 6)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_in_vocab": pa.array(n_in, pa.int64()),
+                "oov_rate": pc.if_else(
+                    pa.array(n_tok > 0),
+                    pa.array(rate, pa.float64()),
+                    pa.scalar(None, pa.float64()),
+                ),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)

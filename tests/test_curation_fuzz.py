@@ -33,6 +33,7 @@ FUZZ_ENTRIES = [
     "bloom_probe",
     "fuzzy_term_join",
     "term_cooccurrence",
+    "vocab_coverage",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
