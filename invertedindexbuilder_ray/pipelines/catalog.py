@@ -2901,3 +2901,71 @@ FROM documents d LEFT JOIN per USING (doc_id)
 
 
 QUERIES["vocab_coverage"] = (q_vocab_coverage, _sql_vocab_coverage())
+
+
+def q_events_value_mad(sf_dir: str):
+    """Median absolute deviation of the event value with EXPLICIT
+    median semantics (mean of the two middle order statistics) on both
+    sides — DuckDB's mad()/median() interpolation is version-dependent,
+    so the SQL oracle computes the same two OFFSET order stats instead.
+    Two streaming passes of the histogram-refinement order-stat engine
+    (quantiles.exact_order_stats): only fixed-size histograms reach the
+    driver; |x - med| is a derived map_batches, never materialized."""
+    from .quantiles import exact_order_stats
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["value"])
+
+    def mid(n: int) -> list[int]:
+        return [(n - 1) // 2, n // 2]
+
+    n, stats = exact_order_stats(ev, "value", mid)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n": pd.Series([], dtype="int64"),
+                "median": pd.Series([], dtype="float64"),
+                "mad": pd.Series([], dtype="float64"),
+            }
+        )
+    a, b = stats
+    med = (a + b) / 2.0
+
+    def dev(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["value"], pa.float64())
+        return pa.table(
+            {"dv": pc.abs(pc.subtract(x, pa.scalar(med, pa.float64())))}
+        )
+
+    dvs = ev.map_batches(dev, batch_format="pyarrow", zero_copy_batch=True)
+    _, (da, db) = exact_order_stats(dvs, "dv", mid)
+    from ..functions.rounding import round_half_away
+
+    r = round_half_away(np.array([med, (da + db) / 2.0]), 6)
+    return pd.DataFrame(
+        {"n": np.array([n], np.int64), "median": [r[0]], "mad": [r[1]]}
+    )
+
+
+SQL_EVENTS_VALUE_MAD = """
+WITH v AS (
+    SELECT value AS x FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+),
+n AS (SELECT count(*)::BIGINT AS n FROM v),
+lo AS (SELECT x AS a FROM v ORDER BY x
+       LIMIT 1 OFFSET (SELECT greatest((n - 1) // 2, 0) FROM n)),
+hi AS (SELECT x AS b FROM v ORDER BY x
+       LIMIT 1 OFFSET (SELECT greatest(n // 2, 0) FROM n)),
+med AS (SELECT (a + b) / 2 AS med FROM lo, hi),
+d AS (SELECT abs(x - med.med) AS dv FROM v, med),
+dlo AS (SELECT dv AS da FROM d ORDER BY dv
+        LIMIT 1 OFFSET (SELECT greatest((n - 1) // 2, 0) FROM n)),
+dhi AS (SELECT dv AS db FROM d ORDER BY dv
+        LIMIT 1 OFFSET (SELECT greatest(n // 2, 0) FROM n))
+SELECT n.n AS n, round(med.med, 6) AS median, round((da + db) / 2, 6) AS mad
+FROM n, med, dlo, dhi
+"""
+
+QUERIES["events_value_mad"] = (q_events_value_mad, SQL_EVENTS_VALUE_MAD)

@@ -85,6 +85,32 @@ def exact_quantiles_disc(
     """(q, value) rows, quantile_disc-exact, for a float64 column of any
     cardinality.  Each scan streams; only histograms / <=collect_limit
     key arrays reach the driver."""
+    n, vals = exact_order_stats(
+        ds,
+        col,
+        lambda n_total: [disc_rank(q, n_total) for q in qs],
+        n_bins=n_bins,
+        collect_limit=collect_limit,
+    )
+    if n == 0:
+        return pd.DataFrame([{"q": q, "value": float("nan")} for q in qs])
+    return pd.DataFrame([{"q": q, "value": v} for q, v in zip(qs, vals)])
+
+
+def exact_order_stats(
+    ds: rd.Dataset,
+    col: str,
+    rank_fn,
+    *,
+    n_bins: int = 4096,
+    collect_limit: int = 65536,
+) -> tuple[int, list[float]]:
+    """Exact 0-based order statistics of a float64 column after dropping
+    NULL/NaN (DuckDB quantile semantics): ``rank_fn(n_nonnull)`` returns
+    the rank list once the count is known (so callers can ask for e.g.
+    the two middle elements of an even-sized column).  Returns
+    ``(n_nonnull, values)``; ``values`` is empty when n is 0.  Same
+    histogram-refinement machinery as :func:`exact_quantiles_disc`."""
 
     def keys_of(batch: pa.Table) -> np.ndarray:
         arr = batch[col].combine_chunks()
@@ -110,16 +136,18 @@ def exact_quantiles_disc(
     parts = ds.map_batches(minmax, batch_format="pyarrow").take_all()
     n_total = sum(r["n"] for r in parts)
     if n_total == 0:
-        return pd.DataFrame([{"q": q, "value": float("nan")} for q in qs])
+        return 0, []
     lo = min(r["lo"] for r in parts if r["valid"])
     hi = max(r["hi"] for r in parts if r["valid"])
 
     # per-target state: (rank within [a, b], a, b, count_in_range)
     targets = [
-        {"q": q, "rank": disc_rank(q, n_total), "a": lo, "b": hi,
-         "count": n_total, "value": None}
-        for q in qs
+        {"rank": int(r), "a": lo, "b": hi, "count": n_total, "value": None}
+        for r in rank_fn(n_total)
     ]
+    for t in targets:
+        if not 0 <= t["rank"] < n_total:
+            raise ValueError(f"rank {t['rank']} out of range for n={n_total}")
 
     def active(t) -> bool:
         return t["value"] is None and t["count"] > collect_limit
@@ -211,4 +239,4 @@ def exact_quantiles_disc(
             vals = np.sort(np.concatenate(buckets[ti]))
             targets[ti]["value"] = key_to_double(vals[targets[ti]["rank"]])
 
-    return pd.DataFrame([{"q": t["q"], "value": t["value"]} for t in targets])
+    return n_total, [t["value"] for t in targets]

@@ -30,6 +30,7 @@ FUZZ_ENTRIES = [
     "events_transitions",
     "events_value_histogram",
     "user_mode_event",
+    "events_value_mad",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
