@@ -2969,3 +2969,135 @@ FROM n, med, dlo, dhi
 """
 
 QUERIES["events_value_mad"] = (q_events_value_mad, SQL_EVENTS_VALUE_MAD)
+
+
+HYBRID_TOP = 50
+RRF_K = 60
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 disjunctive
+    leg (through the real index + BatchQueryEngine actor pool) and a
+    single-query embedding cosine leg (vec 0 as the query, the
+    knn_cosine kernel).  Both legs take their top-R under the total
+    order (rounded score desc, id asc) via per-batch partial top-R +
+    a bounded driver merge; fusion itself touches 2R rows.  rrf =
+    1/(K+brank) + 1/(K+krank) over INTEGER ranks (missing leg
+    contributes 0), rounded to 9 — ranks, not raw scores, make the
+    fusion scale-free and the SQL pairing exact."""
+    import pandas as pd
+
+    # ---- BM25 leg: distributed partial top-R, driver merge
+    bm = _bm25_all(sf_dir, conjunctive=False)
+
+    def part_top_b(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s))[:HYBRID_TOP]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[order], pa.int64()),
+                "score": pa.array(s[order], pa.float64()),
+            }
+        )
+
+    bparts = bm.map_batches(part_top_b, batch_format="pyarrow").to_pandas()
+    btop = (
+        bparts.sort_values(["score", "doc_id"], ascending=[False, True],
+                           kind="mergesort")
+        .head(HYBRID_TOP)
+        .reset_index(drop=True)
+    )
+    btop["brank"] = np.arange(1, len(btop) + 1, dtype=np.int64)
+
+    # ---- embedding leg: query = vec 0, same kernel as knn_cosine
+    epath = os.path.join(sf_dir, "embeddings.parquet")
+    eds = read_parquet_sized(epath, columns=["vec_id", "embedding"])
+    q = eds.filter(expr="vec_id == 0").take_all()
+    qv = np.asarray(q[0]["embedding"], dtype=np.float64)
+    qref = ray.put(qv / np.linalg.norm(qv))
+
+    def part_top_k(batch: pa.Table) -> pa.Table:
+        qn = ray.get(qref)
+        emb = batch["embedding"].combine_chunks()
+        mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), dtype=np.float64)
+        mat = mat.reshape(len(batch), -1)
+        mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = round_half_away(mat_n @ qn, 6)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vec_ids, -sims))[:HYBRID_TOP]
+        return pa.table(
+            {
+                "doc_id": pa.array(vec_ids[order].astype(np.int64)),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    kparts = eds.map_batches(part_top_k, batch_format="pyarrow").to_pandas()
+    ktop = (
+        kparts.sort_values(["sim", "doc_id"], ascending=[False, True],
+                           kind="mergesort")
+        .head(HYBRID_TOP)
+        .reset_index(drop=True)
+    )
+    ktop["krank"] = np.arange(1, len(ktop) + 1, dtype=np.int64)
+
+    # ---- fuse (2R rows on the driver)
+    f = btop[["doc_id", "brank"]].merge(
+        ktop[["doc_id", "krank"]], on="doc_id", how="outer"
+    )
+    br = f["brank"].to_numpy(dtype=np.float64, na_value=np.nan)
+    kr = f["krank"].to_numpy(dtype=np.float64, na_value=np.nan)
+    cb = np.where(np.isnan(br), 0.0, 1.0 / (RRF_K + br))
+    ck = np.where(np.isnan(kr), 0.0, 1.0 / (RRF_K + kr))
+    f["rrf"] = round_half_away(cb + ck, 9)
+    f["brank"] = br
+    f["krank"] = kr
+    f = f.sort_values(["rrf", "doc_id"], ascending=[False, True],
+                      kind="mergesort").reset_index(drop=True)
+    f["rank"] = np.arange(1, len(f) + 1, dtype=np.int64)
+    return f[["doc_id", "brank", "krank", "rrf", "rank"]]
+
+
+def _sql_hybrid_rrf() -> str:
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(
+            terms=", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+        )
+        + f""",
+bm AS (
+    SELECT doc_id, round(raw_score, 6) AS score FROM scores WHERE nmatched >= 1
+),
+br AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS brank
+    FROM bm QUALIFY brank <= {HYBRID_TOP}
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+ks AS (
+    SELECT e.vec_id AS doc_id,
+           round(list_cosine_similarity(qv.qe, CAST(e.embedding AS DOUBLE[])), 6)
+               AS sim
+    FROM embeddings e CROSS JOIN qv
+),
+kr AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim DESC, doc_id) AS krank
+    FROM ks QUALIFY krank <= {HYBRID_TOP}
+),
+f AS (
+    SELECT coalesce(br.doc_id, kr.doc_id) AS doc_id,
+           br.brank::DOUBLE AS brank, kr.krank::DOUBLE AS krank,
+           round(coalesce(1.0 / ({RRF_K} + br.brank), 0)
+                 + coalesce(1.0 / ({RRF_K} + kr.krank), 0), 9) AS rrf
+    FROM br FULL OUTER JOIN kr ON br.doc_id = kr.doc_id
+)
+SELECT doc_id, brank, krank, rrf,
+       row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rank
+FROM f
+"""
+    )
+
+
+QUERIES["hybrid_rrf"] = (q_hybrid_rrf, _sql_hybrid_rrf())
