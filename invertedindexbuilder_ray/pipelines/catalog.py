@@ -3101,3 +3101,38 @@ FROM f
 
 
 QUERIES["hybrid_rrf"] = (q_hybrid_rrf, _sql_hybrid_rrf())
+
+
+def q_text_normalize(sf_dir: str):
+    """Text canonicalization: lowercase, collapse every non-[a-z0-9] run
+    to one space, trim — three Arrow RE2/ASCII kernels per batch, the
+    same RE2 the DuckDB oracle runs (regexp_replace 'g'), so the
+    normalized strings are byte-identical.  The normalized length rides
+    along for cheap downstream filters."""
+    ds = load_documents(sf_dir)
+
+    def norm(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"])
+        coll = pc.replace_substring_regex(low, pattern="[^a-z0-9]+",
+                                          replacement=" ")
+        out = pc.utf8_trim_whitespace(coll)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "norm_text": out,
+                "norm_len": pc.utf8_length(out).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TEXT_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))::BIGINT
+           AS norm_len
+FROM documents
+"""
+
+QUERIES["text_normalize"] = (q_text_normalize, SQL_TEXT_NORMALIZE)

@@ -34,6 +34,7 @@ FUZZ_ENTRIES = [
     "fuzzy_term_join",
     "term_cooccurrence",
     "vocab_coverage",
+    "text_normalize",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
