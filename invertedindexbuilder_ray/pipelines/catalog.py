@@ -3136,3 +3136,79 @@ FROM documents
 """
 
 QUERIES["text_normalize"] = (q_text_normalize, SQL_TEXT_NORMALIZE)
+
+
+def q_lang_length_rank(sf_dir: str):
+    """RANK() of each document's length within its language — the
+    distributed window-rank shape: RANK (ties share) equals 1 + count
+    of strictly smaller values, so it needs only the per-(lang, length)
+    HISTOGRAM, never a global sort.  Per-batch Arrow group_by partials,
+    one bounded driver combine over distinct (lang, length) pairs
+    (cardinality is value-bounded, not row-bounded), then a broadcast
+    rank table and a second streaming lookup pass via searchsorted."""
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_chars": g["n_chars"].cast(pa.int64()),
+                "c": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype=object),
+                "n_chars": pd.Series([], dtype="int64"),
+                "rnk": pd.Series([], dtype="int64"),
+            }
+        )
+    hist = parts.groupby(["lang", "n_chars"], as_index=False, dropna=False)["c"].sum()
+    hist = hist.sort_values(["lang", "n_chars"], kind="mergesort")
+    # rank(len) = 1 + count of strictly smaller lengths in the lang
+    hist["rnk"] = (
+        hist.groupby("lang", dropna=False)["c"].cumsum() - hist["c"] + 1
+    ).astype("int64")
+    lut = {
+        lang: (g["n_chars"].to_numpy(), g["rnk"].to_numpy())
+        for lang, g in hist.groupby("lang", dropna=False)
+    }
+    lut_ref = ray.put(lut)
+
+    def lookup(b: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        lens = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rnk = np.zeros(len(b), np.int64)
+        for lang in pd.unique(langs):
+            m = langs == lang
+            lens_sorted, ranks = table[lang]
+            rnk[m] = ranks[np.searchsorted(lens_sorted, lens[m])]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang": b["lang"],
+                "n_chars": pa.array(lens, pa.int64()),
+                "rnk": pa.array(rnk, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_LANG_LENGTH_RANK = """
+SELECT doc_id, lang, n_chars,
+       rank() OVER (PARTITION BY lang ORDER BY n_chars)::BIGINT AS rnk
+FROM documents
+"""
+
+QUERIES["lang_length_rank"] = (q_lang_length_rank, SQL_LANG_LENGTH_RANK)

@@ -35,6 +35,7 @@ FUZZ_ENTRIES = [
     "term_cooccurrence",
     "vocab_coverage",
     "text_normalize",
+    "lang_length_rank",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
