@@ -3212,3 +3212,51 @@ FROM documents
 """
 
 QUERIES["lang_length_rank"] = (q_lang_length_rank, SQL_LANG_LENGTH_RANK)
+
+
+def q_top_order_per_customer(sf_dir: str):
+    """Greatest-n-per-group: each customer's single largest order under
+    the total order (o_totalprice desc, o_orderkey asc — the float is a
+    stored value compared verbatim, never recomputed, so cross-engine
+    order is exact).  ONE custkey-hashed exchange with a vectorized
+    sort + keep-first inside each shard (`dedup._sharded_groupby`)."""
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "orders.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ords = read_parquet_sized(
+        path, columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.drop_duplicates("o_custkey", keep="first")[
+            ["o_custkey", "o_orderkey", "o_totalprice"]
+        ]
+
+    schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("o_orderkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+        ]
+    )
+    return _sharded_groupby(ords, ["o_custkey"], pick, empty_schema=schema)
+
+
+SQL_TOP_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+) = 1
+"""
+
+QUERIES["top_order_per_customer"] = (
+    q_top_order_per_customer,
+    SQL_TOP_ORDER_PER_CUSTOMER,
+)

@@ -28,6 +28,7 @@ FUZZ_ENTRIES = [
     "anti_join",
     "qty_by_nation",
     "orders_rollup",
+    "top_order_per_customer",
 ]
 
 _LINE = st.tuples(
