@@ -3260,3 +3260,88 @@ QUERIES["top_order_per_customer"] = (
     q_top_order_per_customer,
     SQL_TOP_ORDER_PER_CUSTOMER,
 )
+
+
+SHUFFLE_MULT = 0x9E3779B97F4A7C15  # odd -> bijective over 2^64: NO ties
+SHUFFLE_BUCKET_BITS = 16
+
+
+def q_deterministic_shuffle(sf_dir: str):
+    """Deterministic global shuffle (training-data ordering): pos =
+    row_number by an INJECTIVE multiply hash of doc_id — the same
+    reproducible permutation on any cluster size, no RNG.  Because the
+    salt is bijective there are no ties, so the position equals
+    1 + count of smaller salts: pass 1 accumulates 2^16 bucket counts
+    per batch (fixed-size partials, driver cumsum gives bucket base
+    offsets), pass 2 is ONE bucket-hashed exchange that sorts each
+    bucket locally and adds its base — a global sort's result without a
+    global sort."""
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id"])
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            salt = ids * np.uint64(SHUFFLE_MULT)
+        bucket = (salt >> np.uint64(64 - SHUFFLE_BUCKET_BITS)).astype(np.int64)
+        # bias to int64 preserving uint64 order (bucket fixes the top
+        # bits; the biased value orders correctly within a bucket too)
+        biased = (salt - np.uint64(1 << 63)).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "salt_b": pa.array(biased, pa.int64()),
+            }
+        )
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["bucket"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"bucket": g["bucket"], "c": g["count_all"].cast(pa.int64())}
+        )
+
+    parts = salted.map_batches(bucket_counts, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "pos": pd.Series([], dtype="int64")}
+        )
+    hist = parts.groupby("bucket", as_index=False)["c"].sum()
+    hist = hist.sort_values("bucket", kind="mergesort")
+    base = dict(
+        zip(hist["bucket"], (hist["c"].cumsum() - hist["c"]).astype("int64"))
+    )
+    base_ref = ray.put(base)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)
+        g = g.sort_values(["bucket", "salt_b"], kind="mergesort")
+        local = g.groupby("bucket").cumcount().to_numpy()
+        pos = g["bucket"].map(b).to_numpy(dtype=np.int64) + local + 1
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].to_numpy(), "pos": pos.astype(np.int64)}
+        )
+
+    oschema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+    return _sharded_groupby(salted, ["bucket"], assign, empty_schema=oschema)
+
+
+SQL_DETERMINISTIC_SHUFFLE = f"""
+SELECT doc_id,
+       row_number() OVER (
+           ORDER BY (doc_id::HUGEINT * {SHUFFLE_MULT}) % 18446744073709551616
+       )::BIGINT AS pos
+FROM documents
+"""
+
+QUERIES["deterministic_shuffle"] = (
+    q_deterministic_shuffle,
+    SQL_DETERMINISTIC_SHUFFLE,
+)

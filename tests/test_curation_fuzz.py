@@ -36,6 +36,7 @@ FUZZ_ENTRIES = [
     "vocab_coverage",
     "text_normalize",
     "lang_length_rank",
+    "deterministic_shuffle",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
