@@ -3345,3 +3345,36 @@ QUERIES["deterministic_shuffle"] = (
     q_deterministic_shuffle,
     SQL_DETERMINISTIC_SHUFFLE,
 )
+
+
+def q_token_entropy(sf_dir: str):
+    from .curation import token_entropy_ds
+
+    return token_entropy_ds(sf_dir)
+
+
+def _sql_token_entropy() -> str:
+    from .curation import ENTROPY_LOG_SCALE as S
+
+    return f"""
+WITH {_SQL_TOKS_LIST},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2),
+per AS (
+    SELECT doc_id,
+           sum(n)::BIGINT AS dl,
+           sum(n * CAST(round(log2(n::DOUBLE) * {S}) AS BIGINT))::BIGINT AS s
+    FROM tf GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.dl, 0)::BIGINT AS n_tokens,
+       CASE WHEN per.dl > 0 THEN round(
+            (CAST(round(log2(per.dl::DOUBLE) * {S}) AS BIGINT) * per.dl
+             - per.s)::DOUBLE
+            / (per.dl * {S})::DOUBLE, 6)
+       END AS entropy
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+QUERIES["token_entropy"] = (q_token_entropy, _sql_token_entropy())

@@ -1231,3 +1231,97 @@ def vocab_coverage_ds(
 
     return docs.map_batches(per_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# per-doc unigram entropy (fixed-point log2 — order-independent float)
+
+ENTROPY_LOG_SCALE = 1_000_000_000
+ENTROPY_MAX_TF = 1 << 16
+
+
+def _log2_fp(k: np.ndarray) -> np.ndarray:
+    """Fixed-point log2 table both sides share: ``round(log2(k) * 1e9)``
+    (half-away, matching DuckDB ``round``) as int64.
+
+    DuckDB's ``log2`` and numpy's differ by 1 ulp on ~0.8% of integer
+    inputs, so raw float log sums are NOT reproducible across the two
+    engines.  Quantizing each per-term value to an integer FIRST makes
+    every downstream sum order-independent and engine-independent —
+    provided the quantization itself agrees.  It does over the whole
+    reachable domain: ``tests/test_entropy.py`` exhaustively compares
+    this table against DuckDB's ``CAST(round(log2(x)*1e9) AS BIGINT)``
+    for every k in [1, 2^16], and the runtime asserts k < 2^16 (a term
+    frequency above 65535 would need a >64 KiB single-term document —
+    the builder's own doc-size ceilings sit far below that).
+    """
+    if len(k) and int(k.max()) >= ENTROPY_MAX_TF:
+        raise ValueError(
+            f"token_entropy: term frequency {int(k.max())} >= {ENTROPY_MAX_TF} "
+            "exceeds the exhaustively-verified fixed-point log2 domain"
+        )
+    return round_half_away(
+        np.log2(k.astype(np.float64)) * ENTROPY_LOG_SCALE, 0
+    ).astype(np.int64)
+
+
+def token_entropy_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """Per-doc unigram (token) entropy in bits — the classic
+    quality/diversity signal (low entropy = repetitive/templated text).
+
+    ``H = log2(dl) - (1/dl) * sum_t tf_t * log2(tf_t)`` computed ENTIRELY
+    in fixed-point integers: with ``L(k) = round(log2(k)*1e9)``,
+    ``entropy = round((L(dl)*dl - sum_t tf_t*L(tf_t)) / (dl*1e9), 6)``.
+    The numerator and denominator are exact int64 on both engines, so
+    the single float division (and the rounded payload) is bit-identical
+    regardless of summation order.  NULL for token-less docs.
+
+    Shape: zero exchanges — documents never span batches, so per-doc
+    tf and the entropy reduce inside one streaming ``map_batches``.
+    """
+    docs = _docs(source)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        toks, token_doc, _row_idx, _h1, _h2 = _batch_tokens(batch)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = np.zeros(len(doc_ids), np.int64)
+        s = np.zeros(len(doc_ids), np.int64)
+        if len(toks):
+            t = pa.table(
+                {"doc_id": pa.array(token_doc, pa.int64()), "term": toks}
+            )
+            tf = t.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+            tfn = tf["term_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+            contrib = tfn * _log2_fp(tfn)
+            per_doc = pa.table(
+                {
+                    "doc_id": tf["doc_id"],
+                    "n": pa.array(tfn, pa.int64()),
+                    "c": pa.array(contrib, pa.int64()),
+                }
+            ).group_by("doc_id").aggregate([("n", "sum"), ("c", "sum")])
+            ud = per_doc["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = _align_to_rows(doc_ids, ud)
+            dl[idx] = per_doc["n_sum"].to_numpy(zero_copy_only=False)
+            s[idx] = per_doc["c_sum"].to_numpy(zero_copy_only=False)
+        pos = dl > 0
+        ent = np.zeros(len(doc_ids), np.float64)
+        if pos.any():
+            dlp = dl[pos]
+            num = (_log2_fp(dlp) * dlp - s[pos]).astype(np.float64)
+            den = (dlp * ENTROPY_LOG_SCALE).astype(np.float64)
+            ent[pos] = round_half_away(num / den, 6)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(dl, pa.int64()),
+                "entropy": pc.if_else(
+                    pa.array(pos),
+                    pa.array(ent, pa.float64()),
+                    pa.scalar(None, pa.float64()),
+                ),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -37,6 +37,7 @@ FUZZ_ENTRIES = [
     "text_normalize",
     "lang_length_rank",
     "deterministic_shuffle",
+    "token_entropy",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
