@@ -3378,3 +3378,354 @@ FROM documents d LEFT JOIN per USING (doc_id)
 
 
 QUERIES["token_entropy"] = (q_token_entropy, _sql_token_entropy())
+
+
+# --------------------------------------------------------------------------
+# pivot: per-source language-count matrix
+
+# pivoted columns MUST be a bounded vocabulary (they become schema); the
+# row key (source/domain) may be high-cardinality — it stays sharded.
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_lang_source_pivot(sf_dir: str):
+    """PIVOT (long -> wide): per source, one count column per language
+    plus ``n_other``/``n_total``.  The pivoted axis (lang) is a bounded
+    vocabulary so it can become schema; the row axis (source — a domain
+    at web scale) is unbounded, so rows are combined via per-batch Arrow
+    ``group_by`` partials and ONE source-hashed exchange
+    (`dedup._sharded_groupby`) — cardinality never concentrates on the
+    driver.  The shard key is an internal hash column (not in the
+    output), so the SQL oracle needs no replication of it."""
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        known = pc.coalesce(
+            pc.is_in(b["lang"], value_set=pa.array(PIVOT_LANGS, pa.utf8())),
+            pa.scalar(False),
+        )
+        lang = pc.if_else(known, b["lang"], pa.scalar("__other__", pa.utf8()))
+        t = pa.table({"source": b["source"], "lang": lang})
+        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        sh = pd.util.hash_array(
+            np.asarray(g["source"].to_pylist(), dtype=object)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "source": g["source"],
+                "lang": g["lang"],
+                "n": g["count_all"].cast(pa.int64()),
+                "sh": pa.array(sh, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    cols = [f"n_{l}" for l in PIVOT_LANGS] + ["n_other", "n_total"]
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["source", "lang"], dropna=False, as_index=False)["n"].sum()
+        wide = c.pivot_table(index="source", columns="lang", values="n",
+                             aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"source": wide.index})
+        for l in PIVOT_LANGS:
+            out[f"n_{l}"] = (
+                wide[l].to_numpy() if l in wide.columns else 0
+            )
+        out["n_other"] = (
+            wide["__other__"].to_numpy() if "__other__" in wide.columns else 0
+        )
+        for c2 in cols[:-1]:
+            out[c2] = out[c2].astype("int64")
+        out["n_total"] = out[[f"n_{l}" for l in PIVOT_LANGS] + ["n_other"]].sum(
+            axis=1
+        ).astype("int64")
+        return out.reset_index(drop=True)
+
+    oschema = pa.schema(
+        [("source", pa.utf8())] + [(c, pa.int64()) for c in cols]
+    )
+    return _sharded_groupby(rows, ["sh"], pivot, empty_schema=oschema)
+
+
+def _sql_lang_source_pivot() -> str:
+    cases = ",\n       ".join(
+        f"sum(CASE WHEN lang = '{l}' THEN 1 ELSE 0 END)::BIGINT AS n_{l}"
+        for l in PIVOT_LANGS
+    )
+    in_list = ", ".join(f"'{l}'" for l in PIVOT_LANGS)
+    return f"""
+SELECT source,
+       {cases},
+       sum(CASE WHEN lang IS NULL OR lang NOT IN ({in_list})
+                THEN 1 ELSE 0 END)::BIGINT AS n_other,
+       count(*)::BIGINT AS n_total
+FROM documents
+GROUP BY source
+"""
+
+
+QUERIES["lang_source_pivot"] = (q_lang_source_pivot, _sql_lang_source_pivot())
+
+
+# --------------------------------------------------------------------------
+# ordered string aggregation: per-user event path
+
+PATH_MAX_STEPS = 64  # bound per-user output (a bot user can have millions)
+
+
+def q_user_event_path(sf_dir: str):
+    """ORDER-SENSITIVE string aggregation: each user's event-type
+    sequence ``view>click>purchase...`` under the deterministic total
+    order (ts, event_id), capped at the first ``PATH_MAX_STEPS`` events
+    per user so one bot user can't blow up a row.  NULL event types are
+    skipped (DuckDB ``string_agg`` semantics); an all-NULL user keeps a
+    row with a NULL path.  Shape: ONE user-hashed exchange, vectorized
+    pandas ordering inside each shard — the sequence-modeling
+    prerequisite (user histories for session/behavior models)."""
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(
+        path, columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rn = g.groupby("user_id").cumcount()
+        g = g[rn < PATH_MAX_STEPS]
+        keep = g[g["event_type"].notna()]
+        n = keep.groupby("user_id").size()
+        p = keep.groupby("user_id")["event_type"].agg(">".join)
+        users = g["user_id"].drop_duplicates()
+        out = pd.DataFrame({"user_id": users.to_numpy()})
+        out["n_steps"] = out["user_id"].map(n).fillna(0).astype("int64")
+        out["path"] = out["user_id"].map(p)
+        out["path"] = out["path"].astype(object).where(out["path"].notna(), None)
+        return out
+
+    oschema = pa.schema(
+        [("user_id", pa.int64()), ("n_steps", pa.int64()), ("path", pa.utf8())]
+    )
+    return _sharded_groupby(ev, ["user_id"], agg, empty_schema=oschema)
+
+
+SQL_USER_EVENT_PATH = f"""
+WITH ranked AS (
+    SELECT user_id, ts, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT user_id,
+       count(event_type)::BIGINT AS n_steps,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM ranked WHERE rn <= {PATH_MAX_STEPS}
+GROUP BY user_id
+"""
+
+QUERIES["user_event_path"] = (q_user_event_path, SQL_USER_EVENT_PATH)
+
+
+# --------------------------------------------------------------------------
+# deterministic train/valid/test split (hash split + disjointness proof)
+
+SPLIT_MULT = 0x9E3779B97F4A7C15  # Fibonacci multiplier, same family as sample_hash
+SPLIT_PCTS = {"train": 90, "valid": 5, "test": 5}  # must sum to 100
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic train/valid/test split: a doc's split is a pure
+    function of doc_id (multiply hash mod 100 -> 90/5/5), so the split
+    is reproducible on any cluster size / any row order and NEVER needs
+    a shuffle or a stored assignment table.  Returns the per-split
+    audit summary (doc count, char volume, doc_id range); the driver's
+    hash comparison proves both engines assign every doc to the same
+    split, and `sum(n_docs) == N` + disjoint hash ranges prove the
+    partition property.  Shape: fixed-size per-batch partials (3 rows
+    per batch) -> driver combine — nothing scales with N."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(SPLIT_MULT)) % np.uint64(100)
+        split = np.where(h < 90, "train", np.where(h < 95, "valid", "test"))
+        t = pa.table(
+            {
+                "split": pa.array(split, pa.utf8()),
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_chars": b["n_chars"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["split"]).aggregate(
+            [("doc_id", "count"), ("n_chars", "sum"),
+             ("doc_id", "min"), ("doc_id", "max")]
+        )
+        return pa.table(
+            {
+                "split": g["split"],
+                "n_docs": g["doc_id_count"].cast(pa.int64()),
+                "sum_chars": g["n_chars_sum"].cast(pa.int64()),
+                "min_doc": g["doc_id_min"].cast(pa.int64()),
+                "max_doc": g["doc_id_max"].cast(pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "split": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int64"),
+                "sum_chars": pd.Series([], dtype="int64"),
+                "min_doc": pd.Series([], dtype="int64"),
+                "max_doc": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby("split", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        sum_chars=("sum_chars", "sum"),
+        min_doc=("min_doc", "min"),
+        max_doc=("max_doc", "max"),
+    )
+    for c in ["n_docs", "sum_chars", "min_doc", "max_doc"]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_TRAIN_SPLIT = f"""
+WITH assigned AS (
+    SELECT doc_id, n_chars,
+           (doc_id::HUGEINT * {SPLIT_MULT}) % 18446744073709551616 % 100 AS h
+    FROM documents
+)
+SELECT CASE WHEN h < 90 THEN 'train'
+            WHEN h < 95 THEN 'valid' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       min(doc_id)::BIGINT AS min_doc,
+       max(doc_id)::BIGINT AS max_doc
+FROM assigned
+GROUP BY 1
+"""
+
+QUERIES["train_split"] = (q_train_split, SQL_TRAIN_SPLIT)
+
+
+# --------------------------------------------------------------------------
+# grouped Pearson correlation from exact integer moments
+
+CORR_SCALE = 100  # cents quantization: both columns have <= 2 decimals
+
+
+def q_qty_discount_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation corr(l_quantity, l_discount)
+    with an EXACT SQL pairing: float sums are order-dependent, so both
+    engines quantize to integer cents first (x100 — the synthetic
+    columns carry <= 2 decimals) and accumulate the five moments
+    (n, Sx, Sy, Sxx, Syy, Sxy) as EXACT integers; the correlation is
+    then ONE float expression over identical integers -> bit-identical.
+
+    Shape: classic combiner pre-aggregation — per-batch Arrow group_by
+    partials (5 ints x n_groups rows per batch), driver combine in
+    arbitrary-precision Python ints (immune to int64 overflow at any
+    scale; the SQL side sums in HUGEINT), zero data shuffles."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(
+        path, columns=["l_returnflag", "l_quantity", "l_discount"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = round_half_away(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * CORR_SCALE, 0
+        ).astype(np.int64)
+        y = round_half_away(
+            b["l_discount"].to_numpy(zero_copy_only=False) * CORR_SCALE, 0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "f": b["l_returnflag"],
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "xx": pa.array(x * x, pa.int64()),
+                "yy": pa.array(y * y, pa.int64()),
+                "xy": pa.array(x * y, pa.int64()),
+            }
+        )
+        g = t.group_by(["f"]).aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")]
+        )
+        return pa.table(
+            {
+                "f": g["f"],
+                "n": g["x_count"].cast(pa.int64()),
+                "sx": g["x_sum"].cast(pa.int64()),
+                "sy": g["y_sum"].cast(pa.int64()),
+                "sxx": g["xx_sum"].cast(pa.int64()),
+                "syy": g["yy_sum"].cast(pa.int64()),
+                "sxy": g["xy_sum"].cast(pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    rows = []
+    for f, grp in parts.groupby("f", dropna=False):
+        if f is not None and not isinstance(f, str) and pd.isna(f):
+            f = None
+        n = int(grp["n"].sum())
+        sx = sum(int(v) for v in grp["sx"])
+        sy = sum(int(v) for v in grp["sy"])
+        sxx = sum(int(v) for v in grp["sxx"])
+        syy = sum(int(v) for v in grp["syy"])
+        sxy = sum(int(v) for v in grp["sxy"])
+        a = float(n * sxy - sx * sy)
+        vb = float(n * sxx - sx * sx)
+        vc = float(n * syy - sy * sy)
+        den = np.sqrt(vb * vc)
+        corr = round_half_away(a / den, 9) if den > 0 else None
+        rows.append((f, n, corr))
+    import pandas as pd
+
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n", "corr_qty_disc"])
+    out["n"] = out["n"].astype("int64")
+    out["corr_qty_disc"] = out["corr_qty_disc"].astype("float64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_QTY_DISCOUNT_CORR = f"""
+WITH q AS (
+    SELECT l_returnflag AS f,
+           CAST(round(l_quantity * {CORR_SCALE}) AS BIGINT) AS x,
+           CAST(round(l_discount * {CORR_SCALE}) AS BIGINT) AS y
+    FROM lineitem
+),
+m AS (
+    SELECT f, count(*)::HUGEINT AS n,
+           sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+           sum(x*x)::HUGEINT AS sxx, sum(y*y)::HUGEINT AS syy,
+           sum(x*y)::HUGEINT AS sxy
+    FROM q GROUP BY f
+)
+SELECT f AS l_returnflag, n::BIGINT AS n,
+       CASE WHEN (n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE > 0
+            THEN round((n*sxy - sx*sy)::DOUBLE
+                       / sqrt((n*sxx - sx*sx)::DOUBLE
+                              * (n*syy - sy*sy)::DOUBLE), 9)
+       END AS corr_qty_disc
+FROM m
+"""
+
+QUERIES["qty_discount_corr"] = (q_qty_discount_corr, SQL_QTY_DISCOUNT_CORR)

@@ -38,6 +38,8 @@ FUZZ_ENTRIES = [
     "lang_length_rank",
     "deterministic_shuffle",
     "token_entropy",
+    "lang_source_pivot",
+    "train_split",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

@@ -29,6 +29,7 @@ FUZZ_ENTRIES = [
     "qty_by_nation",
     "orders_rollup",
     "top_order_per_customer",
+    "qty_discount_corr",
 ]
 
 _LINE = st.tuples(
@@ -50,6 +51,16 @@ def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
                 "l_orderkey": pa.array([r[0] for r in lines], pa.int64()),
                 "l_linenumber": pa.array([r[1] for r in lines], pa.int64()),
                 "l_quantity": pa.array([float(r[2]) for r in lines], pa.float64()),
+                # derived columns for the correlation entry: NULL flags
+                # (NULL group must survive both engines) and a discount
+                # partially correlated with quantity
+                "l_returnflag": pa.array(
+                    [None if r[2] % 13 == 0 else "FNR"[r[0] % 3] for r in lines],
+                    pa.string(),
+                ),
+                "l_discount": pa.array(
+                    [((r[2] + r[0]) % 11) / 100.0 for r in lines], pa.float64()
+                ),
             }
         ),
         os.path.join(tmpdir, "lineitem.parquet"),

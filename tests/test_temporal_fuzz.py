@@ -31,6 +31,7 @@ FUZZ_ENTRIES = [
     "events_value_histogram",
     "user_mode_event",
     "events_value_mad",
+    "user_event_path",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
