@@ -3729,3 +3729,67 @@ FROM m
 """
 
 QUERIES["qty_discount_corr"] = (q_qty_discount_corr, SQL_QTY_DISCOUNT_CORR)
+
+
+def q_pagerank_terms(sf_dir: str):
+    """Fixed-point PageRank over the frequent-term co-occurrence graph
+    (the iterative-algorithm entry).  See curation.pagerank_terms."""
+    from .curation import pagerank_terms
+
+    return pagerank_terms(sf_dir)
+
+
+def _sql_pagerank_terms() -> str:
+    from .curation import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TOP_VOCAB,
+    )
+
+    steps = []
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f"""
+r{k} AS (
+    SELECT d.term,
+           ((SELECT base FROM con)
+            + ({PR_DAMP_NUM} * coalesce(s.c, 0)) // {PR_DAMP_DEN})::BIGINT AS r
+    FROM degs d LEFT JOIN (
+        SELECT e.dst AS term, sum(r.r // dg.deg)::BIGINT AS c
+        FROM edges e
+        JOIN r{k-1} r ON r.term = e.src
+        JOIN degs dg ON dg.term = e.src
+        GROUP BY 1
+    ) s USING (term)
+)""")
+    return f"""
+WITH {_SQL_TOKS_LIST},
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM filt),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+topv AS (SELECT term FROM dfc ORDER BY df DESC, term LIMIT {PR_TOP_VOCAB}),
+tv AS (SELECT t.doc_id, t.term FROM tok t JOIN topv USING (term)),
+edges AS (
+    SELECT DISTINCT a.term AS src, b.term AS dst
+    FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term <> b.term
+),
+degs AS (
+    SELECT t.term, count(e.dst)::BIGINT AS deg
+    FROM topv t LEFT JOIN edges e ON e.src = t.term
+    GROUP BY 1
+),
+nv AS (SELECT count(*)::BIGINT AS n FROM topv),
+con AS (SELECT CASE WHEN n > 0
+                    THEN ((15 * ({PR_SCALE} // n)) // {PR_DAMP_DEN})::BIGINT
+                    ELSE 0 END AS base
+        FROM nv),
+r0 AS (SELECT term, ({PR_SCALE} // (SELECT n FROM nv))::BIGINT AS r
+       FROM topv),
+{",".join(steps)}
+SELECT d.term, d.deg, rf.r AS pr,
+       row_number() OVER (ORDER BY rf.r DESC, d.term)::BIGINT AS pr_rank
+FROM degs d JOIN r{PR_ITERS} rf USING (term)
+"""
+
+
+QUERIES["pagerank_terms"] = (q_pagerank_terms, _sql_pagerank_terms())

@@ -1325,3 +1325,110 @@ def token_entropy_ds(source: str | rd.Dataset) -> rd.Dataset:
 
     return docs.map_batches(per_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the term co-occurrence graph (fixed-point, SQL-exact)
+
+PR_TOP_VOCAB = 64
+PR_ITERS = 5
+PR_SCALE = 1_000_000_000_000  # rank fixed-point: 1.0 == 10^12
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def pagerank_terms(
+    source: str | rd.Dataset,
+    *,
+    top_vocab: int = PR_TOP_VOCAB,
+    iters: int = PR_ITERS,
+) -> pd.DataFrame:
+    """PageRank over the co-occurrence graph of the ``top_vocab`` most
+    document-frequent terms — the iterative-algorithm representative of
+    the catalog, SQL-paired EXACTLY.
+
+    Float PageRank can never be bit-compared across engines (sum order,
+    libm), so the recurrence runs in fixed-point integers with floor
+    division, identically on both sides::
+
+        share_k(u) = r_k(u) // deg(u)
+        r_{k+1}(v) = (15 * (SCALE // N)) // 100
+                     + (85 * sum_{u ~ v} share_k(u)) // 100
+
+    Every quantity is an exact int64 (mass <= SCALE = 10^12, damping in
+    integer percent), so ``iters`` rounds of it are deterministic — the
+    SQL oracle unrolls the same recurrence through chained CTEs.
+    Dangling vocabulary terms (no co-occurrence edge) hold the base
+    rank; their mass is not redistributed, by definition of this op.
+
+    Shape (100 TB): two bounded passes — the df/top-vocab pass
+    (:func:`top_vocab_df`) and one V x V boolean-matmul co-occurrence
+    pass with fixed-size partials (same as :func:`term_cooccurrence`);
+    the graph itself is vocabulary-bounded (V <= ``top_vocab``), so the
+    5-round solve is a driver-side integer matmul on a tiny matrix.
+    Columns: ``term, deg, pr, pr_rank`` (``pr`` is the fixed-point
+    int64 rank after ``iters`` rounds).
+    """
+    docs = _docs(source)
+    out_cols = ["term", "deg", "pr", "pr_rank"]
+    cand = top_vocab_df(docs, top_vocab)
+    if not len(cand):
+        return pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "deg": pd.Series([], dtype="int64"),
+                "pr": pd.Series([], dtype="int64"),
+                "pr_rank": pd.Series([], dtype="int64"),
+            }
+        )
+    vocab_terms = cand["term"].tolist()
+    vocab_arr = pa.array(vocab_terms, pa.utf8())
+    nv = len(vocab_terms)
+
+    def cooc_batch(batch: pa.Table) -> pa.Table:
+        toks, token_doc, *_ = _batch_tokens(batch)
+        empty = pa.table(
+            {"ia": pa.array([], pa.int64()), "ib": pa.array([], pa.int64())}
+        )
+        if not len(toks):
+            return empty
+        idx = pc.index_in(toks, value_set=vocab_arr)
+        iv = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = iv >= 0
+        if not keep.any():
+            return empty
+        urows, dinv = np.unique(token_doc[keep], return_inverse=True)
+        m = np.zeros((len(urows), nv), np.int64)
+        m[dinv, iv[keep]] = 1
+        cm = m.T @ m
+        ia, ib = np.triu_indices(nv, k=1)
+        nz = cm[ia, ib] > 0
+        return pa.table(
+            {
+                "ia": pa.array(ia[nz].astype(np.int64)),
+                "ib": pa.array(ib[nz].astype(np.int64)),
+            }
+        )
+
+    parts = docs.map_batches(
+        cooc_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    adj = np.zeros((nv, nv), np.int64)
+    if len(parts):
+        e = parts.drop_duplicates()
+        adj[e["ia"].to_numpy(), e["ib"].to_numpy()] = 1
+        adj = adj | adj.T  # NOT |=: in-place OR with a transpose view aliases
+    deg = adj.sum(axis=1).astype(np.int64)
+    base = (15 * (PR_SCALE // nv)) // PR_DAMP_DEN
+    r = np.full(nv, PR_SCALE // nv, np.int64)
+    safe_deg = np.maximum(deg, 1)
+    for _ in range(iters):
+        share = np.where(deg > 0, r // safe_deg, 0)
+        r = base + (PR_DAMP_NUM * (adj @ share)) // PR_DAMP_DEN
+    out = pd.DataFrame(
+        {"term": np.asarray(vocab_terms, dtype=object), "deg": deg, "pr": r}
+    ).sort_values(["pr", "term"], ascending=[False, True], kind="mergesort")
+    out = out.reset_index(drop=True)
+    out["pr_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["deg"] = out["deg"].astype("int64")
+    out["pr"] = out["pr"].astype("int64")
+    return out[out_cols]

@@ -40,6 +40,7 @@ FUZZ_ENTRIES = [
     "token_entropy",
     "lang_source_pivot",
     "train_split",
+    "pagerank_terms",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
