@@ -173,6 +173,9 @@ def run_bench() -> dict:
         "events_rolling_agg", "lineitem_running_sum", "qty_by_nation",
         "quantity_percent_rank", "events_funnel", "events_props_extract",
         "orders_rollup", "fuzzy_term_join",
+        "token_entropy", "lang_source_pivot", "user_event_path",
+        "train_split", "qty_discount_corr", "pagerank_terms",
+        "unigram_logprob",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

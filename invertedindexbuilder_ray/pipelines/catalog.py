@@ -3793,3 +3793,50 @@ FROM degs d JOIN r{PR_ITERS} rf USING (term)
 
 
 QUERIES["pagerank_terms"] = (q_pagerank_terms, _sql_pagerank_terms())
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Per-doc unigram-LM negative log-likelihood (CCNet-style quality
+    score) on a 16-bit probability grid.  See curation.unigram_logprob_ds."""
+    from .curation import unigram_logprob_ds
+
+    return unigram_logprob_ds(sf_dir)
+
+
+def _sql_unigram_logprob() -> str:
+    from .curation import ENTROPY_LOG_SCALE as S
+    from .curation import UNIGRAM_RGRID, UNIGRAM_VOCAB
+
+    l16 = 16 * S
+    return f"""
+WITH {_SQL_TOKS_LIST},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+cnt AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+tot AS (SELECT coalesce(sum(c), 0)::BIGINT AS t FROM cnt),
+topv AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT {UNIGRAM_VOCAB}),
+model AS (
+    SELECT term,
+           greatest(1, (c::HUGEINT * {UNIGRAM_RGRID})
+                       // (SELECT t FROM tot))::BIGINT AS r
+    FROM topv
+),
+scored AS (
+    SELECT tok.doc_id,
+           {l16} - CAST(round(log2(coalesce(model.r, 1)::DOUBLE) * {S})
+                        AS BIGINT) AS contrib
+    FROM tok LEFT JOIN model USING (term)
+),
+per AS (
+    SELECT doc_id, count(*)::BIGINT AS dl, sum(contrib)::BIGINT AS s
+    FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.dl, 0)::BIGINT AS n_tokens,
+       CASE WHEN per.dl > 0
+            THEN round(per.s::DOUBLE / (per.dl * {S})::DOUBLE, 6)
+       END AS nll_bits
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+QUERIES["unigram_logprob"] = (q_unigram_logprob, _sql_unigram_logprob())

@@ -1432,3 +1432,155 @@ def pagerank_terms(
     out["deg"] = out["deg"].astype("int64")
     out["pr"] = out["pr"].astype("int64")
     return out[out_cols]
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model scoring (CCNet-style per-doc negative log-likelihood)
+
+UNIGRAM_VOCAB = 4096
+UNIGRAM_RGRID = (1 << 16) - 1  # probability grid: r/65536, r in [1, 65535]
+
+
+def _count_vocab(docs: rd.Dataset, top_vocab: int) -> tuple[pd.DataFrame, int]:
+    """Top-``top_vocab`` terms by TOTAL occurrence count (with
+    multiplicity) plus the exact corpus token total.  Same bounded
+    shape as :func:`top_vocab_df`: per-batch partial counts, one
+    term-sharded exchange that keeps per-shard top-V candidates and a
+    per-shard total row, bounded driver merge."""
+    from .dedup import _sharded_groupby
+
+    def cnt_batch(batch: pa.Table) -> pa.Table:
+        toks, _token_doc, _r, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return pa.table(
+                {
+                    "term": pa.array([], pa.utf8()),
+                    "th": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pa.table(
+                {"term": toks, "th": pa.array(h1.view(np.int64), pa.int64())}
+            )
+            .group_by(["term"])
+            .aggregate([("th", "min"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "term": g["term"],
+                "th": g["th_min"],
+                "c": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("term", as_index=False)["c"].sum()
+        total = int(s["c"].sum())
+        s = s.sort_values(
+            ["c", "term"], ascending=[False, True], kind="mergesort"
+        ).head(top_vocab)
+        s["c"] = s["c"].astype("int64")
+        s["shard_total"] = np.int64(0)
+        # one marker row carries this shard's full token total
+        marker = pd.DataFrame(
+            {"term": [None], "c": [np.int64(0)], "shard_total": [np.int64(total)]}
+        )
+        return pd.concat([s[["term", "c", "shard_total"]], marker],
+                         ignore_index=True)
+
+    vschema = pa.schema(
+        [("term", pa.utf8()), ("c", pa.int64()), ("shard_total", pa.int64())]
+    )
+    cand = _sharded_groupby(
+        docs.map_batches(cnt_batch, batch_format="pyarrow", zero_copy_batch=True),
+        ["th"],
+        shard_top,
+        empty_schema=vschema,
+    ).to_pandas()
+    if not len(cand):
+        return (
+            pd.DataFrame({"term": pd.Series([], dtype=object),
+                          "c": pd.Series([], dtype="int64")}),
+            0,
+        )
+    total = int(cand["shard_total"].sum())
+    top = cand[cand["term"].notna()].sort_values(
+        ["c", "term"], ascending=[False, True], kind="mergesort"
+    ).head(top_vocab)
+    return top[["term", "c"]].reset_index(drop=True), total
+
+
+def unigram_logprob_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """Per-doc unigram LM score (mean negative log-likelihood in bits)
+    — the CCNet-style quality filter: low-NLL docs look like the corpus
+    head, high-NLL docs are rare/garbled.  Model: the top
+    ``UNIGRAM_VOCAB`` terms by corpus count, each with probability
+    quantized onto the 16-bit grid ``r(t) = max(1, c(t)*65535 //
+    total)`` (OOV terms get r = 1).  The quantization makes the model
+    SQL-exact: ``nll = round(sum(L(65536) - L(r)) / (dl*1e9), 6)``
+    where L is the exhaustively-verified fixed-point log2 table
+    (`_log2_fp` — r <= 65535 stays inside its domain), so every sum is
+    an exact int64 on both engines.
+
+    Shape (100 TB): one bounded vocabulary pass (:func:`_count_vocab`),
+    then one streaming map_batches with the <=4096-entry model shipped
+    in the closure — per-doc integer sums, zero exchanges.
+    """
+    docs = _docs(source)
+    vocab, total = _count_vocab(docs, UNIGRAM_VOCAB)
+    l16 = np.int64(16 * ENTROPY_LOG_SCALE)  # L(65536): log2 is exactly 16
+    if total > 0:
+        r = np.maximum(
+            1,
+            (vocab["c"].to_numpy().astype(object) * UNIGRAM_RGRID) // total,
+        ).astype(np.int64)
+        contrib_vocab = l16 - _log2_fp(r)
+    else:
+        contrib_vocab = np.zeros(0, np.int64)
+    contrib_oov = np.int64(l16)  # L(1) == 0
+    vocab_arr = pa.array(vocab["term"].tolist(), pa.utf8())
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        toks, token_doc, _row_idx, _h1, _h2 = _batch_tokens(batch)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = np.zeros(len(doc_ids), np.int64)
+        s = np.zeros(len(doc_ids), np.int64)
+        if len(toks):
+            idx = pc.index_in(toks, value_set=vocab_arr)
+            iv = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            tok_contrib = np.where(
+                iv >= 0, contrib_vocab[np.maximum(iv, 0)], contrib_oov
+            )
+            per_doc = pa.table(
+                {
+                    "doc_id": pa.array(token_doc, pa.int64()),
+                    "c": pa.array(tok_contrib, pa.int64()),
+                }
+            ).group_by("doc_id").aggregate([("c", "sum"), ([], "count_all")])
+            ud = per_doc["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            at = _align_to_rows(doc_ids, ud)
+            dl[at] = per_doc["count_all"].to_numpy(zero_copy_only=False)
+            s[at] = per_doc["c_sum"].to_numpy(zero_copy_only=False)
+        pos = dl > 0
+        nll = np.zeros(len(doc_ids), np.float64)
+        if pos.any():
+            nll[pos] = round_half_away(
+                s[pos].astype(np.float64)
+                / (dl[pos] * ENTROPY_LOG_SCALE).astype(np.float64),
+                6,
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(dl, pa.int64()),
+                "nll_bits": pc.if_else(
+                    pa.array(pos),
+                    pa.array(nll, pa.float64()),
+                    pa.scalar(None, pa.float64()),
+                ),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)

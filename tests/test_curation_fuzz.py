@@ -41,6 +41,7 @@ FUZZ_ENTRIES = [
     "lang_source_pivot",
     "train_split",
     "pagerank_terms",
+    "unigram_logprob",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
