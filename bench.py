@@ -175,7 +175,7 @@ def run_bench() -> dict:
         "orders_rollup", "fuzzy_term_join",
         "token_entropy", "lang_source_pivot", "user_event_path",
         "train_split", "qty_discount_corr", "pagerank_terms",
-        "unigram_logprob",
+        "unigram_logprob", "group_median_price", "crosslang_terms",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

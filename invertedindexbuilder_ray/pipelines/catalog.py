@@ -3840,3 +3840,206 @@ FROM documents d LEFT JOIN per USING (doc_id)
 
 
 QUERIES["unigram_logprob"] = (q_unigram_logprob, _sql_unigram_logprob())
+
+
+GROUP_MEDIAN_MAX_GROUPS = 16
+
+
+def q_group_median_price(sf_dir: str):
+    """GROUPED exact median (mean of the two middle order statistics,
+    same explicit semantics as ``events_value_mad``) of the extended
+    price per returnflag.  The histogram-refinement order-stat engine
+    (`quantiles.exact_order_stats`) runs once per group over a filtered
+    stream — correct only because the group column is a BOUNDED
+    enumeration (asserted <= {GROUP_MEDIAN_MAX_GROUPS} groups); an
+    unbounded key would need per-group histograms in one exchange
+    instead.  Only fixed-size histograms ever reach the driver."""
+    from .quantiles import exact_order_stats
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["l_returnflag", "l_extendedprice"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        u = pc.unique(b["l_returnflag"].combine_chunks().drop_null())
+        return pa.table({"f": u})
+
+    groups = sorted(
+        {r["f"] for r in ds.map_batches(flags, batch_format="pyarrow").take_all()}
+    )
+    if len(groups) > GROUP_MEDIAN_MAX_GROUPS:
+        raise ValueError(
+            f"group_median_price: {len(groups)} groups exceed the bounded-"
+            f"enumeration precondition ({GROUP_MEDIAN_MAX_GROUPS})"
+        )
+
+    def mid(n: int) -> list[int]:
+        return [(n - 1) // 2, n // 2]
+
+    rows = []
+    for g in groups:
+        sub = ds.filter(expr=f"l_returnflag == '{g}'")
+        n, stats = exact_order_stats(sub, "l_extendedprice", mid)
+        if n == 0:
+            continue
+        a, b = stats
+        rows.append((g, n, round_half_away((a + b) / 2.0, 6)))
+    import pandas as pd
+
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n", "median_price"])
+    out["n"] = out["n"].astype("int64")
+    out["median_price"] = out["median_price"].astype("float64")
+    return out
+
+
+SQL_GROUP_MEDIAN_PRICE = """
+WITH v AS (
+    SELECT l_returnflag AS f, l_extendedprice AS x
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL
+      AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+),
+r AS (
+    SELECT f, x,
+           row_number() OVER (PARTITION BY f ORDER BY x) - 1 AS rk,
+           count(*) OVER (PARTITION BY f) AS n
+    FROM v
+)
+SELECT f AS l_returnflag, max(n)::BIGINT AS n,
+       round(avg(x), 6) AS median_price
+FROM r
+WHERE rk = (n - 1) // 2 OR rk = n // 2
+GROUP BY f
+"""
+
+QUERIES["group_median_price"] = (q_group_median_price, SQL_GROUP_MEDIAN_PRICE)
+
+
+CROSSLANG_TOP = 50
+
+
+def q_crosslang_terms(sf_dir: str):
+    """Set INTERSECTION across partitions of the corpus: terms whose
+    document-frequency is positive in BOTH the 'en' and the 'zh' slice,
+    ranked by combined df (integer rank keys: df_en+df_zh desc, term
+    asc), top {CROSSLANG_TOP}.  Shape: per-batch distinct presence per
+    (term, lang) — docs never span batches, so batch-distinct is
+    globally distinct — then ONE term-sharded exchange; a shard owns
+    all rows of its terms, so per-shard top-k candidates contain the
+    global top-k and the driver merge is bounded."""
+    from .dedup import _sharded_groupby
+    from .curation import _batch_tokens
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.utf8()),
+                "th": pa.array([], pa.int64()),
+                "en": pa.array([], pa.int64()),
+                "zh": pa.array([], pa.int64()),
+            }
+        )
+        toks, token_doc, row_idx, h1, _h2 = _batch_tokens(b)
+        if not len(toks):
+            return empty
+        lang = b["lang"].combine_chunks().take(
+            pa.array(row_idx, pa.int64())
+        )
+        keep = pc.coalesce(
+            pc.is_in(lang, value_set=pa.array(["en", "zh"], pa.utf8())),
+            pa.scalar(False),
+        ).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return empty
+        t = pa.table(
+            {
+                "doc_id": pa.array(token_doc[keep], pa.int64()),
+                "term": pc.array_filter(toks, pa.array(keep)),
+                "th": pa.array(h1[keep].view(np.int64), pa.int64()),
+                "is_en": pc.equal(
+                    pc.array_filter(lang, pa.array(keep)), pa.scalar("en")
+                ).cast(pa.int64()),
+            }
+        )
+        d = t.group_by(["doc_id", "term", "is_en"]).aggregate([("th", "min")])
+        g = (
+            pa.table(
+                {"term": d["term"], "th": d["th_min"], "is_en": d["is_en"]}
+            )
+            .group_by(["term", "is_en"])
+            .aggregate([("th", "min"), ([], "count_all")])
+        )
+        en = pc.multiply(g["is_en"], g["count_all"].cast(pa.int64()))
+        zh = pc.multiply(
+            pc.subtract(pa.scalar(1, pa.int64()), g["is_en"]),
+            g["count_all"].cast(pa.int64()),
+        )
+        return pa.table(
+            {"term": g["term"], "th": g["th_min"], "en": en, "zh": zh}
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("term", as_index=False)[["en", "zh"]].sum()
+        s = s[(s["en"] > 0) & (s["zh"] > 0)].copy()
+        s["combined"] = s["en"] + s["zh"]
+        s = s.sort_values(
+            ["combined", "term"], ascending=[False, True], kind="mergesort"
+        ).head(CROSSLANG_TOP)
+        out = s.rename(columns={"en": "df_en", "zh": "df_zh"})
+        for c in ["df_en", "df_zh", "combined"]:
+            out[c] = out[c].astype("int64")
+        return out[["term", "df_en", "df_zh", "combined"]]
+
+    cschema = pa.schema(
+        [
+            ("term", pa.utf8()),
+            ("df_en", pa.int64()),
+            ("df_zh", pa.int64()),
+            ("combined", pa.int64()),
+        ]
+    )
+    cand = _sharded_groupby(rows, ["th"], shard_top, empty_schema=cschema).to_pandas()
+    out_cols = ["term", "df_en", "df_zh", "rank"]
+    if not len(cand):
+        return pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "df_en": pd.Series([], dtype="int64"),
+                "df_zh": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+            }
+        )
+    cand = cand.sort_values(
+        ["combined", "term"], ascending=[False, True], kind="mergesort"
+    ).head(CROSSLANG_TOP).reset_index(drop=True)
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand[out_cols]
+
+
+SQL_CROSSLANG_TERMS = f"""
+WITH tokl AS (
+    SELECT DISTINCT d.doc_id, d.lang,
+           unnest(list_filter(regexp_extract_all(lower(d.text), '[a-z0-9]+'),
+                              x -> len(x) <= 15)) AS term
+    FROM documents d WHERE d.lang IN ('en', 'zh')
+),
+dfs AS (
+    SELECT term,
+           count(DISTINCT CASE WHEN lang = 'en' THEN doc_id END)::BIGINT AS df_en,
+           count(DISTINCT CASE WHEN lang = 'zh' THEN doc_id END)::BIGINT AS df_zh
+    FROM tokl GROUP BY 1
+)
+SELECT term, df_en, df_zh,
+       row_number() OVER (ORDER BY df_en + df_zh DESC, term)::BIGINT AS rank
+FROM dfs WHERE df_en > 0 AND df_zh > 0
+QUALIFY rank <= {CROSSLANG_TOP}
+ORDER BY rank
+"""
+
+QUERIES["crosslang_terms"] = (q_crosslang_terms, SQL_CROSSLANG_TERMS)

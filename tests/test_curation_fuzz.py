@@ -42,6 +42,7 @@ FUZZ_ENTRIES = [
     "train_split",
     "pagerank_terms",
     "unigram_logprob",
+    "crosslang_terms",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

@@ -30,6 +30,7 @@ FUZZ_ENTRIES = [
     "orders_rollup",
     "top_order_per_customer",
     "qty_discount_corr",
+    "group_median_price",
 ]
 
 _LINE = st.tuples(
@@ -60,6 +61,10 @@ def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
                 ),
                 "l_discount": pa.array(
                     [((r[2] + r[0]) % 11) / 100.0 for r in lines], pa.float64()
+                ),
+                # coarse price grid: duplicate values are the median tie cases
+                "l_extendedprice": pa.array(
+                    [(r[2] % 7) * 100.25 for r in lines], pa.float64()
                 ),
             }
         ),
