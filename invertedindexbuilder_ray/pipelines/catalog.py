@@ -4043,3 +4043,51 @@ ORDER BY rank
 """
 
 QUERIES["crosslang_terms"] = (q_crosslang_terms, SQL_CROSSLANG_TERMS)
+
+
+def q_term_triangles(sf_dir: str):
+    """Triangle counts / local clustering over the term co-occurrence
+    graph.  See curation.term_triangles."""
+    from .curation import term_triangles
+
+    return term_triangles(sf_dir)
+
+
+def _sql_term_triangles() -> str:
+    from .curation import TRI_TOP_VOCAB
+
+    return f"""
+WITH {_SQL_TOKS_LIST},
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM filt),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+topv AS (SELECT term FROM dfc ORDER BY df DESC, term LIMIT {TRI_TOP_VOCAB}),
+tv AS (SELECT t.doc_id, t.term FROM tok t JOIN topv USING (term)),
+edges AS (
+    SELECT DISTINCT a.term AS src, b.term AS dst
+    FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term <> b.term
+),
+degs AS (
+    SELECT t.term, count(e.dst)::BIGINT AS deg
+    FROM topv t LEFT JOIN edges e ON e.src = t.term
+    GROUP BY 1
+),
+tris AS (
+    SELECT t.term,
+           coalesce((
+               SELECT count(*)
+               FROM edges e1
+               JOIN edges e2 ON e2.src = t.term AND e1.src = t.term
+                             AND e1.dst < e2.dst
+               JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+           ), 0)::BIGINT AS tri
+    FROM topv t
+)
+SELECT d.term, d.deg, tr.tri,
+       CASE WHEN d.deg >= 2
+            THEN round((2 * tr.tri)::DOUBLE / (d.deg * (d.deg - 1))::DOUBLE, 6)
+       END AS clustering
+FROM degs d JOIN tris tr USING (term)
+"""
+
+
+QUERIES["term_triangles"] = (q_term_triangles, _sql_term_triangles())

@@ -1336,6 +1336,50 @@ PR_SCALE = 1_000_000_000_000  # rank fixed-point: 1.0 == 10^12
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 
 
+def cooc_adjacency(docs: rd.Dataset, vocab_terms: list[str]) -> np.ndarray:
+    """Symmetric 0/1 co-occurrence adjacency over a BOUNDED vocabulary:
+    one streaming pass, per-batch V x V boolean matmul partials (edge
+    lists, never raw pairs), bounded driver union.  Shared by the graph
+    entries (PageRank, triangle counting)."""
+    vocab_arr = pa.array(vocab_terms, pa.utf8())
+    nv = len(vocab_terms)
+
+    def cooc_batch(batch: pa.Table) -> pa.Table:
+        toks, token_doc, *_ = _batch_tokens(batch)
+        empty = pa.table(
+            {"ia": pa.array([], pa.int64()), "ib": pa.array([], pa.int64())}
+        )
+        if not len(toks):
+            return empty
+        idx = pc.index_in(toks, value_set=vocab_arr)
+        iv = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = iv >= 0
+        if not keep.any():
+            return empty
+        urows, dinv = np.unique(token_doc[keep], return_inverse=True)
+        m = np.zeros((len(urows), nv), np.int64)
+        m[dinv, iv[keep]] = 1
+        cm = m.T @ m
+        ia, ib = np.triu_indices(nv, k=1)
+        nz = cm[ia, ib] > 0
+        return pa.table(
+            {
+                "ia": pa.array(ia[nz].astype(np.int64)),
+                "ib": pa.array(ib[nz].astype(np.int64)),
+            }
+        )
+
+    parts = docs.map_batches(
+        cooc_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    adj = np.zeros((nv, nv), np.int64)
+    if len(parts):
+        e = parts.drop_duplicates()
+        adj[e["ia"].to_numpy(), e["ib"].to_numpy()] = 1
+        adj = adj | adj.T  # NOT |=: in-place OR with a transpose view aliases
+    return adj
+
+
 def pagerank_terms(
     source: str | rd.Dataset,
     *,
@@ -1381,42 +1425,8 @@ def pagerank_terms(
             }
         )
     vocab_terms = cand["term"].tolist()
-    vocab_arr = pa.array(vocab_terms, pa.utf8())
+    adj = cooc_adjacency(docs, vocab_terms)
     nv = len(vocab_terms)
-
-    def cooc_batch(batch: pa.Table) -> pa.Table:
-        toks, token_doc, *_ = _batch_tokens(batch)
-        empty = pa.table(
-            {"ia": pa.array([], pa.int64()), "ib": pa.array([], pa.int64())}
-        )
-        if not len(toks):
-            return empty
-        idx = pc.index_in(toks, value_set=vocab_arr)
-        iv = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = iv >= 0
-        if not keep.any():
-            return empty
-        urows, dinv = np.unique(token_doc[keep], return_inverse=True)
-        m = np.zeros((len(urows), nv), np.int64)
-        m[dinv, iv[keep]] = 1
-        cm = m.T @ m
-        ia, ib = np.triu_indices(nv, k=1)
-        nz = cm[ia, ib] > 0
-        return pa.table(
-            {
-                "ia": pa.array(ia[nz].astype(np.int64)),
-                "ib": pa.array(ib[nz].astype(np.int64)),
-            }
-        )
-
-    parts = docs.map_batches(
-        cooc_batch, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    adj = np.zeros((nv, nv), np.int64)
-    if len(parts):
-        e = parts.drop_duplicates()
-        adj[e["ia"].to_numpy(), e["ib"].to_numpy()] = 1
-        adj = adj | adj.T  # NOT |=: in-place OR with a transpose view aliases
     deg = adj.sum(axis=1).astype(np.int64)
     base = (15 * (PR_SCALE // nv)) // PR_DAMP_DEN
     r = np.full(nv, PR_SCALE // nv, np.int64)
@@ -1584,3 +1594,59 @@ def unigram_logprob_ds(source: str | rd.Dataset) -> rd.Dataset:
 
     return docs.map_batches(per_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (clustering structure of the co-occurrence graph)
+
+TRI_TOP_VOCAB = 64
+
+
+def term_triangles(
+    source: str | rd.Dataset, *, top_vocab: int = TRI_TOP_VOCAB
+) -> pd.DataFrame:
+    """Per-node triangle counts + local clustering density over the
+    frequent-term co-occurrence graph — the graph-analytics companion to
+    :func:`pagerank_terms`, all-integer so the SQL pairing is exact.
+
+    ``tri(v) = diag(A^3)/2`` (pairs of connected neighbours) and the
+    clustering coefficient is reported as the exact integer pair
+    ``(tri, deg*(deg-1)/2)`` plus a rounded float payload
+    ``clustering = round(2*tri / (deg*(deg-1)), 6)`` (NULL when
+    deg < 2).  Shape: the bounded adjacency pass
+    (:func:`cooc_adjacency`), then a driver-side V x V integer matmul.
+    Columns: ``term, deg, tri, clustering``.
+    """
+    docs = _docs(source)
+    cand = top_vocab_df(docs, top_vocab)
+    if not len(cand):
+        return pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "deg": pd.Series([], dtype="int64"),
+                "tri": pd.Series([], dtype="int64"),
+                "clustering": pd.Series([], dtype="float64"),
+            }
+        )
+    vocab_terms = cand["term"].tolist()
+    adj = cooc_adjacency(docs, vocab_terms)
+    deg = adj.sum(axis=1).astype(np.int64)
+    a2 = adj @ adj
+    tri = (np.einsum("ij,ij->i", a2, adj) // 2).astype(np.int64)
+    possible = deg * (deg - 1)
+    cl = np.zeros(len(deg), np.float64)
+    ok = possible > 0
+    cl[ok] = round_half_away(
+        (2 * tri[ok]).astype(np.float64) / possible[ok].astype(np.float64), 6
+    )
+    out = pd.DataFrame(
+        {
+            "term": np.asarray(vocab_terms, dtype=object),
+            "deg": deg,
+            "tri": tri,
+            "clustering": np.where(ok, cl, np.nan),
+        }
+    )
+    out["deg"] = out["deg"].astype("int64")
+    out["tri"] = out["tri"].astype("int64")
+    return out.sort_values("term", kind="mergesort").reset_index(drop=True)

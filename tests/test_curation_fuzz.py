@@ -43,6 +43,7 @@ FUZZ_ENTRIES = [
     "pagerank_terms",
     "unigram_logprob",
     "crosslang_terms",
+    "term_triangles",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
