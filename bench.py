@@ -176,7 +176,7 @@ def run_bench() -> dict:
         "token_entropy", "lang_source_pivot", "user_event_path",
         "train_split", "qty_discount_corr", "pagerank_terms",
         "unigram_logprob", "group_median_price", "crosslang_terms",
-        "term_triangles",
+        "term_triangles", "event_id_gaps",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

@@ -4091,3 +4091,154 @@ FROM degs d JOIN tris tr USING (term)
 
 
 QUERIES["term_triangles"] = (q_term_triangles, _sql_term_triangles())
+
+
+# --------------------------------------------------------------------------
+# islands-and-gaps: missing-id ranges in an event sequence
+
+GAP_HOLE_MOD, GAP_HOLE_RES = 97, 5  # deterministic hole-punching (see SQL CTE)
+GAP_MAX_BUCKETS = 1 << 16
+
+
+def q_event_id_gaps(sf_dir: str):
+    """Islands-and-gaps over the event_id sequence: every maximal run of
+    missing ids strictly inside [min_id, max_id] as ``(gap_start,
+    gap_end, gap_len)``.  The synthetic ids are gap-free, so both sides
+    punch deterministic holes first (drop ids ≡ {GAP_HOLE_RES} mod
+    {GAP_HOLE_MOD} — the documented augmentation pattern for operators
+    the sf tables cannot trigger).
+
+    Distributed shape: ids bucket by range (bucket width derived from
+    the id span so bucket count is bounded by {GAP_MAX_BUCKETS});
+    within-bucket gaps come from ONE bucket-sharded exchange (a bucket's
+    ids land in one shard; vectorized diff inside), cross-bucket gaps
+    from a bounded per-bucket (min, max) summary combine on the driver.
+    The gap rows themselves stay a streaming Dataset — never
+    materialized on the driver."""
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["event_id"])
+
+    def present(b: pa.Table) -> pa.Table:
+        ids = (
+            b["event_id"].combine_chunks().drop_null()
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {"id": pa.array(ids[ids % GAP_HOLE_MOD != GAP_HOLE_RES], pa.int64())}
+        )
+
+    pres = ev.map_batches(present, batch_format="pyarrow", zero_copy_batch=True)
+
+    # bounded per-bucket summaries (drives bucket width + cross-bucket gaps)
+    def minmax(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        v = t["id"].to_numpy(zero_copy_only=False) if n else None
+        return pa.table(
+            {
+                "lo": pa.array([int(v.min()) if n else 0], pa.int64()),
+                "hi": pa.array([int(v.max()) if n else 0], pa.int64()),
+                "valid": pa.array([bool(n)]),
+            }
+        )
+
+    mm = pres.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    gap_schema = pa.schema(
+        [("gap_start", pa.int64()), ("gap_end", pa.int64()),
+         ("gap_len", pa.int64())]
+    )
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64") for c in
+         ["gap_start", "gap_end", "gap_len"]}
+    )
+    if not len(mm) or not mm["valid"].any():
+        return empty
+    lo = int(mm.loc[mm["valid"], "lo"].min())
+    hi = int(mm.loc[mm["valid"], "hi"].max())
+    width = max(1, -(-(hi - lo + 1) // GAP_MAX_BUCKETS))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((ids - lo) // width, pa.int64())
+        )
+
+    bucketed = pres.map_batches(add_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # bounded driver combine: per-bucket (min, max) -> cross-bucket gaps
+    def bsum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["bucket"]).aggregate([("id", "min"), ("id", "max")])
+        return pa.table(
+            {
+                "bucket": g["bucket"],
+                "bmin": g["id_min"].cast(pa.int64()),
+                "bmax": g["id_max"].cast(pa.int64()),
+            }
+        )
+
+    summ = bucketed.map_batches(bsum, batch_format="pyarrow").to_pandas()
+    s = summ.groupby("bucket", as_index=False).agg(
+        bmin=("bmin", "min"), bmax=("bmax", "max")
+    ).sort_values("bucket", kind="mergesort")
+    prev_max = s["bmax"].to_numpy()[:-1]
+    next_min = s["bmin"].to_numpy()[1:]
+    cross_mask = next_min - prev_max > 1
+    cross = pd.DataFrame(
+        {
+            "gap_start": prev_max[cross_mask] + 1,
+            "gap_end": next_min[cross_mask] - 1,
+        }
+    )
+    cross["gap_len"] = (cross["gap_end"] - cross["gap_start"] + 1)
+    for c in cross.columns:
+        cross[c] = cross[c].astype("int64")
+
+    # within-bucket gaps: one bucket-sharded exchange, vectorized diff
+    def bucket_gaps(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _b, grp in g.groupby("bucket"):
+            ids = np.unique(grp["id"].to_numpy())
+            d = np.diff(ids)
+            at = np.nonzero(d > 1)[0]
+            if len(at):
+                out.append(pd.DataFrame(
+                    {"gap_start": ids[at] + 1, "gap_end": ids[at + 1] - 1}
+                ))
+        if not out:
+            return pd.DataFrame(
+                {"gap_start": pd.Series([], dtype="int64"),
+                 "gap_end": pd.Series([], dtype="int64"),
+                 "gap_len": pd.Series([], dtype="int64")}
+            )
+        r = pd.concat(out, ignore_index=True)
+        r["gap_len"] = r["gap_end"] - r["gap_start"] + 1
+        for c in r.columns:
+            r[c] = r[c].astype("int64")
+        return r
+
+    inner = _sharded_groupby(
+        bucketed, ["bucket"], bucket_gaps, empty_schema=gap_schema
+    )
+    cross_ds = rd.from_pandas(cross) if len(cross) else None
+    result = inner.union(cross_ds) if cross_ds is not None else inner
+    df = result.to_pandas()
+    if not len(df) or "gap_start" not in df.columns:
+        return empty
+    return df
+
+
+SQL_EVENT_ID_GAPS = f"""
+WITH present AS (
+    SELECT event_id AS id FROM events
+    WHERE event_id IS NOT NULL AND event_id % {GAP_HOLE_MOD} <> {GAP_HOLE_RES}
+),
+w AS (SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM present)
+SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+       (id - prev - 1)::BIGINT AS gap_len
+FROM w WHERE prev IS NOT NULL AND id - prev > 1
+"""
+
+QUERIES["event_id_gaps"] = (q_event_id_gaps, SQL_EVENT_ID_GAPS)

@@ -32,6 +32,7 @@ FUZZ_ENTRIES = [
     "user_mode_event",
     "events_value_mad",
     "user_event_path",
+    "event_id_gaps",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
