@@ -3848,44 +3848,28 @@ GROUP_MEDIAN_MAX_GROUPS = 16
 def q_group_median_price(sf_dir: str):
     """GROUPED exact median (mean of the two middle order statistics,
     same explicit semantics as ``events_value_mad``) of the extended
-    price per returnflag.  The histogram-refinement order-stat engine
-    (`quantiles.exact_order_stats`) runs once per group over a filtered
-    stream — correct only because the group column is a BOUNDED
-    enumeration (asserted <= {GROUP_MEDIAN_MAX_GROUPS} groups); an
-    unbounded key would need per-group histograms in one exchange
-    instead.  Only fixed-size histograms ever reach the driver."""
-    from .quantiles import exact_order_stats
+    price per returnflag, via the grouped histogram-refinement engine
+    (`quantiles.exact_order_stats_grouped`): every (group, rank) target
+    shares ONE histogram pass per refinement round, so the pass count
+    does not scale with the group count — which must still be a bounded
+    enumeration (asserted in the engine); an unbounded key would need
+    per-group-hash exchanges instead.  Only fixed-size histograms ever
+    reach the driver."""
+    from .quantiles import exact_order_stats_grouped
     import pandas as pd
 
     path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
     ds = read_parquet_sized(path, columns=["l_returnflag", "l_extendedprice"])
 
-    def flags(b: pa.Table) -> pa.Table:
-        u = pc.unique(b["l_returnflag"].combine_chunks().drop_null())
-        return pa.table({"f": u})
-
-    groups = sorted(
-        {r["f"] for r in ds.map_batches(flags, batch_format="pyarrow").take_all()}
-    )
-    if len(groups) > GROUP_MEDIAN_MAX_GROUPS:
-        raise ValueError(
-            f"group_median_price: {len(groups)} groups exceed the bounded-"
-            f"enumeration precondition ({GROUP_MEDIAN_MAX_GROUPS})"
-        )
-
     def mid(n: int) -> list[int]:
         return [(n - 1) // 2, n // 2]
 
-    rows = []
-    for g in groups:
-        sub = ds.filter(expr=f"l_returnflag == '{g}'")
-        n, stats = exact_order_stats(sub, "l_extendedprice", mid)
-        if n == 0:
-            continue
-        a, b = stats
-        rows.append((g, n, round_half_away((a + b) / 2.0, 6)))
-    import pandas as pd
-
+    stats = exact_order_stats_grouped(ds, "l_extendedprice", "l_returnflag", mid)
+    rows = [
+        (g, n, round_half_away((vals[0] + vals[1]) / 2.0, 6))
+        for g, (n, vals) in sorted(stats.items())
+        if n > 0
+    ]
     out = pd.DataFrame(rows, columns=["l_returnflag", "n", "median_price"])
     out["n"] = out["n"].astype("int64")
     out["median_price"] = out["median_price"].astype("float64")

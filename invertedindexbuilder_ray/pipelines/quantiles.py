@@ -240,3 +240,196 @@ def exact_order_stats(
             targets[ti]["value"] = key_to_double(vals[targets[ti]["rank"]])
 
     return n_total, [t["value"] for t in targets]
+
+
+GROUPED_MAX_GROUPS = 16
+
+
+def exact_order_stats_grouped(
+    ds: rd.Dataset,
+    col: str,
+    group_col: str,
+    rank_fn,
+    *,
+    n_bins: int = 4096,
+    collect_limit: int = 65536,
+) -> dict:
+    """Grouped :func:`exact_order_stats` in the SAME number of passes as
+    the global version: every (group, rank) target refines through ONE
+    shared histogram pass per round (the per-batch function computes
+    the group array + keys once and slices per target), so pass count
+    does not scale with the group count.  Groups are discovered in the
+    first pass and must be a bounded enumeration
+    (<= ``GROUPED_MAX_GROUPS``); NULL group keys and NULL/NaN values
+    are dropped (DuckDB quantile semantics).  Returns
+    ``{group: (n_nonnull, [values...])}``."""
+
+    def gk_of(batch: pa.Table):
+        g = batch[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = (
+            batch[col].combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64, copy=False)
+        )
+        ok = ~pd.isna(g) & ~np.isnan(v)
+        return g[ok], doubles_to_keys(v[ok])
+
+    # ---- pass 1: per-group N + key range (per-batch partials, tiny rows)
+    def minmax(batch: pa.Table) -> pa.Table:
+        g, k = gk_of(batch)
+        if not len(k):
+            return pa.table(
+                {
+                    "g": pa.array([], pa.utf8()),
+                    "n": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.uint64()),
+                    "hi": pa.array([], pa.uint64()),
+                }
+            )
+        order = np.argsort(g, kind="stable")
+        gs, starts = np.unique(g[order], return_index=True)
+        ends = np.append(starts[1:], len(g))
+        ks = k[order]
+        rows = {
+            "g": [], "n": [], "lo": [], "hi": [],
+        }
+        for gi, s, e in zip(gs, starts, ends):
+            seg = ks[s:e]
+            rows["g"].append(str(gi))
+            rows["n"].append(int(e - s))
+            rows["lo"].append(int(seg.min()))
+            rows["hi"].append(int(seg.max()))
+        return pa.table(
+            {
+                "g": pa.array(rows["g"], pa.utf8()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "lo": pa.array(rows["lo"], pa.uint64()),
+                "hi": pa.array(rows["hi"], pa.uint64()),
+            }
+        )
+
+    # combine in exact Python ints: pandas would upcast the uint64 key
+    # bounds to float64 (groupby agg), rounding ~2^62-scale keys by up to
+    # hundreds of ulps and silently excluding boundary elements
+    acc: dict[str, list] = {}
+    for r in ds.map_batches(minmax, batch_format="pyarrow").take_all():
+        e = acc.setdefault(r["g"], [0, None, None])
+        e[0] += int(r["n"])
+        lo_i, hi_i = int(r["lo"]), int(r["hi"])
+        e[1] = lo_i if e[1] is None else min(e[1], lo_i)
+        e[2] = hi_i if e[2] is None else max(e[2], hi_i)
+    if not acc:
+        return {}
+    if len(acc) > GROUPED_MAX_GROUPS:
+        raise ValueError(
+            f"exact_order_stats_grouped: {len(acc)} groups exceed the "
+            f"bounded-enumeration precondition ({GROUPED_MAX_GROUPS})"
+        )
+
+    targets = []  # {g, rank, a, b, count, value}
+    totals: dict[str, int] = {}
+    for gname, (n_g, lo_g, hi_g) in acc.items():
+        totals[gname] = n_g
+        for r in rank_fn(n_g):
+            if not 0 <= int(r) < n_g:
+                raise ValueError(f"rank {r} out of range for n={n_g}")
+            targets.append(
+                {"g": gname, "rank": int(r), "a": lo_g,
+                 "b": hi_g, "count": n_g, "value": None}
+            )
+
+    def active(t) -> bool:
+        return t["value"] is None and t["count"] > collect_limit
+
+    while any(active(t) for t in targets):
+        plan = [
+            (i, t["g"], t["a"], t["b"], -(-(t["b"] - t["a"] + 1) // n_bins))
+            for i, t in enumerate(targets)
+            if active(t)
+        ]
+
+        def hist(batch: pa.Table, plan=plan) -> pa.Table:
+            g, k = gk_of(batch)
+            gl = g.astype(str) if len(g) else g
+            tis, blobs = [], []
+            for ti, gn, a, b, w in plan:
+                m = k[(gl == gn) & (k >= a) & (k <= b)]
+                c = np.bincount(
+                    ((m - np.uint64(a)) // np.uint64(w)).astype(np.int64),
+                    minlength=n_bins,
+                )
+                tis.append(ti)
+                blobs.append(c.astype(np.int64).tobytes())
+            return pa.table(
+                {"ti": pa.array(tis, pa.int64()),
+                 "counts": pa.array(blobs, pa.binary())}
+            )
+
+        def combine(batch: pa.Table) -> pa.Table:
+            acc: dict[int, np.ndarray] = {}
+            tis = batch["ti"].to_numpy(zero_copy_only=False)
+            for i in range(batch.num_rows):
+                c = np.frombuffer(batch["counts"][i].as_py(), np.int64)
+                acc[int(tis[i])] = acc.get(int(tis[i]), 0) + c
+            return pa.table(
+                {
+                    "ti": pa.array(list(acc), pa.int64()),
+                    "counts": pa.array(
+                        [a.tobytes() for a in acc.values()], pa.binary()
+                    ),
+                }
+            )
+
+        rows = (
+            ds.map_batches(hist, batch_format="pyarrow")
+            .map_batches(combine, batch_format="pyarrow", batch_size=1024)
+            .take_all()
+        )
+        sums: dict[int, np.ndarray] = {}
+        for r in rows:
+            c = np.frombuffer(r["counts"], np.int64)
+            sums[r["ti"]] = sums.get(r["ti"], 0) + c
+        for ti, gn, a, b, w in plan:
+            t = targets[ti]
+            cum = np.cumsum(sums[ti])
+            j = int(np.searchsorted(cum, t["rank"] + 1))
+            t["rank"] -= int(cum[j - 1]) if j else 0
+            t["a"] = a + j * w
+            t["b"] = min(b, a + (j + 1) * w - 1)
+            t["count"] = int(sums[ti][j])
+            if t["a"] == t["b"]:
+                t["value"] = key_to_double(np.uint64(t["a"]))
+
+    plan = [
+        (i, t["g"], t["a"], t["b"])
+        for i, t in enumerate(targets)
+        if t["value"] is None
+    ]
+    if plan:
+        def collect(batch: pa.Table, plan=plan) -> pa.Table:
+            g, k = gk_of(batch)
+            gl = g.astype(str) if len(g) else g
+            tis, blobs = [], []
+            for ti, gn, a, b in plan:
+                m = k[(gl == gn) & (k >= a) & (k <= b)]
+                tis.append(ti)
+                blobs.append(m.tobytes())
+            return pa.table(
+                {"ti": pa.array(tis, pa.int64()),
+                 "vals": pa.array(blobs, pa.binary())}
+            )
+
+        rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+        buckets: dict[int, list[np.ndarray]] = {}
+        for r in rows:
+            buckets.setdefault(r["ti"], []).append(
+                np.frombuffer(r["vals"], np.uint64)
+            )
+        for ti, *_ in plan:
+            vals = np.sort(np.concatenate(buckets[ti]))
+            targets[ti]["value"] = key_to_double(vals[targets[ti]["rank"]])
+
+    out: dict = {}
+    for gname, n_g in totals.items():
+        out[gname] = (n_g, [t["value"] for t in targets if t["g"] == gname])
+    return out

@@ -331,3 +331,39 @@ def test_qty_by_nation_broadcast_and_partitioned_parity(ray_session, monkeypatch
     slow = cat.q_qty_by_nation(sf)
     assert fast.equals(slow)
     assert len(fast) > 0
+
+
+def test_grouped_order_stats_refinement_path(ray_session):
+    # force the histogram-refinement rounds (collect_limit below group
+    # size) and check every (group, rank) against a local sort; keys are
+    # ~2^62-scale uint64, so this also guards the exact-int combine (a
+    # float64 upcast of the bounds silently shifts ranks by a few)
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.quantiles import (
+        exact_order_stats_grouped,
+    )
+
+    rng = np.random.default_rng(42)
+    n = 30_000
+    df = pd.DataFrame(
+        {
+            "g": np.where(rng.integers(0, 2, n) > 0, "x", "y"),
+            "v": np.round(rng.normal(50_000, 20_000, n), 2),
+        }
+    )
+    # duplicates + exact-boundary values: the tie cases that matter
+    df.loc[: n // 10, "v"] = 52833.80
+    ds = rd.from_pandas(df).repartition(8)
+
+    def mid(m):
+        return [(m - 1) // 2, m // 2]
+
+    got = exact_order_stats_grouped(ds, "v", "g", mid, collect_limit=100)
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        n_g, vals = got[g]
+        assert n_g == len(v)
+        assert vals == [v[(n_g - 1) // 2], v[n_g // 2]]
