@@ -176,7 +176,8 @@ def run_bench() -> dict:
         "token_entropy", "lang_source_pivot", "user_event_path",
         "train_split", "qty_discount_corr", "pagerank_terms",
         "unigram_logprob", "group_median_price", "crosslang_terms",
-        "term_triangles", "event_id_gaps",
+        "term_triangles", "event_id_gaps", "weighted_sample",
+        "bloom_semi_join",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

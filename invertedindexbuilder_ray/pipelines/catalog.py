@@ -4226,3 +4226,236 @@ FROM w WHERE prev IS NOT NULL AND id - prev > 1
 """
 
 QUERIES["event_id_gaps"] = (q_event_id_gaps, SQL_EVENT_ID_GAPS)
+
+
+# --------------------------------------------------------------------------
+# deterministic weighted (priority) sampling
+
+WSAMPLE_K = 20
+WSAMPLE_MULT = 0x9E3779B97F4A7C15
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted priority sampling — the data-mixing
+    primitive (sample docs proportional to a weight, here ``n_chars``):
+    priority = hash(doc_id) // weight (integer floor division of a
+    uniform 64-bit multiply hash), take the ``WSAMPLE_K`` smallest.
+    Min-order statistics of ``uniform // w`` select proportionally to
+    ``w`` (the integer analogue of exponential-race / A-Res sampling)
+    while staying EXACTLY reproducible in SQL — no float ``pow``/``ln``
+    whose last ulp differs across engines.  Shape: per-batch partial
+    top-k under the total order (priority asc, doc_id asc) + bounded
+    driver merge; no shuffle, identical result at any parallelism."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(
+            b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64), 1
+        )
+        with np.errstate(over="ignore"):
+            h = (ids.view(np.uint64) * np.uint64(WSAMPLE_MULT))
+        pri = (h // w.astype(np.uint64)).astype(np.uint64)
+        order = np.lexsort((ids, pri))[:WSAMPLE_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_chars": pa.array(
+                    b["n_chars"].to_numpy(zero_copy_only=False)[order],
+                    pa.int64(),
+                ),
+                # bias-preserving int64 view for the merge sort key
+                "pri": pa.array(
+                    (pri[order] - np.uint64(1 << 63)).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_chars": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.sort_values(["pri", "doc_id"], kind="mergesort").head(WSAMPLE_K)
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["doc_id", "n_chars", "rank"]]
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH pri AS (
+    SELECT doc_id, n_chars,
+           ((doc_id::HUGEINT * {WSAMPLE_MULT}) % 18446744073709551616)
+           // greatest(n_chars, 1) AS p
+    FROM documents
+)
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY p, doc_id)::BIGINT AS rank
+FROM pri
+QUALIFY rank <= {WSAMPLE_K}
+ORDER BY rank
+"""
+
+QUERIES["weighted_sample"] = (q_weighted_sample, SQL_WEIGHTED_SAMPLE)
+
+
+# --------------------------------------------------------------------------
+# bloom-prefiltered semi join (sketch-accelerated join pruning)
+
+BLOOMJ_NATION_LT = 10  # build side: customers in nations 0..9
+BLOOMJ_MAX_BUILD_KEYS = 2_000_000  # same loud broadcast bound as semi_join
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Sketch-ACCELERATED semi join: orders probe a Bloom filter built
+    over the custkeys of a customer subset (nations < {BLOOMJ_NATION_LT})
+    before the exact membership check — the crawl/ingest pattern where
+    "definitely not in the build side" rows skip the join exchange
+    entirely.  Reports per-priority ``n_orders / n_bloom_pass /
+    n_exact`` so the one-sided guarantee (pass >= exact, no false
+    negatives) and the FP overhead are driver-checked.  Bit-exact SQL:
+    the filter is the engine's 2^16-bit / 32-bit-word Bloom with the
+    multiply-shift constants (< 2^62, HUGEINT-safe) applied directly to
+    the int64 key.  Shape: bounded build-key collect (loud
+    {BLOOMJ_MAX_BUILD_KEYS} cap, same contract as the broadcast semi
+    join), 8 KiB word table + key set shipped once via ray.put, one
+    streaming probe pass with per-batch integer partials."""
+    from .bloom import BLOOM_K, BLOOM_SHIFT, BLOOM_WORDS
+    from .heavyhitters import _buckets
+    import pandas as pd
+
+    cpath = os.path.join(sf_dir, "customer.parquet")
+    opath = os.path.join(sf_dir, "orders.parquet")
+    cust = read_parquet_sized(cpath, columns=["c_custkey", "c_nationkey"])
+
+    def bkeys(t: pa.Table) -> pa.Table:
+        keep = pc.and_kleene(
+            pc.is_valid(t["c_nationkey"]),
+            pc.less(t["c_nationkey"], pa.scalar(BLOOMJ_NATION_LT)),
+        )
+        return pa.table(
+            {"k": t.filter(pc.coalesce(keep, pa.scalar(False)))["c_custkey"]
+                  .cast(pa.int64())}
+        )
+
+    key_rows = cust.map_batches(bkeys, batch_format="pyarrow").take_all()
+    keys = np.unique(np.array([r["k"] for r in key_rows], np.int64))
+    if len(keys) > BLOOMJ_MAX_BUILD_KEYS:
+        raise ValueError(
+            f"bloom_semi_join build side {len(keys)} keys exceeds the "
+            f"broadcast bound {BLOOMJ_MAX_BUILD_KEYS}; shard the build "
+            "side or probe in chunks"
+        )
+    words = np.zeros(BLOOM_WORDS, np.int64)
+    # pre-mix: the CMS multiply-shift rows assume a well-mixed 64-bit
+    # input (token FNV hashes); on raw small sequential keys their top
+    # bits barely move (measured 75% FP rate) — one Fibonacci multiply
+    # restores the contract, replicated in the SQL
+    with np.errstate(over="ignore"):
+        h = keys.view(np.uint64) * np.uint64(WSAMPLE_MULT)
+    for i in range(BLOOM_K):
+        bits = _buckets(h, i, BLOOM_SHIFT).astype(np.int64)
+        np.bitwise_or.at(words, bits >> 5, np.int64(1) << (bits & 31))
+    state = ray.put((words, keys))
+
+    orders = read_parquet_sized(opath, columns=["o_custkey", "o_orderpriority"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        w, ks = ray.get(state)
+        ck = t["o_custkey"].combine_chunks()
+        valid = pc.is_valid(ck).to_numpy(zero_copy_only=False)
+        kv = ck.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            hh = kv.view(np.uint64) * np.uint64(WSAMPLE_MULT)
+        passed = valid.copy()
+        for i in range(BLOOM_K):
+            bits = _buckets(hh, i, BLOOM_SHIFT).astype(np.int64)
+            passed &= ((w[bits >> 5] >> (bits & 31)) & 1).astype(bool)
+        exact = valid & np.isin(kv, ks)
+        g = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "bp": pa.array(passed.astype(np.int64), pa.int64()),
+                "ex": pa.array(exact.astype(np.int64), pa.int64()),
+            }
+        ).group_by(["o_orderpriority"]).aggregate(
+            [([], "count_all"), ("bp", "sum"), ("ex", "sum")]
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n_orders": g["count_all"].cast(pa.int64()),
+                "n_bloom_pass": g["bp_sum"].cast(pa.int64()),
+                "n_exact": g["ex_sum"].cast(pa.int64()),
+            }
+        )
+
+    parts = orders.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "o_orderpriority": pd.Series([], dtype=object),
+                "n_orders": pd.Series([], dtype="int64"),
+                "n_bloom_pass": pd.Series([], dtype="int64"),
+                "n_exact": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby("o_orderpriority", dropna=False, as_index=False).sum()
+    for c in ["n_orders", "n_bloom_pass", "n_exact"]:
+        out[c] = out[c].astype("int64")
+    # an all-null Arrow utf8 column round-trips as float NaN in pandas;
+    # restore object-None so the driver's string canon matches the SQL
+    p = out["o_orderpriority"]
+    out["o_orderpriority"] = p.astype(object).where(p.notna(), None)
+    assert (out["n_bloom_pass"] >= out["n_exact"]).all(), "bloom false negative"
+    return out
+
+
+def _sql_bloom_semi_join() -> str:
+    from .bloom import BLOOM_K, BLOOM_SHIFT
+    from .heavyhitters import CMS_A, CMS_B
+    from .sketch_sql import M64
+
+    div = 1 << BLOOM_SHIFT
+    mix = f"((k::HUGEINT * {WSAMPLE_MULT}) % {M64})"
+    bit_exprs = [
+        f"((({mix} * {CMS_A[i]} + {CMS_B[i]}) % {M64}) // {div})"
+        for i in range(BLOOM_K)
+    ]
+    bit_union = "\n    UNION ".join(
+        f"SELECT DISTINCT {e} AS bit FROM bkeys" for e in bit_exprs
+    )
+    probe_conds = " AND ".join(
+        e.replace("k::HUGEINT", "o_custkey::HUGEINT")
+        + " IN (SELECT bit FROM bitset)"
+        for e in bit_exprs
+    )
+    return f"""
+WITH bkeys AS (
+    SELECT c_custkey AS k FROM customer
+    WHERE c_nationkey IS NOT NULL AND c_nationkey < {BLOOMJ_NATION_LT}
+),
+bitset AS (
+    {bit_union}
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN o_custkey IS NOT NULL AND {probe_conds}
+                THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pass,
+       sum(CASE WHEN o_custkey IN (SELECT k FROM bkeys)
+                THEN 1 ELSE 0 END)::BIGINT AS n_exact
+FROM orders
+GROUP BY 1
+"""
+
+
+QUERIES["bloom_semi_join"] = (q_bloom_semi_join, _sql_bloom_semi_join())

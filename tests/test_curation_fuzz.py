@@ -44,6 +44,7 @@ FUZZ_ENTRIES = [
     "unigram_logprob",
     "crosslang_terms",
     "term_triangles",
+    "weighted_sample",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

@@ -31,6 +31,7 @@ FUZZ_ENTRIES = [
     "top_order_per_customer",
     "qty_discount_corr",
     "group_median_price",
+    "bloom_semi_join",
 ]
 
 _LINE = st.tuples(
