@@ -177,7 +177,7 @@ def run_bench() -> dict:
         "train_split", "qty_discount_corr", "pagerank_terms",
         "unigram_logprob", "group_median_price", "crosslang_terms",
         "term_triangles", "event_id_gaps", "weighted_sample",
-        "bloom_semi_join",
+        "bloom_semi_join", "search_facets",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -50,6 +51,17 @@ def cmd_build(args) -> int:
 
         ds = load_trec(args.input)
         input_paths = resolve_trec_paths(args.input)
+    elif args.format == "jsonl":
+        import glob as _glob
+
+        from .sources.documents import load_documents_jsonl
+
+        ds = load_documents_jsonl(args.input)
+        input_paths = (
+            sorted(_glob.glob(os.path.join(args.input, "*.jsonl")))
+            if os.path.isdir(args.input)
+            else [args.input]
+        )
     else:
         ds = load_documents(args.input)
         input_paths = resolve_paths(args.input)
@@ -174,7 +186,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--input", required=True)
     b.add_argument("--out", required=True)
     b.add_argument(
-        "--format", choices=["webpages", "documents", "trec"], default="webpages"
+        "--format", choices=["webpages", "documents", "trec", "jsonl"],
+        default="webpages"
     )
     b.add_argument("--partitions", type=int, default=16)
     b.add_argument(

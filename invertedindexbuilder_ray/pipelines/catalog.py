@@ -4459,3 +4459,106 @@ GROUP BY 1
 
 
 QUERIES["bloom_semi_join"] = (q_bloom_semi_join, _sql_bloom_semi_join())
+
+
+# --------------------------------------------------------------------------
+# faceted search: BM25 top-k joined back to document metadata
+
+FACET_TOP_K = 100
+
+
+def q_search_facets(sf_dir: str):
+    """Search -> analytics composition: the disjunctive BM25 result for
+    the fixed query (through the REAL index + BatchQueryEngine actor
+    path, same as ``bm25_all_or``) is ranked under the deterministic
+    total order (rounded score desc, doc_id asc) — ordering by the
+    ROUNDED payload is engine-independent precisely because the
+    bm25_all_or hash check proves both engines produce identical rounded
+    scores — and the top-{FACET_TOP_K} hits are faceted by language:
+    ``lang, n_docs, best_rank``.  Shape: per-batch partial top-k over
+    the match stream, bounded driver merge, then ONE filtered streaming
+    pass over documents for the facet labels (hit set <= k, shipped in
+    the closure)."""
+    import pandas as pd
+
+    matches = _bm25_all(sf_dir, conjunctive=False)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s))[:FACET_TOP_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[order], pa.int64()),
+                "score": pa.array(s[order], pa.float64()),
+            }
+        )
+
+    parts = matches.map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "lang": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype="int64"),
+            "best_rank": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    top = parts.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(FACET_TOP_K).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    rank_of = dict(zip(top["doc_id"].astype(np.int64), top["rank"]))
+    hit_ids = pa.array(top["doc_id"].astype(np.int64).tolist(), pa.int64())
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    docs = read_parquet_sized(path, columns=["doc_id", "lang"])
+
+    def label(t: pa.Table) -> pa.Table:
+        keep = pc.coalesce(
+            pc.is_in(t["doc_id"].cast(pa.int64()), value_set=hit_ids),
+            pa.scalar(False),
+        )
+        f = t.filter(keep)
+        return pa.table(
+            {"doc_id": f["doc_id"].cast(pa.int64()), "lang": f["lang"]}
+        )
+
+    hits = docs.map_batches(label, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    if not len(hits):
+        return empty
+    hits["rank"] = hits["doc_id"].map(rank_of).astype("int64")
+    out = hits.groupby("lang", dropna=False, as_index=False).agg(
+        n_docs=("doc_id", "size"), best_rank=("rank", "min")
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["best_rank"] = out["best_rank"].astype("int64")
+    lg = out["lang"]
+    out["lang"] = lg.astype(object).where(lg.notna(), None)
+    return out
+
+
+def _sql_search_facets() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(terms=terms)
+        + f""",
+ranked AS (
+    SELECT doc_id, round(raw_score, 6) AS score,
+           row_number() OVER (ORDER BY round(raw_score, 6) DESC, doc_id)
+               AS rnk
+    FROM scores
+)
+SELECT d.lang, count(*)::BIGINT AS n_docs, min(r.rnk)::BIGINT AS best_rank
+FROM ranked r JOIN documents d USING (doc_id)
+WHERE r.rnk <= {FACET_TOP_K}
+GROUP BY 1
+"""
+    )
+
+
+QUERIES["search_facets"] = (q_search_facets, _sql_search_facets())
