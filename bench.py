@@ -177,7 +177,8 @@ def run_bench() -> dict:
         "train_split", "qty_discount_corr", "pagerank_terms",
         "unigram_logprob", "group_median_price", "crosslang_terms",
         "term_triangles", "event_id_gaps", "weighted_sample",
-        "bloom_semi_join", "search_facets",
+        "bloom_semi_join", "search_facets", "sliding_distinct_users",
+        "bigram_logprob",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

@@ -4562,3 +4562,147 @@ GROUP BY 1
 
 
 QUERIES["search_facets"] = (q_search_facets, _sql_search_facets())
+
+
+# --------------------------------------------------------------------------
+# sliding-window DISTINCT count (non-subtractable window aggregate)
+
+SLIDE_DISTINCT_SIZE_H = 3
+SLIDE_DISTINCT_STEP_H = 1
+
+
+def q_sliding_distinct_users(sf_dir: str):
+    """Distinct users per SLIDING window ({SLIDE_DISTINCT_SIZE_H} h
+    window, {SLIDE_DISTINCT_STEP_H} h step) — unlike the sum/count
+    sliding aggregate (``events_sliding``), DISTINCT is not
+    subtractable, so overlapping windows can't share partials: each
+    event replicates into size/step windows (vectorized explode with
+    per-batch (window, user) pre-distinct) and ONE window-sharded
+    exchange finishes the distinct count.  Columns: ``window_start``
+    (epoch hours), ``n_users``, ``n_events``."""
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["ts", "user_id"])
+    n_windows = SLIDE_DISTINCT_SIZE_H // SLIDE_DISTINCT_STEP_H
+    us_per_h = 3_600_000_000
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_kleene(pc.is_valid(b["ts"]), pc.is_valid(b["user_id"]))
+        )
+        h = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // us_per_h)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for j in range(n_windows):
+            parts.append(
+                pa.table(
+                    {
+                        "window_start": pa.array(h - j, pa.int64()),
+                        "user_id": pa.array(uid, pa.int64()),
+                    }
+                )
+            )
+        x = pa.concat_tables(parts)
+        g = x.group_by(["window_start", "user_id"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "window_start": g["window_start"],
+                "user_id": g["user_id"],
+                "c": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    rows = ev.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("window_start", as_index=False).agg(
+            n_users=("user_id", "nunique"), n_events=("c", "sum")
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    oschema = pa.schema(
+        [("window_start", pa.int64()), ("n_users", pa.int64()),
+         ("n_events", pa.int64())]
+    )
+    return _sharded_groupby(rows, ["window_start"], agg, empty_schema=oschema)
+
+
+SQL_SLIDING_DISTINCT_USERS = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) // 3600000000 AS h
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+x AS (
+    SELECT user_id, (h - j) AS wstart
+    FROM e CROSS JOIN range({SLIDE_DISTINCT_SIZE_H // SLIDE_DISTINCT_STEP_H}) t(j)
+)
+SELECT wstart::BIGINT AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events
+FROM x GROUP BY 1
+"""
+
+QUERIES["sliding_distinct_users"] = (
+    q_sliding_distinct_users,
+    SQL_SLIDING_DISTINCT_USERS,
+)
+
+
+def q_bigram_logprob(sf_dir: str):
+    """Per-doc bigram-LM NLL (context-conditional quality score).
+    See curation.bigram_logprob_ds."""
+    from .curation import bigram_logprob_ds
+
+    return bigram_logprob_ds(sf_dir)
+
+
+def _sql_bigram_logprob() -> str:
+    from .curation import BIGRAM_VOCAB, UNIGRAM_RGRID
+    from .curation import ENTROPY_LOG_SCALE as S
+
+    l16 = 16 * S
+    return f"""
+WITH {_SQL_TOKS_LIST},
+big AS (
+    SELECT doc_id,
+           unnest(toks[1:len(toks)-1]) AS a,
+           unnest(toks[2:len(toks)]) AS b
+    FROM filt WHERE len(toks) >= 2
+),
+cab AS (SELECT a, b, count(*)::BIGINT AS c FROM big GROUP BY 1, 2),
+ctx AS (SELECT a, sum(c)::BIGINT AS t FROM cab GROUP BY 1),
+topb AS (
+    SELECT cab.a, cab.b, cab.c, ctx.t
+    FROM cab JOIN ctx USING (a)
+    ORDER BY cab.c DESC, cab.a, cab.b LIMIT {BIGRAM_VOCAB}
+),
+model AS (
+    SELECT a, b,
+           {l16} - CAST(round(log2(
+               greatest(1, (c::HUGEINT * {UNIGRAM_RGRID}) // t)::DOUBLE
+           ) * {S}) AS BIGINT) AS contrib
+    FROM topb
+),
+scored AS (
+    SELECT big.doc_id, coalesce(model.contrib, {l16}) AS contrib
+    FROM big LEFT JOIN model USING (a, b)
+),
+per AS (
+    SELECT doc_id, count(*)::BIGINT AS n, sum(contrib)::BIGINT AS s
+    FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n, 0)::BIGINT AS n_bigrams,
+       CASE WHEN per.n > 0
+            THEN round(per.s::DOUBLE / (per.n * {S})::DOUBLE, 6)
+       END AS nll_bits
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+QUERIES["bigram_logprob"] = (q_bigram_logprob, _sql_bigram_logprob())

@@ -1650,3 +1650,165 @@ def term_triangles(
     out["deg"] = out["deg"].astype("int64")
     out["tri"] = out["tri"].astype("int64")
     return out.sort_values("term", kind="mergesort").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring (context-conditional NLL, 16-bit grid)
+
+BIGRAM_VOCAB = 4096
+
+
+def _batch_bigrams(batch: pa.Table):
+    """Adjacent kept-token pairs within each doc: returns ``(a, b,
+    pair_doc)`` string arrays + owning doc ids (bigrams never span
+    docs or batches)."""
+    toks, token_doc, _r, _h1, _h2 = _batch_tokens(batch)
+    if len(toks) < 2:
+        e = pa.array([], pa.utf8())
+        return e, e, np.zeros(0, np.int64)
+    same = token_doc[:-1] == token_doc[1:]
+    idx = np.nonzero(same)[0]
+    ia = pa.array(idx, pa.int64())
+    ib = pa.array(idx + 1, pa.int64())
+    return toks.take(ia), toks.take(ib), token_doc[idx]
+
+
+def bigram_logprob_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """Per-doc bigram LM score: mean negative log-likelihood (bits) of
+    each doc's adjacent-token transitions under the corpus bigram model
+    — the context-sensitive upgrade of :func:`unigram_logprob_ds`
+    (templated text scores low, shuffled/garbled text scores high even
+    when its unigrams look normal).
+
+    Model: top ``BIGRAM_VOCAB`` bigrams by count; conditional
+    probability quantized to ``r = max(1, c(ab)*65535 // ctx(a))``
+    (``ctx(a)`` = occurrences of ``a`` as a context); transitions
+    outside the model get r = 1.  All sums are int64 via the verified
+    fixed-point log table, so the SQL pairing is exact.
+
+    Shape: pass 1 counts bigrams per batch and exchanges ONCE sharded
+    by the CONTEXT hash — a shard owns every bigram of its contexts,
+    so per-shard top-k candidates AND exact ctx totals come from the
+    same exchange; pass 2 streams with the <=4096-row model in the
+    closure, per-doc integer sums in-batch.  Columns: ``doc_id,
+    n_bigrams, nll_bits`` (NULL for docs with < 2 tokens).
+    """
+    from .dedup import _sharded_groupby
+    from ..functions.tokenize import _span_hashes  # noqa: F401  (hash via term_hash below)
+
+    docs = _docs(source)
+
+    def cnt_batch(batch: pa.Table) -> pa.Table:
+        a, b, _pd = _batch_bigrams(batch)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.utf8()),
+                "b": pa.array([], pa.utf8()),
+                "ah": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if not len(a):
+            return empty
+        t = pa.table({"a": a, "b": b})
+        g = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+        ah = pd.util.hash_array(
+            np.asarray(g["a"].to_pylist(), dtype=object)
+        ).view(np.int64)
+        return pa.table(
+            {
+                "a": g["a"],
+                "b": g["b"],
+                "ah": pa.array(ah, pa.int64()),
+                "c": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["a", "b"], as_index=False)["c"].sum()
+        ctx = s.groupby("a")["c"].sum()
+        s["ctx"] = s["a"].map(ctx)
+        s = s.sort_values(
+            ["c", "a", "b"], ascending=[False, True, True], kind="mergesort"
+        ).head(BIGRAM_VOCAB)
+        for col in ["c", "ctx"]:
+            s[col] = s[col].astype("int64")
+        return s[["a", "b", "c", "ctx"]]
+
+    vschema = pa.schema(
+        [("a", pa.utf8()), ("b", pa.utf8()), ("c", pa.int64()),
+         ("ctx", pa.int64())]
+    )
+    cand = _sharded_groupby(
+        docs.map_batches(cnt_batch, batch_format="pyarrow", zero_copy_batch=True),
+        ["ah"],
+        shard_top,
+        empty_schema=vschema,
+    ).to_pandas()
+    l16 = np.int64(16 * ENTROPY_LOG_SCALE)
+    if len(cand):
+        top = cand.sort_values(
+            ["c", "a", "b"], ascending=[False, True, True], kind="mergesort"
+        ).head(BIGRAM_VOCAB)
+        r = np.maximum(
+            1,
+            (top["c"].to_numpy().astype(object) * UNIGRAM_RGRID)
+            // top["ctx"].to_numpy().astype(object),
+        ).astype(np.int64)
+        model_keys = pa.array(
+            [f"{a}\x00{b}" for a, b in zip(top["a"], top["b"])], pa.utf8()
+        )
+        model_contrib = l16 - _log2_fp(r)
+    else:
+        model_keys = pa.array([], pa.utf8())
+        model_contrib = np.zeros(0, np.int64)
+    oov_contrib = np.int64(l16)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        a, b, pair_doc = _batch_bigrams(batch)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = np.zeros(len(doc_ids), np.int64)
+        s = np.zeros(len(doc_ids), np.int64)
+        if len(a):
+            key = pc.binary_join_element_wise(a, b, "\x00")
+            iv = (
+                pc.index_in(key, value_set=model_keys)
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            contrib = np.where(
+                iv >= 0, model_contrib[np.maximum(iv, 0)], oov_contrib
+            )
+            per_doc = pa.table(
+                {
+                    "doc_id": pa.array(pair_doc, pa.int64()),
+                    "c": pa.array(contrib, pa.int64()),
+                }
+            ).group_by("doc_id").aggregate([("c", "sum"), ([], "count_all")])
+            ud = per_doc["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            at = _align_to_rows(doc_ids, ud)
+            nb[at] = per_doc["count_all"].to_numpy(zero_copy_only=False)
+            s[at] = per_doc["c_sum"].to_numpy(zero_copy_only=False)
+        pos = nb > 0
+        nll = np.zeros(len(doc_ids), np.float64)
+        if pos.any():
+            nll[pos] = round_half_away(
+                s[pos].astype(np.float64)
+                / (nb[pos] * ENTROPY_LOG_SCALE).astype(np.float64),
+                6,
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "nll_bits": pc.if_else(
+                    pa.array(pos),
+                    pa.array(nll, pa.float64()),
+                    pa.scalar(None, pa.float64()),
+                ),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)

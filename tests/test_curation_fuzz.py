@@ -45,6 +45,7 @@ FUZZ_ENTRIES = [
     "crosslang_terms",
     "term_triangles",
     "weighted_sample",
+    "bigram_logprob",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

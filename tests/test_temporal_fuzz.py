@@ -33,6 +33,7 @@ FUZZ_ENTRIES = [
     "events_value_mad",
     "user_event_path",
     "event_id_gaps",
+    "sliding_distinct_users",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
