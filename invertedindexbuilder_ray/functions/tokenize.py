@@ -116,6 +116,44 @@ def token_spans(
     return mapped, starts[keep], lens[keep], row_idx[keep]
 
 
+def token_spans_with_positions(
+    texts: pa.Array | pa.ChunkedArray,
+    *,
+    drop_trailing: bool = True,
+    max_len: int = MAX_TOKEN_LEN,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """``token_spans`` plus a 1-based position per kept token.
+
+    Positions are ordinals over ALL alnum runs in the row (a run dropped
+    by the Q2 length cap still occupies its position, so a phrase query
+    never falsely matches across a dropped token); Q1's trailing run is
+    the row's LAST run, so dropping it leaves earlier ordinals intact —
+    exactly the semantics of the SQL oracle's ``unnest(range(...))``
+    over the regex token list with the length filter applied after.
+    """
+    # re-run the span scan unfiltered (max_len off, trailing kept) to get
+    # all-run ordinals, then apply the same keep mask token_spans uses
+    mapped, starts, lens, row_idx = token_spans(
+        texts, drop_trailing=False, max_len=np.iinfo(np.int64).max
+    )
+    n = len(starts)
+    pos = np.ones(n, dtype=np.int64)
+    if n:
+        # row_idx is non-decreasing (starts ascend within the batch buffer)
+        firsts = np.zeros(n, dtype=np.int64)
+        boundaries = np.flatnonzero(row_idx[1:] != row_idx[:-1]) + 1
+        firsts[boundaries] = boundaries
+        np.maximum.accumulate(firsts, out=firsts)
+        pos = np.arange(n, dtype=np.int64) - firsts + 1
+    keep = lens <= max_len
+    if drop_trailing:
+        if isinstance(texts, pa.ChunkedArray):  # combine once, as token_spans does
+            texts = texts.combine_chunks()
+        _, offsets = _string_buffers(texts)
+        keep &= (starts + lens) != offsets[row_idx + 1]
+    return mapped, starts[keep], lens[keep], row_idx[keep], pos[keep]
+
+
 def _pack_tokens(mapped: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Gather each token into a fixed 16-byte row (zero padded) -> (n, 16) uint8.
 
@@ -264,6 +302,38 @@ def tokenize_to_postings(
     if return_rows:
         return terms, doc_ids[p_row], tf.astype(np.int32), p_row
     return terms, doc_ids[p_row], tf.astype(np.int32)
+
+
+def tokenize_with_positions(
+    texts: pa.Array | pa.ChunkedArray,
+    doc_ids: np.ndarray,
+    *,
+    drop_trailing: bool = True,
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Token-level tokenization -> ``(terms, doc_ids, positions)``.
+
+    One row per kept token occurrence (not aggregated to tf), with the
+    1-based all-runs position from :func:`token_spans_with_positions`.
+    Term strings are built once per distinct token (dual-hash uniquing)
+    and gathered, so the cost matches ``tokenize_to_postings``.
+    """
+    mapped, starts, lens, row_idx, pos = token_spans_with_positions(
+        texts, drop_trailing=drop_trailing
+    )
+    if len(starts) == 0:
+        return (
+            pa.array([], type=pa.string()),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    uniq_mat, inverse = _unique_tokens(mapped, starts, lens)
+    uniq_lens = (uniq_mat != 0).sum(axis=1).astype(np.int64)
+    term_strings = _packed_to_string_array(uniq_mat, uniq_lens)
+    import pyarrow.compute as pc
+
+    terms = pc.take(term_strings, pa.array(inverse, type=pa.int64()))
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    return terms, doc_ids[row_idx], pos
 
 
 def token_counts(

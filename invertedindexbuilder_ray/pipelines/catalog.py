@@ -4706,3 +4706,100 @@ FROM documents d LEFT JOIN per USING (doc_id)
 
 
 QUERIES["bigram_logprob"] = (q_bigram_logprob, _sql_bigram_logprob())
+
+
+# --------------------------------------------------------------------------
+# positional index tier: phrase + proximity queries (pipelines/positional.py)
+
+# positional variant of _SQL_TOKENS: ordinal over ALL regex tokens (a
+# >15-char token still occupies its position), length filter applied after
+_SQL_TOKS_POS = """
+tokp AS (
+    SELECT doc_id, unnest(tokens2) AS term,
+           unnest(range(1, len(tokens2) + 1))::BIGINT AS pos
+    FROM (
+        SELECT doc_id,
+               CASE WHEN ends_alnum
+                    THEN tokens[1:len(tokens)-1] ELSE tokens END AS tokens2
+        FROM (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens,
+                   regexp_matches(text, '[A-Za-z0-9]$') AS ends_alnum
+            FROM documents
+        )
+    )
+),
+kept_pos AS (
+    SELECT doc_id, term, pos FROM tokp WHERE length(term) BETWEEN 1 AND 15
+)
+"""
+
+PHRASE_TERMS = ["fast", "sort"]
+PROXIMITY_TERMS = ("spark", "query")
+PROXIMITY_WINDOW = 5
+
+
+def q_positional_postings(sf_dir: str):
+    """Flattened positional postings (term, doc_id, tf, first_pos,
+    last_pos) — validates position assignment across the whole vocabulary,
+    not just the phrase terms.  See positional.positional_postings."""
+    from .positional import positional_postings
+
+    return positional_postings(sf_dir)
+
+
+SQL_POSITIONAL_POSTINGS = (
+    "WITH "
+    + _SQL_TOKS_POS
+    + """SELECT term, doc_id, count(*)::BIGINT AS tf,
+              min(pos) AS first_pos, max(pos) AS last_pos
+       FROM kept_pos GROUP BY term, doc_id"""
+)
+
+
+def q_phrase_match(sf_dir: str):
+    from .positional import phrase_match
+
+    return phrase_match(sf_dir, PHRASE_TERMS)
+
+
+def _sql_phrase_match() -> str:
+    joins = []
+    for i in range(1, len(PHRASE_TERMS)):
+        joins.append(
+            f"JOIN kept_pos a{i} ON a{i}.doc_id = a0.doc_id "
+            f"AND a{i}.pos = a0.pos + {i} AND a{i}.term = '{PHRASE_TERMS[i]}'"
+        )
+    return (
+        "WITH "
+        + _SQL_TOKS_POS
+        + f"""SELECT a0.doc_id, count(*)::BIGINT AS n_occurrences
+       FROM kept_pos a0 {' '.join(joins)}
+       WHERE a0.term = '{PHRASE_TERMS[0]}'
+       GROUP BY a0.doc_id"""
+    )
+
+
+def q_proximity_match(sf_dir: str):
+    from .positional import proximity_match
+
+    return proximity_match(
+        sf_dir, PROXIMITY_TERMS[0], PROXIMITY_TERMS[1], PROXIMITY_WINDOW
+    )
+
+
+SQL_PROXIMITY_MATCH = (
+    "WITH "
+    + _SQL_TOKS_POS
+    + f"""SELECT a.doc_id, count(*)::BIGINT AS n_pairs
+       FROM kept_pos a JOIN kept_pos b
+         ON b.doc_id = a.doc_id
+        AND b.pos BETWEEN a.pos - {PROXIMITY_WINDOW} AND a.pos + {PROXIMITY_WINDOW}
+       WHERE a.term = '{PROXIMITY_TERMS[0]}' AND b.term = '{PROXIMITY_TERMS[1]}'
+       GROUP BY a.doc_id"""
+)
+
+
+QUERIES["positional_postings"] = (q_positional_postings, SQL_POSITIONAL_POSTINGS)
+QUERIES["phrase_match"] = (q_phrase_match, _sql_phrase_match())
+QUERIES["proximity_match"] = (q_proximity_match, SQL_PROXIMITY_MATCH)

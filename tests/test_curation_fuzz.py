@@ -46,6 +46,9 @@ FUZZ_ENTRIES = [
     "term_triangles",
     "weighted_sample",
     "bigram_logprob",
+    "positional_postings",
+    "phrase_match",
+    "proximity_match",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
