@@ -4803,3 +4803,100 @@ SQL_PROXIMITY_MATCH = (
 QUERIES["positional_postings"] = (q_positional_postings, SQL_POSITIONAL_POSTINGS)
 QUERIES["phrase_match"] = (q_phrase_match, _sql_phrase_match())
 QUERIES["proximity_match"] = (q_proximity_match, SQL_PROXIMITY_MATCH)
+
+
+# --------------------------------------------------------------------------
+# index size accounting: the SQL oracle PREDICTS the physical on-disk
+# compressed size of every posting list from pure integer varbyte math,
+# and the entry reads the REAL bytes back from the built index's lexicon —
+# a storage-layout conformance check (stages/compress.py layout: header
+# vb(df) vb(len_ldoc) vb(len_bsize) + ldoc table + bsize table + 4 B
+# float32 block-max per block + cross-block delta/tf payload).  Assumes
+# unsegmented terms (df <= segment_max_postings=1M — always true at sf).
+
+
+def _vb_len(expr: str) -> str:
+    """SQL for the VarByte (0x80-MSB, 7 bits/byte) encoded length of a
+    non-negative integer expression (functions/varbyte.py)."""
+    return (
+        f"(CASE WHEN {expr} < 128 THEN 1 WHEN {expr} < 16384 THEN 2"
+        f" WHEN {expr} < 2097152 THEN 3 WHEN {expr} < 268435456 THEN 4"
+        f" WHEN {expr} < 34359738368 THEN 5 ELSE 6 END)"
+    )
+
+
+def q_index_size_stats(sf_dir: str):
+    idx = index_for(sf_dir)
+    import glob as _glob
+
+    schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("n_blocks", pa.int64()),
+            ("nbytes", pa.int64()),
+        ]
+    )
+    files = sorted(_glob.glob(os.path.join(idx, "lexicon", "part-*.parquet")))
+    if not files:
+        return schema.empty_table()
+
+    def shape(b: pa.Table) -> pa.Table:
+        from ..stages.compress import BLOCK_SIZE
+
+        df = b["df"].cast(pa.int64())
+        nblocks = pc.divide(pc.add(df, BLOCK_SIZE - 1), BLOCK_SIZE)  # int64 div
+        return pa.table(
+            {
+                "term": b["term"],
+                "df": df,
+                "n_blocks": nblocks,
+                "nbytes": b["nbytes"].cast(pa.int64()),
+            }
+        )
+
+    # lexicon is one tiny row per term — a plain read is the right size
+    return rd.read_parquet(files, columns=["term", "df", "nbytes"]).map_batches(
+        shape, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _sql_index_size_stats() -> str:
+    return f"""
+WITH {_SQL_TOKENS},
+tfm AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_kept GROUP BY 1, 2),
+ordered AS (
+    SELECT term, doc_id, tf,
+           (row_number() OVER w - 1) // 128 AS blk,
+           doc_id - coalesce(lag(doc_id) OVER w, 0) AS delta
+    FROM tfm WINDOW w AS (PARTITION BY term ORDER BY doc_id)
+),
+sized AS (
+    SELECT term, doc_id, tf, blk,
+           {_vb_len('delta')} AS dlen, {_vb_len('tf')} AS tlen
+    FROM ordered
+),
+blocks AS (
+    SELECT term, blk, max(doc_id) AS last_doc,
+           sum(dlen + tlen)::BIGINT AS bsize
+    FROM sized GROUP BY 1, 2
+),
+bt AS (
+    SELECT term, count(*)::BIGINT AS n_blocks,
+           sum({_vb_len('last_doc')})::BIGINT AS len_ldoc,
+           sum({_vb_len('bsize')})::BIGINT AS len_bsize
+    FROM blocks GROUP BY 1
+),
+pt AS (
+    SELECT term, count(*)::BIGINT AS df,
+           sum(dlen + tlen)::BIGINT AS payload
+    FROM sized GROUP BY 1
+)
+SELECT pt.term, pt.df, bt.n_blocks,
+       ({_vb_len('pt.df')} + {_vb_len('bt.len_ldoc')} + {_vb_len('bt.len_bsize')}
+        + bt.len_ldoc + bt.len_bsize + 4 * bt.n_blocks + pt.payload)::BIGINT AS nbytes
+FROM pt JOIN bt USING (term)
+"""
+
+
+QUERIES["index_size_stats"] = (q_index_size_stats, _sql_index_size_stats())

@@ -49,6 +49,7 @@ FUZZ_ENTRIES = [
     "positional_postings",
     "phrase_match",
     "proximity_match",
+    "index_size_stats",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
