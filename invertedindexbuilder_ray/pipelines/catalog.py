@@ -4900,3 +4900,201 @@ FROM pt JOIN bt USING (term)
 
 
 QUERIES["index_size_stats"] = (q_index_size_stats, _sql_index_size_stats())
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) data layout: co-clustering two dimensions for 2-D range
+# pruning.  Rows are assigned the morton code of their (partkey, suppkey)
+# grid cell; the entry reports per-z-bucket row counts and the bounding
+# box of both dimensions — exactly the min/max metadata a writer would
+# attach to each file for scan pruning.  One streaming pass, per-batch
+# Arrow partials (<= n_buckets rows each), fixed-size driver combine.
+
+ZORDER_PCELL = 256  # partkey grid cell width
+ZORDER_SCELL = 16   # suppkey grid cell width
+
+
+def _morton_spread16(x: np.ndarray) -> np.ndarray:
+    """Interleave zeros between the low 16 bits of x (classic magic masks)."""
+    x = x.astype(np.uint64)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def q_zorder_layout(sf_dir: str):
+    path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
+    li = read_parquet_sized(path, columns=["l_partkey", "l_suppkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc_ = p // ZORDER_PCELL
+        sc_ = s // ZORDER_SCELL
+        if len(p) and (pc_.max() >= 1 << 16 or sc_.max() >= 1 << 16 or p.min() < 0 or s.min() < 0):
+            # 16 bits per dimension by construction; widen the cells (or the
+            # spread) rather than silently wrapping
+            raise ValueError("zorder cell index exceeds 16 bits")
+        z = (_morton_spread16(pc_) | (_morton_spread16(sc_) << np.uint64(1))).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "zbucket": pa.array(z, pa.int64()),
+                "p": pa.array(p, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+        g = t.group_by(["zbucket"]).aggregate(
+            [([], "count_all"), ("p", "min"), ("p", "max"), ("s", "min"), ("s", "max")]
+        )
+        return pa.table(
+            {
+                "zbucket": g["zbucket"],
+                "n": g["count_all"].cast(pa.int64()),
+                "part_min": g["p_min"],
+                "part_max": g["p_max"],
+                "supp_min": g["s_min"],
+                "supp_max": g["s_max"],
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    import pandas as pd
+
+    if not len(parts):
+        return pd.DataFrame(
+            columns=["zbucket", "n", "part_min", "part_max", "supp_min", "supp_max"]
+        )
+    out = parts.groupby("zbucket", as_index=False).agg(
+        n=("n", "sum"),
+        part_min=("part_min", "min"),
+        part_max=("part_max", "max"),
+        supp_min=("supp_min", "min"),
+        supp_max=("supp_max", "max"),
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _sql_zorder_layout() -> str:
+    # morton interleave unrolled over 16 bits per dimension
+    terms = []
+    for i in range(16):
+        terms.append(f"(((pcell >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((scell >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH cells AS (
+    SELECT l_partkey AS p, l_suppkey AS s,
+           l_partkey // {ZORDER_PCELL} AS pcell,
+           l_suppkey // {ZORDER_SCELL} AS scell
+    FROM lineitem
+)
+SELECT ({z})::BIGINT AS zbucket,
+       count(*)::BIGINT AS n,
+       min(p)::BIGINT AS part_min, max(p)::BIGINT AS part_max,
+       min(s)::BIGINT AS supp_min, max(s)::BIGINT AS supp_max
+FROM cells GROUP BY 1
+"""
+
+
+QUERIES["zorder_layout"] = (q_zorder_layout, _sql_zorder_layout())
+
+
+# --------------------------------------------------------------------------
+# exact table profiling: per-column null + distinct counts in ONE pass.
+# Distinct is exact without materializing any column on the driver: each
+# batch emits its pre-distinct (column, value) pairs, pairs are hash-
+# sharded on the VALUE (a given value lands in exactly one shard, so
+# per-shard distinct counts are additive), and only fixed-size partial
+# counts reach the driver.  The per-column value-space partitioning is
+# what makes this hold at any scale — no shard ever sees more than its
+# hash slice of the distinct values.
+
+PROFILE_COLS = ["event_id", "user_id", "event_type", "props"]
+
+
+def q_events_profile(sf_dir: str):
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=PROFILE_COLS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hs, cids, vs, nns = [], [], [], []
+        for ci, col in enumerate(PROFILE_COLS):
+            arr = b[col].combine_chunks()
+            n_null = arr.null_count
+            u = pc.unique(pc.cast(arr.drop_null(), pa.string()))
+            if len(u):
+                # value hash only routes shards; identity stays on the value
+                h = pd.util.hash_array(u.to_numpy(zero_copy_only=False))
+                with np.errstate(over="ignore"):
+                    h = (
+                        h ^ np.uint64(ci + 1) * np.uint64(0x9E3779B97F4A7C15)
+                    ).view(np.int64)
+                hs.append(h)
+                cids.append(np.full(len(u), ci, np.int64))
+                vs.append(u)
+                nns.append(np.zeros(len(u), np.int64))
+            # null-count marker row (one per column per batch, fixed shard)
+            hs.append(np.array([ci], np.int64))
+            cids.append(np.array([ci], np.int64))
+            vs.append(pa.array([None], pa.string()))
+            nns.append(np.array([n_null], np.int64))
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(hs), pa.int64()),
+                "colid": pa.array(np.concatenate(cids), pa.int64()),
+                "v": pa.concat_arrays([pa.array(x, pa.string()) if not isinstance(x, pa.Array) else x for x in vs]),
+                "nn": pa.array(np.concatenate(nns), pa.int64()),
+            }
+        )
+
+    def shard_agg(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[g["v"].notna()]
+        nd = vals.drop_duplicates(["colid", "v"]).groupby("colid").size()
+        nn = g.groupby("colid")["nn"].sum()
+        idx = sorted(set(nd.index) | set(nn.index))
+        return pd.DataFrame(
+            {
+                "colid": pd.Series(idx, dtype="int64"),
+                "nd": nd.reindex(idx, fill_value=0).astype("int64").values,
+                "nn": nn.reindex(idx, fill_value=0).astype("int64").values,
+            }
+        )
+
+    oschema = pa.schema([("colid", pa.int64()), ("nd", pa.int64()), ("nn", pa.int64())])
+    rows = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    parts = _sharded_groupby(rows, ["h"], shard_agg, empty_schema=oschema).to_pandas()
+    out = pd.DataFrame({"colid": np.arange(len(PROFILE_COLS), dtype=np.int64)})
+    if len(parts):
+        s = parts.groupby("colid", as_index=False).agg(
+            nd=("nd", "sum"), nn=("nn", "sum")
+        )
+        out = out.merge(s, on="colid", how="left").fillna(0)
+    else:
+        out["nd"] = 0
+        out["nn"] = 0
+    return pd.DataFrame(
+        {
+            "col": [PROFILE_COLS[int(c)] for c in out["colid"]],
+            "n_nulls": out["nn"].astype("int64"),
+            "n_distinct": out["nd"].astype("int64"),
+        }
+    )
+
+
+SQL_EVENTS_PROFILE = " UNION ALL ".join(
+    f"SELECT '{c}' AS col, (count(*) - count({c}))::BIGINT AS n_nulls,"
+    f" count(DISTINCT {c})::BIGINT AS n_distinct FROM events"
+    for c in PROFILE_COLS
+)
+
+QUERIES["events_profile"] = (q_events_profile, SQL_EVENTS_PROFILE)

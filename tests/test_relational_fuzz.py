@@ -32,6 +32,7 @@ FUZZ_ENTRIES = [
     "qty_discount_corr",
     "group_median_price",
     "bloom_semi_join",
+    "zorder_layout",
 ]
 
 _LINE = st.tuples(
@@ -66,6 +67,14 @@ def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
                 # coarse price grid: duplicate values are the median tie cases
                 "l_extendedprice": pa.array(
                     [(r[2] % 7) * 100.25 for r in lines], pa.float64()
+                ),
+                # 2-D layout keys for the z-order entry: spread across
+                # several grid cells in both dimensions
+                "l_partkey": pa.array(
+                    [(r[0] * 37 + r[2] * 113) % 5000 for r in lines], pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    [(r[0] + r[1] * 7 + r[2] * 3) % 200 for r in lines], pa.int64()
                 ),
             }
         ),

@@ -34,6 +34,7 @@ FUZZ_ENTRIES = [
     "user_event_path",
     "event_id_gaps",
     "sliding_distinct_users",
+    "events_profile",  # event_type nulls exercise the null-count leg
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
