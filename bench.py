@@ -178,7 +178,9 @@ def run_bench() -> dict:
         "unigram_logprob", "group_median_price", "crosslang_terms",
         "term_triangles", "event_id_gaps", "weighted_sample",
         "bloom_semi_join", "search_facets", "sliding_distinct_users",
-        "bigram_logprob",
+        "bigram_logprob", "positional_postings", "phrase_match",
+        "proximity_match", "index_size_stats", "zorder_layout",
+        "events_profile",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

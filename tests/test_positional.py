@@ -27,7 +27,10 @@ from invertedindexbuilder_ray.pipelines.positional import (
 
 def _oracle_positions(text: str) -> list[tuple[str, int]]:
     toks = re.findall("[a-z0-9]+", text.lower())
-    if re.search("[A-Za-z0-9]$", text):
+    # \Z, not $: Python's $ also matches before a trailing newline, but the
+    # engine (and DuckDB's RE2 $) drop the last token only when the text
+    # truly ends mid-run.
+    if re.search(r"[A-Za-z0-9]\Z", text):
         toks = toks[:-1]
     return [(w, i + 1) for i, w in enumerate(toks) if 1 <= len(w) <= 15]
 
