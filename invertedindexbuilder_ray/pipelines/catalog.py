@@ -5098,3 +5098,63 @@ SQL_EVENTS_PROFILE = " UNION ALL ".join(
 )
 
 QUERIES["events_profile"] = (q_events_profile, SQL_EVENTS_PROFILE)
+
+
+# --------------------------------------------------------------------------
+# sparse tf-idf "more like this": top-k cosine neighbors per query doc via
+# the term-partitioned inverted-postings exchange (see sparse_sim.py for
+# the exactness contract and the 100-TB shape)
+
+MLT_QUERY_MOD = 83
+MLT_TOP_K = 10
+
+
+def q_more_like_this(sf_dir: str):
+    from .sparse_sim import more_like_this
+
+    n_docs = load_documents(sf_dir).count()
+    return more_like_this(
+        _postings_ds(sf_dir), n_docs, query_mod=MLT_QUERY_MOD, top_k=MLT_TOP_K
+    )
+
+
+def _sql_more_like_this() -> str:
+    return (
+        "WITH "
+        + _SQL_TOKENS
+        + f""",
+tfm AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_kept GROUP BY 1, 2),
+dfm AS (SELECT term, count(*)::BIGINT AS df FROM tfm GROUP BY 1),
+stm AS (SELECT count(*)::BIGINT AS n FROM documents),
+wm AS (
+    SELECT t.term, t.doc_id,
+           t.tf * CAST(round((CAST(round(log2(stm.n) * 1e9) AS BIGINT)
+                              - CAST(round(log2(d.df) * 1e9) AS BIGINT))
+                             / 1000000.0) AS BIGINT) AS w
+    FROM tfm t JOIN dfm d USING (term) CROSS JOIN stm
+),
+norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2 FROM wm GROUP BY 1),
+dots AS (
+    SELECT q.doc_id AS qid, d.doc_id AS doc_id, CAST(sum(q.w * d.w) AS BIGINT) AS dot
+    FROM wm q JOIN wm d USING (term)
+    WHERE q.doc_id % {MLT_QUERY_MOD} = 0 AND d.doc_id <> q.doc_id
+    GROUP BY 1, 2
+),
+sims AS (
+    SELECT dots.qid, dots.doc_id,
+           round(dot / sqrt(nq.norm2::DOUBLE * nd.norm2::DOUBLE), 6) AS sim
+    FROM dots
+    JOIN norms nq ON nq.doc_id = dots.qid
+    JOIN norms nd ON nd.doc_id = dots.doc_id
+    WHERE nq.norm2 > 0 AND nd.norm2 > 0
+),
+ranked AS (
+    SELECT qid, doc_id, sim,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS rk
+    FROM sims
+)
+SELECT qid, doc_id, sim, rk::BIGINT AS rank FROM ranked WHERE rk <= {MLT_TOP_K}"""
+    )
+
+
+QUERIES["more_like_this"] = (q_more_like_this, _sql_more_like_this())

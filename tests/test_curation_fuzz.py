@@ -50,6 +50,7 @@ FUZZ_ENTRIES = [
     "phrase_match",
     "proximity_match",
     "index_size_stats",
+    "more_like_this",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
