@@ -5158,3 +5158,30 @@ SELECT qid, doc_id, sim, rk::BIGINT AS rank FROM ranked WHERE rk <= {MLT_TOP_K}"
 
 
 QUERIES["more_like_this"] = (q_more_like_this, _sql_more_like_this())
+
+
+# --------------------------------------------------------------------------
+# grouped approximate distinct: one mergeable HLL sketch PER GROUP
+
+
+def q_grouped_distinct_hll(sf_dir: str):
+    """Per-language HLL registers over the token-hash stream — the
+    grouped-cardinality sketch (one fixed-size sketch per group, merged
+    by elementwise register max; distinct.hll_token_registers_by).  The
+    driver gate compares the integer register table, bit-exact vs
+    sketch_sql.sql_hll_registers_grouped."""
+    from .distinct import hll_token_registers_by
+
+    path = (
+        os.path.join(sf_dir, "documents.parquet")
+        if os.path.isdir(sf_dir)
+        else sf_dir
+    )
+    docs = read_parquet_sized(path, columns=["doc_id", "text", "lang"])
+    return hll_token_registers_by(docs, group_col="lang")
+
+
+QUERIES["grouped_distinct_hll"] = (
+    q_grouped_distinct_hll,
+    _sketch_sql.sql_hll_registers_grouped(group_col="lang"),
+)

@@ -80,6 +80,66 @@ def hll_token_registers(
     return _sharded_groupby(partials, ["bucket"], agg, empty_schema=schema)
 
 
+def hll_token_registers_by(
+    docs: rd.Dataset, *, group_col: str = "lang", text_col: str = "text"
+) -> rd.Dataset:
+    """Per-group HLL registers: ``(group, bucket, maxrank)`` over the same
+    FNV token-hash stream — the mergeable grouped-cardinality sketch (one
+    sketch per group, registers merged by elementwise max).
+
+    Shape: the per-batch pass scatters ranks into an (L x m) flat register
+    block where L = distinct groups IN THE BATCH (languages are few), so
+    the exchange key space is bounded at L_total * m rows; sharding by
+    ``bucket`` co-locates every group's copy of a register without ever
+    hashing the group string."""
+    from .dedup import _sharded_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..functions.sketch import _token_hashes
+
+        h, row = _token_hashes(batch[text_col])
+        groups = batch[group_col].to_pandas()
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "maxrank": pa.array([], pa.int64()),
+            }
+        )
+        if not len(h):
+            return empty
+        import pandas as pd
+
+        codes, uniq = pd.factorize(groups, sort=False)
+        gcode = codes[row].astype(np.int64)
+        bucket = (h >> np.uint64(W_BITS)).astype(np.int64)
+        w = h & _W_MASK
+        bitlen = np.frexp(w.astype(np.float64))[1].astype(np.int64)
+        rank = (W_BITS + 1) - bitlen
+        flat = np.zeros(len(uniq) * HLL_M, np.int64)
+        np.maximum.at(flat, gcode * HLL_M + bucket, rank)
+        nz = np.flatnonzero(flat)
+        return pa.table(
+            {
+                group_col: pa.array(
+                    np.asarray(uniq, dtype=object)[nz // HLL_M], pa.string()
+                ),
+                "bucket": pa.array(nz % HLL_M, pa.int64()),
+                "maxrank": pa.array(flat[nz], pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def agg(g):
+        return g.groupby([group_col, "bucket"], as_index=False)["maxrank"].max()
+
+    schema = pa.schema(
+        [(group_col, pa.string()), ("bucket", pa.int64()), ("maxrank", pa.int64())]
+    )
+    return _sharded_groupby(partials, ["bucket"], agg, empty_schema=schema)
+
+
 def hll_estimate(registers) -> float:
     """Cardinality estimate from a (bucket, maxrank) register table
     (Dataset / pyarrow Table / pandas DataFrame; absent buckets = 0).

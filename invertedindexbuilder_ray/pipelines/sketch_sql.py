@@ -328,3 +328,22 @@ SELECT ph.term,
            AS actually_in_base
 FROM ph
 """
+
+
+def sql_hll_registers_grouped(*, p: int = 12, group_col: str = "lang") -> str:
+    """Per-group HLL register table (distinct.hll_token_registers_by):
+    the sql_hll_registers derivation with the document's group column
+    joined in before the register max."""
+    w_div = 1 << (64 - p)
+    wb1 = (64 - p) + 1
+    return f"""
+WITH {_token_hash_ctes()},
+hw AS (
+    SELECT d.{group_col} AS {group_col}, h // {w_div} AS bucket, h % {w_div} AS w
+    FROM th JOIN documents d USING (doc_id)
+)
+SELECT {group_col}, bucket::BIGINT AS bucket,
+       max(CASE WHEN w = 0 THEN {wb1}
+                ELSE {wb1} - length(bin(w::BIGINT)) END)::BIGINT AS maxrank
+FROM hw GROUP BY 1, 2
+"""
