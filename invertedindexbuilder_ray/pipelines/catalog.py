@@ -5185,3 +5185,131 @@ QUERIES["grouped_distinct_hll"] = (
     q_grouped_distinct_hll,
     _sketch_sql.sql_hll_registers_grouped(group_col="lang"),
 )
+
+
+# --------------------------------------------------------------------------
+# weighted source mixture: deterministic training-data mixing with EXACT
+# per-source counts.  Target proportions come from a per-source weight
+# (here a deterministic function of the source name so the SQL can
+# reproduce it); the limiting source sets the global scale k =
+# min(avail_s // w_s) and each source contributes exactly n_s = k * w_s
+# docs, selected by the total order (hash(doc_id), doc_id).
+#
+# Shape (100 TB): selection by RANK within a source can't materialize a
+# per-source partition anywhere, so the per-source n_s-th smallest hash
+# key is found with the grouped histogram-refinement order-stat engine
+# (quantiles.exact_order_stats_grouped — fixed-size histograms per round,
+# never the rows), then ONE streaming filter keeps keys strictly below
+# the per-source threshold and only the boundary-collision rows (hash
+# keys are 52-bit, collisions are a handful) reach the driver for the
+# doc_id tie-break.
+
+MIX_WEIGHT_MOD = 4  # w_s = (int(source[3:]) % 4) + 1 over sources "srcN"
+
+
+def q_source_mixture(sf_dir: str):
+    import pandas as pd
+    from .quantiles import exact_order_stats_grouped
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "source"])
+
+    def with_key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            hk = (ids * np.uint64(SAMPLE_MULT)) >> np.uint64(12)
+        # 52-bit key: float64-exact, so the order-stat engine's double
+        # round-trip is lossless
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "source": b["source"],
+                "hkey": pa.array(hk.astype(np.float64), pa.float64()),
+            }
+        )
+
+    keyed = ds.map_batches(with_key, batch_format="pyarrow", zero_copy_batch=True)
+
+    # pass 1: per-source counts (tiny — source cardinality is bounded)
+    def counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"source": g["source"], "c": g["count_all"].cast(pa.int64())}
+        )
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    avail = parts.groupby("source")["c"].sum().to_dict()
+    out_schema = {
+        "doc_id": pd.Series([], dtype="int64"),
+        "source": pd.Series([], dtype=object),
+    }
+    if not avail:
+        return pd.DataFrame(out_schema)
+    wt = {s: (int(s[3:]) % MIX_WEIGHT_MOD) + 1 for s in avail}
+    k = min(avail[s] // wt[s] for s in avail)
+    n_tgt = {s: k * wt[s] for s in avail}
+    if all(n == 0 for n in n_tgt.values()):
+        return pd.DataFrame(out_schema)
+
+    # pass 2+: per-source n_s-th smallest key via shared-histogram rounds
+    stats = exact_order_stats_grouped(
+        keyed, "hkey", "source",
+        lambda g, n: [n_tgt[g] - 1] if n_tgt[g] > 0 else [],
+    )
+    thr = {g: vals[0] for g, (n, vals) in stats.items() if vals}
+
+    thr_ref = ray.put(thr)
+
+    def below(b: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        hk = b["hkey"].to_numpy(zero_copy_only=False)
+        tv = np.array([t.get(s, -1.0) for s in src], np.float64)
+        keep = hk < tv
+        eq = hk == tv
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].take(pa.array(np.flatnonzero(keep | eq))),
+                "source": b["source"].take(pa.array(np.flatnonzero(keep | eq))),
+                "is_eq": pa.array(eq[keep | eq]),
+            }
+        )
+
+    sel = keyed.map_batches(below, batch_format="pyarrow").to_pandas()
+    if not len(sel):
+        return pd.DataFrame(out_schema)
+    # boundary tie-break: keep the smallest doc_ids among hash-equal rows
+    out_frames = []
+    for s, g in sel.groupby("source"):
+        strict = g[~g["is_eq"]]
+        need = n_tgt.get(s, 0) - len(strict)
+        eqr = g[g["is_eq"]].sort_values("doc_id").head(max(need, 0))
+        out_frames.append(pd.concat([strict, eqr])[["doc_id", "source"]])
+    out = pd.concat(out_frames, ignore_index=True)
+    return out.astype({"doc_id": "int64"})
+
+
+def _sql_source_mixture() -> str:
+    return f"""
+WITH w AS (
+    SELECT source, count(*)::BIGINT AS c,
+           (CAST(substr(source, 4) AS BIGINT) % {MIX_WEIGHT_MOD}) + 1 AS wt
+    FROM documents GROUP BY source
+),
+kk AS (SELECT min(c // wt) AS k FROM w),
+sel AS (
+    SELECT d.doc_id, d.source,
+           row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY ((d.doc_id::HUGEINT * {SAMPLE_MULT})
+                         % 18446744073709551616) // 4096, d.doc_id
+           ) AS rn
+    FROM documents d
+)
+SELECT sel.doc_id, sel.source
+FROM sel JOIN w ON w.source = sel.source CROSS JOIN kk
+WHERE sel.rn <= kk.k * w.wt
+"""
+
+
+QUERIES["source_mixture"] = (q_source_mixture, _sql_source_mixture())

@@ -242,7 +242,7 @@ def exact_order_stats(
     return n_total, [t["value"] for t in targets]
 
 
-GROUPED_MAX_GROUPS = 16
+GROUPED_MAX_GROUPS = 32
 
 
 def exact_order_stats_grouped(
@@ -327,10 +327,17 @@ def exact_order_stats_grouped(
         )
 
     targets = []  # {g, rank, a, b, count, value}
+    # rank_fn(n_g) or rank_fn(group, n_g) — group-aware callers (e.g. the
+    # weighted mixture's per-source cut counts) need to know which group
+    # they are ranking
+    import inspect
+
+    _rank_two_arg = len(inspect.signature(rank_fn).parameters) == 2
+
     totals: dict[str, int] = {}
     for gname, (n_g, lo_g, hi_g) in acc.items():
         totals[gname] = n_g
-        for r in rank_fn(n_g):
+        for r in (rank_fn(gname, n_g) if _rank_two_arg else rank_fn(n_g)):
             if not 0 <= int(r) < n_g:
                 raise ValueError(f"rank {r} out of range for n={n_g}")
             targets.append(
