@@ -5313,3 +5313,84 @@ WHERE sel.rn <= kk.k * w.wt
 
 
 QUERIES["source_mixture"] = (q_source_mixture, _sql_source_mixture())
+
+
+# --------------------------------------------------------------------------
+# bigram collocations by Dunning log-likelihood ratio (textpipe.bigram_llr)
+
+LLR_TOP_K = 30
+
+
+def q_collocations_llr(sf_dir: str):
+    """Top-30 bigram collocations by Dunning's LLR over the clean-token
+    adjacency stream; exact int64 fixed-point S(k)=k*log2(k) terms on
+    both sides (textpipe._log2_fp_ext), integer rank key."""
+    from ..sources.documents import load_documents
+    from .textpipe import bigram_llr
+
+    return bigram_llr(load_documents(sf_dir), top_k=LLR_TOP_K)
+
+
+def _sql_collocations_llr() -> str:
+    # S(k) = k * (round(log2(k >> s)*1e9) + s*1e9), s = max(bitlen-16, 0):
+    # evaluated once per contingency quantity via unnest, re-aggregated
+    # with signs (the engine's exact integer arithmetic, in SQL)
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS pos
+    FROM filt
+),
+nxt AS (
+    SELECT term AS left_t,
+           lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS right_t
+    FROM toks
+),
+cnt AS (
+    SELECT left_t, right_t, count(*)::BIGINT AS k11
+    FROM nxt WHERE right_t IS NOT NULL GROUP BY 1, 2
+),
+marg AS (
+    SELECT left_t, right_t, k11,
+           sum(k11) OVER (PARTITION BY left_t)::BIGINT AS r1,
+           sum(k11) OVER (PARTITION BY right_t)::BIGINT AS c1,
+           (SELECT sum(k11) FROM cnt)::BIGINT AS nt
+    FROM cnt
+),
+kv AS (
+    SELECT left_t, right_t, k11,
+           unnest([k11, r1 - k11, c1 - k11, nt - r1 - c1 + k11, nt,
+                   r1, nt - r1, c1, nt - c1]) AS k,
+           unnest([1, 1, 1, 1, 1, -1, -1, -1, -1]) AS sgn
+    FROM marg
+),
+sterm AS (
+    SELECT left_t, right_t, k11, sgn,
+           CASE WHEN k <= 1 THEN 0::HUGEINT ELSE
+               k::HUGEINT * (CAST(round(log2(k >> s) * 1000000000) AS HUGEINT)
+                             + s::HUGEINT * 1000000000)
+           END AS sk
+    FROM (SELECT *, greatest(length(bin(k))::BIGINT - 16, 0) AS s FROM kv)
+),
+llr AS (
+    SELECT left_t || ' ' || right_t AS bigram, any_value(k11) AS n,
+           CAST(2 * sum(sgn * sk) AS BIGINT) AS llr_fp
+    FROM sterm GROUP BY left_t, right_t
+)
+SELECT bigram, n::BIGINT AS n, llr_fp,
+       round(llr_fp / 1000000000.0, 6) AS llr, rk::BIGINT AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY llr_fp DESC, bigram) AS rk
+    FROM llr
+)
+WHERE rk <= {LLR_TOP_K}
+"""
+
+
+QUERIES["collocations_llr"] = (q_collocations_llr, _sql_collocations_llr())

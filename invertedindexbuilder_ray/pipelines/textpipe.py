@@ -363,3 +363,200 @@ def bigram_topk(docs: rd.Dataset, *, k: int = BIGRAM_TOPK_K,
     return tops.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram collocations by Dunning log-likelihood ratio (exact fixed point)
+
+LLR_TOP_K = 30
+_LLR_SCALE = 1_000_000_000
+_LLR_MAX_N = 1 << 26  # keeps every |partial sum| of the signed S-terms < 2^63
+
+
+def _log2_fp_ext(k: np.ndarray) -> np.ndarray:
+    """Deterministic fixed-point log2 over ANY positive int64, built from
+    the exhaustively-verified [1, 2^16) table (curation._log2_fp):
+    ``L'(k) = L(k >> s) + s * 1e9`` with ``s = max(0, bitlen(k) - 16)``.
+    For k < 2^16 this IS the verified table; above it, it is a defined
+    quantization (relative error < 2^-16) that DuckDB reproduces exactly
+    as ``round(log2(k >> s)*1e9) + s*1e9`` — both sides shift first, so
+    the unverified large-k libm domain is never evaluated."""
+    from .curation import _log2_fp
+
+    k = k.astype(np.int64)
+    out = np.zeros(len(k), np.int64)
+    pos = k >= 1
+    kp = k[pos]
+    # bitlen via frexp (exact: k < 2^26 << 2^53)
+    bitlen = np.frexp(kp.astype(np.float64))[1].astype(np.int64)
+    s = np.maximum(bitlen - 16, 0)
+    out[pos] = _log2_fp(kp >> s) + s * _LLR_SCALE
+    return out
+
+
+def _s_fp(k: np.ndarray) -> np.ndarray:
+    """S(k) = k * L'(k) (0 for k <= 1): the k·log2(k) term of Dunning's
+    LLR, as an exact int64."""
+    k = k.astype(np.int64)
+    return np.where(k <= 1, np.int64(0), k * _log2_fp_ext(k))
+
+
+def bigram_llr(docs: rd.Dataset, *, top_k: int = LLR_TOP_K,
+               text_col: str = "text") -> rd.Dataset:
+    """Top-k bigram collocations by Dunning's log-likelihood ratio
+    (Dunning 1993), with the 2x2 contingency built from the bigram table
+    itself (r1 = bigram-start marginal, c1 = bigram-end marginal — they
+    differ from raw unigram counts only by doc-final/initial tokens, and
+    keep the table exactly consistent).
+
+    Exactness: every S(k) = k*log2(k) term is the exact integer
+    ``_s_fp`` fixed point, so ``llr_fp = 2*sum(±S)`` is an exact int64
+    on both engines and the RANK key is an integer (llr_fp desc, bigram
+    asc); the float ``llr`` is a rounded payload.  Signed terms are
+    paired (observed - marginal) so no partial sum can exceed
+    ~5*S(n) — guarded by ``n < 2^26`` (raises loudly).
+
+    Shape (100 TB): per-batch Arrow group_by compresses the token stream
+    to bigram partials; ONE pair-hash exchange totals each bigram; the
+    left/right marginals attach via two term-hash exchanges (a term's
+    rows co-locate, the marginal is an in-shard sum — never a broadcast
+    of anything vocabulary-sized); the scalar n is one aggregate over
+    the materialized (type-compressed) bigram table; the final scoring
+    pass is streaming with per-batch partial top-k under the final total
+    order."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import _span_hashes
+    from .dedup import _sharded_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mapped, starts, lens, row_idx = token_spans(
+            batch[text_col], drop_trailing=False
+        )
+        n = len(starts)
+        empty = pa.table({
+            "left": pa.array([], pa.utf8()), "right": pa.array([], pa.utf8()),
+            "lh": pa.array([], pa.int64()), "rh": pa.array([], pa.int64()),
+            "bh": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+        })
+        if n < 2:
+            return empty
+        toks = _token_string_array(mapped, starts, lens)
+        h, _h2 = _span_hashes(mapped, starts, lens)
+        keep = row_idx[:-1] == row_idx[1:]
+        if not keep.any():
+            return empty
+        left = toks.slice(0, n - 1).filter(pa.array(keep))
+        right = toks.slice(1, n - 1).filter(pa.array(keep))
+        lh = h[:-1][keep].view(np.int64)
+        rh = h[1:][keep].view(np.int64)
+        with np.errstate(over="ignore"):
+            bh = ((h[:-1] ^ h[1:]) * np.uint64(_FNV_PRIME))[keep].view(np.int64)
+        t = pa.table({
+            "left": left, "right": right,
+            "lh": pa.array(lh, pa.int64()), "rh": pa.array(rh, pa.int64()),
+            "bh": pa.array(bh, pa.int64()),
+        })
+        agg = t.group_by(["left", "right"]).aggregate(
+            [("lh", "min"), ("rh", "min"), ("bh", "min"), ([], "count_all")]
+        )
+        return pa.table({
+            "left": agg["left"], "right": agg["right"],
+            "lh": agg["lh_min"], "rh": agg["rh_min"], "bh": agg["bh_min"],
+            "n": agg["count_all"].cast(pa.int64()),
+        })
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    bschema = pa.schema([
+        ("left", pa.utf8()), ("right", pa.utf8()), ("lh", pa.int64()),
+        ("rh", pa.int64()), ("bh", pa.int64()), ("n", pa.int64()),
+    ])
+
+    def agg_bigram(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["left", "right"], as_index=False).agg(
+            lh=("lh", "min"), rh=("rh", "min"), bh=("bh", "min"), n=("n", "sum")
+        )
+
+    e1 = _sharded_groupby(partials, ["bh"], agg_bigram, empty_schema=bschema)
+    # two consumers (scalar n + marginal chain) over the TYPE-compressed
+    # bigram table — materialize the reduced intermediate, not the corpus
+    e1 = e1.materialize()
+    n_total = int(e1.sum("n") or 0)
+    out_cols = pa.schema([
+        ("bigram", pa.utf8()), ("n", pa.int64()), ("llr_fp", pa.int64()),
+        ("llr", pa.float64()), ("rank", pa.int64()),
+    ])
+    if n_total == 0:
+        return rd.from_arrow(out_cols.empty_table())
+    if n_total >= _LLR_MAX_N:
+        raise ValueError(
+            f"bigram_llr: n={n_total} >= {_LLR_MAX_N} exceeds the int64 "
+            "partial-sum envelope of the fixed-point S terms"
+        )
+
+    def attach_left(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(r1=g.groupby("left")["n"].transform("sum").astype(np.int64))
+        return g
+
+    s2 = pa.schema(list(bschema) + [pa.field("r1", pa.int64())])
+    e2 = _sharded_groupby(e1, ["lh"], attach_left, empty_schema=s2)
+
+    def attach_right(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(c1=g.groupby("right")["n"].transform("sum").astype(np.int64))
+        return g
+
+    s3 = pa.schema(list(s2) + [pa.field("c1", pa.int64())])
+    e3 = _sharded_groupby(e2, ["rh"], attach_right, empty_schema=s3)
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_cols.empty_table()
+        k11 = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r1 = batch["r1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.int64(n_total)
+        k12, k21 = r1 - k11, c1 - k11
+        k22 = n - r1 - c1 + k11
+        r2, c2 = n - r1, n - c1
+        # paired observed-minus-marginal keeps every cumulative sum small
+        half = (
+            (_s_fp(k11) - _s_fp(r1))
+            + (_s_fp(k12) - _s_fp(c2))
+            + (_s_fp(k21) - _s_fp(c1))
+            + (_s_fp(k22) - _s_fp(r2))
+            + _s_fp(np.full(len(k11), n))
+        )
+        llr_fp = 2 * half
+        bigram = pc.binary_join_element_wise(
+            batch["left"].combine_chunks(), batch["right"].combine_chunks(), " "
+        )
+        from ..functions.rounding import round_half_away
+
+        llr = round_half_away(llr_fp.astype(np.float64) / _LLR_SCALE, 6)
+        t = pa.table({
+            "bigram": bigram, "n": pa.array(k11, pa.int64()),
+            "llr_fp": pa.array(llr_fp, pa.int64()),
+            "llr": pa.array(llr, pa.float64()),
+        })
+        # per-batch partial top-k under the final total order
+        df = t.to_pandas().sort_values(
+            ["llr_fp", "bigram"], ascending=[False, True], kind="mergesort"
+        ).head(top_k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tops = e3.map_batches(score, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["llr_fp", "bigram"], ascending=[False, True], kind="mergesort"
+        ).head(top_k).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(
+            df[["bigram", "n", "llr_fp", "llr", "rank"]], preserve_index=False
+        )
+
+    return tops.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )

@@ -51,6 +51,7 @@ FUZZ_ENTRIES = [
     "proximity_match",
     "index_size_stats",
     "more_like_this",
+    "collocations_llr",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
