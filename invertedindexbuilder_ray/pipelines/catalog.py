@@ -5394,3 +5394,148 @@ WHERE rk <= {LLR_TOP_K}
 
 
 QUERIES["collocations_llr"] = (q_collocations_llr, _sql_collocations_llr())
+
+
+# --------------------------------------------------------------------------
+# set operations: INTERSECT / EXCEPT membership over two derived key sets
+# (customers ordering in 1995 vs 1996), as one distributed pass
+
+SETOP_YEAR_A = 1995
+SETOP_YEAR_B = 1996
+
+
+def q_customer_year_sets(sf_dir: str):
+    """Set algebra without materializing either set: per-batch distinct
+    (custkey, year-flag) partials, ONE custkey-sharded OR-merge, bucket
+    label from the two bits — covers INTERSECT ('both'), A EXCEPT B
+    ('only_a') and B EXCEPT A ('only_b') in a single exchange instead
+    of three distinct-shuffles."""
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "orders.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ords = read_parquet_sized(path, columns=["o_custkey", "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        yr = pc.year(b["o_orderdate"])
+        in_a = pc.equal(yr, SETOP_YEAR_A)
+        in_b = pc.equal(yr, SETOP_YEAR_B)
+        keep = pc.or_(in_a, in_b)
+        t = pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "a": in_a.cast(pa.int64()),
+                "b": in_b.cast(pa.int64()),
+            }
+        ).filter(keep)
+        g = t.group_by("o_custkey").aggregate([("a", "max"), ("b", "max")])
+        return pa.table(
+            {"o_custkey": g["o_custkey"], "a": g["a_max"], "b": g["b_max"]}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_custkey", as_index=False).agg(
+            a=("a", "max"), b=("b", "max")
+        )
+        both = (s["a"] > 0) & (s["b"] > 0)
+        s["bucket"] = np.where(both, "both",
+                               np.where(s["a"] > 0, "only_a", "only_b"))
+        return s[["o_custkey", "bucket"]]
+
+    schema = pa.schema([("o_custkey", pa.int64()), ("bucket", pa.utf8())])
+    return _sharded_groupby(
+        ords.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+        merge,
+        empty_schema=schema,
+    )
+
+
+SQL_CUSTOMER_YEAR_SETS = f"""
+WITH flags AS (
+    SELECT o_custkey,
+           max(CASE WHEN year(o_orderdate) = {SETOP_YEAR_A} THEN 1 ELSE 0 END) AS a,
+           max(CASE WHEN year(o_orderdate) = {SETOP_YEAR_B} THEN 1 ELSE 0 END) AS b
+    FROM orders
+    WHERE year(o_orderdate) IN ({SETOP_YEAR_A}, {SETOP_YEAR_B})
+    GROUP BY 1
+)
+SELECT o_custkey::BIGINT AS o_custkey,
+       CASE WHEN a = 1 AND b = 1 THEN 'both'
+            WHEN a = 1 THEN 'only_a' ELSE 'only_b' END AS bucket
+FROM flags
+"""
+
+QUERIES["customer_year_sets"] = (q_customer_year_sets, SQL_CUSTOMER_YEAR_SETS)
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (2-D skyline): parts where no other part is both
+# cheaper-or-equal and larger-or-equal (one strict).  Skyline is
+# union-stable — skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B) — so per-batch
+# partial skylines reduce the set before ONE tiny final sweep; the sweep
+# itself is the O(n log n) sort-by-x, running-max-y scan, never the
+# quadratic dominance join the SQL oracle uses.
+
+
+def q_pareto_front(sf_dir: str):
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "part.parquet") if os.path.isdir(sf_dir) else sf_dir
+    parts = read_parquet_sized(
+        path, columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        # sort: price asc, size desc, partkey asc; keep rows whose size
+        # strictly exceeds the running max OR tie exactly on (price,size)
+        # with a kept row (equal points are mutually non-dominating)
+        df = df.sort_values(
+            ["p_retailprice", "p_size", "p_partkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        size = df["p_size"].to_numpy()
+        price = df["p_retailprice"].to_numpy()
+        runmax = np.maximum.accumulate(size)
+        prev = np.concatenate(([np.iinfo(np.int64).min], runmax[:-1]))
+        new_best = size > prev
+        # group rows by the (price, size) pair of the current best: any
+        # exact duplicate of a frontier point is also on the frontier
+        keep = new_best.copy()
+        best_idx = np.maximum.accumulate(np.where(new_best, np.arange(len(df)), -1))
+        dup = (
+            (size == size[best_idx])
+            & (price == price[best_idx])
+            & (best_idx >= 0)
+        )
+        keep |= dup
+        return df[keep]
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["p_partkey", "p_retailprice", "p_size"]).to_pandas()
+        out = sweep(df)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    reduced = parts.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(sweep(t.to_pandas()), preserve_index=False)
+
+    return reduced.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_PARETO_FRONT = """
+SELECT p_partkey, p_retailprice, p_size FROM part a
+WHERE NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+QUERIES["pareto_front"] = (q_pareto_front, SQL_PARETO_FRONT)

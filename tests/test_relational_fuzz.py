@@ -33,6 +33,8 @@ FUZZ_ENTRIES = [
     "group_median_price",
     "bloom_semi_join",
     "zorder_layout",
+    "customer_year_sets",
+    "pareto_front",
 ]
 
 _LINE = st.tuples(
@@ -94,6 +96,18 @@ def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
                 "o_totalprice": pa.array(
                     [r[2] / 100.0 for r in orows], pa.float64()
                 ),
+                # 1995-1997 spread: the set-ops entry needs customers in
+                # year A only, B only, both, and neither
+                "o_orderdate": pa.array(
+                    [
+                        pa.scalar(
+                            f"{1995 + (r[2] % 3)}-0{1 + r[0] % 9}-15",
+                            pa.string(),
+                        )
+                        for r in orows
+                    ],
+                    pa.string(),
+                ).cast(pa.timestamp("us")),
                 # occasional NULL grouping keys: SQL ROLLUP keeps NULL
                 # groups, so the Ray side must too
                 "o_orderstatus": pa.array(
@@ -127,6 +141,20 @@ def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
         ),
         os.path.join(tmpdir, "nation.parquet"),
     )
+    # coarse price/size grids: duplicate points and dominance ties are the
+    # skyline edge cases the sf part table never produces
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(list(range(len(lines))), pa.int64()),
+                "p_retailprice": pa.array(
+                    [(r[2] % 5) * 10.5 for r in lines], pa.float64()
+                ),
+                "p_size": pa.array([r[0] % 6 for r in lines], pa.int64()),
+            }
+        ),
+        os.path.join(tmpdir, "part.parquet"),
+    )
     return tmpdir
 
 
@@ -138,7 +166,7 @@ def _run_pair(name: str, sf_dir: str):
     fn, sql = QUERIES[name]
     got = _to_df(fn(sf_dir))
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "nation"):
+    for t in ("lineitem", "orders", "customer", "nation", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
