@@ -5539,3 +5539,364 @@ WHERE NOT EXISTS (
 """
 
 QUERIES["pareto_front"] = (q_pareto_front, SQL_PARETO_FRONT)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-shape: region-filtered star join with an exact derived-measure
+# rollup.  revenue = sum(l_extendedprice * (1 - l_discount)) computed as
+# INTEGER cents x (100 - pct) per row (both columns are 2-decimal by
+# data contract; round() recovers the exact ints from the stored
+# doubles), so the sum is order-independent on both engines; the float
+# revenue is a rounded payload of the exact integer total.
+
+REV_REGION = "ASIA"
+REV_DATE_LO = "1995-01-01"
+REV_DATE_HI = "1997-01-01"
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Filtered star join (region -> nation -> customer -> orders ->
+    lineitem) rolled up to exact revenue per nation.  Scale shape =
+    qty_by_nation: dimension chain collapses to a bounded custkey ->
+    nation broadcast (partitioned-join fallback above the limit /
+    on duplicate keys); only the fact-fact edge pays an exchange; the
+    driver combines per-batch integer partials as Python ints (no
+    float accumulation, no int64 overflow)."""
+    from .dedup import _join_partitions
+    from .joins import partitioned_hash_join
+    import pandas as pd
+
+    d = sf_dir if os.path.isdir(sf_dir) else os.path.dirname(sf_dir)
+    reg = read_parquet_sized(
+        os.path.join(d, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).take_all()
+    rkeys = {int(r["r_regionkey"]) for r in reg if r["r_name"] == REV_REGION}
+    nat = read_parquet_sized(
+        os.path.join(d, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).take_all()
+    nat_name = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in nat
+        if int(r["n_regionkey"]) in rkeys
+    }
+    out_empty = pd.DataFrame(
+        {
+            "n_name": pd.Series([], dtype=object),
+            "n_rows": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+        }
+    )
+    if not nat_name:
+        return out_empty
+
+    cust = read_parquet_sized(
+        os.path.join(d, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    orders = read_parquet_sized(
+        os.path.join(d, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    li = read_parquet_sized(
+        os.path.join(d, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    lo = np.datetime64(REV_DATE_LO)
+    hi = np.datetime64(REV_DATE_HI)
+
+    def filter_orders(b: pa.Table) -> pa.Table:
+        dt = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = (dt >= lo) & (dt < hi)
+        return b.filter(pa.array(keep)).select(["o_orderkey", "o_custkey"])
+
+    od = orders.map_batches(
+        filter_orders, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    n_cust = cust.count()
+    crows = cust.take_all() if n_cust <= STAR_DIM_BROADCAST_LIMIT else []
+    ck = np.array([r["c_custkey"] for r in crows], np.int64)
+    unique_pk = len(np.unique(ck)) == len(ck)
+    if crows and unique_pk:
+        cn = np.array([r["c_nationkey"] for r in crows], np.int64)
+        in_region = np.isin(cn, np.array(sorted(nat_name), np.int64))
+        o = np.argsort(ck[in_region])
+        cref = ray.put((ck[in_region][o], cn[in_region][o]))
+
+        def enrich(b: pa.Table) -> pa.Table:
+            cks, cns = ray.get(cref)
+            ok = b["o_custkey"].to_numpy(zero_copy_only=False)
+            if not len(cks):
+                return pa.table(
+                    {
+                        "o_orderkey": pa.array([], pa.int64()),
+                        "c_nationkey": pa.array([], pa.int64()),
+                    }
+                )
+            pos = np.minimum(np.searchsorted(cks, ok), len(cks) - 1)
+            hit = cks[pos] == ok
+            t = b.filter(pa.array(hit))
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                    "c_nationkey": pa.array(cns[pos[hit]], pa.int64()),
+                }
+            )
+
+        oc = od.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    else:  # over-limit or duplicate custkeys: exact partitioned semantics
+        nk = np.array(sorted(nat_name), np.int64)
+
+        def cfilt(b: pa.Table) -> pa.Table:
+            keep = np.isin(
+                b["c_nationkey"].to_numpy(zero_copy_only=False), nk
+            )
+            return b.filter(pa.array(keep))
+
+        oc = partitioned_hash_join(
+            od,
+            cust.map_batches(cfilt, batch_format="pyarrow", zero_copy_batch=True),
+            left_on="o_custkey",
+            right_on="c_custkey",
+            num_partitions=_join_partitions(od.count()),
+            how="inner",
+        ).select_columns(["o_orderkey", "c_nationkey"])
+
+    j = partitioned_hash_join(
+        li, oc,
+        left_on="l_orderkey", right_on="o_orderkey",
+        num_partitions=_join_partitions(li.count()), how="inner",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(ep * 100.0, 0).astype(np.int64)
+        pct = round_half_away(dc * 100.0, 0).astype(np.int64)
+        rev = cents * (100 - pct)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {"nk": pa.array(nk), "rev": pa.array(rev), "one": pa.array(np.ones(len(nk), np.int64))}
+        )
+        g = t.group_by("nk").aggregate([("rev", "sum"), ("one", "sum")])
+        return pa.table(
+            {
+                "nk": g["nk"].cast(pa.int64()),
+                "rev": g["rev_sum"].cast(pa.int64()),
+                "n": g["one_sum"].cast(pa.int64()),
+            }
+        )
+
+    rows = j.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return out_empty
+    acc: dict[int, list] = {}
+    for r in rows:  # Python-int combine: exact at any magnitude
+        e = acc.setdefault(int(r["nk"]), [0, 0])
+        e[0] += int(r["rev"])
+        e[1] += int(r["n"])
+    out = pd.DataFrame(
+        {
+            "n_name": [nat_name[k] for k in acc],
+            "n_rows": pd.Series([v[1] for v in acc.values()], dtype="int64"),
+            "revenue": [
+                # convert-then-divide, matching the SQL's CAST(sum AS
+                # DOUBLE)/10000.0 (Python int/float would true-divide
+                # from the exact rational and can differ above 2^53)
+                float(round_half_away(np.array([float(v[0]) / 10000.0]), 2)[0])
+                for v in acc.values()
+            ],
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+SQL_REVENUE_BY_NATION = f"""
+SELECT n.n_name,
+       count(*)::BIGINT AS n_rows,
+       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  AS DOUBLE) / 10000.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{REV_REGION}'
+  AND o.o_orderdate >= '{REV_DATE_LO}' AND o.o_orderdate < '{REV_DATE_HI}'
+GROUP BY 1
+"""
+
+QUERIES["revenue_by_nation"] = (q_revenue_by_nation, SQL_REVENUE_BY_NATION)
+
+
+def q_orders_cube(sf_dir: str):
+    """CUBE grouping sets: counts at (status, priority), (status),
+    (priority) and grand total.  Same one-combine shape as
+    q_orders_rollup — every coarser level derives from the finest
+    per-batch partials on the driver, so the level count never adds a
+    pass over the data."""
+    path = os.path.join(sf_dir, "orders.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ords = read_parquet_sized(path, columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "o_orderstatus": agg["o_orderstatus"],
+                "o_orderpriority": agg["o_orderpriority"],
+                "n": agg["count_all"].cast(pa.int64()),
+            }
+        )
+
+    rows = ords.map_batches(partial, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    base = (
+        pd.DataFrame(rows, columns=["o_orderstatus", "o_orderpriority", "n"])
+        .groupby(["o_orderstatus", "o_orderpriority"], as_index=False,
+                 dropna=False)["n"]
+        .sum()
+    )
+    lvl_s = base.groupby("o_orderstatus", as_index=False, dropna=False)["n"].sum()
+    lvl_s["o_orderpriority"] = None
+    lvl_p = base.groupby("o_orderpriority", as_index=False, dropna=False)["n"].sum()
+    lvl_p["o_orderstatus"] = None
+    total = pd.DataFrame(
+        [{"o_orderstatus": None, "o_orderpriority": None, "n": base["n"].sum()}]
+    )
+    out = pd.concat([base, lvl_s, lvl_p, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out = out[["o_orderstatus", "o_orderpriority", "n"]]
+    for c in ("o_orderstatus", "o_orderpriority"):
+        col = out[c].astype(object)
+        out[c] = col.where(pd.notna(col), None)
+    return out
+
+
+SQL_ORDERS_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+QUERIES["orders_cube"] = (q_orders_cube, SQL_ORDERS_CUBE)
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER join: per-customer account balance vs order totals, keeping
+# customers with no orders AND orders whose custkey dangles
+
+
+def q_customer_order_balance(sf_dir: str):
+    """FULL OUTER JOIN as one tagged-union exchange: customer rows and
+    per-batch order partials both shard by custkey, meet in one
+    `_sharded_groupby`, and the in-shard combine emits matched rows,
+    customer-only rows (n_orders = 0) and dangling-order rows (NULL
+    balance) — no second pass, no broadcast, outer semantics exact."""
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    d = sf_dir if os.path.isdir(sf_dir) else os.path.dirname(sf_dir)
+    cust = read_parquet_sized(
+        os.path.join(d, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    )
+    orders = read_parquet_sized(
+        os.path.join(d, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b["c_custkey"].cast(pa.int64()),
+                "bal": b["c_acctbal"].cast(pa.float64()),
+                # order partials: cents kept integer for the exact sum
+                "cents": pa.array(np.zeros(len(b), np.int64)),
+                "n": pa.array(np.zeros(len(b), np.int64)),
+                "is_cust": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(tp * 100.0, 0).astype(np.int64)
+        t = pa.table(
+            {
+                "k": b["o_custkey"].cast(pa.int64()),
+                "cents": pa.array(cents),
+                "n": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+        g = t.group_by("k").aggregate([("cents", "sum"), ("n", "sum")])
+        return pa.table(
+            {
+                "k": g["k"],
+                "bal": pa.array(np.full(len(g), np.nan), pa.float64()),
+                "cents": g["cents_sum"].cast(pa.int64()),
+                "n": g["n_sum"].cast(pa.int64()),
+                "is_cust": pa.array(np.zeros(len(g), np.int64)),
+            }
+        )
+
+    both = cust.map_batches(
+        cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(
+            order_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("k", as_index=False).agg(
+            bal=("bal", "max"),  # NaN-skipping: the customer row's value
+            cents=("cents", "sum"),
+            n=("n", "sum"),
+            is_cust=("is_cust", "max"),
+        )
+        total = round_half_away(
+            s["cents"].to_numpy().astype(np.float64) / 100.0, 2
+        )
+        has_orders = s["n"].to_numpy() > 0
+        out = pd.DataFrame(
+            {
+                "custkey": s["k"].astype("int64"),
+                "c_acctbal": s["bal"],  # NaN -> dangling order, matches NULL
+                "n_orders": s["n"].astype("int64"),
+                "total_spent": np.where(has_orders, total, np.nan),
+            }
+        )
+        return out
+
+    schema = pa.schema(
+        [
+            ("custkey", pa.int64()),
+            ("c_acctbal", pa.float64()),
+            ("n_orders", pa.int64()),
+            ("total_spent", pa.float64()),
+        ]
+    )
+    return _sharded_groupby(both, ["k"], combine, empty_schema=schema)
+
+
+SQL_CUSTOMER_ORDER_BALANCE = """
+WITH o AS (
+    SELECT o_custkey,
+           count(*)::BIGINT AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 2) AS total_spent
+    FROM orders GROUP BY 1
+)
+SELECT coalesce(c.c_custkey, o.o_custkey)::BIGINT AS custkey,
+       c.c_acctbal,
+       coalesce(o.n_orders, 0)::BIGINT AS n_orders,
+       o.total_spent
+FROM customer c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
+"""
+
+QUERIES["customer_order_balance"] = (
+    q_customer_order_balance,
+    SQL_CUSTOMER_ORDER_BALANCE,
+)

@@ -35,6 +35,7 @@ FUZZ_ENTRIES = [
     "zorder_layout",
     "customer_year_sets",
     "pareto_front",
+    "customer_order_balance",
 ]
 
 _LINE = st.tuples(
@@ -128,6 +129,9 @@ def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
             {
                 "c_custkey": pa.array(list(range(10)), pa.int64()),
                 "c_nationkey": pa.array([i % 4 for i in range(10)], pa.int64()),
+                "c_acctbal": pa.array(
+                    [i * 7.25 - 20.0 for i in range(10)], pa.float64()
+                ),
             }
         ),
         os.path.join(tmpdir, "customer.parquet"),
