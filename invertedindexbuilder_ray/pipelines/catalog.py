@@ -5900,3 +5900,253 @@ QUERIES["customer_order_balance"] = (
     q_customer_order_balance,
     SQL_CUSTOMER_ORDER_BALANCE,
 )
+
+
+# --------------------------------------------------------------------------
+# hashing-trick sparse feature vectors: token counts folded into a fixed
+# F-bucket space per doc (Weinberger et al. 2009) — the vectorizer every
+# scale-bounded ML featurizer uses.  Pure streaming: docs never span
+# batches, so one bincount per batch and ZERO exchanges.
+
+FEATURE_HASH_BUCKETS = 64
+
+
+def q_feature_hash_vectors(sf_dir: str):
+    from ..sources.documents import load_documents
+    from ..functions.sketch import _token_hashes
+
+    F = FEATURE_HASH_BUCKETS
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        h, row = _token_hashes(batch["text"])
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(h):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        b = (h % np.uint64(F)).astype(np.int64)
+        flat = np.bincount(row.astype(np.int64) * F + b,
+                           minlength=batch.num_rows * F)
+        nz = np.flatnonzero(flat)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz // F], pa.int64()),
+                "bucket": pa.array(nz % F, pa.int64()),
+                "n": pa.array(flat[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return load_documents(sf_dir).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _sql_feature_hash_vectors() -> str:
+    from .sketch_sql import _token_hash_ctes
+
+    return f"""
+WITH {_token_hash_ctes()}
+SELECT doc_id, CAST(h % {FEATURE_HASH_BUCKETS} AS BIGINT) AS bucket,
+       count(*)::BIGINT AS n
+FROM th GROUP BY 1, 2
+"""
+
+
+QUERIES["feature_hash_vectors"] = (
+    q_feature_hash_vectors,
+    _sql_feature_hash_vectors(),
+)
+
+
+# --------------------------------------------------------------------------
+# deterministic NTILE: equal-count tiles of orders under the total order
+# (o_totalprice, o_orderkey) — ties broken so the window is reproducible
+# (bare NTILE OVER (ORDER BY price) is nondeterministic on ties).
+#
+# Shape — the sequence_pack two-level scan, but bucketed by VALUE RANGE
+# (price cents // 2^20, a fixed ~$10.5k grid) so bucket order == rank
+# order: per-bucket counts cumsum on the driver (O(#buckets) rows), one
+# bucket-keyed exchange computes in-bucket local ranks, and the exact
+# SQL NTILE split (first n%k tiles get the extra row) is integer math.
+
+NTILE_K = 8
+_NTILE_GRID_SHIFT = 20  # cents >> 20: ~10.5k-dollar buckets
+
+
+def q_price_ntile(sf_dir: str):
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "orders.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ords = read_parquet_sized(path, columns=["o_orderkey", "o_totalprice"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(tp * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_totalprice": pa.array(tp, pa.float64()),
+                "cents": pa.array(cents),
+                "bucket": pa.array(cents >> _NTILE_GRID_SHIFT, pa.int64()),
+            }
+        )
+
+    rows = ords.map_batches(keyed, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("bucket").aggregate([([], "count_all")])
+        return pa.table(
+            {"bucket": g["bucket"], "c": g["count_all"].cast(pa.int64())}
+        )
+
+    bucket_rows = rows.map_batches(
+        bucket_partial, batch_format="pyarrow"
+    ).take_all()
+    import pandas as pd
+
+    if not bucket_rows:
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_totalprice": pd.Series([], dtype="float64"),
+                "tile": pd.Series([], dtype="int64"),
+            }
+        )
+    bf = (
+        pd.DataFrame(bucket_rows, columns=["bucket", "c"])
+        .groupby("bucket", as_index=False)["c"].sum()
+        .sort_values("bucket")
+    )
+    n_total = int(bf["c"].sum())
+    buckets = bf["bucket"].to_numpy(np.int64)
+    offs = np.concatenate([[0], np.cumsum(bf["c"].to_numpy(np.int64))[:-1]])
+    bref = ray.put((buckets, offs))
+    k = NTILE_K
+    big = n_total % k
+    small_sz = n_total // k
+    big_sz = small_sz + 1
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        bk, off = ray.get(bref)
+        g = g.sort_values(["cents", "o_orderkey"], kind="mergesort").copy()
+        local = g.groupby("bucket").cumcount().to_numpy(np.int64)
+        base = off[np.searchsorted(bk, g["bucket"].to_numpy(np.int64))]
+        rn = base + local + 1  # 1-based global row_number
+        cut = big * big_sz
+        tile = np.where(
+            rn <= cut,
+            (rn - 1) // big_sz + 1,
+            big + (rn - cut - 1) // max(small_sz, 1) + 1,
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].astype("int64"),
+                "o_totalprice": g["o_totalprice"],
+                "tile": tile.astype("int64"),
+            }
+        )
+
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_totalprice", pa.float64()),
+            ("tile", pa.int64()),
+        ]
+    )
+    return _sharded_groupby(rows, ["bucket"], scan, empty_schema=schema)
+
+
+SQL_PRICE_NTILE = f"""
+SELECT o_orderkey, o_totalprice,
+       ntile({NTILE_K}) OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS tile
+FROM orders
+"""
+
+QUERIES["price_ntile"] = (q_price_ntile, SQL_PRICE_NTILE)
+
+
+# --------------------------------------------------------------------------
+# per-group min-max scaling: the [0, 1] feature-normalization pass
+
+def q_scale_minmax(sf_dir: str):
+    """scaled = round((n_chars - min) / (max - min), 6) within each
+    language (NULL when the group is constant).  Two streaming passes:
+    per-batch (lang, min, max) partials -> tiny driver combine ->
+    broadcast lookup — group count is bounded, rows never move."""
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("lang").aggregate(
+            [("n_chars", "min"), ("n_chars", "max")]
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "mn": g["n_chars_min"].cast(pa.int64()),
+                "mx": g["n_chars_max"].cast(pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype=object),
+                "scaled": pd.Series([], dtype="float64"),
+            }
+        )
+    mm = parts.groupby("lang", as_index=False).agg(
+        mn=("mn", "min"), mx=("mx", "max")
+    )
+    lut = {r.lang: (int(r.mn), int(r.mx)) for r in mm.itertuples()}
+    lref = ray.put(lut)
+
+    def scale(b: pa.Table) -> pa.Table:
+        t = ray.get(lref)
+        langs = b["lang"].to_numpy(zero_copy_only=False)
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mn = np.array([t[l][0] for l in langs], np.float64)
+        mx = np.array([t[l][1] for l in langs], np.float64)
+        rng = mx - mn
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scaled = round_half_away((x - mn) / rng, 6)
+        out = pc.if_else(
+            pa.array(rng > 0),
+            pa.array(np.where(rng > 0, scaled, 0.0), pa.float64()),
+            pa.scalar(None, pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang": b["lang"],
+                "scaled": out,
+            }
+        )
+
+    return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SCALE_MINMAX = """
+SELECT doc_id, lang,
+       CASE WHEN mx > mn
+            THEN round((n_chars - mn) / CAST(mx - mn AS DOUBLE), 6)
+       END AS scaled
+FROM (
+    SELECT doc_id, lang, n_chars,
+           min(n_chars) OVER (PARTITION BY lang) AS mn,
+           max(n_chars) OVER (PARTITION BY lang) AS mx
+    FROM documents
+)
+"""
+
+QUERIES["scale_minmax"] = (q_scale_minmax, SQL_SCALE_MINMAX)

@@ -52,6 +52,8 @@ FUZZ_ENTRIES = [
     "index_size_stats",
     "more_like_this",
     "collocations_llr",
+    "feature_hash_vectors",
+    "scale_minmax",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

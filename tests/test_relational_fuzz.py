@@ -36,6 +36,7 @@ FUZZ_ENTRIES = [
     "customer_year_sets",
     "pareto_front",
     "customer_order_balance",
+    "price_ntile",
 ]
 
 _LINE = st.tuples(
