@@ -6150,3 +6150,167 @@ FROM (
 """
 
 QUERIES["scale_minmax"] = (q_scale_minmax, SQL_SCALE_MINMAX)
+
+
+# --------------------------------------------------------------------------
+# query autocomplete: top-k term completions per prefix by document
+# frequency.  One streaming pass over the postings stream with the tiny
+# prefix set in the closure; per-batch partial (prefix, term) df counts,
+# one bounded combine (candidate space = terms matching a prefix).
+
+SUGGEST_PREFIXES = ["d", "re", "s"]
+SUGGEST_K = 5
+
+
+def q_prefix_suggest(sf_dir: str):
+    import pandas as pd
+
+    prefixes = sorted(SUGGEST_PREFIXES)
+
+    def partial(b: pa.Table) -> pa.Table:
+        terms, doc_ids, _tfs = tokenize_to_postings(
+            b["text"], b["doc_id"].to_numpy(zero_copy_only=False)
+        )
+        out_p, out_t = [], []
+        for p in prefixes:
+            m = pc.starts_with(terms, p)
+            sel = terms.filter(m)
+            if len(sel):
+                # df partial: distinct docs per term within the batch
+                t = pa.table(
+                    {
+                        "term": sel,
+                        "doc": pa.array(
+                            np.asarray(doc_ids)[
+                                m.to_numpy(zero_copy_only=False)
+                            ],
+                            pa.int64(),
+                        ),
+                    }
+                )
+                g = t.group_by(["term"]).aggregate([("doc", "count_distinct")])
+                out_p.append(np.full(len(g), p, object))
+                out_t.append(
+                    pa.table(
+                        {
+                            "term": g["term"],
+                            "df": g["doc_count_distinct"].cast(pa.int64()),
+                        }
+                    )
+                )
+        if not out_t:
+            return pa.table(
+                {
+                    "prefix": pa.array([], pa.utf8()),
+                    "term": pa.array([], pa.utf8()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        tt = pa.concat_tables(out_t)
+        return pa.table(
+            {
+                "prefix": pa.array(np.concatenate(out_p), pa.utf8()),
+                "term": tt["term"],
+                "df": tt["df"],
+            }
+        )
+
+    rows = (
+        load_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    out_cols = ["prefix", "term", "df", "rank"]
+    if not len(rows):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "prefix": pd.Series([], dtype=object),
+                "term": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+            }
+        )
+    # NOTE: per-batch count_distinct partials cannot be summed when a
+    # term's docs span batches — recount df from (prefix, term, doc)?
+    # No: docs never span batches (load_documents contract), and a doc
+    # contributes at most 1 to a term's df, so per-batch distinct-doc
+    # counts ARE additive across batches.
+    tot = rows.groupby(["prefix", "term"], as_index=False)["df"].sum()
+    tot = tot.sort_values(
+        ["prefix", "df", "term"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    tot["rank"] = tot.groupby("prefix").cumcount() + 1
+    tot = tot[tot["rank"] <= SUGGEST_K].reset_index(drop=True)
+    tot["df"] = tot["df"].astype("int64")
+    tot["rank"] = tot["rank"].astype("int64")
+    return tot[out_cols]
+
+
+def _sql_prefix_suggest() -> str:
+    pref_values = ", ".join(f"('{p}')" for p in sorted(SUGGEST_PREFIXES))
+    return (
+        "WITH "
+        + _SQL_TOKENS
+        + f""",
+pref(p) AS (VALUES {pref_values}),
+dfp AS (
+    SELECT p AS prefix, term, count(DISTINCT doc_id)::BIGINT AS df
+    FROM tok_kept JOIN pref ON starts_with(term, p)
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT prefix, term, df,
+           row_number() OVER (
+               PARTITION BY prefix ORDER BY df DESC, term
+           ) AS rk
+    FROM dfp
+)
+SELECT prefix, term, df, rk::BIGINT AS rank
+FROM ranked WHERE rk <= {SUGGEST_K}"""
+    )
+
+
+QUERIES["prefix_suggest"] = (q_prefix_suggest, _sql_prefix_suggest())
+
+
+# --------------------------------------------------------------------------
+# distributed grep: docs matching an RE2 pattern, with per-doc match
+# counts — one streaming vectorized regex scan (Arrow re2 kernel on the
+# engine, regexp_* on the oracle; identical RE2 syntax subset)
+
+REGEX_SEARCH_PATTERN = "(the|data) [a-z]{7,}"
+
+
+def q_regex_search(sf_dir: str):
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "text"])
+
+    def scan(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], REGEX_SEARCH_PATTERN)
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_matches": n.cast(pa.int64()),
+            }
+        )
+        return t.filter(pc.greater(t["n_matches"], 0))
+
+    out = ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+    # a zero-match corpus would yield only empty blocks, which Ray's
+    # to_pandas drops into a column-less frame — union a typed empty
+    # block so the schema always survives (house rule)
+    empty = pa.schema([("doc_id", pa.int64()), ("n_matches", pa.int64())])
+    return out.union(rd.from_arrow(empty.empty_table()))
+
+
+SQL_REGEX_SEARCH = f"""
+SELECT doc_id, len(regexp_extract_all(text, '{REGEX_SEARCH_PATTERN}'))::BIGINT
+       AS n_matches
+FROM documents
+WHERE regexp_matches(text, '{REGEX_SEARCH_PATTERN}')
+"""
+
+QUERIES["regex_search"] = (q_regex_search, SQL_REGEX_SEARCH)

@@ -54,6 +54,8 @@ FUZZ_ENTRIES = [
     "collocations_llr",
     "feature_hash_vectors",
     "scale_minmax",
+    "regex_search",
+    "prefix_suggest",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
