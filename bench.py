@@ -181,6 +181,11 @@ def run_bench() -> dict:
         "bigram_logprob", "positional_postings", "phrase_match",
         "proximity_match", "index_size_stats", "zorder_layout",
         "events_profile",
+        "more_like_this", "grouped_distinct_hll", "source_mixture",
+        "collocations_llr", "customer_year_sets", "pareto_front",
+        "revenue_by_nation", "orders_cube", "customer_order_balance",
+        "feature_hash_vectors", "price_ntile", "scale_minmax",
+        "prefix_suggest", "regex_search",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]
