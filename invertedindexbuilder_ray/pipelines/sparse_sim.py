@@ -91,23 +91,43 @@ def more_like_this(
         # norm^2 partials (qid = -1 marks them through exchange 2)
         nrm = pd.DataFrame({"doc_id": doc, "qid": np.int64(-1), "val": w * w})
         nrm = nrm.groupby(["doc_id", "qid"], as_index=False)["val"].sum()
-        # dot partials: query-doc postings x same-term postings
-        qmask = doc % query_mod == 0
-        if qmask.any():
-            wf = pd.DataFrame({"c": codes, "doc_id": doc, "w": w})
-            qf = pd.DataFrame(
-                {"c": codes[qmask], "qid": doc[qmask], "wq": w[qmask]}
-            )
-            m = qf.merge(wf, on="c")
-            m = m[m["qid"] != m["doc_id"]]
-            dots = pd.DataFrame(
-                {
-                    "doc_id": m["doc_id"].to_numpy(),
-                    "qid": m["qid"].to_numpy(),
-                    "val": m["wq"].to_numpy() * m["w"].to_numpy(),
-                }
-            ).groupby(["doc_id", "qid"], as_index=False)["val"].sum()
-            nrm = pd.concat([nrm, dots], ignore_index=True)
+        # dot partials: query-doc postings x same-term postings, via a
+        # vectorized segment cartesian product (repeat/cumsum gather — the
+        # band_join explode shape) instead of a pandas hash join: the
+        # join key is the term code, whose runs we already know
+        qsel = np.flatnonzero(doc % query_mod == 0)
+        if len(qsel):
+            ordd = np.argsort(codes, kind="stable")
+            cnt_d = np.bincount(codes, minlength=len(uniq))
+            start_d = np.concatenate(([0], np.cumsum(cnt_d)[:-1]))
+            qcodes = codes[qsel]
+            rep = cnt_d[qcodes]
+            total = int(rep.sum())
+            if total:
+                q_rep = np.repeat(qsel, rep)
+                offs = np.concatenate(([0], np.cumsum(rep)[:-1]))
+                within = np.arange(total, dtype=np.int64) - np.repeat(offs, rep)
+                d_rows = ordd[np.repeat(start_d[qcodes], rep) + within]
+                mask = doc[d_rows] != doc[q_rep]
+                dd, qq = doc[d_rows][mask], doc[q_rep][mask]
+                val = w[q_rep][mask] * w[d_rows][mask]
+                # composite int key: qid slots are few, so pair ids pack
+                # into one int64 for a single-key C-speed exact groupby
+                uq, qpos = np.unique(qq, return_inverse=True)
+                dfac, _duniq = pd.factorize(dd, sort=False)
+                key = dfac.astype(np.int64) * len(uq) + qpos
+                s = pd.DataFrame({"key": key, "val": val}).groupby(
+                    "key", as_index=False, sort=False
+                )["val"].sum()
+                k = s["key"].to_numpy()
+                dots = pd.DataFrame(
+                    {
+                        "doc_id": _duniq[k // len(uq)],
+                        "qid": uq[k % len(uq)],
+                        "val": s["val"].to_numpy(),
+                    }
+                )
+                nrm = pd.concat([nrm, dots], ignore_index=True)
         return nrm
 
     part_schema = pa.schema(
