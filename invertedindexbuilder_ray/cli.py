@@ -90,6 +90,25 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone deletion + compaction (merge.delete_docs): doc ids from
+    --ids (comma-separated) and/or --ids-file (one id per line)."""
+    _init_ray(args.num_cpus)
+    from .pipelines.merge import delete_docs
+
+    ids: list[int] = []
+    if args.ids:
+        ids.extend(int(x) for x in args.ids.split(",") if x.strip())
+    if args.ids_file:
+        with open(args.ids_file) as f:
+            ids.extend(int(line) for line in f if line.strip())
+    if not ids:
+        raise SystemExit("delete: no tombstones given (--ids / --ids-file)")
+    man = delete_docs(args.index, ids, args.out, resume=not args.no_resume)
+    print(json.dumps({"n_docs": man.n_docs, **man.stats}))
+    return 0
+
+
 def cmd_run(args) -> int:
     """Run any catalog pipeline over an sf-style table dir; write parquet
     or print.  `--list` enumerates the available pipelines."""
@@ -206,6 +225,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     mg.add_argument("--no-resume", action="store_true")
     mg.set_defaults(fn=cmd_merge)
+
+    dl = sub.add_parser(
+        "delete",
+        help="tombstone doc ids out of an index (compaction without re-tokenizing)",
+    )
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--out", required=True)
+    dl.add_argument("--ids", default="", help="comma-separated doc ids")
+    dl.add_argument("--ids-file", default=None, help="file with one doc id per line")
+    dl.add_argument("--no-resume", action="store_true")
+    dl.set_defaults(fn=cmd_delete)
 
     rn = sub.add_parser(
         "run", help="run a catalog pipeline (dedup/similarity/text/clean/...) over a table dir"

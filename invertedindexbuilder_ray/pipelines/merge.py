@@ -322,3 +322,178 @@ def merge_indexes(
     )
     man.save(out_dir)
     return man
+
+
+class _DeletePartition:
+    """Task: partition id -> FILTERED posting rows for the checkpoint.
+
+    Tombstoned doc_ids ride the object store once as a sorted array
+    (``ray.put``); each task decodes its partition and drops their
+    postings with one vectorized membership probe.  Kept docs keep their
+    ORIGINAL ids (stable external references; doc-id density is not
+    assumed anywhere — dl lookups stay index-by-id)."""
+
+    def __init__(self, index_dir, dl_ref, tomb_ref, man):
+        self.index_dir = index_dir
+        self.dl_ref = dl_ref
+        self.tomb_ref = tomb_ref
+        self.man = man
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        dl = ray.get(self.dl_ref)
+        tomb = ray.get(self.tomb_ref)
+        out = []
+        for j in range(batch.num_rows):
+            pid = batch["pid"][j].as_py()
+            t = _partition_posting_rows(self.index_dir, pid, 0, dl, self.man)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(tomb, ids)
+            pos = np.minimum(pos, max(len(tomb) - 1, 0))
+            dead = (tomb[pos] == ids) if len(tomb) else np.zeros(len(ids), bool)
+            out.append(t.filter(pa.array(~dead)))
+        return pa.concat_tables(out)
+
+
+def delete_docs(
+    index_dir: str,
+    tombstones,
+    out_dir: str,
+    *,
+    resume: bool = True,
+) -> IndexManifest:
+    """Tombstone deletion + compaction: remove ``tombstones`` (iterable of
+    doc_ids) from ``index_dir`` WITHOUT re-tokenizing the corpus, into
+    ``out_dir`` — byte-identical to ``build_index`` over the filtered
+    corpus (asserted by ``tests/test_merge.py``), because phase 3 is
+    deterministic given (partition rows, n_docs, d_avr) and both paths
+    see the same filtered rows and recomputed stats.
+
+    Shape: one decode+filter task per partition (embarrassingly
+    parallel, zero shuffles — filtered rows keep their partition), docs
+    table filtered in one streaming pass, then the normal phase-3
+    re-encode with the post-delete BM25 stats.  Cost is proportional to
+    the INDEX size, not the corpus text."""
+    import ray
+    import shutil
+
+    man = IndexManifest.load(index_dir)
+    p = man.num_partitions
+    tomb = np.unique(np.asarray(sorted(set(int(t) for t in tombstones)),
+                                dtype=np.int64))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt = os.path.join(out_dir, CKPT_DIR)
+    docs_dir = os.path.join(out_dir, DOCS_DIR)
+    if not resume:
+        for sub in (CKPT_DIR, DOCS_DIR, POSTINGS_DIR, LEXICON_DIR, PARTS_META_DIR):
+            pth = os.path.join(out_dir, sub)
+            if os.path.isdir(pth):
+                shutil.rmtree(pth)
+    import hashlib
+
+    # md5, not hash(): Python's bytes hash is salted per process, which
+    # would break resume fingerprints across runs
+    tomb_digest = hashlib.md5(tomb.tobytes()).hexdigest()[:16]
+    fingerprint = (
+        f"delete:{index_dir}:{man.input_fingerprint}:{man.n_docs}"
+        f":{tomb_digest}"
+    )
+
+    def _check_stale(stage_dir: str, stage: str) -> None:
+        if not (resume and mf.is_complete(stage_dir)):
+            return
+        try:
+            prev = json.load(open(mf.marker_path(stage_dir))).get("fingerprint", "")
+        except (OSError, ValueError):
+            prev = ""
+        if prev and prev != fingerprint:
+            raise ValueError(
+                f"resume requested at {out_dir} but its {stage} came from a "
+                f"different delete (fingerprint {prev!r} != {fingerprint!r}); "
+                "use a fresh out_dir or resume=False"
+            )
+
+    _check_stale(docs_dir, "docs table")
+    _check_stale(ckpt, "checkpoint")
+
+    # ---- filtered docs table (original ids kept)
+    if not (resume and mf.is_complete(docs_dir)):
+        if os.path.isdir(docs_dir):
+            shutil.rmtree(docs_dir)
+        tomb_ref = ray.put(tomb)
+
+        def drop(t: pa.Table) -> pa.Table:
+            tb = ray.get(tomb_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(tb, ids), max(len(tb) - 1, 0))
+            dead = (tb[pos] == ids) if len(tb) else np.zeros(len(ids), bool)
+            return t.filter(pa.array(~dead))
+
+        rd.read_parquet(
+            os.path.join(index_dir, DOCS_DIR), columns=["doc_id", "dl", "url"]
+        ).map_batches(drop, batch_format="pyarrow").write_parquet(docs_dir)
+        mf.mark_complete(docs_dir, {"fingerprint": fingerprint})
+
+    stats = (
+        rd.read_parquet(docs_dir, columns=["doc_id", "dl"])
+        .aggregate(Count(), Sum("dl"), Max("doc_id"))
+    ) or {}
+    n_docs = int(stats.get("count()") or 0)
+    sum_dl = int(stats.get("sum(dl)") or 0)
+    max_doc_id = int(stats["max(doc_id)"]) + 1 if n_docs else 0
+    d_avr = (sum_dl / (n_docs - 1)) if n_docs > 1 else float(sum_dl)  # quirk Q6
+
+    # ---- checkpoint: decode + filter each partition in parallel
+    if not (resume and mf.is_complete(ckpt)):
+        if os.path.isdir(ckpt):
+            shutil.rmtree(ckpt)
+        dl_ref = ray.put(
+            DocTable.load(os.path.join(index_dir, DOCS_DIR), man.max_doc_id).dl
+        )
+        tomb_ref = ray.put(tomb)
+        rd.from_items([{"pid": pid} for pid in range(p)]).map_batches(
+            _DeletePartition(
+                index_dir, dl_ref, tomb_ref,
+                {"block_max": man.block_max, "max_doc_id": man.max_doc_id},
+            ),
+            batch_format="pyarrow",
+            batch_size=1,
+        ).write_parquet(ckpt, partition_cols=["partition"])
+        mf.mark_complete(ckpt, {"fingerprint": fingerprint})
+
+    # ---- re-encode with the post-delete stats (normal phase 3)
+    t0 = time.perf_counter()
+    builder = BuildPartition(
+        out_dir, ckpt, n_docs, d_avr, man.block_max,
+        resume=resume, ckpt_token=fingerprint,
+    )
+    metrics_rows = (
+        rd.from_items([{"pid": q} for q in range(p)])
+        .map_batches(builder, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    partitions = {
+        str(r["partition"]): json.loads(r["metrics"]) for r in metrics_rows
+    }
+    out_man = IndexManifest(
+        n_docs=n_docs,
+        sum_dl=sum_dl,
+        d_avr=d_avr,
+        max_doc_id=max_doc_id,
+        num_partitions=p,
+        block_max=man.block_max,
+        input_fingerprint=fingerprint,
+        partitions=partitions,
+        stats={
+            "total_postings": sum(q.get("rows", 0) for q in partitions.values()),
+            "distinct_terms": sum(q.get("n_terms", 0) for q in partitions.values()),
+            "index_bytes": sum(q.get("blob_bytes", 0) for q in partitions.values()),
+            "deleted_from": index_dir,
+            "n_tombstones": int(len(tomb)),
+            "delete_encode_s": round(time.perf_counter() - t0, 3),
+        },
+    )
+    out_man.save(out_dir)
+    return out_man

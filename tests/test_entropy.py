@@ -51,3 +51,39 @@ def test_entropy_formula_matches_float_reference():
     num = float(_log2_fp(np.array([dl]))[0] * dl - int(np.sum(tf * _log2_fp(tf))))
     h_fp = num / (dl * ENTROPY_LOG_SCALE)
     assert abs(h_fp - h_float) < 1e-6
+
+
+def test_log2_fp_ext_matches_duckdb_formula():
+    """_log2_fp_ext's shift-first quantization == the SQL expression
+    round(log2(k >> s)*1e9) + s*1e9 (s = bitlen-16) over the large-k
+    domain bigram_llr reaches; in-domain it IS the verified table."""
+    import duckdb
+    import numpy as np
+
+    from invertedindexbuilder_ray.pipelines.textpipe import _log2_fp_ext
+
+    rng = np.random.RandomState(11)
+    ks = np.unique(
+        np.concatenate(
+            [
+                rng.randint(1, 1 << 16, 500),
+                rng.randint(1 << 16, 1 << 26, 1500),
+                np.array([1, 2, 65535, 65536, 65537, (1 << 26) - 1]),
+            ]
+        )
+    ).astype(np.int64)
+    got = _log2_fp_ext(ks)
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        SELECT CAST(round(log2(k >> s) * 1000000000) AS BIGINT)
+               + s * 1000000000
+        FROM (
+            SELECT k, greatest(length(bin(k))::BIGINT - 16, 0) AS s
+            FROM (SELECT unnest(?) AS k)
+        )
+        """,
+        [[int(k) for k in ks]],
+    ).fetchnumpy()
+    key = next(iter(want))
+    assert np.array_equal(got, want[key].astype(np.int64))

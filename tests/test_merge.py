@@ -144,3 +144,57 @@ def test_merge_decodes_segmented_inputs(ray_session, webpages_medium, tmp_path):
     man_m = merge_indexes([ia, ib], str(root / "im"))
     assert man_m.stats["total_postings"] == man_full.stats["total_postings"]
     assert _blob_hashes(str(root / "im")) == _blob_hashes(full_idx)
+
+
+def test_delete_docs_byte_identical(ray_session, tmp_path):
+    """delete_docs == build_index over the filtered corpus, byte-for-byte
+    (postings blobs, lexicon rows, docs table, stats)."""
+    import pyarrow as pa
+
+    from invertedindexbuilder_ray.pipelines.merge import delete_docs
+    from invertedindexbuilder_ray.sources.documents import load_documents
+
+    src = "/root/testdata/sf0.001"
+    base = str(tmp_path / "base")
+    build_index(load_documents(src), base, num_partitions=4)
+
+    tomb = [d for d in range(500) if d % 7 == 0]
+    out = str(tmp_path / "deleted")
+    man = delete_docs(base, tomb, out)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 7 != 0))
+
+    ref = str(tmp_path / "ref")
+    build_index(
+        load_documents(src).map_batches(filt, batch_format="pyarrow"),
+        ref,
+        num_partitions=4,
+    )
+
+    assert _blob_hashes(out) == _blob_hashes(ref)
+    assert _lexicon_rows(out) == _lexicon_rows(ref)
+    ref_man = build_index(  # resume no-op load of the ref manifest
+        load_documents(src).map_batches(filt, batch_format="pyarrow"),
+        ref,
+        num_partitions=4,
+    )
+    assert man.n_docs == ref_man.n_docs
+    assert man.sum_dl == ref_man.sum_dl
+    assert man.stats["total_postings"] == ref_man.stats["total_postings"]
+    assert man.stats["distinct_terms"] == ref_man.stats["distinct_terms"]
+
+    # queries over the deleted index: identical to the filtered rebuild,
+    # and tombstoned docs never surface
+    qe_d, qe_r = QueryEngine(out), QueryEngine(ref)
+    for terms, mode in [("data the", 0), ("data model", 1)]:
+        rd_, rr = qe_d.search(terms, 10, mode), qe_r.search(terms, 10, mode)
+        assert [(r["doc_id"], r["score"]) for r in rd_] == [
+            (r["doc_id"], r["score"]) for r in rr
+        ]
+        assert all(r["doc_id"] % 7 != 0 for r in rd_)
+
+    # resume: a second call must skip every partition
+    man2 = delete_docs(base, tomb, out)
+    assert all(p.get("skipped") for p in man2.partitions.values())
