@@ -6314,3 +6314,244 @@ WHERE regexp_matches(text, '{REGEX_SEARCH_PATTERN}')
 """
 
 QUERIES["regex_search"] = (q_regex_search, SQL_REGEX_SEARCH)
+
+
+# --------------------------------------------------------------------------
+# passage chunking: sliding token windows (size W, stride S) per document
+# — the RAG / context-window preprocessing op.  Chunk grid: starts at
+# multiples of S while start < n_tokens; chunk = tokens[start, start+W).
+# Pure streaming (docs never span batches): per-batch flat-token gather +
+# one Arrow list-join kernel, zero exchanges, zero Python per-row loops.
+
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+def q_chunk_documents(sf_dir: str):
+    from ..functions.tokenize import token_spans
+    from .textpipe import _token_string_array
+
+    W, S = CHUNK_W, CHUNK_S
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_id": pa.array([], pa.int64()),
+            "start_pos": pa.array([], pa.int64()),
+            "n_chunk_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.utf8()),
+        }
+    )
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        mapped, starts, lens, row_idx = token_spans(
+            batch["text"], drop_trailing=False
+        )
+        if not len(starts):
+            return empty
+        toks = _token_string_array(mapped, starts, lens)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = batch.num_rows
+        cnt = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
+        doc_start = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        nch = -(-cnt // S)  # ceil(n/S); 0 chunks for token-less docs
+        total = int(nch.sum())
+        if not total:
+            return empty
+        crow = np.repeat(np.arange(n_rows), nch)  # doc row per chunk
+        coffs = np.concatenate(([0], np.cumsum(nch)[:-1]))
+        cid = np.arange(total, dtype=np.int64) - np.repeat(coffs, nch)
+        cstart = cid * S
+        clen = np.minimum(cnt[crow] - cstart, W)
+        # flat token indices of every chunk member (repeat/cumsum gather)
+        tot_toks = int(clen.sum())
+        boff = np.concatenate(([0], np.cumsum(clen)[:-1]))
+        within = np.arange(tot_toks, dtype=np.int64) - np.repeat(boff, clen)
+        tok_idx = np.repeat(doc_start[crow] + cstart, clen) + within
+        gathered = toks.take(pa.array(tok_idx, pa.int64()))
+        offsets = np.zeros(total + 1, np.int32)
+        offsets[1:] = np.cumsum(clen)
+        lst = pa.ListArray.from_arrays(pa.array(offsets), gathered)
+        text = pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[crow], pa.int64()),
+                "chunk_id": pa.array(cid, pa.int64()),
+                "start_pos": pa.array(cstart, pa.int64()),
+                "n_chunk_tokens": pa.array(clen, pa.int64()),
+                "chunk_text": text,
+            }
+        )
+
+    return load_documents(sf_dir).map_batches(
+        chunks, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _sql_chunk_documents() -> str:
+    W, S = CHUNK_W, CHUNK_S
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS pos
+    FROM filt
+),
+nn AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+chunks AS (
+    SELECT doc_id, unnest(range(0, (n + {S} - 1) // {S})) AS chunk_id
+    FROM nn
+)
+SELECT c.doc_id, c.chunk_id::BIGINT AS chunk_id,
+       (c.chunk_id * {S})::BIGINT AS start_pos,
+       count(*)::BIGINT AS n_chunk_tokens,
+       string_agg(t.term, ' ' ORDER BY t.pos) AS chunk_text
+FROM chunks c
+JOIN toks t ON t.doc_id = c.doc_id
+   AND t.pos > c.chunk_id * {S} AND t.pos <= c.chunk_id * {S} + {W}
+GROUP BY c.doc_id, c.chunk_id
+"""
+
+
+QUERIES["chunk_documents"] = (q_chunk_documents, _sql_chunk_documents())
+
+
+# --------------------------------------------------------------------------
+# skip-gram pair generation: directed (left, right) token pairs within
+# window D — the word2vec / co-occurrence training-pair extractor.
+# Per-batch shifted-array pair counts (one Arrow group_by per batch),
+# pair-hash-sharded global sum, per-shard partial top-k (a pair's total
+# lives in one shard), tiny final merge — the bigram_topk shape at
+# distance up to D.
+
+SKIPGRAM_D = 3
+SKIPGRAM_TOP_K = 30
+
+
+def q_skipgram_pairs(sf_dir: str):
+    from ..functions.tokenize import _span_hashes, token_spans
+    from .dedup import _sharded_groupby
+    from .textpipe import _FNV_PRIME, _token_string_array
+    import pandas as pd
+
+    D, K = SKIPGRAM_D, SKIPGRAM_TOP_K
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mapped, starts, lens, row_idx = token_spans(
+            batch["text"], drop_trailing=False
+        )
+        n = len(starts)
+        empty = pa.table(
+            {
+                "left": pa.array([], pa.utf8()),
+                "right": pa.array([], pa.utf8()),
+                "ph": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        toks = _token_string_array(mapped, starts, lens)
+        h, _h2 = _span_hashes(mapped, starts, lens)
+        parts = []
+        for d in range(1, D + 1):
+            if n <= d:
+                break
+            keep = row_idx[:-d] == row_idx[d:]
+            if not keep.any():
+                continue
+            left = toks.slice(0, n - d).filter(pa.array(keep))
+            right = toks.slice(d, n - d).filter(pa.array(keep))
+            with np.errstate(over="ignore"):
+                ph = (
+                    (h[:-d] ^ (h[d:] * np.uint64(_FNV_PRIME)))[keep]
+                ).view(np.int64)
+            parts.append(
+                pa.table(
+                    {"left": left, "right": right,
+                     "ph": pa.array(ph, pa.int64())}
+                )
+            )
+        if not parts:
+            return empty
+        t = pa.concat_tables(parts)
+        agg = t.group_by(["left", "right"]).aggregate(
+            [("ph", "min"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "left": agg["left"],
+                "right": agg["right"],
+                "ph": agg["ph_min"],
+                "n": agg["count_all"].cast(pa.int64()),
+            }
+        )
+
+    partials = load_documents(sf_dir).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["left", "right"], as_index=False)["n"].sum()
+        return tot.sort_values(
+            ["n", "left", "right"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(K)
+
+    schema = pa.schema(
+        [("left", pa.utf8()), ("right", pa.utf8()), ("n", pa.int64())]
+    )
+    tops = _sharded_groupby(partials, ["ph"], agg, empty_schema=schema)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n", "left", "right"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(K).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(
+            df[["left", "right", "n", "rank"]], preserve_index=False
+        )
+
+    return tops.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _sql_skipgram_pairs() -> str:
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS pos
+    FROM filt
+),
+pairs AS (
+    SELECT a.term AS left_t, b.term AS right_t, count(*)::BIGINT AS n
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id
+     AND b.pos - a.pos BETWEEN 1 AND {SKIPGRAM_D}
+    GROUP BY 1, 2
+)
+SELECT left_t AS "left", right_t AS "right", n, rk::BIGINT AS rank
+FROM (
+    SELECT left_t, right_t, n,
+           row_number() OVER (ORDER BY n DESC, left_t, right_t) AS rk
+    FROM pairs
+)
+WHERE rk <= {SKIPGRAM_TOP_K}
+"""
+
+
+QUERIES["skipgram_pairs"] = (q_skipgram_pairs, _sql_skipgram_pairs())

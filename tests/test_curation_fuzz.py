@@ -56,6 +56,8 @@ FUZZ_ENTRIES = [
     "scale_minmax",
     "regex_search",
     "prefix_suggest",
+    "chunk_documents",
+    "skipgram_pairs",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
