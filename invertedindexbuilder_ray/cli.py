@@ -141,6 +141,10 @@ def cmd_run(args) -> int:
     else:
         df = res if hasattr(res, "to_string") else res.to_pandas()
         print(df.to_string(index=False, max_rows=50))
+    if getattr(args, "stats", False) and hasattr(res, "stats"):
+        # per-operator wall/cpu/rows breakdown of the executed pipeline —
+        # the "why is this stage slow" introspection hook
+        print(res.stats(), file=sys.stderr)
     return 0
 
 
@@ -243,6 +247,10 @@ def main(argv: list[str] | None = None) -> int:
     rn.add_argument("--pipeline", default="")
     rn.add_argument("--input", default="", help="dir holding the sf-style parquet tables")
     rn.add_argument("--out", default=None, help="write result parquet here (else print)")
+    rn.add_argument(
+        "--stats", action="store_true",
+        help="print ds.stats() execution breakdown for Dataset results",
+    )
     rn.add_argument("--list", action="store_true")
     rn.set_defaults(fn=cmd_run)
 

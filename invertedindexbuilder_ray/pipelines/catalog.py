@@ -6555,3 +6555,69 @@ WHERE rk <= {SKIPGRAM_TOP_K}
 
 
 QUERIES["skipgram_pairs"] = (q_skipgram_pairs, _sql_skipgram_pairs())
+
+
+# --------------------------------------------------------------------------
+# partitioned parquet sink round-trip: write documents hive-partitioned by
+# lang (the resumable-output layout: one directory per partition value, so
+# a failed run skips finished partitions), then READ THE SINK BACK and
+# aggregate — the gate verifies the full write->read cycle, not just a
+# count.
+
+
+def q_export_partitioned(sf_dir: str):
+    import hashlib as _hl
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    from .build import _fingerprint
+
+    fp = _hl.md5(_fingerprint([path]).encode()).hexdigest()[:12]
+    out = f"/tmp/iib_export_{os.getuid()}/{fp}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        ds = read_parquet_sized(path, columns=["doc_id", "lang", "n_chars"])
+        ds.write_parquet(out, partition_cols=["lang"])
+        with open(marker, "w") as f:
+            f.write(fp)
+    back = rd.read_parquet(out)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("lang").aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "lang": g["lang"].cast(pa.string()),
+                "n": g["count_all"].cast(pa.int64()),
+                "sum_chars": g["n_chars_sum"].cast(pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    parts = back.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "sum_chars": pd.Series([], dtype="int64"),
+            }
+        )
+    out_df = parts.groupby("lang", as_index=False).agg(
+        n=("n", "sum"), sum_chars=("sum_chars", "sum")
+    )
+    out_df["n"] = out_df["n"].astype("int64")
+    out_df["sum_chars"] = out_df["sum_chars"].astype("int64")
+    return out_df
+
+
+SQL_EXPORT_PARTITIONED = """
+SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY 1
+"""
+
+QUERIES["export_partitioned"] = (q_export_partitioned, SQL_EXPORT_PARTITIONED)
