@@ -6621,3 +6621,227 @@ FROM documents GROUP BY 1
 """
 
 QUERIES["export_partitioned"] = (q_export_partitioned, SQL_EXPORT_PARTITIONED)
+
+
+# --------------------------------------------------------------------------
+# language-ID confusion matrix: predicted vs labeled language counts —
+# the model-evaluation rollup every classifier stage needs.  One fused
+# actor-pool pass (predict + count per batch, only (label, pred, n)
+# partials move), tiny driver combine.
+
+
+def q_langid_confusion(sf_dir: str):
+    from ..sources.util import actor_pool
+    from .textpipe import LangId
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "text", "lang"])
+
+    class Confusion(LangId):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pred = super().__call__(batch)
+            t = pa.table(
+                {"lang": batch["lang"], "lang_pred": pred["lang_pred"]}
+            )
+            g = t.group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    "lang": g["lang"],
+                    "lang_pred": g["lang_pred"],
+                    "n": g["count_all"].cast(pa.int64()),
+                }
+            )
+
+    parts = ds.map_batches(
+        Confusion, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=actor_pool(),
+    ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=object),
+                "lang_pred": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby(["lang", "lang_pred"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _sql_langid_confusion() -> str:
+    return f"""
+SELECT d.lang, p.lang_pred, count(*)::BIGINT AS n
+FROM documents d
+JOIN ({_sql_langid()}) p ON p.doc_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
+QUERIES["langid_confusion"] = (q_langid_confusion, _sql_langid_confusion())
+
+
+# --------------------------------------------------------------------------
+# vocabulary growth (Heaps-law curve): distinct terms among the first k
+# docs, for a grid of prefixes.  Prefix-distinct without re-scanning per
+# k: each term's FIRST doc_id (term-sharded min) is all that's needed —
+# |vocab(k)| = #{terms: first_doc < k}.
+
+VOCAB_GROWTH_FRACS = [0.1, 0.25, 0.5, 1.0]
+
+
+def q_vocab_growth(sf_dir: str):
+    from ..functions.hashing import term_hash
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    post = _postings_ds(sf_dir)
+    docs = load_documents(sf_dir)
+    n_docs = docs.count()
+    ks = sorted({max(1, int(n_docs * f)) for f in VOCAB_GROWTH_FRACS})
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("term").aggregate([("doc_id", "min")])
+        t = pa.table({"term": g["term"], "first_doc": g["doc_id_min"]})
+        return t.append_column(
+            "th", pa.array(term_hash(t["term"].combine_chunks()).view(np.int64))
+        )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("term")["first_doc"].min().to_numpy(np.int64)
+        # per-shard histogram over the k grid: only len(ks) rows move on
+        return pd.DataFrame(
+            {
+                "k": np.array(ks, np.int64),
+                "n_terms": np.array(
+                    [(first < k).sum() for k in ks], np.int64
+                ),
+            }
+        )
+
+    schema = pa.schema([("k", pa.int64()), ("n_terms", pa.int64())])
+    parts = _sharded_groupby(
+        post.map_batches(partial, batch_format="pyarrow"),
+        ["th"],
+        agg,
+        empty_schema=schema,
+    ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {"k": pd.Series(ks, dtype="int64"),
+             "n_terms": pd.Series([0] * len(ks), dtype="int64")}
+        )
+    out = parts.groupby("k", as_index=False)["n_terms"].sum()
+    out["n_terms"] = out["n_terms"].astype("int64")
+    return out
+
+
+def _sql_vocab_growth() -> str:
+    return (
+        "WITH "
+        + _SQL_TOKENS
+        + f""",
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ks AS (
+    SELECT DISTINCT greatest(1, CAST(floor(n * f) AS BIGINT)) AS k
+    FROM nn, (SELECT unnest({VOCAB_GROWTH_FRACS}) AS f)
+),
+first_doc AS (SELECT term, min(doc_id) AS fd FROM tok_kept GROUP BY 1)
+SELECT ks.k, count(fd)::BIGINT AS n_terms
+FROM ks LEFT JOIN first_doc ON fd < ks.k
+GROUP BY 1"""
+    )
+
+
+QUERIES["vocab_growth"] = (q_vocab_growth, _sql_vocab_growth())
+
+
+# --------------------------------------------------------------------------
+# cohort retention: of the users active in hour h, how many are also
+# active in hour h+1.  Distinct (user, hour) pairs -> user-sharded
+# consecutive-hour detection (a user's hours co-locate) -> per-hour
+# counts; only (hour, n) partials leave the shards.
+
+RETENTION_HOUR_US = 3_600_000_000
+
+
+def q_events_retention(sf_dir: str):
+    from .dedup import _sharded_groupby
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = ts.astype(np.int64) // RETENTION_HOUR_US
+        t = pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "hour": pa.array(hour, pa.int64()),
+            }
+        )
+        g = t.group_by(["user_id", "hour"]).aggregate([])
+        return g
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "hour"]).sort_values(
+            ["user_id", "hour"], kind="mergesort"
+        )
+        u = g["user_id"].to_numpy(np.int64)
+        h = g["hour"].to_numpy(np.int64)
+        active = pd.DataFrame({"hour": h}).groupby("hour").size()
+        nxt = (u[:-1] == u[1:]) & (h[:-1] + 1 == h[1:])
+        ret = pd.DataFrame({"hour": h[:-1][nxt]}).groupby("hour").size()
+        idx = active.index
+        return pd.DataFrame(
+            {
+                "hour": idx.to_numpy(np.int64),
+                "n_active": active.to_numpy(np.int64),
+                "n_retained": ret.reindex(idx, fill_value=0).to_numpy(np.int64),
+            }
+        )
+
+    schema = pa.schema(
+        [("hour", pa.int64()), ("n_active", pa.int64()), ("n_retained", pa.int64())]
+    )
+    parts = _sharded_groupby(
+        ev.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        agg,
+        empty_schema=schema,
+    ).to_pandas()
+    import pandas as pd
+
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "hour": pd.Series([], dtype="int64"),
+                "n_active": pd.Series([], dtype="int64"),
+                "n_retained": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby("hour", as_index=False).agg(
+        n_active=("n_active", "sum"), n_retained=("n_retained", "sum")
+    )
+    for c in ("n_active", "n_retained"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH uh AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // {RETENTION_HOUR_US} AS BIGINT) AS hour
+    FROM events
+)
+SELECT a.hour, count(*)::BIGINT AS n_active,
+       sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_retained
+FROM uh a
+LEFT JOIN uh b ON b.user_id = a.user_id AND b.hour = a.hour + 1
+GROUP BY 1
+"""
+
+QUERIES["events_retention"] = (q_events_retention, SQL_EVENTS_RETENTION)

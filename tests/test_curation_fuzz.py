@@ -58,6 +58,8 @@ FUZZ_ENTRIES = [
     "prefix_suggest",
     "chunk_documents",
     "skipgram_pairs",
+    "vocab_growth",
+    "langid_confusion",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

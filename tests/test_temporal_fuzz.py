@@ -35,6 +35,7 @@ FUZZ_ENTRIES = [
     "event_id_gaps",
     "sliding_distinct_users",
     "events_profile",  # event_type nulls exercise the null-count leg
+    "events_retention",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
