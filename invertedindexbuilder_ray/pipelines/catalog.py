@@ -6845,3 +6845,86 @@ GROUP BY 1
 """
 
 QUERIES["events_retention"] = (q_events_retention, SQL_EVENTS_RETENTION)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023): per-doc log importance ratio
+# between a target-domain (lang='en') hashed-unigram LM and the raw-corpus
+# LM — the importance-resampling data-selection signal.  All per-token
+# contributions are exact int64 via the 16-bit probability grid + the
+# verified fixed-point log2 table, so the SQL pairing is hash-exact.
+
+
+def q_dsir_weights(sf_dir: str):
+    """See curation.dsir_weights_ds."""
+    from .curation import dsir_weights_ds
+
+    return dsir_weights_ds(sf_dir)
+
+
+def _sql_dsir_weights() -> str:
+    from .curation import (
+        DSIR_BUCKETS,
+        DSIR_MARK,
+        DSIR_MARK_EVERY,
+        DSIR_MARK_REPEAT,
+        DSIR_RGRID,
+        DSIR_TARGET_LANG,
+        ENTROPY_LOG_SCALE,
+    )
+    from .sketch_sql import _token_hash_ctes
+
+    D, R, S = DSIR_BUCKETS, DSIR_RGRID, ENTROPY_LOG_SCALE
+    return f"""
+WITH docs_aug AS (
+    SELECT doc_id,
+           text || CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                             AND doc_id % {DSIR_MARK_EVERY} = 0
+                        THEN repeat(' {DSIR_MARK}', {DSIR_MARK_REPEAT})
+                        ELSE '' END AS text,
+           lang
+    FROM documents
+),
+{_token_hash_ctes(table="docs_aug")},
+tb AS (SELECT doc_id, CAST(h % {D} AS BIGINT) AS bucket FROM th),
+tgt AS (
+    SELECT bucket, count(*)::BIGINT AS c
+    FROM tb JOIN documents USING (doc_id)
+    WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+),
+raw AS (SELECT bucket, count(*)::BIGINT AS c FROM tb GROUP BY 1),
+tots AS (
+    SELECT (SELECT coalesce(sum(c), 0) FROM tgt)::BIGINT AS tt,
+           (SELECT coalesce(sum(c), 0) FROM raw)::BIGINT AS tr
+),
+grid AS (
+    SELECT b.range::BIGINT AS bucket,
+           greatest(1, ((coalesce(t.c, 0) + 1)::HUGEINT * {R})
+                       // ((SELECT tt FROM tots) + {D}))::BIGINT AS rt,
+           greatest(1, ((coalesce(r.c, 0) + 1)::HUGEINT * {R})
+                       // ((SELECT tr FROM tots) + {D}))::BIGINT AS rr
+    FROM range({D}) b
+    LEFT JOIN tgt t ON t.bucket = b.range
+    LEFT JOIN raw r ON r.bucket = b.range
+),
+delta AS (
+    SELECT bucket,
+           CAST(round(log2(rt::DOUBLE) * {S}) AS BIGINT)
+           - CAST(round(log2(rr::DOUBLE) * {S}) AS BIGINT) AS d
+    FROM grid
+),
+scored AS (
+    SELECT tb.doc_id, count(*)::BIGINT AS dl, sum(delta.d)::BIGINT AS s
+    FROM tb JOIN delta USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(sc.dl, 0)::BIGINT AS n_tokens,
+       CASE WHEN sc.dl > 0
+            THEN round(sc.s::DOUBLE / (sc.dl * {S})::DOUBLE, 6)
+       END AS logratio_bits,
+       coalesce(sc.s > 0, FALSE) AS selected
+FROM documents d LEFT JOIN scored sc ON sc.doc_id = d.doc_id
+"""
+
+
+QUERIES["dsir_weights"] = (q_dsir_weights, _sql_dsir_weights())

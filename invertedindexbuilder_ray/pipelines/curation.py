@@ -1812,3 +1812,186 @@ def bigram_logprob_ds(source: str | rd.Dataset) -> rd.Dataset:
 
     return docs.map_batches(per_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al., "Data Selection for Language Models
+# via Importance Resampling", NeurIPS 2023): score every document by the
+# log importance ratio between a target-domain hashed-unigram LM and the
+# raw-corpus LM.  Docs with ratio > 1 look more target-like than average
+# and would be kept by an importance-resampling selection pass.
+
+DSIR_BUCKETS = 1024
+DSIR_RGRID = (1 << 16) - 1  # probability grid: r/65535, r in [1, 65535]
+DSIR_TARGET_LANG = "en"
+# sf augmentation: the synthetic corpus shares ONE 31-token vocabulary
+# across all langs (no target-specific tokens), so DSIR has no signal to
+# find and `selected` would be constant-false.  Append a target-domain
+# marker token to every even-doc_id target doc — deterministic, replicated
+# in the SQL oracle (same pattern as pii_scan / substring_dup_spans).
+DSIR_MARK = "tgtdomainmark"  # 13 chars: survives the len<=15 token filter
+DSIR_MARK_REPEAT = 8
+DSIR_MARK_EVERY = 2
+
+
+def _dsir_augment(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_t = (
+        pc.fill_null(pc.equal(batch["lang"], DSIR_TARGET_LANG), False)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    mask = pa.array((ids % DSIR_MARK_EVERY == 0) & is_t)
+    suffix = (" " + DSIR_MARK) * DSIR_MARK_REPEAT
+    aug = pc.binary_join_element_wise(
+        pc.cast(batch["text"], pa.string()),
+        pa.array([suffix] * batch.num_rows, pa.string()),
+        "",
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text": pc.if_else(mask, aug, batch["text"]),
+            "lang": batch["lang"],
+        }
+    )
+
+
+def dsir_weights_ds(source: str | rd.Dataset, *, augment: bool = True) -> rd.Dataset:
+    """Per-doc DSIR importance weight over hashed unigram features.
+
+    Both LMs live on ``DSIR_BUCKETS`` hashed-token buckets (the same
+    engine<->SQL token hash as ``feature_hash_vectors``) with add-one
+    smoothing; bucket probabilities are quantized to the 16-bit integer
+    grid ``r(b) = max(1, (c_b + 1) * 65535 // (total + D))`` so each
+    per-token contribution ``L(r_target) - L(r_raw)`` (fixed-point log2
+    table :func:`_log2_fp`, exhaustively verified vs DuckDB) is an
+    exact int64 on both engines and every downstream sum is
+    order-independent.  Output per doc: token count, the per-token-mean
+    log ratio in bits (rounded float payload), and ``selected`` =
+    (integer ratio sum > 0).
+
+    Shape (100 TB): one histogram pass reduced by ``_sharded_groupby``
+    to <= D rows on the driver, then one streaming pass with the
+    D-entry int64 delta table shipped in the closure — zero exchanges
+    beyond the bounded combine, no driver materialization of rows.
+    """
+    import os
+
+    from ..functions.sketch import _token_hashes
+    from ..sources.util import read_parquet_sized
+    from .dedup import _sharded_groupby
+
+    D = DSIR_BUCKETS
+    if isinstance(source, rd.Dataset):
+        docs = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        docs = read_parquet_sized(path, columns=["doc_id", "text", "lang"])
+    if augment:
+        docs = docs.map_batches(
+            _dsir_augment, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def hist_batch(batch: pa.Table) -> pa.Table:
+        h, row = _token_hashes(batch["text"])
+        if not len(h):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "ct": pa.array([], pa.int64()),
+                    "cr": pa.array([], pa.int64()),
+                }
+            )
+        is_t = (
+            pc.fill_null(pc.equal(batch["lang"], DSIR_TARGET_LANG), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        b = (h % np.uint64(D)).astype(np.int64)
+        cr = np.bincount(b, minlength=D)
+        ct = np.bincount(b[is_t[row]], minlength=D)
+        nz = np.flatnonzero(cr)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "ct": pa.array(ct[nz], pa.int64()),
+                "cr": pa.array(cr[nz], pa.int64()),
+            }
+        )
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("bucket", as_index=False)[["ct", "cr"]].sum()
+        return s.astype({"bucket": "int64", "ct": "int64", "cr": "int64"})
+
+    hschema = pa.schema(
+        [("bucket", pa.int64()), ("ct", pa.int64()), ("cr", pa.int64())]
+    )
+    hist = _sharded_groupby(
+        docs.map_batches(hist_batch, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"],
+        comb,
+        empty_schema=hschema,
+    ).to_pandas()
+
+    ct = np.zeros(D, np.int64)
+    cr = np.zeros(D, np.int64)
+    if len(hist) and "bucket" in hist.columns:
+        ct[hist["bucket"].to_numpy()] = hist["ct"].to_numpy()
+        cr[hist["bucket"].to_numpy()] = hist["cr"].to_numpy()
+    tt, tr = int(ct.sum()), int(cr.sum())
+    # object dtype: (c+1)*65535 would overflow int64 near 2^47 tokens
+    rt = np.maximum(
+        1, ((ct.astype(object) + 1) * DSIR_RGRID) // (tt + D)
+    ).astype(np.int64)
+    rr = np.maximum(
+        1, ((cr.astype(object) + 1) * DSIR_RGRID) // (tr + D)
+    ).astype(np.int64)
+    delta = _log2_fp(rt) - _log2_fp(rr)
+    S = ENTROPY_LOG_SCALE
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        h, row = _token_hashes(batch["text"])
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = np.zeros(len(doc_ids), np.int64)
+        s = np.zeros(len(doc_ids), np.int64)
+        if len(h):
+            tok_contrib = delta[(h % np.uint64(D)).astype(np.int64)]
+            per_doc = (
+                pa.table(
+                    {
+                        "r": pa.array(row.astype(np.int64), pa.int64()),
+                        "c": pa.array(tok_contrib, pa.int64()),
+                    }
+                )
+                .group_by("r")
+                .aggregate([("c", "sum"), ([], "count_all")])
+            )
+            ridx = per_doc["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dl[ridx] = per_doc["count_all"].to_numpy(zero_copy_only=False)
+            s[ridx] = per_doc["c_sum"].to_numpy(zero_copy_only=False)
+        pos = dl > 0
+        w = np.zeros(len(doc_ids), np.float64)
+        if pos.any():
+            w[pos] = round_half_away(
+                s[pos].astype(np.float64) / (dl[pos] * S).astype(np.float64), 6
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(dl, pa.int64()),
+                "logratio_bits": pc.if_else(
+                    pa.array(pos),
+                    pa.array(w, pa.float64()),
+                    pa.scalar(None, pa.float64()),
+                ),
+                "selected": pa.array(s > 0),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)

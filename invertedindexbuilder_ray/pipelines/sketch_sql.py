@@ -30,12 +30,13 @@ MIX_SHIFT_DIV = 1 << 31  # h >> 31
 U64_MAX = M64 - 1
 
 
-def _token_hash_ctes(keep_term: bool = False) -> str:
+def _token_hash_ctes(keep_term: bool = False, table: str = "documents") -> str:
     """CTE chain: documents -> toks(doc_id, pos, term) -> th(doc_id, pos, h).
 
     ``h`` is the engine's token hash: FNV-1a folded over the token's
     bytes zero-padded to 16 positions (functions/hashing.py:term_hash /
-    tokenize._span_hashes), kept as HUGEINT in [0, 2^64)."""
+    tokenize._span_hashes), kept as HUGEINT in [0, 2^64).  ``table``
+    lets a caller substitute an augmentation CTE for the raw view."""
     steps = []
     for j in range(1, 17):
         byte = (
@@ -53,7 +54,7 @@ filt AS (
     SELECT doc_id,
            list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
                        x -> len(x) <= 15) AS toks
-    FROM documents
+    FROM {table}
 ),
 toks AS (
     SELECT doc_id, unnest(toks) AS term,

@@ -60,6 +60,7 @@ FUZZ_ENTRIES = [
     "skipgram_pairs",
     "vocab_growth",
     "langid_confusion",
+    "dsir_weights",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
