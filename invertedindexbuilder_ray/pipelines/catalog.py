@@ -6928,3 +6928,72 @@ FROM documents d LEFT JOIN scored sc ON sc.doc_id = d.doc_id
 
 
 QUERIES["dsir_weights"] = (q_dsir_weights, _sql_dsir_weights())
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003): window-min shingle
+# selection with rightmost tie-break — the MOSS document-fingerprint
+# scheme.  SQL side selects via max() over the packed key
+# (M61-1-fp)*2^32 + pos, the identical total order.
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """See curation.winnow_fingerprints_ds."""
+    from .curation import winnow_fingerprints_ds
+
+    return winnow_fingerprints_ds(sf_dir)
+
+
+def _sql_winnow_fingerprints() -> str:
+    from .curation import WINNOW_M61, WINNOW_W
+    from .sketch_sql import (
+        FNV_PRIME,
+        M64,
+        MIX_MULT,
+        MIX_SHIFT_DIV,
+        _token_hash_ctes,
+    )
+
+    m61 = WINNOW_M61
+    w = WINNOW_W
+    p32 = 1 << 32
+    return f"""
+WITH {_token_hash_ctes()},
+thm AS (
+    SELECT doc_id, pos,
+           (CAST(xor(CAST(h AS UBIGINT), CAST(h // {MIX_SHIFT_DIV} AS UBIGINT))
+                 AS HUGEINT) * {MIX_MULT}) % {M64} AS h
+    FROM th
+),
+sh3 AS (
+    SELECT a.doc_id, a.pos,
+           (((((a.h * {FNV_PRIME}) % {M64} + b.h) % {M64}) * {FNV_PRIME}
+             % {M64} + c.h) % {M64}) % {m61} AS fp
+    FROM thm a
+    JOIN thm b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN thm c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+keyed AS (
+    SELECT doc_id, pos, fp,
+           ({m61} - 1 - fp) * {p32}::HUGEINT + pos AS key,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM sh3
+),
+wins AS (
+    SELECT doc_id, pos, n,
+           max(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+               AS wkey
+    FROM keyed
+)
+SELECT DISTINCT doc_id,
+       CAST(wkey % {p32} AS BIGINT) AS pos,
+       CAST(({m61} - 1) - (wkey // {p32}) AS BIGINT) AS fp
+FROM wins WHERE pos <= n - {w} + 1
+"""
+
+
+QUERIES["winnow_fingerprints"] = (
+    q_winnow_fingerprints,
+    _sql_winnow_fingerprints(),
+)

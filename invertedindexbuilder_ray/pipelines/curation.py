@@ -1995,3 +1995,70 @@ def dsir_weights_ds(source: str | rd.Dataset, *, augment: bool = True) -> rd.Dat
 
     return docs.map_batches(per_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS algorithm): per doc, slide a window of WINNOW_W consecutive k-gram
+# hashes and keep the window minimum (rightmost on ties).  Guarantees any
+# shared run of >= WINNOW_W + WINNOW_K - 1 tokens produces a shared
+# fingerprint, at ~2/(w+1) the density of full shingling.
+
+WINNOW_K = 3  # tokens per shingle (shares sketch.shingle_hashes' fold)
+WINNOW_W = 4  # shingle hashes per winnowing window
+WINNOW_M61 = (1 << 61) - 1  # fingerprint domain: sh % M61 fits BIGINT
+
+
+def winnow_fingerprints_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """(doc_id, pos, fp) — the winnowed fingerprint set per document.
+
+    ``pos`` is the 1-based token position of the selected shingle, ``fp``
+    its 61-bit hash (the same mixed FNV shingle fold as minhash, reduced
+    mod 2^61-1 so both engines carry it as int64).  Selection is the
+    classic rightmost-min rule, expressed on the SQL side as a window
+    ``max`` over the packed key ``(M61-1-fp)*2^32 + pos`` — identical
+    total order, so parity is hash-exact.
+
+    Shape (100 TB): pure per-batch compute (docs never span batches) —
+    a strided sliding-window argmin over the flat shingle array with a
+    doc-boundary validity mask; zero exchanges, zero Python loops.
+    """
+    from ..functions.sketch import shingle_hashes
+
+    docs = _docs(source)
+    w = WINNOW_W
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sh, srow, bounds = shingle_hashes(batch["text"], WINNOW_K)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.int64()),
+            }
+        )
+        n = len(sh)
+        if n < w:
+            return empty
+        fp = sh % np.uint64(WINNOW_M61)
+        V = np.lib.stride_tricks.sliding_window_view(fp, w)
+        # a window is a real winnowing window only if it stays inside one doc
+        valid = srow[: n - w + 1] == srow[w - 1 :]
+        if not valid.any():
+            return empty
+        # rightmost argmin: argmin of the reversed window is the FIRST
+        # occurrence of the min in reverse order == rightmost in original
+        j = V[:, ::-1].argmin(axis=1)
+        starts = np.flatnonzero(valid)
+        sel = np.unique(starts + (w - 1 - j[starts]))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[srow[sel]], pa.int64()),
+                "pos": pa.array(sel - bounds[srow[sel]] + 1, pa.int64()),
+                "fp": pa.array(fp[sel].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)

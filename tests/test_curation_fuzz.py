@@ -61,6 +61,7 @@ FUZZ_ENTRIES = [
     "vocab_growth",
     "langid_confusion",
     "dsir_weights",
+    "winnow_fingerprints",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
