@@ -6997,3 +6997,67 @@ QUERIES["winnow_fingerprints"] = (
     q_winnow_fingerprints,
     _sql_winnow_fingerprints(),
 )
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016): the first M learned merges.
+# The SQL oracle unrolls the merge recurrence as chained CTEs — possible
+# because every quantity is an integer and DuckDB replace() has the same
+# left-to-right non-overlapping semantics as Python str.replace.
+
+
+def q_bpe_merges(sf_dir: str):
+    """See curation.bpe_merges_df."""
+    from .curation import bpe_merges_df
+
+    return bpe_merges_df(sf_dir)
+
+
+def _sql_bpe_merges() -> str:
+    from .curation import BPE_MAX_WORDS, BPE_MERGES
+
+    parts = [
+        f"""WITH {_SQL_TOKS_LIST},
+words AS (
+    SELECT term AS w, count(*)::BIGINT AS c
+    FROM (SELECT unnest(toks) AS term FROM filt)
+    GROUP BY 1 ORDER BY c DESC, w LIMIT {BPE_MAX_WORDS}
+),
+w1 AS MATERIALIZED (
+    SELECT ' ' || array_to_string(
+               [substr(w, x, 1) FOR x IN range(1, length(w) + 1)], ' ')
+           || ' ' AS word,
+           c AS freq
+    FROM words
+)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        a, b = f"(SELECT a FROM best{i})", f"(SELECT b FROM best{i})"
+        parts.append(f""",
+x{i} AS MATERIALIZED (
+    SELECT word, freq, unnest(syms) AS s,
+           unnest(range(1, len(syms) + 1)) AS j
+    FROM (SELECT word, freq, string_split(trim(word), ' ') AS syms FROM w{i})
+),
+p{i} AS (
+    SELECT a.s AS a, b.s AS b, sum(a.freq)::BIGINT AS c
+    FROM x{i} a JOIN x{i} b ON b.word = a.word AND b.j = a.j + 1
+    GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+w{i + 1} AS MATERIALIZED (
+    SELECT replace(word,
+                   coalesce(' ' || {a} || ' ' || {b} || ' ', chr(2)),
+                   coalesce(' ' || {a} || {b} || ' ', chr(3))) AS word,
+           sum(freq)::BIGINT AS freq
+    FROM w{i} GROUP BY 1
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS rank, a AS lhs, b AS rhs, c AS pair_count "
+        f"FROM best{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+QUERIES["bpe_merges"] = (q_bpe_merges, _sql_bpe_merges())

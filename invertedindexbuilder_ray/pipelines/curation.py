@@ -2062,3 +2062,59 @@ def winnow_fingerprints_ds(source: str | rd.Dataset) -> rd.Dataset:
 
     return docs.map_batches(per_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich, Haddow & Birch, ACL 2016): learn the first
+# M byte-pair merges over the corpus word vocabulary.  The corpus-scale
+# work — counting words — is the distributed pass (`_count_vocab`); the
+# merge recurrence then runs on the bounded <= BPE_MAX_WORDS vocabulary,
+# which is the standard BPE formulation (training operates on the word
+# vocab with frequencies, never the raw corpus).  Every quantity is an
+# integer and both engines use the identical left-to-right non-overlapping
+# replace semantics (Python str.replace == DuckDB replace), so the SQL
+# pairing (unrolled per-iteration CTEs) is hash-exact.
+
+BPE_MERGES = 6
+BPE_MAX_WORDS = 4096
+
+
+def bpe_merges_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """(rank, left, right, pair_count) — the first BPE_MERGES learned merges.
+
+    Words are spelled as sentinel-padded symbol strings (' h e l l o ');
+    each iteration counts adjacent symbol pairs weighted by word
+    frequency, picks the best under the total order (count desc, left
+    asc, right asc — ASCII symbols, so Python and DuckDB string orders
+    agree), and rewrites every word with ``replace(' a b ' -> ' ab ')``.
+    Words that collide after a merge have their frequencies summed
+    (both sides re-group per iteration).
+    """
+    docs = _docs(source)
+    vocab_df, _total = _count_vocab(docs, BPE_MAX_WORDS)
+    vocab: dict[str, int] = {}
+    for term, c in zip(vocab_df["term"], vocab_df["c"]):
+        vocab[" " + " ".join(term) + " "] = int(c)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, BPE_MERGES + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for word, f in vocab.items():
+            syms = word.split()
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] = pairs.get((x, y), 0) + f
+        if not pairs:
+            break
+        best_c = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == best_c)
+        merges.append((it, a, b, best_c))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        nxt: dict[str, int] = {}
+        for word, f in vocab.items():
+            w2 = word.replace(pat, rep)
+            nxt[w2] = nxt.get(w2, 0) + f
+        vocab = nxt
+
+    return pd.DataFrame(
+        merges, columns=["rank", "lhs", "rhs", "pair_count"]
+    ).astype({"rank": "int64", "pair_count": "int64"})

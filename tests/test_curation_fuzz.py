@@ -62,6 +62,7 @@ FUZZ_ENTRIES = [
     "langid_confusion",
     "dsir_weights",
     "winnow_fingerprints",
+    "bpe_merges",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
