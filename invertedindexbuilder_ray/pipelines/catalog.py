@@ -7061,3 +7061,107 @@ w{i + 1} AS MATERIALIZED (
 
 
 QUERIES["bpe_merges"] = (q_bpe_merges, _sql_bpe_merges())
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty (first-occurrence attribution of duplicated shingles)
+
+
+def q_ngram_novelty(sf_dir: str):
+    """See curation.ngram_novelty_ds."""
+    from .curation import ngram_novelty_ds
+
+    return ngram_novelty_ds(sf_dir)
+
+
+def _sql_ngram_novelty() -> str:
+    from .curation import (
+        NOVELTY_WINDOW,
+        SUBSTR_CLONE_EVERY,
+        SUBSTR_CLONE_OFFSET,
+    )
+
+    w = NOVELTY_WINDOW
+    return f"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {SUBSTR_CLONE_OFFSET}, text FROM documents
+    WHERE doc_id % {SUBSTR_CLONE_EVERY} = 0
+),
+filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM aug
+),
+win AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(toks) - {w - 2}),
+                                 j -> array_to_string(toks[j:j + {w - 1}], ' ')))
+               AS sh
+    FROM filt
+    WHERE len(toks) >= {w}
+),
+firsts AS (SELECT sh, min(doc_id) AS d0 FROM win GROUP BY sh),
+nov AS (SELECT d0 AS doc_id, count(*)::BIGINT AS n_novel FROM firsts GROUP BY 1),
+dist AS (SELECT doc_id, count(*)::BIGINT AS n_distinct FROM win GROUP BY 1)
+SELECT a.doc_id,
+       coalesce(d.n_distinct, 0)::BIGINT AS n_distinct,
+       coalesce(n.n_novel, 0)::BIGINT AS n_novel,
+       round(coalesce(n.n_novel, 0)
+             / greatest(coalesce(d.n_distinct, 0), 1)::DOUBLE, 6)
+           AS novelty_frac
+FROM aug a
+LEFT JOIN dist d ON a.doc_id = d.doc_id
+LEFT JOIN nov n ON a.doc_id = n.doc_id
+"""
+
+
+QUERIES["ngram_novelty"] = (q_ngram_novelty, _sql_ngram_novelty())
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney AUC of the token-count signal vs the lang label
+
+
+def q_auc_signal(sf_dir: str):
+    """See curation.auc_signal_df."""
+    from .curation import auc_signal_df
+
+    return auc_signal_df(sf_dir)
+
+
+def _sql_auc_signal() -> str:
+    from .curation import AUC_POS_LANG
+
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           x -> len(x) <= 15)) AS score,
+           (lang = '{AUC_POS_LANG}')::BIGINT AS pos
+    FROM documents
+),
+s AS (
+    SELECT score,
+           sum(pos)::BIGINT AS p,
+           (count(*) - sum(pos))::BIGINT AS n
+    FROM filt GROUP BY 1
+),
+cum AS (
+    SELECT score, p, n,
+           coalesce(sum(n) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+    FROM s
+)
+SELECT sum(p)::BIGINT AS n_pos,
+       sum(n)::BIGINT AS n_neg,
+       (2 * sum(p * nb) + sum(p * n))::BIGINT AS u2,
+       round((2 * sum(p * nb) + sum(p * n))
+             / greatest(2 * sum(p) * sum(n), 1)::DOUBLE, 6) AS auc
+FROM cum
+"""
+
+
+QUERIES["auc_signal"] = (q_auc_signal, _sql_auc_signal())

@@ -2118,3 +2118,207 @@ def bpe_merges_df(source: str | rd.Dataset) -> pd.DataFrame:
     return pd.DataFrame(
         merges, columns=["rank", "lhs", "rhs", "pair_count"]
     ).astype({"rank": "int64", "pair_count": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: how much NEW content each doc adds, attributing every
+# cross-doc duplicated shingle to its lowest-doc_id first occurrence —
+# the ordered-ingest novelty signal used to down-weight trailing crawl
+# snapshots (complement of substring_dup_spans, which is unordered).
+
+NOVELTY_WINDOW = 8  # tokens per shingle
+
+
+def ngram_novelty_ds(source: str | rd.Dataset, *, augment: bool = True) -> rd.Dataset:
+    """Per-doc novelty: ``n_distinct`` distinct ``NOVELTY_WINDOW``-token
+    shingles, ``n_novel`` of them whose corpus-wide minimum doc_id is
+    this doc (ties in doc order go to the earliest doc), and
+    ``novelty_frac = n_novel / max(n_distinct, 1)`` rounded to 6.
+
+    Shape: ONE shingle exchange serves both counts — per batch the
+    (shingle, doc) pairs are exactly deduplicated (Arrow ``group_by`` on
+    the shingle STRING, so hash collisions cannot merge distinct
+    shingles), then `_sharded_groupby` on an internal dual-FNV fold
+    co-locates each shingle's pairs; inside the shard the per-shingle
+    min-doc and the per-doc distinct-pair counts both reduce to bounded
+    per-doc partials.  A doc-keyed sharded sum merges them with a
+    zero-row scan so shingle-less docs still appear.  Uses the same
+    deterministic clone augmentation as ``substring_dup_spans`` (the
+    synthetic corpus has few natural cross-doc 8-gram repeats); clones
+    (higher doc_id) score novelty 0 against their originals.
+    """
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+    if augment:
+        docs = docs.map_batches(
+            _substr_augment, batch_format="pyarrow", zero_copy_batch=True
+        )
+    w = NOVELTY_WINDOW
+
+    def windows(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "wh": pa.array([], pa.int64()),
+                "shingle": pa.array([], pa.utf8()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+        toks, token_doc, row_idx, h1, _h2 = _batch_tokens(batch)
+        n = len(toks)
+        if n < w:
+            return empty
+        keep = row_idx[: n - w + 1] == row_idx[w - 1 :]
+        pieces = [toks.slice(i, n - w + 1) for i in range(w)]
+        joined = pc.binary_join_element_wise(*pieces, " ").filter(pa.array(keep))
+        acc = np.zeros(n - w + 1, np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(w):
+                hv = h1[i : i + n - w + 1]
+                acc = (acc ^ hv) * np.uint64(1099511628211)
+        t = pa.table(
+            {
+                "wh": pa.array(acc[keep].view(np.int64), pa.int64()),
+                "shingle": joined,
+                "doc_id": pa.array(token_doc[: n - w + 1][keep], pa.int64()),
+            }
+        )
+        # exact per-batch (shingle, doc) dedup BEFORE the exchange:
+        # group on the string itself (collision-proof), keep any wh
+        g = t.group_by(["shingle", "doc_id"]).aggregate([("wh", "min")])
+        return pa.table(
+            {
+                "wh": g["wh_min"],
+                "shingle": g["shingle"],
+                "doc_id": g["doc_id"],
+            }
+        )
+
+    win = docs.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def novelty_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a shingle land in this shard (shard key =
+        # its hash); pairs may still repeat across batches -> dedup
+        pairs = g[["shingle", "doc_id"]].drop_duplicates()
+        dist = pairs.groupby("doc_id", as_index=False).size()
+        dist.columns = ["doc_id", "n_distinct"]
+        firsts = pairs.groupby("shingle", as_index=False)["doc_id"].min()
+        nov = firsts.groupby("doc_id", as_index=False).size()
+        nov.columns = ["doc_id", "n_novel"]
+        out = dist.merge(nov, on="doc_id", how="outer").fillna(0)
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        out["n_novel"] = out["n_novel"].astype("int64")
+        return out[["doc_id", "n_distinct", "n_novel"]]
+
+    part_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("n_novel", pa.int64()),
+        ]
+    )
+    parts = _sharded_groupby(win, ["wh"], novelty_partial, empty_schema=part_schema)
+
+    def zeros(batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        z = pa.array(np.zeros(n_rows, np.int64), pa.int64())
+        return pa.table(
+            {"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+             "n_distinct": z, "n_novel": z}
+        )
+
+    base = docs.map_batches(zeros, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id", as_index=False).sum()
+        nd = m["n_distinct"].to_numpy(np.int64)
+        nn = m["n_novel"].to_numpy(np.int64)
+        m["novelty_frac"] = round_half_away(nn / np.maximum(nd, 1), 6)
+        return m[["doc_id", "n_distinct", "n_novel", "novelty_frac"]]
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_distinct", pa.int64()),
+            ("n_novel", pa.int64()),
+            ("novelty_frac", pa.float64()),
+        ]
+    )
+    return _sharded_groupby(base.union(parts), ["doc_id"], merge,
+                            empty_schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney AUC of a per-doc integer signal: the standard
+# "does this quality signal separate the classes" eval run before
+# committing a filter threshold.  Entirely integer until the final
+# rounded division: with tie-averaged ranks, 2*U is exact int64.
+
+AUC_POS_LANG = "en"
+
+
+def auc_signal_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """One row: ``n_pos, n_neg, u2, auc`` where the signal is the
+    per-doc kept-token count, the positive class is ``lang ==
+    AUC_POS_LANG``, and ``u2 = 2*U`` (Mann-Whitney U with 0.5 tie
+    credit, doubled to stay integer).  ``auc = round(u2 / (2*n_pos*
+    n_neg), 6)`` (0.5 when either class is empty, via the max(.,1)
+    guard both engines share).
+
+    Shape: per-batch (score, pos) partial counts (one bincount per
+    batch), then ONLY the bounded per-score histogram reaches the
+    driver (distinct scores <= max doc token count, independent of N);
+    the cumulative-rank combine is vectorized int64.
+    """
+    import os
+
+    from ..sources.util import read_parquet_sized
+
+    if isinstance(source, rd.Dataset):
+        docs = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        docs = read_parquet_sized(path, columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _toks, _td, row_idx, _h1, _h2 = _batch_tokens(batch)
+        score = np.bincount(row_idx, minlength=batch.num_rows).astype(np.int64)
+        pos = pc.equal(batch["lang"], AUC_POS_LANG).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        df = pd.DataFrame({"score": score, "pos": pos})
+        g = df.groupby(["score", "pos"], as_index=False).size()
+        g.columns = ["score", "pos", "c"]
+        return pa.table(
+            {
+                "score": pa.array(g["score"].to_numpy(np.int64), pa.int64()),
+                "pos": pa.array(g["pos"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    if len(hist):
+        hist = hist.groupby(["score", "pos"], as_index=False)["c"].sum()
+    else:
+        hist = pd.DataFrame({"score": [], "pos": [], "c": []})
+    piv = hist.pivot_table(index="score", columns="pos", values="c",
+                           aggfunc="sum", fill_value=0)
+    p = piv[1].to_numpy(np.int64) if 1 in piv.columns else np.zeros(len(piv), np.int64)
+    n = piv[0].to_numpy(np.int64) if 0 in piv.columns else np.zeros(len(piv), np.int64)
+    # piv index is sorted ascending by score
+    neg_below = np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+    u2 = int(2 * np.sum(p * neg_below) + np.sum(p * n))
+    n_pos, n_neg = int(p.sum()), int(n.sum())
+    auc = float(round_half_away(
+        np.array([u2 / max(2 * n_pos * n_neg, 1)]), 6)[0])
+    return pd.DataFrame(
+        {"n_pos": [n_pos], "n_neg": [n_neg], "u2": [u2], "auc": [auc]}
+    ).astype({"n_pos": "int64", "n_neg": "int64", "u2": "int64"})

@@ -63,6 +63,8 @@ FUZZ_ENTRIES = [
     "dsir_weights",
     "winnow_fingerprints",
     "bpe_merges",
+    "ngram_novelty",
+    "auc_signal",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
