@@ -7165,3 +7165,123 @@ FROM cum
 
 
 QUERIES["auc_signal"] = (q_auc_signal, _sql_auc_signal())
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency slope over the top vocabulary
+
+
+def q_zipf_slope(sf_dir: str):
+    """See curation.zipf_slope_df."""
+    from .curation import zipf_slope_df
+
+    return zipf_slope_df(sf_dir)
+
+
+def _sql_zipf_slope() -> str:
+    from .curation import ZIPF_VOCAB
+
+    return f"""
+WITH {_SQL_TOKS_LIST},
+words AS (
+    SELECT term, count(*)::BIGINT AS c
+    FROM (SELECT unnest(toks) AS term FROM filt)
+    GROUP BY 1 ORDER BY c DESC, term LIMIT {ZIPF_VOCAB}
+),
+rk AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+    FROM words
+),
+fp AS (
+    SELECT CAST(round(log2(r >> sr) * 1000000000) AS HUGEINT)
+               + sr::HUGEINT * 1000000000 AS x,
+           CAST(round(log2(c >> sc) * 1000000000) AS HUGEINT)
+               + sc::HUGEINT * 1000000000 AS y
+    FROM (SELECT r, c,
+                 greatest(length(bin(r))::BIGINT - 16, 0) AS sr,
+                 greatest(length(bin(c))::BIGINT - 16, 0) AS sc
+          FROM rk)
+),
+m AS (
+    SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+    FROM fp
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CASE WHEN n < 2 OR (n*sxx - sx*sx) = 0 THEN 0.0
+            ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+                       / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+       END AS slope,
+       CASE WHEN n < 2 OR (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0.0
+            ELSE round((CAST(n*sxy - sx*sy AS DOUBLE)
+                        * CAST(n*sxy - sx*sy AS DOUBLE))
+                       / (CAST(n*sxx - sx*sx AS DOUBLE)
+                          * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+       END AS r2
+FROM m
+"""
+
+
+QUERIES["zipf_slope"] = (q_zipf_slope, _sql_zipf_slope())
+
+
+# --------------------------------------------------------------------------
+# impact-ordered postings (quantized BM25 impact precompute)
+
+
+def q_impact_postings(sf_dir: str):
+    """See curation.impact_postings_ds."""
+    from .curation import impact_postings_ds
+
+    return impact_postings_ds(sf_dir)
+
+
+def _sql_impact_postings() -> str:
+    from .curation import IMPACT_SCALE
+
+    return f"""
+WITH {_SQL_TOKS_LIST},
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+g AS (
+    SELECT greatest(count(*), 1)::BIGINT AS n,
+           coalesce(sum(dl), 0)::BIGINT AS sumdl
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN dl USING (doc_id)
+),
+lf AS (
+    SELECT n, sumdl,
+           CAST(round(log2(n >> sn) * 1000000000) AS HUGEINT)
+               + sn::HUGEINT * 1000000000 AS ln_fp
+    FROM (SELECT *, greatest(length(bin(n))::BIGINT - 16, 0) AS sn FROM g)
+),
+dfc AS (
+    SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+),
+dff AS (
+    SELECT term, df,
+           CAST(round(log2(df >> sd) * 1000000000) AS HUGEINT)
+               + sd::HUGEINT * 1000000000 AS ldf_fp
+    FROM (SELECT *, greatest(length(bin(df))::BIGINT - 16, 0) AS sd FROM dfc)
+),
+imp AS (
+    SELECT tf.term, tf.doc_id, tf.tf, dff.df,
+           ((lf.ln_fp - dff.ldf_fp) // 1000000)
+               * (22::HUGEINT * tf.tf * lf.sumdl)
+               // greatest(10::HUGEINT * tf.tf * lf.sumdl
+                           + 3::HUGEINT * lf.sumdl
+                           + 9::HUGEINT * dl.dl * lf.n, 1) AS impact_h
+    FROM tf
+    JOIN dl USING (doc_id)
+    JOIN dff USING (term)
+    CROSS JOIN lf
+)
+SELECT term, doc_id, tf, df,
+       CAST(impact_h AS BIGINT) AS impact_fp,
+       round(CAST(impact_h AS BIGINT) / {IMPACT_SCALE}.0, 6) AS impact
+FROM imp
+"""
+
+
+QUERIES["impact_postings"] = (q_impact_postings, _sql_impact_postings())

@@ -2322,3 +2322,175 @@ def auc_signal_df(source: str | rd.Dataset) -> pd.DataFrame:
     return pd.DataFrame(
         {"n_pos": [n_pos], "n_neg": [n_neg], "u2": [u2], "auc": [auc]}
     ).astype({"n_pos": "int64", "n_neg": "int64", "u2": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope: OLS fit of log2(count) on log2(rank) over the top
+# vocabulary — the classic corpus-health diagnostic (natural text sits
+# near slope -1; templated/synthetic corpora drift).  Exact via the
+# shared fixed-point log2 (textpipe._log2_fp_ext): all five moments are
+# exact big integers (Python ints here, HUGEINT in the oracle), the
+# slope/r2 divisions convert to IEEE doubles identically on both sides.
+
+ZIPF_VOCAB = 4096
+
+
+def zipf_slope_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """One row: ``n_terms, slope, r2`` for the rank-frequency OLS fit
+    over the top-``ZIPF_VOCAB`` terms (rank order: count desc, term
+    asc).  Degenerate fits (n < 2 or zero x-variance / y-variance)
+    report 0.0 by convention on both engines.
+
+    Shape: one bounded vocabulary pass (:func:`_count_vocab` — per-shard
+    top-V candidates, fixed-size driver merge), then an O(V) driver
+    combine over exact integers.
+    """
+    from .textpipe import _log2_fp_ext
+
+    docs = _docs(source)
+    vocab_df, _total = _count_vocab(docs, ZIPF_VOCAB)
+    n = len(vocab_df)
+    out = {"n_terms": [np.int64(n)], "slope": [0.0], "r2": [0.0]}
+    if n:
+        ranks = np.arange(1, n + 1, dtype=np.int64)
+        cnts = vocab_df["c"].to_numpy().astype(np.int64)
+        x = [int(v) for v in _log2_fp_ext(ranks)]
+        y = [int(v) for v in _log2_fp_ext(cnts)]
+        sx, sy = sum(x), sum(y)
+        sxx = sum(v * v for v in x)
+        syy = sum(v * v for v in y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        yvar = n * syy - sy * sy
+        if n >= 2 and den != 0:
+            out["slope"] = [float(round_half_away(
+                np.array([float(num) / float(den)]), 6)[0])]
+            if yvar != 0:
+                out["r2"] = [float(round_half_away(
+                    np.array([(float(num) * float(num))
+                              / (float(den) * float(yvar))]), 6)[0])]
+    return pd.DataFrame(out).astype({"n_terms": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# impact-ordered postings: per-(term, doc) quantized BM25 impact scores
+# (Anh & Moffat-style impact precompute — rank the posting list by a
+# static integer impact so query time can early-terminate).  k1 = 1.2,
+# b = 0.75 as in the query engine; the whole score is exact integer
+# arithmetic: idf via the shared fixed-point log2 (quantized to 1e3
+# scale), the tf/length normalization as one rational with denominator
+# cleared by 10*sumdl.
+
+IMPACT_SCALE = 1_000  # impact_fp = round-ish impact * 1000 (floor rational)
+
+
+def impact_postings_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """Columns: ``term, doc_id, tf, df, impact_fp, impact`` where
+    ``impact_fp = idf_q * 22*tf*sumdl // (10*tf*sumdl + 3*sumdl +
+    9*dl*N)`` with ``idf_q = (L'(N) - L'(df)) // 1e6`` — i.e. BM25 with
+    (k1+1)=2.2, k1(1-b)=0.3, k1*b=0.9 and avdl = sumdl/N, every
+    division cleared to a single integer floor.  ``impact`` is the
+    rounded float payload ``impact_fp / 1000``.
+
+    Shape: one tiny stats scan (N, sumdl — two scalars), per-batch
+    Arrow group_by to (doc, term, tf, dl) rows, then ONE term-sharded
+    exchange computes df and the impact in place.  Loud int64-domain
+    guard (the HUGEINT SQL oracle is immune; at corpora where
+    idf_q*22*tf*sumdl needs >63 bits, widen to object ints).
+    """
+    from .dedup import _sharded_groupby
+    from .textpipe import _log2_fp_ext
+
+    docs = _docs(source)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks, _td, _ri, _h1, _h2 = _batch_tokens(batch)
+        return pa.table(
+            {"n": pa.array([batch.num_rows], pa.int64()),
+             "s": pa.array([len(toks)], pa.int64())}
+        )
+
+    st = docs.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    n_docs = int(st["n"].sum()) if len(st) else 0
+    sumdl = int(st["s"].sum()) if len(st) else 0
+    ln_fp = int(_log2_fp_ext(np.array([max(n_docs, 1)], np.int64))[0])
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        toks, token_doc, row_idx, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.utf8()),
+                    "tf": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
+                    "th": pa.array([], pa.int64()),
+                }
+            )
+        dl_row = np.bincount(row_idx, minlength=batch.num_rows).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl_of = dict(zip(ids.tolist(), dl_row.tolist()))
+        t = pa.table(
+            {
+                "doc_id": pa.array(token_doc, pa.int64()),
+                "term": toks,
+                "th": pa.array(h1.view(np.int64), pa.int64()),
+            }
+        )
+        tf = t.group_by(["doc_id", "term"]).aggregate(
+            [("term", "count"), ("th", "min")]
+        )
+        tdoc = tf["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl_col = np.array([dl_of[int(d)] for d in tdoc], np.int64) \
+            if len(tdoc) else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": tf["doc_id"],
+                "term": tf["term"],
+                "tf": tf["term_count"].cast(pa.int64()),
+                "dl": pa.array(dl_col, pa.int64()),
+                "th": tf["th_min"],
+            }
+        )
+
+    tf_rows = docs.map_batches(tf_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def impact_join(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("term")["term"].transform("size").astype("int64")
+        dfv = g["df"].to_numpy(np.int64)
+        tfv = g["tf"].to_numpy(np.int64)
+        dlv = g["dl"].to_numpy(np.int64)
+        idf_q = (ln_fp - _log2_fp_ext(dfv)) // 1_000_000
+        if len(tfv):
+            hi = int(idf_q.max()) * 22 * int(tfv.max()) * sumdl
+            hd = 10 * int(tfv.max()) * sumdl + 3 * sumdl \
+                + 9 * int(dlv.max()) * n_docs
+            if hi >= 2 ** 63 or hd >= 2 ** 63:
+                raise ValueError(
+                    "impact_postings: int64 domain exceeded "
+                    f"(num<{hi}, den<{hd}); widen to object ints"
+                )
+        num = idf_q * (22 * tfv * sumdl)
+        den = 10 * tfv * sumdl + 3 * sumdl + 9 * dlv * n_docs
+        g["impact_fp"] = num // np.maximum(den, 1)
+        g["impact"] = round_half_away(
+            g["impact_fp"].to_numpy(np.int64) / float(IMPACT_SCALE), 6
+        )
+        return g[["term", "doc_id", "tf", "df", "impact_fp", "impact"]]
+
+    out_schema = pa.schema(
+        [
+            ("term", pa.utf8()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+            ("impact_fp", pa.int64()),
+            ("impact", pa.float64()),
+        ]
+    )
+    return _sharded_groupby(tf_rows, ["th"], impact_join,
+                            empty_schema=out_schema)

@@ -65,6 +65,8 @@ FUZZ_ENTRIES = [
     "bpe_merges",
     "ngram_novelty",
     "auc_signal",
+    "zipf_slope",
+    "impact_postings",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
