@@ -7285,3 +7285,165 @@ FROM imp
 
 
 QUERIES["impact_postings"] = (q_impact_postings, _sql_impact_postings())
+
+
+# --------------------------------------------------------------------------
+# BPE apply: vocabulary segmentation fertility under the learned merges
+
+
+def q_bpe_apply(sf_dir: str):
+    """See curation.bpe_apply_df."""
+    from .curation import bpe_apply_df
+
+    return bpe_apply_df(sf_dir)
+
+
+def _sql_bpe_apply() -> str:
+    from .curation import BPE_MAX_WORDS, BPE_MERGES
+
+    parts = [
+        f"""WITH {_SQL_TOKS_LIST},
+words AS MATERIALIZED (
+    SELECT term AS w, count(*)::BIGINT AS c
+    FROM (SELECT unnest(toks) AS term FROM filt)
+    GROUP BY 1 ORDER BY c DESC, w LIMIT {BPE_MAX_WORDS}
+),
+w1 AS MATERIALIZED (
+    SELECT ' ' || array_to_string(
+               [substr(w, x, 1) FOR x IN range(1, length(w) + 1)], ' ')
+           || ' ' AS word,
+           sum(c)::BIGINT AS freq
+    FROM words GROUP BY 1
+),
+z1 AS MATERIALIZED (
+    SELECT w AS term, c AS freq,
+           ' ' || array_to_string(
+               [substr(w, x, 1) FOR x IN range(1, length(w) + 1)], ' ')
+           || ' ' AS sp
+    FROM words
+)"""
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        a, b = f"(SELECT a FROM best{i})", f"(SELECT b FROM best{i})"
+        pat = f"coalesce(' ' || {a} || ' ' || {b} || ' ', chr(2))"
+        rep = f"coalesce(' ' || {a} || {b} || ' ', chr(3))"
+        parts.append(f""",
+x{i} AS MATERIALIZED (
+    SELECT word, freq, unnest(syms) AS s,
+           unnest(range(1, len(syms) + 1)) AS j
+    FROM (SELECT word, freq, string_split(trim(word), ' ') AS syms FROM w{i})
+),
+p{i} AS (
+    SELECT a.s AS a, b.s AS b, sum(a.freq)::BIGINT AS c
+    FROM x{i} a JOIN x{i} b ON b.word = a.word AND b.j = a.j + 1
+    GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+w{i + 1} AS MATERIALIZED (
+    SELECT replace(word, {pat}, {rep}) AS word,
+           sum(freq)::BIGINT AS freq
+    FROM w{i} GROUP BY 1
+),
+z{i + 1} AS MATERIALIZED (
+    SELECT term, freq, replace(sp, {pat}, {rep}) AS sp FROM z{i}
+)""")
+    parts.append(f"""
+SELECT term, freq,
+       len(string_split(trim(sp), ' '))::BIGINT AS n_tokens
+FROM z{BPE_MERGES + 1}""")
+    return "".join(parts)
+
+
+QUERIES["bpe_apply"] = (q_bpe_apply, _sql_bpe_apply())
+
+
+# --------------------------------------------------------------------------
+# time-decayed user activity score: exponential half-life-per-day decay
+# kept EXACTLY integer (contribution = DECAY_UNIT >> age_days, capped),
+# so the per-user sum is order-independent on both engines — the shape
+# every "recency-weighted engagement" feature pipeline needs, without
+# the float-pow nondeterminism.
+
+DECAY_UNIT = 1_000_000
+DECAY_MAX_SHIFT = 62
+_US_PER_DAY = 86_400_000_000
+
+
+def q_decayed_user_score(sf_dir: str):
+    """Per-user recency-decayed activity: each event contributes
+    ``DECAY_UNIT >> min(age_days, 62)`` where ``age_days`` is the
+    calendar-day difference to the corpus max timestamp (DuckDB
+    ``date_diff('day', ...)`` == epoch-day subtraction for UTC us
+    timestamps).  Columns: ``user_id, n_events, score``.
+
+    Shape: one max-ts scalar pass, per-batch vectorized shift + partial
+    per-user sums, one user-sharded exchange."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["ts", "user_id"])
+
+    mx = ds.max("ts")
+    if mx is None:
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "n_events": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="int64")}
+        )
+    import datetime as _dt
+
+    if isinstance(mx, _dt.datetime):
+        max_us = int(mx.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6) \
+            if mx.tzinfo is None else int(mx.timestamp() * 1e6)
+    else:
+        max_us = int(mx)
+    max_day = max_us // _US_PER_DAY
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY
+        age = np.minimum(max_day - day, DECAY_MAX_SHIFT).astype(np.int64)
+        contrib = np.int64(DECAY_UNIT) >> age
+        df = pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+             "n_events": np.int64(1), "score": contrib}
+        )
+        g = df.groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(
+            g.astype({"user_id": "int64", "n_events": "int64",
+                      "score": "int64"}),
+            preserve_index=False,
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False).sum()
+        return out.astype(
+            {"user_id": "int64", "n_events": "int64", "score": "int64"}
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()),
+         ("score", pa.int64())]
+    )
+    return _sharded_groupby(parts, ["user_id"], merge, empty_schema=out_schema)
+
+
+def _sql_decayed_user_score() -> str:
+    return f"""
+WITH mx AS (
+    SELECT (epoch_us(max(ts)) // {_US_PER_DAY}) AS max_day FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       sum({DECAY_UNIT} >> least(mx.max_day - epoch_us(ts) // {_US_PER_DAY},
+                                 {DECAY_MAX_SHIFT}))::BIGINT AS score
+FROM events CROSS JOIN mx
+GROUP BY user_id
+"""
+
+
+QUERIES["decayed_user_score"] = (q_decayed_user_score, _sql_decayed_user_score())

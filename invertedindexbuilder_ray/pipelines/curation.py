@@ -2494,3 +2494,49 @@ def impact_postings_ds(source: str | rd.Dataset) -> rd.Dataset:
     )
     return _sharded_groupby(tf_rows, ["th"], impact_join,
                             empty_schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# BPE apply: segment the vocabulary with the learned merges and report
+# per-word token fertility (tokens per word) — the "is the tokenizer
+# efficient on this corpus" counterpart of bpe_merges.
+
+
+def bpe_apply_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """(term, freq, n_tokens) for every top-``BPE_MAX_WORDS`` vocabulary
+    word after applying the ``BPE_MERGES`` merges learned by
+    :func:`bpe_merges_df` (identical selection recurrence); ``n_tokens``
+    is the word's post-merge symbol count.  Both engines share the exact
+    left-to-right non-overlapping ``replace`` semantics, so the spelled
+    forms — and hence the counts — are bit-identical.
+    """
+    docs = _docs(source)
+    vocab_df, _total = _count_vocab(docs, BPE_MAX_WORDS)
+    terms = list(vocab_df["term"])
+    freqs = [int(c) for c in vocab_df["c"]]
+    spelled0 = [" " + " ".join(t) + " " for t in terms]
+    vocab: dict[str, int] = {}
+    for w, c in zip(spelled0, freqs):
+        vocab[w] = vocab.get(w, 0) + c
+    spell = {w: w for w in vocab}
+    for _it in range(BPE_MERGES):
+        pairs: dict[tuple[str, str], int] = {}
+        for word, f in vocab.items():
+            syms = word.split()
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] = pairs.get((x, y), 0) + f
+        if not pairs:
+            break
+        best_c = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == best_c)
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        nxt: dict[str, int] = {}
+        for word, f in vocab.items():
+            w2 = word.replace(pat, rep)
+            nxt[w2] = nxt.get(w2, 0) + f
+        vocab = nxt
+        spell = {w0: s.replace(pat, rep) for w0, s in spell.items()}
+    n_tokens = [len(spell[s0].split()) for s0 in spelled0]
+    return pd.DataFrame(
+        {"term": terms, "freq": freqs, "n_tokens": n_tokens}
+    ).astype({"freq": "int64", "n_tokens": "int64"})

@@ -67,6 +67,7 @@ FUZZ_ENTRIES = [
     "auc_signal",
     "zipf_slope",
     "impact_postings",
+    "bpe_apply",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

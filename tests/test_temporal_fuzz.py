@@ -36,6 +36,7 @@ FUZZ_ENTRIES = [
     "sliding_distinct_users",
     "events_profile",  # event_type nulls exercise the null-count leg
     "events_retention",
+    "decayed_user_score",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
