@@ -7447,3 +7447,140 @@ GROUP BY user_id
 
 
 QUERIES["decayed_user_score"] = (q_decayed_user_score, _sql_decayed_user_score())
+
+
+# --------------------------------------------------------------------------
+# coreset sampling: exact farthest-first traversal (Gonzalez k-center)
+# over the embeddings, on integer-quantized coordinates so every
+# distance — and therefore the argmax — is exact on both engines.
+
+CORESET_K = 8
+CORESET_GRID = 1024  # power of 2: x*1024 is an EXACT double scaling
+
+
+def _quant_embeddings(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    from ..functions.rounding import round_half_away as _rha
+
+    emb = batch["embedding"].combine_chunks()
+    mat = np.asarray(emb.values.to_numpy(zero_copy_only=False), np.float64)
+    mat = mat.reshape(len(batch), -1)
+    q = _rha(mat * CORESET_GRID, 0).astype(np.int64)
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ids, q
+
+
+def q_coreset_sample(sf_dir: str):
+    """Farthest-first traversal: seed = min vec_id, then K-1 rounds of
+    "the point maximizing its min quantized-L2 distance to the chosen
+    set" (ties: vec_id asc).  Columns: ``rank, vec_id, d2`` (d2 = exact
+    integer squared distance to the nearest earlier center; 0 for the
+    seed).  The 2-approximation guarantee of Gonzalez (1985) carries
+    over unchanged — quantization only redefines the metric, identically
+    on both engines.
+
+    Shape: K passes, each a broadcast of the <=K chosen centers
+    (``ray.put`` once per round) and a per-batch vectorized argmax that
+    emits ONE candidate row per batch — driver reduce is O(K * n_batches).
+    The declared cost of exact k-center is the K scans; the sampled /
+    composable alternative at 10^12 vectors is seeding via ann_lsh
+    bucket representatives, same per-round shape."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+    seed_id = ds.min("vec_id")
+    if seed_id is None:
+        return pd.DataFrame(
+            {"rank": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "d2": pd.Series([], dtype="int64")}
+        )
+    seed_id = int(seed_id)
+    srow = ds.filter(expr=f"vec_id == {seed_id}").take(1)[0]
+    from ..functions.rounding import round_half_away as _rha
+
+    seed_q = _rha(
+        np.asarray(srow["embedding"], np.float64) * CORESET_GRID, 0
+    ).astype(np.int64)
+    center_ids = [seed_id]
+    center_q = [seed_q]
+    rows = [(1, seed_id, 0)]
+    for it in range(2, CORESET_K + 1):
+        cref = ray.put(np.stack(center_q))
+        cids = np.array(center_ids, np.int64)
+
+        def best(batch: pa.Table, cref=cref, cids=cids) -> pa.Table:
+            empty = pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "d2": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.list_(pa.int64()))}
+            )
+            if batch.num_rows == 0:
+                return empty
+            ids, q = _quant_embeddings(batch)
+            keep = ~np.isin(ids, cids)
+            if not keep.any():
+                return empty
+            ids, q = ids[keep], q[keep]
+            C = ray.get(cref)
+            diff = q[:, None, :] - C[None, :, :]
+            mind = np.einsum("nkd,nkd->nk", diff, diff).min(axis=1)
+            i = np.lexsort((ids, -mind))[0]
+            return pa.table(
+                {"vec_id": pa.array([int(ids[i])], pa.int64()),
+                 "d2": pa.array([int(mind[i])], pa.int64()),
+                 "q": pa.array([q[i].tolist()], pa.list_(pa.int64()))}
+            )
+
+        cand = ds.map_batches(best, batch_format="pyarrow").to_pandas()
+        if not len(cand):
+            break
+        cand = cand.sort_values(["d2", "vec_id"],
+                                ascending=[False, True]).iloc[0]
+        center_ids.append(int(cand["vec_id"]))
+        center_q.append(np.asarray(list(cand["q"]), np.int64))
+        rows.append((it, int(cand["vec_id"]), int(cand["d2"])))
+    return pd.DataFrame(rows, columns=["rank", "vec_id", "d2"]).astype(
+        {"rank": "int64", "vec_id": "int64", "d2": "int64"}
+    )
+
+
+def _sql_coreset_sample() -> str:
+    g = CORESET_GRID
+    d2 = ("list_sum(list_transform(range(1, len(e.q) + 1), "
+          "j -> (e.q[j] - c.q[j]) * (e.q[j] - c.q[j])))")
+    parts = [f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id,
+           [CAST(round(x * {g}) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])]
+               AS q
+    FROM embeddings
+),
+c1 AS MATERIALIZED (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1),
+cc1 AS MATERIALIZED (SELECT vec_id, q FROM c1)"""]
+    for i in range(1, CORESET_K):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+    SELECT e.vec_id, min({d2}) AS mind
+    FROM e CROSS JOIN cc{i} c
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM cc{i})
+    GROUP BY e.vec_id
+),
+c{i + 1} AS MATERIALIZED (
+    SELECT d.vec_id, e.q, d.mind
+    FROM d{i} d JOIN e ON d.vec_id = e.vec_id
+    ORDER BY d.mind DESC, d.vec_id LIMIT 1
+),
+cc{i + 1} AS MATERIALIZED (
+    SELECT vec_id, q FROM cc{i}
+    UNION ALL SELECT vec_id, q FROM c{i + 1}
+)""")
+    sel = ["SELECT 1::BIGINT AS rank, vec_id, 0::BIGINT AS d2 FROM c1"]
+    sel += [
+        f"SELECT {i + 1}::BIGINT AS rank, vec_id, mind::BIGINT AS d2 FROM c{i + 1}"
+        for i in range(1, CORESET_K)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+QUERIES["coreset_sample"] = (q_coreset_sample, _sql_coreset_sample())
