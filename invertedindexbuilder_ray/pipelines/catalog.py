@@ -7584,3 +7584,219 @@ cc{i + 1} AS MATERIALIZED (
 
 
 QUERIES["coreset_sample"] = (q_coreset_sample, _sql_coreset_sample())
+
+
+# --------------------------------------------------------------------------
+# per-label embedding diversity: mean pairwise squared distance WITHOUT
+# pairs — the moment identity sum_{i<j}|qi-qj|^2 = n*sum|q|^2 - |sum q|^2
+# turns an O(n^2) statistic into two distributed integer sums.
+
+
+def q_label_diversity(sf_dir: str):
+    """Columns: ``label, n_vecs, mean_d2`` — the intra-class diversity
+    diagnostic (collapsed/duplicated classes show tiny mean_d2).
+    Coordinates quantized exactly as coreset_sample (round(x*1024), an
+    exact double scaling), so all moments are exact integers; the mean
+    is the only float, rounded identically on both engines.
+
+    Shape: per-batch label-grouped partials (n, per-dim sums, sum of
+    squares — |labels| x (d+1) rows per task), driver combine in Python
+    ints (no overflow at any scale; the SQL mirror is HUGEINT)."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["vec_id", "label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"label": pa.array([], pa.int64()),
+             "dim": pa.array([], pa.int64()),
+             "v": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        _ids, q = _quant_embeddings(b)
+        d = q.shape[1]
+        labels = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        ul, starts = np.unique(labels[order], return_index=True)
+        qsum = np.add.reduceat(q[order], starts, axis=0)
+        ss = np.add.reduceat((q * q).sum(axis=1)[order], starts)
+        n = np.diff(np.append(starts, len(labels))).astype(np.int64)
+        nl = len(ul)
+        # dim rows carry per-dim sums; the dim=0 row carries (ss, n)
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.concatenate([np.repeat(ul, d), ul]), pa.int64()),
+                "dim": pa.array(
+                    np.concatenate(
+                        [np.tile(np.arange(1, d + 1, dtype=np.int64), nl),
+                         np.zeros(nl, np.int64)]), pa.int64()),
+                "v": pa.array(
+                    np.concatenate([qsum.ravel(), ss]), pa.int64()),
+                "n": pa.array(
+                    np.concatenate([np.zeros(nl * d, np.int64), n]),
+                    pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    from ..functions.rounding import round_half_away
+
+    if not len(parts):
+        return pd.DataFrame(
+            {"label": pd.Series([], dtype="int64"),
+             "n_vecs": pd.Series([], dtype="int64"),
+             "mean_d2": pd.Series([], dtype="float64")}
+        )
+    rows = []
+    for label, g in parts.groupby("label"):
+        summary = g[g["dim"] == 0]
+        n = int(summary["n"].astype(object).sum())
+        ss = int(summary["v"].astype(object).sum())
+        s2 = sum(
+            int(sv) ** 2
+            for _dim, sv in g[g["dim"] > 0].groupby("dim")["v"]
+            .apply(lambda x: x.astype(object).sum()).items()
+        )
+        num = n * ss - s2
+        mean = 0.0 if n < 2 else float(
+            round_half_away(np.array([2.0 * float(num)
+                                      / float(n * (n - 1))]), 6)[0])
+        rows.append((int(label), n, mean))
+    return pd.DataFrame(rows, columns=["label", "n_vecs", "mean_d2"]).astype(
+        {"label": "int64", "n_vecs": "int64"}
+    )
+
+
+def _sql_label_diversity() -> str:
+    g = CORESET_GRID
+    return f"""
+WITH u AS (
+    SELECT label::BIGINT AS label, vec_id,
+           generate_subscripts(embedding, 1)::BIGINT AS dim,
+           CAST(round(unnest(CAST(embedding AS DOUBLE[])) * {g}) AS HUGEINT)
+               AS q
+    FROM embeddings
+),
+pd AS (SELECT label, dim, sum(q) AS s FROM u GROUP BY 1, 2),
+pl AS (
+    SELECT label, count(DISTINCT vec_id)::HUGEINT AS n, sum(q * q) AS ss
+    FROM u GROUP BY 1
+),
+s2 AS (SELECT label, sum(s * s) AS s2 FROM pd GROUP BY 1)
+SELECT pl.label,
+       CAST(pl.n AS BIGINT) AS n_vecs,
+       CASE WHEN pl.n < 2 THEN 0.0
+            ELSE round(2 * CAST(pl.n * pl.ss - s2.s2 AS DOUBLE)
+                       / CAST(pl.n * (pl.n - 1) AS DOUBLE), 6)
+       END AS mean_d2
+FROM pl JOIN s2 USING (label)
+"""
+
+
+QUERIES["label_diversity"] = (q_label_diversity, _sql_label_diversity())
+
+
+# --------------------------------------------------------------------------
+# hourly burst factor per event type: peak-to-mean ratio over hour
+# buckets kept integer (x1000 floor) so the fuzz gate can bit-compare.
+
+
+def q_event_bursts(sf_dir: str):
+    """Columns: ``event_type, n_hours, max_hour, total, burst_x1000``
+    where ``burst_x1000 = 1000 * max_hour * n_hours // total`` — the
+    peak-hour count over the mean per-active-hour count, floor-scaled.
+    NULL event types are excluded on both engines.
+
+    Shape: per-batch (type, hour) partial counts, one type+hour-sharded
+    exchange, tiny per-type reduce (types are bounded)."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.cast(
+                    pc.divide(batch["ts"].cast(pa.int64()), 3_600_000_000),
+                    pa.int64(),
+                ),
+            }
+        ).filter(pc.is_valid(batch["event_type"]))
+        g = t.group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+        # integer shard key from the type string (internal: never output)
+        types = g["event_type"].to_pylist()
+        tkey = np.array(
+            [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+             >> 1 for s in types],
+            np.int64,
+        ) if types else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "c": g["count_all"].cast(pa.int64()),
+                "tkey": pa.array(tkey, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def reduce_hours(g: pd.DataFrame) -> pd.DataFrame:
+        hh = g.groupby(["event_type", "hour"], as_index=False)["c"].sum()
+        out = hh.groupby("event_type", as_index=False).agg(
+            n_hours=("hour", "size"), max_hour=("c", "max"), total=("c", "sum")
+        )
+        out["burst_x1000"] = (
+            1000 * out["max_hour"].astype("int64")
+            * out["n_hours"].astype("int64")
+        ) // out["total"].astype("int64")
+        return out.astype(
+            {"n_hours": "int64", "max_hour": "int64", "total": "int64",
+             "burst_x1000": "int64"}
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_hours", pa.int64()),
+            ("max_hour", pa.int64()),
+            ("total", pa.int64()),
+            ("burst_x1000", pa.int64()),
+        ]
+    )
+    def reduce_drop(g: pd.DataFrame) -> pd.DataFrame:
+        return reduce_hours(g.drop(columns=["tkey"]))
+
+    # shard on the type hash only: a type's hours must co-locate for the
+    # max/size reduce (types are bounded; hours within a type are small)
+    return _sharded_groupby(parts, ["tkey"], reduce_drop,
+                            empty_schema=out_schema)
+
+
+def _sql_event_bursts() -> str:
+    return """
+WITH h AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+           count(*)::BIGINT AS c
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_hours,
+       max(c)::BIGINT AS max_hour,
+       sum(c)::BIGINT AS total,
+       (1000 * max(c) * count(*)) // sum(c) AS burst_x1000
+FROM h GROUP BY 1
+"""
+
+
+QUERIES["event_bursts"] = (q_event_bursts, _sql_event_bursts())

@@ -37,6 +37,7 @@ FUZZ_ENTRIES = [
     "events_profile",  # event_type nulls exercise the null-count leg
     "events_retention",
     "decayed_user_score",
+    "event_bursts",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
