@@ -7800,3 +7800,294 @@ FROM h GROUP BY 1
 
 
 QUERIES["event_bursts"] = (q_event_bursts, _sql_event_bursts())
+
+
+# --------------------------------------------------------------------------
+# MMR rerank (Carbonell & Goldstein 1998): greedy top-m balancing
+# relevance against redundancy, lambda = 0.5 so 2*MMR = rel - maxdiv
+# stays an exact integer on the quantized grid.
+
+MMR_CANDIDATES = 20
+MMR_SELECT = 5
+
+
+def q_mmr_rerank(sf_dir: str):
+    """Columns: ``step, vec_id, rel, maxdiv, mmr_x2`` — query = the
+    min-vec_id embedding; candidates = top-``MMR_CANDIDATES`` by exact
+    integer dot product (quantized as coreset_sample); then
+    ``MMR_SELECT`` greedy picks maximizing ``rel - max_dot_to_selected``
+    (ties vec_id asc).
+
+    Shape: ONE distributed scan with per-batch partial top-C under the
+    total order (rel desc, vec_id asc) — the greedy runs on <= C rows at
+    the driver with exact ints.  C and m are constants, so the driver
+    data is O(C), independent of N."""
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ["step", "vec_id", "rel", "maxdiv", "mmr_x2"]}
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+    qid = ds.min("vec_id")
+    if qid is None:
+        return empty
+    qid = int(qid)
+    from ..functions.rounding import round_half_away as _rha
+
+    qrow = ds.filter(expr=f"vec_id == {qid}").take(1)[0]
+    qv = _rha(np.asarray(qrow["embedding"], np.float64) * CORESET_GRID,
+              0).astype(np.int64)
+    qref = ray.put(qv)
+
+    def topc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "rel": pa.array([], pa.int64()),
+                 "q": pa.array([], pa.list_(pa.int64()))}
+            )
+        ids, q = _quant_embeddings(batch)
+        keep = ids != qid
+        ids, q = ids[keep], q[keep]
+        rel = q @ ray.get(qref)
+        order = np.lexsort((ids, -rel))[:MMR_CANDIDATES]
+        return pa.table(
+            {"vec_id": pa.array(ids[order], pa.int64()),
+             "rel": pa.array(rel[order], pa.int64()),
+             "q": pa.array([q[i].tolist() for i in order],
+                           pa.list_(pa.int64()))}
+        )
+
+    cand = ds.map_batches(topc, batch_format="pyarrow").to_pandas()
+    if not len(cand):
+        return empty
+    cand = cand.sort_values(["rel", "vec_id"],
+                            ascending=[False, True]).head(MMR_CANDIDATES)
+    ids = cand["vec_id"].to_numpy(np.int64)
+    rel = cand["rel"].to_numpy(np.int64)
+    Q = np.stack([np.asarray(list(v), np.int64) for v in cand["q"]])
+    chosen: list[int] = []
+    rows = []
+    for step in range(1, MMR_SELECT + 1):
+        if len(chosen) >= len(ids):
+            break
+        if chosen:
+            maxdiv = (Q @ Q[chosen].T).max(axis=1)
+        else:
+            maxdiv = np.zeros(len(ids), np.int64)
+        key = rel - maxdiv
+        mask = np.ones(len(ids), bool)
+        mask[chosen] = False
+        idxs = np.flatnonzero(mask)
+        i = idxs[np.lexsort((ids[idxs], -key[idxs]))[0]]
+        rows.append((step, int(ids[i]), int(rel[i]), int(maxdiv[i]),
+                     int(key[i])))
+        chosen.append(int(i))
+    return pd.DataFrame(
+        rows, columns=["step", "vec_id", "rel", "maxdiv", "mmr_x2"]
+    ).astype({c: "int64" for c in ["step", "vec_id", "rel", "maxdiv",
+                                   "mmr_x2"]})
+
+
+def _sql_mmr_rerank() -> str:
+    g = CORESET_GRID
+
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, len({a}) + 1), "
+                f"j -> {a}[j] * {b}[j]))")
+
+    parts = [f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id,
+           [CAST(round(x * {g}) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])]
+               AS q
+    FROM embeddings
+),
+qv AS MATERIALIZED (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1),
+cand AS MATERIALIZED (
+    SELECT e.vec_id, e.q, {dot('e.q', 'qv.q')} AS rel
+    FROM e CROSS JOIN qv WHERE e.vec_id != qv.vec_id
+    ORDER BY rel DESC, e.vec_id LIMIT {MMR_CANDIDATES}
+),
+s1 AS MATERIALIZED (
+    SELECT vec_id, q, rel, 0::BIGINT AS maxdiv
+    FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+),
+ss1 AS MATERIALIZED (SELECT vec_id, q FROM s1)"""]
+    for i in range(2, MMR_SELECT + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+    SELECT c.vec_id, max({dot('c.q', 's.q')}) AS maxdiv
+    FROM cand c CROSS JOIN ss{i - 1} s
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM ss{i - 1})
+    GROUP BY c.vec_id
+),
+s{i} AS MATERIALIZED (
+    SELECT c.vec_id, c.q, c.rel, d.maxdiv
+    FROM d{i} d JOIN cand c ON d.vec_id = c.vec_id
+    ORDER BY c.rel - d.maxdiv DESC, c.vec_id LIMIT 1
+),
+ss{i} AS MATERIALIZED (
+    SELECT vec_id, q FROM ss{i - 1} UNION ALL SELECT vec_id, q FROM s{i}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS step, vec_id, rel::BIGINT AS rel, "
+        f"maxdiv::BIGINT AS maxdiv, (rel - maxdiv)::BIGINT AS mmr_x2 FROM s{i}"
+        for i in range(1, MMR_SELECT + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+QUERIES["mmr_rerank"] = (q_mmr_rerank, _sql_mmr_rerank())
+
+
+# --------------------------------------------------------------------------
+# per-source exclusive vocabulary (data-valuation diagnostic)
+
+
+def q_vocab_uniqueness(sf_dir: str):
+    """See curation.vocab_uniqueness_df."""
+    from .curation import vocab_uniqueness_df
+
+    return vocab_uniqueness_df(sf_dir)
+
+
+_SQL_VOCAB_UNIQUENESS = """
+WITH filt AS (
+    SELECT source,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+pair AS (SELECT DISTINCT source, unnest(toks) AS term FROM filt),
+t AS (SELECT term, count(DISTINCT source) AS ns FROM pair GROUP BY 1),
+agg AS (
+    SELECT p.source, count(*)::BIGINT AS n_terms,
+           sum((t.ns = 1)::BIGINT)::BIGINT AS n_exclusive
+    FROM pair p JOIN t USING (term) GROUP BY 1
+)
+SELECT d.source,
+       coalesce(a.n_terms, 0)::BIGINT AS n_terms,
+       coalesce(a.n_exclusive, 0)::BIGINT AS n_exclusive
+FROM (SELECT DISTINCT source FROM documents) d
+LEFT JOIN agg a USING (source)
+"""
+
+
+QUERIES["vocab_uniqueness"] = (q_vocab_uniqueness, _SQL_VOCAB_UNIQUENESS)
+
+
+# --------------------------------------------------------------------------
+# cross-source duplicate contamination matrix: unordered doc pairs with
+# identical text, counted per (source_a <= source_b) cell in CLOSED FORM
+# from per-(hash, source) counts — never materializing the O(n^2) pairs
+# of a hot duplicate group.
+
+DUPMX_CLONE_EVERY = 100
+DUPMX_CLONE_SRC = "dupsrc"
+
+
+def q_dup_source_matrix(sf_dir: str):
+    """Columns: ``src_a, src_b, n_pairs`` (src_a <= src_b; same-source
+    cell = C(c,2) within each duplicate group, cross cell = c_a*c_b).
+    Uses a deterministic sf augmentation (clone every
+    ``DUPMX_CLONE_EVERY``-th doc under source '``dupsrc``', mirrored in
+    the SQL) because the synthetic corpus has no natural exact dups.
+
+    Shape: md5 off the Arrow buffer per batch, hash-sharded counts per
+    (digest, source), closed-form pair combinatorics in-shard, bounded
+    (|sources|^2) driver result."""
+    import pandas as pd
+
+    from ..functions.tokenize import _string_buffers
+    from .dedup import _sharded_groupby
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        # deterministic augmentation, mirrored in SQL
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % DUPMX_CLONE_EVERY == 0
+        clones = batch.filter(pa.array(m))
+        texts = pa.concat_arrays(
+            [batch["text"].combine_chunks(), clones["text"].combine_chunks()]
+        )
+        src = pa.concat_arrays(
+            [batch["source"].combine_chunks().cast(pa.string()),
+             pa.array([DUPMX_CLONE_SRC] * clones.num_rows, pa.string())]
+        ) if "source" in batch.column_names else None
+        data, offsets = _string_buffers(texts)
+        mv = memoryview(data)
+        digests = [
+            hashlib.md5(mv[offsets[i]: offsets[i + 1]]).digest()
+            for i in range(len(texts))
+        ]
+        return pa.table(
+            {
+                "m": pa.array([d.hex() for d in digests], pa.string()),
+                "source": src,
+                "hk": pa.array(
+                    np.array([int.from_bytes(d[:8], "little") >> 1
+                              for d in digests], np.int64), pa.int64()),
+            }
+        )
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "text", "source"])
+    hs = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["m", "source"], as_index=False).size()
+        c.columns = ["m", "source", "c"]
+        j = c.merge(c, on="m", suffixes=("_a", "_b"))
+        j = j[j["source_a"] <= j["source_b"]]
+        same = j["source_a"] == j["source_b"]
+        np_ = np.where(
+            same,
+            j["c_a"].to_numpy(np.int64) * (j["c_a"].to_numpy(np.int64) - 1) // 2,
+            j["c_a"].to_numpy(np.int64) * j["c_b"].to_numpy(np.int64),
+        )
+        j = j.assign(n_pairs=np_)
+        j = j[j["n_pairs"] > 0]
+        out = j.groupby(["source_a", "source_b"], as_index=False)["n_pairs"].sum()
+        out.columns = ["src_a", "src_b", "n_pairs"]
+        return out.astype({"n_pairs": "int64"})
+
+    part_schema = pa.schema(
+        [("src_a", pa.utf8()), ("src_b", pa.utf8()), ("n_pairs", pa.int64())]
+    )
+    parts = _sharded_groupby(hs, ["hk"], per_shard,
+                             empty_schema=part_schema).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {"src_a": pd.Series([], dtype=object),
+             "src_b": pd.Series([], dtype=object),
+             "n_pairs": pd.Series([], dtype="int64")}
+        )
+    return parts.groupby(["src_a", "src_b"], as_index=False)["n_pairs"].sum(
+    ).astype({"n_pairs": "int64"})
+
+
+_SQL_DUP_SOURCE_MATRIX = f"""
+WITH aug AS (
+    SELECT text, source FROM documents
+    UNION ALL
+    SELECT text, '{DUPMX_CLONE_SRC}' FROM documents
+    WHERE doc_id % {DUPMX_CLONE_EVERY} = 0
+),
+c AS (
+    SELECT md5(text) AS m, source, count(*)::BIGINT AS c
+    FROM aug GROUP BY 1, 2
+),
+p AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CASE WHEN a.source < b.source THEN a.c * b.c
+                ELSE a.c * (a.c - 1) // 2 END AS np
+    FROM c a JOIN c b ON a.m = b.m AND a.source <= b.source
+)
+SELECT src_a, src_b, sum(np)::BIGINT AS n_pairs
+FROM p WHERE np > 0 GROUP BY 1, 2
+"""
+
+
+QUERIES["dup_source_matrix"] = (q_dup_source_matrix, _SQL_DUP_SOURCE_MATRIX)

@@ -2540,3 +2540,84 @@ def bpe_apply_df(source: str | rd.Dataset) -> pd.DataFrame:
     return pd.DataFrame(
         {"term": terms, "freq": freqs, "n_tokens": n_tokens}
     ).astype({"freq": "int64", "n_tokens": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# vocabulary uniqueness per source: how much of each source's vocabulary
+# appears NOWHERE else — the data-valuation signal for "does this source
+# add anything" decisions.
+
+
+def vocab_uniqueness_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """(source, n_terms, n_exclusive): distinct clean terms per source
+    and the subset appearing in no other source.
+
+    Shape: per-batch exact (term, source) dedup (Arrow group_by on the
+    strings), ONE term-sharded exchange (a term's rows co-locate, so its
+    distinct-source count is exact in-shard), bounded driver combine
+    (sources are a small dimension)."""
+    import os
+
+    from ..sources.util import read_parquet_sized
+    from .dedup import _sharded_groupby
+
+    if isinstance(source, rd.Dataset):
+        docs = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        docs = read_parquet_sized(path, columns=["doc_id", "text", "source"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.utf8()),
+             "source": pa.array([], pa.utf8()),
+             "th": pa.array([], pa.int64())}
+        )
+        toks, _td, row_idx, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        src = pc.take(batch["source"], pa.array(row_idx, pa.int64()))
+        t = pa.table(
+            {"term": toks, "source": src,
+             "th": pa.array(h1.view(np.int64), pa.int64())}
+        )
+        g = t.group_by(["term", "source"]).aggregate([("th", "min")])
+        return pa.table(
+            {"term": g["term"], "source": g["source"], "th": g["th_min"]}
+        )
+
+    pr = docs.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[["term", "source"]].drop_duplicates()
+        ns = p.groupby("term")["source"].transform("nunique")
+        out = p.assign(excl=(ns == 1).astype("int64")).groupby(
+            "source", as_index=False
+        ).agg(n_terms=("term", "size"), n_exclusive=("excl", "sum"))
+        return out.astype({"n_terms": "int64", "n_exclusive": "int64"})
+
+    part_schema = pa.schema(
+        [("source", pa.utf8()), ("n_terms", pa.int64()),
+         ("n_exclusive", pa.int64())]
+    )
+    parts = _sharded_groupby(pr, ["th"], per_shard,
+                             empty_schema=part_schema).to_pandas()
+
+    def srcs(batch: pa.Table) -> pa.Table:
+        return pa.table({"source": batch["source"].unique()})
+
+    all_src = sorted(
+        set(docs.map_batches(srcs, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()["source"])
+    )
+    base = pd.DataFrame({"source": all_src})
+    if len(parts):
+        agg = parts.groupby("source", as_index=False).sum()
+        out = base.merge(agg, on="source", how="left").fillna(0)
+    else:
+        out = base.assign(n_terms=0, n_exclusive=0)
+    return out.astype({"n_terms": "int64", "n_exclusive": "int64"})

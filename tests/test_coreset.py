@@ -87,3 +87,24 @@ def test_coreset_fuzz(ray_session, tmp_path_factory, vecs):
     con.close()
     assert list(map(tuple, oracle[["rank", "vec_id", "d2"]].to_numpy())) \
         == want_rows
+
+
+@settings(max_examples=10, deadline=None)
+@given(vecs=st.lists(_VEC, min_size=1, max_size=24))
+def test_mmr_fuzz(ray_session, tmp_path_factory, vecs):
+    from invertedindexbuilder_ray.pipelines.catalog import QUERIES
+
+    tmpdir = str(tmp_path_factory.mktemp("mmr"))
+    _write_embeddings(tmpdir, vecs)
+    fn, sql = QUERIES["mmr_rerank"]
+    got = fn(tmpdir).sort_values("step").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmpdir, 'embeddings.parquet')}')"
+    )
+    want = con.execute(sql).fetchdf().sort_values("step").reset_index(drop=True)
+    con.close()
+    assert got[["step", "vec_id", "rel", "maxdiv", "mmr_x2"]].to_numpy(
+    ).tolist() == want[["step", "vec_id", "rel", "maxdiv", "mmr_x2"]].to_numpy(
+    ).tolist()

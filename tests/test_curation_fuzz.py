@@ -68,6 +68,8 @@ FUZZ_ENTRIES = [
     "zipf_slope",
     "impact_postings",
     "bpe_apply",
+    "vocab_uniqueness",
+    "dup_source_matrix",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
