@@ -186,6 +186,14 @@ def run_bench() -> dict:
         "revenue_by_nation", "orders_cube", "customer_order_balance",
         "feature_hash_vectors", "price_ntile", "scale_minmax",
         "prefix_suggest", "regex_search",
+        "chunk_documents", "skipgram_pairs", "vocab_growth",
+        "langid_confusion", "dsir_weights", "winnow_fingerprints",
+        "events_retention",
+        "bpe_merges", "bpe_apply", "ngram_novelty", "auc_signal",
+        "zipf_slope", "impact_postings", "decayed_user_score",
+        "coreset_sample", "label_diversity", "event_bursts",
+        "mmr_rerank", "vocab_uniqueness", "dup_source_matrix",
+        "readability", "source_jaccard", "vocab_drift",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

@@ -8091,3 +8091,136 @@ FROM p WHERE np > 0 GROUP BY 1, 2
 
 
 QUERIES["dup_source_matrix"] = (q_dup_source_matrix, _SQL_DUP_SOURCE_MATRIX)
+
+
+# --------------------------------------------------------------------------
+# readability (integer Flesch proxy)
+
+
+def q_readability(sf_dir: str):
+    """See curation.readability_ds."""
+    from .curation import readability_ds
+
+    return readability_ds(sf_dir)
+
+
+_SQL_READABILITY = """
+WITH s AS (
+    SELECT doc_id,
+           len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           x -> len(x) <= 15))::BIGINT AS n_words,
+           len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sents,
+           len(regexp_extract_all(lower(text), '[aeiou]+'))::BIGINT AS n_vg
+    FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_vg AS n_vowel_groups,
+       (206835 - (1015 * n_words) // greatest(n_sents, 1)
+               - (84600 * n_vg) // greatest(n_words, 1))::BIGINT AS fre_x1000
+FROM s
+"""
+
+
+QUERIES["readability"] = (q_readability, _SQL_READABILITY)
+
+
+# --------------------------------------------------------------------------
+# exact pairwise source-vocabulary Jaccard
+
+
+def q_source_jaccard(sf_dir: str):
+    """See curation.source_jaccard_df."""
+    from .curation import source_jaccard_df
+
+    return source_jaccard_df(sf_dir)
+
+
+_SQL_SOURCE_JACCARD = """
+WITH filt AS (
+    SELECT source,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+pair AS (SELECT DISTINCT source, unnest(toks) AS term FROM filt),
+x AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS inter
+    FROM pair a JOIN pair b ON a.term = b.term AND a.source < b.source
+    GROUP BY 1, 2
+),
+sz AS (SELECT source, count(*)::BIGINT AS n FROM pair GROUP BY 1)
+SELECT x.src_a, x.src_b, x.inter,
+       (za.n + zb.n - x.inter)::BIGINT AS union_n,
+       ((1000000 * x.inter) // (za.n + zb.n - x.inter))::BIGINT
+           AS jaccard_x1e6
+FROM x
+JOIN sz za ON za.source = x.src_a
+JOIN sz zb ON zb.source = x.src_b
+"""
+
+
+QUERIES["source_jaccard"] = (q_source_jaccard, _SQL_SOURCE_JACCARD)
+
+
+# --------------------------------------------------------------------------
+# vocabulary drift (G-test between corpus halves)
+
+
+def q_vocab_drift(sf_dir: str):
+    """See curation.vocab_drift_df."""
+    from .curation import vocab_drift_df
+
+    return vocab_drift_df(sf_dir)
+
+
+def _sql_vocab_drift() -> str:
+    from .curation import DRIFT_TOP_K
+
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id % 2 AS par, unnest(toks) AS term FROM filt),
+c AS (
+    SELECT term,
+           sum((par = 0)::BIGINT)::BIGINT AS a,
+           sum((par = 1)::BIGINT)::BIGINT AS b
+    FROM tok GROUP BY 1
+),
+tot AS (
+    SELECT coalesce(sum(a), 0)::BIGINT AS te,
+           coalesce(sum(b), 0)::BIGINT AS tn
+    FROM c
+),
+kv AS (
+    SELECT term, a, b,
+           unnest([a, b, te - a, tn - b, te + tn,
+                   a + b, te + tn - a - b, te, tn]) AS k,
+           unnest([1, 1, 1, 1, 1, -1, -1, -1, -1]) AS sgn
+    FROM c CROSS JOIN tot
+),
+sterm AS (
+    SELECT term, a, b, sgn,
+           CASE WHEN k <= 1 THEN 0::HUGEINT ELSE
+               k::HUGEINT * (CAST(round(log2(k >> s) * 1000000000) AS HUGEINT)
+                             + s::HUGEINT * 1000000000)
+           END AS sk
+    FROM (SELECT *, greatest(length(bin(k))::BIGINT - 16, 0) AS s FROM kv)
+),
+g AS (
+    SELECT term, any_value(a) AS n_even, any_value(b) AS n_odd,
+           CAST(2 * sum(sgn * sk) AS BIGINT) AS g_fp
+    FROM sterm GROUP BY term
+)
+SELECT term, n_even::BIGINT AS n_even, n_odd::BIGINT AS n_odd, g_fp,
+       round(g_fp / 1000000000.0, 6) AS g, rk::BIGINT AS rank
+FROM (
+    SELECT *, row_number() OVER (ORDER BY g_fp DESC, term) AS rk FROM g
+)
+WHERE rk <= {DRIFT_TOP_K}
+"""
+
+
+QUERIES["vocab_drift"] = (q_vocab_drift, _sql_vocab_drift())

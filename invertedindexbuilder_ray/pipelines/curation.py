@@ -2621,3 +2621,249 @@ def vocab_uniqueness_df(source: str | rd.Dataset) -> pd.DataFrame:
     else:
         out = base.assign(n_terms=0, n_exclusive=0)
     return out.astype({"n_terms": "int64", "n_exclusive": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# readability: integer Flesch-reading-ease proxy.  Sentences = [.!?]+
+# runs, syllable proxy = vowel groups; each fractional term floors
+# separately so the score is exact on both engines.
+
+
+def readability_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """Per-doc ``doc_id, n_words, n_sents, n_vowel_groups, fre_x1000``
+    with ``fre_x1000 = 206835 - 1015*n_words // max(n_sents, 1)
+    - 84600*n_vg // max(n_words, 1)`` (Flesch coefficients x1000,
+    vowel-group syllable proxy).  One RE2 scan per signal per batch;
+    zero exchanges."""
+    docs = _docs(source)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        _toks, _td, row_idx, _h1, _h2 = _batch_tokens(batch)
+        n_words = np.bincount(
+            row_idx, minlength=batch.num_rows
+        ).astype(np.int64)
+        text = pc.cast(batch["text"], pa.string())
+        n_sents = pc.count_substring_regex(
+            text, pattern=r"[.!?]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_vg = pc.count_substring_regex(
+            pc.utf8_lower(text), pattern=r"[aeiou]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        fre = (
+            np.int64(206835)
+            - (1015 * n_words) // np.maximum(n_sents, 1)
+            - (84600 * n_vg) // np.maximum(n_words, 1)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_sents": pa.array(n_sents, pa.int64()),
+                "n_vowel_groups": pa.array(n_vg, pa.int64()),
+                "fre_x1000": pa.array(fre, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# exact pairwise Jaccard between source vocabularies (the inter-source
+# similarity matrix behind mixture design; MinHash is the sketch path,
+# this is the exact one — sources are a bounded dimension so the pair
+# expansion is |terms| * S^2 at worst, never |docs|^2).
+
+
+def source_jaccard_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """(src_a, src_b, inter, union_n, jaccard_x1e6) for src_a < src_b
+    with at least one shared term; ``jaccard_x1e6 = 1e6 * inter //
+    union``.  Shape: the same single term-sharded exchange as
+    vocab_uniqueness — in-shard per-term source pairs + per-source
+    sizes, bounded S^2 driver combine."""
+    import os
+
+    from ..sources.util import read_parquet_sized
+    from .dedup import _sharded_groupby
+
+    if isinstance(source, rd.Dataset):
+        docs = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        docs = read_parquet_sized(path, columns=["doc_id", "text", "source"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.utf8()),
+             "source": pa.array([], pa.utf8()),
+             "th": pa.array([], pa.int64())}
+        )
+        toks, _td, row_idx, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        src = pc.take(batch["source"], pa.array(row_idx, pa.int64()))
+        t = pa.table(
+            {"term": toks, "source": src,
+             "th": pa.array(h1.view(np.int64), pa.int64())}
+        )
+        g = t.group_by(["term", "source"]).aggregate([("th", "min")])
+        return pa.table(
+            {"term": g["term"], "source": g["source"], "th": g["th_min"]}
+        )
+
+    pr = docs.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[["term", "source"]].drop_duplicates()
+        j = p.merge(p, on="term", suffixes=("_a", "_b"))
+        j = j[j["source_a"] < j["source_b"]]
+        inter = j.groupby(["source_a", "source_b"], as_index=False).size()
+        inter.columns = ["src_a", "src_b", "inter"]
+        sz = p.groupby("source", as_index=False).size()
+        sz.columns = ["src_a", "inter"]
+        sz["src_b"] = ""  # empty src_b marks a per-source size row
+        out = pd.concat([inter, sz], ignore_index=True)
+        out["inter"] = out["inter"].astype("int64")
+        return out[["src_a", "src_b", "inter"]]
+
+    part_schema = pa.schema(
+        [("src_a", pa.utf8()), ("src_b", pa.utf8()), ("inter", pa.int64())]
+    )
+    parts = _sharded_groupby(pr, ["th"], per_shard,
+                             empty_schema=part_schema).to_pandas()
+    cols = ["src_a", "src_b", "inter", "union_n", "jaccard_x1e6"]
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype="int64" if c not in ("src_a", "src_b") else object)
+            for c in cols})
+    sizes = parts[parts["src_b"] == ""].groupby("src_a")["inter"].sum()
+    inter = parts[parts["src_b"] != ""].groupby(
+        ["src_a", "src_b"], as_index=False)["inter"].sum()
+    if not len(inter):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype="int64" if c not in ("src_a", "src_b") else object)
+            for c in cols})
+    na = inter["src_a"].map(sizes).to_numpy(np.int64)
+    nb = inter["src_b"].map(sizes).to_numpy(np.int64)
+    iv = inter["inter"].to_numpy(np.int64)
+    inter["union_n"] = na + nb - iv
+    inter["jaccard_x1e6"] = (1_000_000 * iv) // (na + nb - iv)
+    return inter.astype(
+        {"inter": "int64", "union_n": "int64", "jaccard_x1e6": "int64"}
+    )[cols]
+
+
+# ---------------------------------------------------------------------------
+# vocabulary drift: Dunning G-test per term between the even-doc_id and
+# odd-doc_id halves of the corpus — the distribution-shift detector run
+# between crawl snapshots / train-validation splits.  Reuses the exact
+# integer S(k) = k*log2(k) fixed point from textpipe (bigram_llr), so
+# g_fp is an exact int64 rank key on both engines.
+
+DRIFT_TOP_K = 20
+
+
+def vocab_drift_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """Top-``DRIFT_TOP_K`` drifting terms: ``term, n_even, n_odd, g_fp,
+    g, rank`` with the 2x2 G-test (term-vs-rest x even-vs-odd), ranked
+    by (g_fp desc, term asc).
+
+    Shape: one tiny parity-totals pass (two scalars), per-batch (term,
+    parity) Arrow partials, ONE term-sharded exchange computing per-term
+    G in-shard (totals closed over) with per-shard top-K candidates,
+    bounded driver merge."""
+    from .dedup import _sharded_groupby
+    from .textpipe import _LLR_MAX_N, _s_fp
+
+    docs = _docs(source)
+
+    def par_tot(batch: pa.Table) -> pa.Table:
+        _toks, token_doc, _ri, _h1, _h2 = _batch_tokens(batch)
+        par = token_doc % 2
+        return pa.table(
+            {"te": pa.array([int((par == 0).sum())], pa.int64()),
+             "to": pa.array([int((par == 1).sum())], pa.int64())}
+        )
+
+    tt = docs.map_batches(par_tot, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    te = int(tt["te"].sum()) if len(tt) else 0
+    to = int(tt["to"].sum()) if len(tt) else 0
+    n = te + to
+    if n >= _LLR_MAX_N:
+        raise ValueError(
+            f"vocab_drift: corpus token total {n} >= 2^26 exceeds the "
+            "int64-safe S(k) partial-sum domain"
+        )
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        toks, token_doc, _ri, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return pa.table(
+                {"term": pa.array([], pa.utf8()),
+                 "par": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64()),
+                 "th": pa.array([], pa.int64())}
+            )
+        t = pa.table(
+            {"term": toks,
+             "par": pa.array((token_doc % 2).astype(np.int64), pa.int64()),
+             "th": pa.array(h1.view(np.int64), pa.int64())}
+        )
+        g = t.group_by(["term", "par"]).aggregate(
+            [("th", "min"), ([], "count_all")]
+        )
+        return pa.table(
+            {"term": g["term"], "par": g["par"],
+             "c": g["count_all"].cast(pa.int64()), "th": g["th_min"]}
+        )
+
+    rows = docs.map_batches(cnt, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["term", "par"], as_index=False)["c"].sum()
+        piv = s.pivot_table(index="term", columns="par", values="c",
+                            aggfunc="sum", fill_value=0)
+        a = piv[0].to_numpy(np.int64) if 0 in piv.columns \
+            else np.zeros(len(piv), np.int64)
+        b = piv[1].to_numpy(np.int64) if 1 in piv.columns \
+            else np.zeros(len(piv), np.int64)
+        gv = 2 * (
+            _s_fp(a) + _s_fp(b) + _s_fp(te - a) + _s_fp(to - b)
+            + _s_fp(np.full(len(a), n, np.int64))
+            - _s_fp(a + b) - _s_fp(n - a - b)
+            - _s_fp(np.full(len(a), te, np.int64))
+            - _s_fp(np.full(len(a), to, np.int64))
+        )
+        out = pd.DataFrame(
+            {"term": piv.index.to_numpy(), "n_even": a, "n_odd": b,
+             "g_fp": gv}
+        )
+        return out.sort_values(
+            ["g_fp", "term"], ascending=[False, True], kind="mergesort"
+        ).head(DRIFT_TOP_K)
+
+    part_schema = pa.schema(
+        [("term", pa.utf8()), ("n_even", pa.int64()),
+         ("n_odd", pa.int64()), ("g_fp", pa.int64())]
+    )
+    cand = _sharded_groupby(rows, ["th"], per_shard,
+                            empty_schema=part_schema).to_pandas()
+    cols = ["term", "n_even", "n_odd", "g_fp", "g", "rank"]
+    if not len(cand):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "term" else
+            ("float64" if c == "g" else "int64")) for c in cols})
+    top = cand.sort_values(
+        ["g_fp", "term"], ascending=[False, True], kind="mergesort"
+    ).head(DRIFT_TOP_K).reset_index(drop=True)
+    top["g"] = round_half_away(
+        top["g_fp"].to_numpy(np.int64) / 1e9, 6)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top.astype(
+        {"n_even": "int64", "n_odd": "int64", "g_fp": "int64",
+         "rank": "int64"}
+    )[cols]

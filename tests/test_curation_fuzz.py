@@ -70,6 +70,9 @@ FUZZ_ENTRIES = [
     "bpe_apply",
     "vocab_uniqueness",
     "dup_source_matrix",
+    "readability",
+    "source_jaccard",
+    "vocab_drift",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
