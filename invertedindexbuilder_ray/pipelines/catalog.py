@@ -8224,3 +8224,43 @@ WHERE rk <= {DRIFT_TOP_K}
 
 
 QUERIES["vocab_drift"] = (q_vocab_drift, _sql_vocab_drift())
+
+
+# --------------------------------------------------------------------------
+# percolation (reverse search: stored queries vs the document stream)
+
+
+def q_percolate(sf_dir: str):
+    """See ranking.percolate_df."""
+    from .ranking import percolate_df
+
+    return percolate_df(sf_dir)
+
+
+def _sql_percolate() -> str:
+    from .ranking import sql_percolate
+
+    return sql_percolate()
+
+
+QUERIES["percolate"] = (q_percolate, _sql_percolate())
+
+
+# --------------------------------------------------------------------------
+# NDCG ranking evaluation
+
+
+def q_ndcg_eval(sf_dir: str):
+    """See ranking.ndcg_eval_df."""
+    from .ranking import ndcg_eval_df
+
+    return ndcg_eval_df(sf_dir)
+
+
+def _sql_ndcg_eval() -> str:
+    from .ranking import sql_ndcg_eval
+
+    return sql_ndcg_eval()
+
+
+QUERIES["ndcg_eval"] = (q_ndcg_eval, _sql_ndcg_eval())

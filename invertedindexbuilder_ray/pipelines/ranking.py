@@ -1,0 +1,364 @@
+"""Reverse search (percolation) and ranking-quality evaluation.
+
+Two capability classes the catalog lacked:
+
+- ``percolate_df`` — stored-query matching against the document stream
+  (the Elasticsearch-percolator / alerting primitive; conceptually the
+  reference's query loop turned inside out, cf. /root/reference/src/query.c).
+  Stored queries are derived deterministically from the corpus (all pairs
+  of the top-``PERC_TOP_TERMS`` document-frequency terms) so the DuckDB
+  oracle can re-derive them.
+- ``ndcg_eval_df`` — NDCG@``NDCG_K`` of an integer length-normalized
+  ranking against a graded tf relevance proxy, per query term.  The
+  log2 position discount enters as a PRECOMPUTED INTEGER WEIGHT TABLE
+  (``_NDCG_W``) inlined literally into the SQL, so both engines share
+  the exact same integers and the result is hash-exact.
+
+Shared shape: one term-sharded exchange derives the top-df query terms
+(a term lives in exactly one shard, so per-shard top-k -> driver top-k
+is exact); the match/candidate pass is per-batch vectorized numpy over
+the clean token stream with tiny bounded partials (<= pairs-or-k rows
+per batch) reaching the driver.  Documents never span batches, so
+per-doc tf / dl partials are exact per batch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .curation import _batch_tokens
+from .textpipe import _docs
+
+PERC_TOP_TERMS = 8
+NDCG_K = 10
+NDCG_QUERIES = 3
+
+# integer DCG position weights: round(1e9 / log2(pos+1)), pos 1-based.
+# Computed once HERE and inlined as literals into the SQL oracle — the
+# two engines can never disagree on the discount.
+_NDCG_W = [round(1_000_000_000 / math.log2(p + 1)) for p in range(1, NDCG_K + 1)]
+
+
+def _top_df_terms(docs: rd.Dataset, k: int) -> list[tuple[str, int]]:
+    """Top-``k`` terms by (document frequency desc, term asc).
+
+    Per-batch exact (term, doc) dedup -> per-term df partials (exact:
+    docs never span batches), ONE term-sharded exchange summing df with
+    per-shard top-k candidates, bounded driver merge."""
+    from .dedup import _sharded_groupby
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.utf8()),
+             "df": pa.array([], pa.int64()),
+             "th": pa.array([], pa.int64())}
+        )
+        toks, token_doc, _ri, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        t = pa.table(
+            {"term": toks,
+             "doc": pa.array(token_doc, pa.int64()),
+             "th": pa.array(h1.view(np.int64), pa.int64())}
+        )
+        d = t.group_by(["term", "doc"]).aggregate([("th", "min")])
+        g = d.group_by("term").aggregate([("doc", "count"), ("th_min", "min")])
+        return pa.table(
+            {"term": g["term"],
+             "df": g["doc_count"].cast(pa.int64()),
+             "th": g["th_min_min"]}
+        )
+
+    pr = docs.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("term", as_index=False)["df"].sum()
+        s = s.sort_values(["df", "term"], ascending=[False, True],
+                          kind="mergesort")
+        return s.head(k).astype({"df": "int64"})
+
+    part_schema = pa.schema([("term", pa.utf8()), ("df", pa.int64())])
+    cand = _sharded_groupby(pr, ["th"], per_shard,
+                            empty_schema=part_schema).to_pandas()
+    if not len(cand):
+        return []
+    top = cand.sort_values(["df", "term"], ascending=[False, True],
+                           kind="mergesort").head(k)
+    return list(zip(top["term"].tolist(),
+                    top["df"].astype("int64").tolist()))
+
+
+# ---------------------------------------------------------------------------
+# percolation
+
+
+def percolate_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """(term_a, term_b, n_matches, min_doc_id, max_doc_id) for every
+    stored conjunctive 2-term query with >=1 matching document.
+
+    Stored queries = all rank-ordered pairs of the top-``PERC_TOP_TERMS``
+    df terms (ties term asc).  Match pass: per batch, one vectorized
+    equality scan per stored term builds a per-doc membership bitmask;
+    each pair's partial (count, min doc, max doc) is closed-form from
+    the bitmask — at most C(8,2)=28 partial rows per batch reach the
+    driver regardless of corpus size."""
+    docs = _docs(source)
+    cols = ["term_a", "term_b", "n_matches", "min_doc_id", "max_doc_id"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c in ("term_a", "term_b") else "int64")
+            for c in cols})
+
+    terms = [t for t, _df in _top_df_terms(docs, PERC_TOP_TERMS)]
+    if len(terms) < 2:
+        return _empty()
+    nt = len(terms)
+
+    def match(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"ra": pa.array([], pa.int64()), "rb": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()), "mn": pa.array([], pa.int64()),
+             "mx": pa.array([], pa.int64())}
+        )
+        toks, _td, row_idx, _h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        bits = np.zeros(batch.num_rows, np.int64)
+        for i, t in enumerate(terms):
+            m = pc.equal(toks, t).to_numpy(zero_copy_only=False)
+            # repeated row indices OR the same bit — idempotent, safe
+            bits[row_idx[m]] |= np.int64(1 << i)
+        ra, rb, ns, mns, mxs = [], [], [], [], []
+        for a in range(nt):
+            for b in range(a + 1, nt):
+                sel = ((bits >> a) & (bits >> b) & 1).astype(bool)
+                if sel.any():
+                    d = doc_ids[sel]
+                    ra.append(a)
+                    rb.append(b)
+                    ns.append(int(sel.sum()))
+                    mns.append(int(d.min()))
+                    mxs.append(int(d.max()))
+        if not ra:
+            return empty
+        return pa.table(
+            {"ra": pa.array(ra, pa.int64()), "rb": pa.array(rb, pa.int64()),
+             "n": pa.array(ns, pa.int64()), "mn": pa.array(mns, pa.int64()),
+             "mx": pa.array(mxs, pa.int64())}
+        )
+
+    parts = docs.map_batches(match, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return _empty()
+    agg = parts.groupby(["ra", "rb"], as_index=False).agg(
+        n_matches=("n", "sum"), min_doc_id=("mn", "min"),
+        max_doc_id=("mx", "max"))
+    agg["term_a"] = agg["ra"].map(lambda i: terms[i])
+    agg["term_b"] = agg["rb"].map(lambda i: terms[i])
+    return agg.astype(
+        {"n_matches": "int64", "min_doc_id": "int64", "max_doc_id": "int64"}
+    )[cols]
+
+
+def sql_percolate() -> str:
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+td AS (SELECT DISTINCT doc_id, term FROM tok),
+df AS (SELECT term, count(*)::BIGINT AS df FROM td GROUP BY 1),
+top AS (
+    SELECT term, rk FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+        FROM df
+    ) WHERE rk <= {PERC_TOP_TERMS}
+),
+pairs AS (
+    SELECT a.term AS ta, b.term AS tb
+    FROM top a JOIN top b ON a.rk < b.rk
+),
+m AS (
+    SELECT p.ta, p.tb, x.doc_id
+    FROM pairs p
+    JOIN td x ON x.term = p.ta
+    JOIN td y ON y.term = p.tb AND y.doc_id = x.doc_id
+)
+SELECT ta AS term_a, tb AS term_b, count(*)::BIGINT AS n_matches,
+       min(doc_id)::BIGINT AS min_doc_id, max(doc_id)::BIGINT AS max_doc_id
+FROM m GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# NDCG ranking evaluation
+
+
+def ndcg_eval_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """Per query term: ``term, n_candidates, dcg_fp, idcg_fp,
+    ndcg_x1e6`` for NDCG@``NDCG_K``.
+
+    Queries = top-``NDCG_QUERIES`` df terms.  Candidates = docs with
+    tf > 0; ranking key ``s = 1000*tf // dl`` (integer length-normalized
+    tf, ties doc asc), graded relevance ``rel = min(tf, 3)``; DCG uses
+    the ``_NDCG_W`` integer weight table.  ``ndcg_x1e6 =
+    1e6 * dcg_fp // idcg_fp``.
+
+    Per batch, each query's TOP-``NDCG_K`` rows under BOTH orders (plus
+    a count partial) are emitted — top-k of a union is the top-k of
+    per-batch top-k's, so the driver merge over <=2k+1 rows per
+    (batch, query) is exact at any corpus size."""
+    docs = _docs(source)
+    cols = ["term", "n_candidates", "dcg_fp", "idcg_fp", "ndcg_x1e6"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "term" else "int64") for c in cols})
+
+    terms = [t for t, _df in _top_df_terms(docs, NDCG_QUERIES)]
+    if not terms:
+        return _empty()
+
+    def cand(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"q": pa.array([], pa.int64()), "which": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+             "rel": pa.array([], pa.int64())}
+        )
+        toks, _td, row_idx, _h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dl = np.bincount(row_idx, minlength=batch.num_rows).astype(np.int64)
+        qs, whichs, ds, ss, rels = [], [], [], [], []
+        for qi, t in enumerate(terms):
+            m = pc.equal(toks, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(row_idx[m], minlength=batch.num_rows).astype(
+                np.int64)
+            sel = tf > 0
+            if not sel.any():
+                continue
+            tfs = tf[sel]
+            s = (1000 * tfs) // dl[sel]
+            rel = np.minimum(tfs, 3)
+            dsel = doc_ids[sel]
+            ranked = np.lexsort((dsel, -s))[:NDCG_K]
+            ideal = np.lexsort((dsel, -rel))[:NDCG_K]
+            for which, idx in ((0, ranked), (1, ideal)):
+                qs.extend([qi] * len(idx))
+                whichs.extend([which] * len(idx))
+                ds.extend(dsel[idx].tolist())
+                ss.extend(s[idx].tolist())
+                rels.extend(rel[idx].tolist())
+            # count partial rides in `s`
+            qs.append(qi)
+            whichs.append(2)
+            ds.append(-1)
+            ss.append(int(sel.sum()))
+            rels.append(0)
+        if not qs:
+            return empty
+        return pa.table(
+            {"q": pa.array(qs, pa.int64()),
+             "which": pa.array(whichs, pa.int64()),
+             "doc_id": pa.array(ds, pa.int64()),
+             "s": pa.array(ss, pa.int64()),
+             "rel": pa.array(rels, pa.int64())}
+        )
+
+    parts = docs.map_batches(cand, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return _empty()
+    w = np.asarray(_NDCG_W, np.int64)
+    rows = []
+    for qi, t in enumerate(terms):
+        p = parts[parts["q"] == qi]
+        if not len(p):
+            continue
+        r = p[p["which"] == 0].sort_values(
+            ["s", "doc_id"], ascending=[False, True],
+            kind="mergesort").head(NDCG_K)
+        i = p[p["which"] == 1].sort_values(
+            ["rel", "doc_id"], ascending=[False, True],
+            kind="mergesort").head(NDCG_K)
+        dcg = int((r["rel"].to_numpy(np.int64) * w[: len(r)]).sum())
+        idcg = int((i["rel"].to_numpy(np.int64) * w[: len(i)]).sum())
+        n = int(p.loc[p["which"] == 2, "s"].sum())
+        rows.append(
+            {"term": t, "n_candidates": n, "dcg_fp": dcg, "idcg_fp": idcg,
+             "ndcg_x1e6": (1_000_000 * dcg) // idcg}
+        )
+    if not rows:
+        return _empty()
+    return pd.DataFrame(rows).astype(
+        {"n_candidates": "int64", "dcg_fp": "int64", "idcg_fp": "int64",
+         "ndcg_x1e6": "int64"})[cols]
+
+
+def sql_ndcg_eval() -> str:
+    w_lit = "[" + ", ".join(str(x) for x in _NDCG_W) + "]"
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+top AS (
+    SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+        FROM df
+    ) WHERE rk <= {NDCG_QUERIES}
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+tfq AS (
+    SELECT t.term, t.doc_id, count(*)::BIGINT AS tf
+    FROM tok t JOIN top USING (term) GROUP BY 1, 2
+),
+cand AS (
+    SELECT tfq.term, tfq.doc_id, (1000 * tfq.tf) // dl.n AS s,
+           least(tfq.tf, 3)::BIGINT AS rel
+    FROM tfq JOIN dl USING (doc_id)
+),
+r AS (
+    SELECT term, rel,
+           row_number() OVER (PARTITION BY term ORDER BY s DESC, doc_id) AS rk
+    FROM cand
+),
+i AS (
+    SELECT term, rel,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY rel DESC, doc_id) AS rk
+    FROM cand
+),
+dcg AS (
+    SELECT term, sum(rel * list_extract({w_lit}, rk))::BIGINT AS dcg_fp
+    FROM r WHERE rk <= {NDCG_K} GROUP BY 1
+),
+idcg AS (
+    SELECT term, sum(rel * list_extract({w_lit}, rk))::BIGINT AS idcg_fp
+    FROM i WHERE rk <= {NDCG_K} GROUP BY 1
+),
+nc AS (SELECT term, count(*)::BIGINT AS n_candidates FROM cand GROUP BY 1)
+SELECT nc.term, nc.n_candidates, dcg.dcg_fp, idcg.idcg_fp,
+       ((1000000 * dcg.dcg_fp) // idcg.idcg_fp)::BIGINT AS ndcg_x1e6
+FROM nc JOIN dcg USING (term) JOIN idcg USING (term)
+"""

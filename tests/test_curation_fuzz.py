@@ -73,6 +73,8 @@ FUZZ_ENTRIES = [
     "readability",
     "source_jaccard",
     "vocab_drift",
+    "percolate",
+    "ndcg_eval",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
