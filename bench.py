@@ -194,7 +194,7 @@ def run_bench() -> dict:
         "coreset_sample", "label_diversity", "event_bursts",
         "mmr_rerank", "vocab_uniqueness", "dup_source_matrix",
         "readability", "source_jaccard", "vocab_drift",
-        "percolate", "ndcg_eval",
+        "percolate", "ndcg_eval", "source_kl",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

@@ -8264,3 +8264,66 @@ def _sql_ndcg_eval() -> str:
 
 
 QUERIES["ndcg_eval"] = (q_ndcg_eval, _sql_ndcg_eval())
+
+
+# --------------------------------------------------------------------------
+# per-source KL divergence vs corpus unigram distribution
+
+
+def q_source_kl(sf_dir: str):
+    """See curation.source_kl_df."""
+    from .curation import source_kl_df
+
+    return source_kl_df(sf_dir)
+
+
+_SQL_SOURCE_KL = """
+WITH filt AS (
+    SELECT source,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT source, unnest(toks) AS term FROM filt),
+cs AS (SELECT term, source, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+cww AS (SELECT term, sum(c)::BIGINT AS w FROM cs GROUP BY 1),
+lgc AS (
+    SELECT term, source, c,
+           CAST(round(log2(c >> s) * 1000000000) AS BIGINT)
+               + s * 1000000000 AS lg_c
+    FROM (SELECT *, greatest(length(bin(c))::BIGINT - 16, 0) AS s FROM cs)
+),
+lgw AS (
+    SELECT term,
+           CAST(round(log2(w >> s) * 1000000000) AS BIGINT)
+               + s * 1000000000 AS lg_w
+    FROM (SELECT *, greatest(length(bin(w))::BIGINT - 16, 0) AS s FROM cww)
+),
+p AS (
+    SELECT source,
+           sum(CAST(c AS HUGEINT) * (lg_c - lg_w)) AS p,
+           sum(c)::BIGINT AS t
+    FROM lgc JOIN lgw USING (term)
+    GROUP BY 1
+),
+tot AS (SELECT sum(t)::BIGINT AS tt FROM p),
+lgt AS (
+    SELECT CAST(round(log2(tt >> s) * 1000000000) AS BIGINT)
+               + s * 1000000000 AS lg_t
+    FROM (SELECT tt, greatest(length(bin(tt))::BIGINT - 16, 0) AS s FROM tot)
+),
+lgts AS (
+    SELECT source, t, p,
+           CAST(round(log2(t >> s) * 1000000000) AS BIGINT)
+               + s * 1000000000 AS lg_ts
+    FROM (SELECT *, greatest(length(bin(t))::BIGINT - 16, 0) AS s FROM p)
+)
+SELECT source, t AS n_tokens,
+       CAST(p + CAST(t AS HUGEINT) * (lg_t - lg_ts) AS BIGINT) AS kl_fp,
+       round(CAST(p + CAST(t AS HUGEINT) * (lg_t - lg_ts) AS BIGINT)
+             / (t * 1000000000.0), 6) AS kl
+FROM lgts CROSS JOIN lgt
+"""
+
+
+QUERIES["source_kl"] = (q_source_kl, _SQL_SOURCE_KL)

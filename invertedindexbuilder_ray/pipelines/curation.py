@@ -2867,3 +2867,114 @@ def vocab_drift_df(source: str | rd.Dataset) -> pd.DataFrame:
         {"n_even": "int64", "n_odd": "int64", "g_fp": "int64",
          "rank": "int64"}
     )[cols]
+
+
+# ---------------------------------------------------------------------------
+# per-source KL divergence vs the corpus unigram distribution — the
+# source-mixture quality / domain-shift signal.  All per-term values are
+# quantized through the verified fixed-point log2 FIRST (textpipe.
+# _log2_fp_ext), so the numerator
+#   kl_fp = sum_w c_sw * (L(c_sw) - L(c_w)) + T_s * (L(T) - L(T_s))
+# is an exact integer on both engines (KL * T_s * 1e9 up to the defined
+# quantization).  Python-int driver combine / HUGEINT SQL, the
+# qty_discount_corr overflow pattern.
+
+_KL_SHARD_MAX = 1 << 26  # per-shard token bound keeps c*(L(c)-L(cw)) in int64
+
+
+def source_kl_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """(source, n_tokens, kl_fp, kl): unigram KL(source || corpus) with
+    ``kl = kl_fp / (n_tokens * 1e9)`` rounded half-away to 6.
+
+    Shape: per-batch (term, source) Arrow count partials, ONE
+    term-sharded exchange (a term's rows co-locate, so its corpus count
+    c_w is exact in-shard) emitting per-source integer partial sums,
+    bounded driver combine over Python ints (sources are a small
+    dimension).  Raises if any shard exceeds the int64-safe token
+    bound."""
+    import os
+
+    from ..sources.util import read_parquet_sized
+    from .dedup import _sharded_groupby
+    from .textpipe import _log2_fp_ext
+
+    if isinstance(source, rd.Dataset):
+        docs = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        docs = read_parquet_sized(path, columns=["doc_id", "text", "source"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.utf8()),
+             "source": pa.array([], pa.utf8()),
+             "c": pa.array([], pa.int64()),
+             "th": pa.array([], pa.int64())}
+        )
+        toks, _td, row_idx, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        src = pc.take(batch["source"], pa.array(row_idx, pa.int64()))
+        t = pa.table(
+            {"term": toks, "source": src,
+             "th": pa.array(h1.view(np.int64), pa.int64())}
+        )
+        g = t.group_by(["term", "source"]).aggregate(
+            [("th", "min"), ([], "count_all")]
+        )
+        return pa.table(
+            {"term": g["term"], "source": g["source"],
+             "c": g["count_all"].cast(pa.int64()), "th": g["th_min"]}
+        )
+
+    pr = docs.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["term", "source"], as_index=False)["c"].sum()
+        c = s["c"].to_numpy(np.int64)
+        if int(c.sum()) >= _KL_SHARD_MAX:
+            raise ValueError(
+                "source_kl: shard token count exceeds the int64-safe "
+                f"bound {_KL_SHARD_MAX}; re-derive the fixed-point "
+                "overflow analysis before lifting"
+            )
+        cw = s.groupby("term")["c"].transform("sum").to_numpy(np.int64)
+        part = c * (_log2_fp_ext(c) - _log2_fp_ext(cw))
+        out = pd.DataFrame({"source": s["source"], "p": part, "t": c})
+        return out.groupby("source", as_index=False).agg(
+            p=("p", "sum"), t=("t", "sum"))
+
+    part_schema = pa.schema(
+        [("source", pa.utf8()), ("p", pa.int64()), ("t", pa.int64())]
+    )
+    parts = _sharded_groupby(pr, ["th"], per_shard,
+                             empty_schema=part_schema).to_pandas()
+    cols = ["source", "n_tokens", "kl_fp", "kl"]
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "source" else
+            ("float64" if c == "kl" else "int64")) for c in cols})
+    from .textpipe import _log2_fp_ext as _lg
+
+    by_src = {}
+    for _, r in parts.iterrows():
+        p0, t0 = by_src.get(r["source"], (0, 0))
+        by_src[r["source"]] = (p0 + int(r["p"]), t0 + int(r["t"]))
+    total = sum(t for _p, t in by_src.values())
+    lg_t = int(_lg(np.array([total], np.int64))[0])
+    rows = []
+    for src in sorted(by_src):
+        p, ts = by_src[src]
+        lg_ts = int(_lg(np.array([ts], np.int64))[0])
+        kl_fp = p + ts * (lg_t - lg_ts)
+        kl = float(round_half_away(
+            np.array([float(kl_fp) / (float(ts) * 1e9)]), 6)[0])
+        rows.append({"source": src, "n_tokens": ts, "kl_fp": kl_fp,
+                     "kl": kl})
+    return pd.DataFrame(rows).astype(
+        {"n_tokens": "int64", "kl_fp": "int64"})[cols]

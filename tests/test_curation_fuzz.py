@@ -75,6 +75,7 @@ FUZZ_ENTRIES = [
     "vocab_drift",
     "percolate",
     "ndcg_eval",
+    "source_kl",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
