@@ -207,6 +207,13 @@ def _span_hashes(
         h1 = np.full(n, np.uint64(1469598103934665603), dtype=np.uint64)
         h2 = np.full(n, _FNV2_OFFSET, dtype=np.uint64)
         max_len = int(lens.max()) if n else 0
+        if max_len > 16:
+            # the pad fold below computes np.uint64(16 - max_len); past 16
+            # bytes that underflows to ~2^64 and the loop never returns
+            raise ValueError(
+                f"_span_hashes: span length {max_len} > 16; cap spans "
+                "(np.minimum(lens, 16)) before hashing"
+            )
         for j in range(max_len):
             col_idx = np.minimum(starts + j, limit)
             col = mapped[col_idx].astype(np.uint64)

@@ -8327,3 +8327,80 @@ FROM lgts CROSS JOIN lgt
 
 
 QUERIES["source_kl"] = (q_source_kl, _SQL_SOURCE_KL)
+
+
+# --------------------------------------------------------------------------
+# corpus-wide line-level exact dedup (C4/CCNet paragraph dedup)
+
+
+def q_line_dedup(sf_dir: str):
+    """See curation.line_dedup_ds."""
+    from .curation import line_dedup_ds
+
+    return line_dedup_ds(sf_dir)
+
+
+_SQL_LINE_DEDUP = """
+WITH l AS (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+           unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx
+    FROM documents
+),
+nl AS (SELECT * FROM l WHERE len(line) > 0),
+r AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rk
+    FROM nl
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum((rk = 1)::BIGINT)::BIGINT AS n_kept,
+       (count(*) - sum((rk = 1)::BIGINT))::BIGINT AS n_removed
+FROM r GROUP BY 1
+"""
+
+
+QUERIES["line_dedup"] = (q_line_dedup, _SQL_LINE_DEDUP)
+
+
+# --------------------------------------------------------------------------
+# crawl-snapshot diff (content-hash full-outer classify)
+
+
+def q_snapshot_diff(sf_dir: str):
+    """See curation.snapshot_diff_df."""
+    from .curation import snapshot_diff_df
+
+    return snapshot_diff_df(sf_dir)
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+new_base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 89 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 97 <> 0
+),
+new_add AS (
+    SELECT doc_id + 10000000 AS doc_id, text || ' new' AS text
+    FROM documents WHERE doc_id % 101 = 0
+),
+nw AS (
+    SELECT doc_id, md5(text) AS h
+    FROM (SELECT * FROM new_base UNION ALL SELECT * FROM new_add)
+),
+j AS (
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+)
+SELECT status, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS min_doc_id,
+       max(doc_id)::BIGINT AS max_doc_id
+FROM j GROUP BY 1
+"""
+
+
+QUERIES["snapshot_diff"] = (q_snapshot_diff, _SQL_SNAPSHOT_DIFF)

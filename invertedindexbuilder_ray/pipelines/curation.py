@@ -2978,3 +2978,220 @@ def source_kl_df(source: str | rd.Dataset) -> pd.DataFrame:
                      "kl": kl})
     return pd.DataFrame(rows).astype(
         {"n_tokens": "int64", "kl_fp": "int64"})[cols]
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line-level exact dedup (the C4/CCNet paragraph-dedup
+# primitive): keep the FIRST occurrence (doc_id asc, line index asc) of
+# every distinct non-empty line, report per-doc kept/removed counts.
+
+
+def line_dedup_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """Per-doc ``doc_id, n_lines, n_kept, n_removed`` under corpus-wide
+    first-occurrence line dedup (lines = ``\\n``-separated, empty lines
+    ignored).
+
+    Shape: per-batch vectorized line split (Arrow ``split_pattern`` +
+    list-offset arithmetic, span hashes straight off the flat byte
+    buffer), ONE line-sharded exchange (equal lines co-locate, so the
+    (doc_id, idx)-min winner is exact in-shard) emitting per-doc
+    partials, then ONE doc-sharded sum.  No line text ever reaches the
+    driver."""
+    from ..functions.tokenize import _span_hashes, _string_buffers
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+
+    def lines(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"line": pa.array([], pa.utf8()),
+             "doc_id": pa.array([], pa.int64()),
+             "idx": pa.array([], pa.int64()),
+             "lh": pa.array([], pa.int64())}
+        )
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if not pa.types.is_string(text.type):
+            text = text.cast(pa.string())
+        ls = pc.split_pattern(text, pattern="\n")
+        counts = pc.list_value_length(ls).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        total = int(counts.sum())
+        if not total:
+            return empty
+        flat = ls.flatten()
+        cum = np.concatenate(([0], np.cumsum(counts[:-1])))
+        idx = np.arange(total, dtype=np.int64) - np.repeat(cum, counts) + 1
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[np.repeat(np.arange(len(counts)), counts)]
+        data, offs = _string_buffers(flat)
+        lens = np.diff(offs).astype(np.int64)
+        # shard key: capped-span content hash mixed with the length —
+        # any deterministic function of the content works (equal lines
+        # MUST collide; unequal lines merely share a shard).  The span
+        # cap must stay <= 16: _span_hashes' pad fold underflows
+        # np.uint64 past 16 bytes and spins ~2^64 iterations.
+        h1, _h2 = _span_hashes(
+            data, offs[:-1].astype(np.int64), np.minimum(lens, 16))
+        with np.errstate(over="ignore"):
+            lh = (h1 ^ (lens.view(np.uint64)
+                        * np.uint64(0x9E3779B97F4A7C15))).view(np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return empty
+        km = pa.array(keep)
+        return pa.table(
+            {"line": pc.filter(flat, km),
+             "doc_id": pa.array(doc_ids[keep], pa.int64()),
+             "idx": pa.array(idx[keep], pa.int64()),
+             "lh": pa.array(lh[keep], pa.int64())}
+        )
+
+    rows = docs.map_batches(lines, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["line", "doc_id", "idx"], kind="mergesort")
+        first = ~g["line"].duplicated()
+        out = g.assign(k=first.astype("int64")).groupby(
+            "doc_id", as_index=False).agg(
+            n_lines=("k", "size"), n_kept=("k", "sum"))
+        return out.astype({"n_lines": "int64", "n_kept": "int64"})
+
+    part_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_lines", pa.int64()),
+         ("n_kept", pa.int64())]
+    )
+    # NO mid-pipeline typed-empty union (empty_schema=None): a union
+    # block between two chained sharded groupbys defeats the sort's
+    # schema dedup and costs seconds; the SECOND exchange's union
+    # provides the typed schema for the empty-corpus case
+    parts = _sharded_groupby(rows, ["lh"], per_shard)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False).agg(
+            n_lines=("n_lines", "sum"), n_kept=("n_kept", "sum"))
+
+    summed = _sharded_groupby(parts, ["doc_id"], per_doc,
+                              empty_schema=part_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        nl = t["n_lines"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = t["n_kept"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_lines": t["n_lines"],
+             "n_kept": t["n_kept"],
+             "n_removed": pa.array(nl - nk, pa.int64())}
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# crawl-snapshot diff: old corpus vs new corpus by content hash
+# (added / removed / changed / unchanged).  The sf tables carry only one
+# corpus version, so the NEW side is a deterministic augmentation of the
+# same table, replicated verbatim in the SQL oracle (the
+# embedding_neardup_srp precedent): doc_id%97==0 dropped, doc_id%89==0
+# text-appended ' v2', doc_id%101==0 cloned as doc_id+10_000_000 with
+# ' new' appended.  The diff MACHINERY is the real thing: md5 content
+# hashes off the Arrow buffer, one doc-sharded exchange classifying each
+# doc from its <=2 co-located rows, bounded per-status driver combine.
+
+
+def snapshot_diff_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """(status, n_docs, min_doc_id, max_doc_id) over the old->new corpus
+    diff; status in added/removed/changed/unchanged."""
+    import hashlib
+
+    from ..functions.tokenize import _string_buffers
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+
+    def sides(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "side": pa.array([], pa.int64()),
+             "h": pa.array([], pa.utf8())}
+        )
+        if not batch.num_rows:
+            return empty
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        data, offs = _string_buffers(texts)
+        mv = memoryview(data)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = batch.num_rows
+        ids, sd, hs = [], [], []
+        for i in range(n):
+            d = int(doc_ids[i])
+            span = mv[offs[i]: offs[i + 1]]
+            base = hashlib.md5(span).hexdigest()
+            ids.append(d)
+            sd.append(0)
+            hs.append(base)
+            if d % 97 != 0:  # survives into the new snapshot
+                if d % 89 == 0:
+                    m = hashlib.md5(span)
+                    m.update(b" v2")
+                    hn = m.hexdigest()
+                else:
+                    hn = base
+                ids.append(d)
+                sd.append(1)
+                hs.append(hn)
+            if d % 101 == 0:  # cloned into the new snapshot
+                m = hashlib.md5(span)
+                m.update(b" new")
+                ids.append(d + 10_000_000)
+                sd.append(1)
+                hs.append(m.hexdigest())
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "side": pa.array(sd, pa.int64()),
+             "h": pa.array(hs, pa.utf8())}
+        )
+
+    rows = docs.map_batches(sides, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(index="doc_id", columns="side", values="h",
+                            aggfunc="first")
+        ho = piv[0] if 0 in piv.columns else pd.Series(
+            np.nan, index=piv.index)
+        hn = piv[1] if 1 in piv.columns else pd.Series(
+            np.nan, index=piv.index)
+        status = np.where(
+            ho.isna(), "added",
+            np.where(hn.isna(), "removed",
+                     np.where(ho != hn, "changed", "unchanged")))
+        f = pd.DataFrame(
+            {"status": status,
+             "doc_id": piv.index.to_numpy(np.int64)})
+        return f.groupby("status", as_index=False).agg(
+            n_docs=("doc_id", "size"), min_doc_id=("doc_id", "min"),
+            max_doc_id=("doc_id", "max"))
+
+    part_schema = pa.schema(
+        [("status", pa.utf8()), ("n_docs", pa.int64()),
+         ("min_doc_id", pa.int64()), ("max_doc_id", pa.int64())]
+    )
+    parts = _sharded_groupby(rows, ["doc_id"], per_shard,
+                             empty_schema=part_schema).to_pandas()
+    cols = ["status", "n_docs", "min_doc_id", "max_doc_id"]
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "status" else "int64") for c in cols})
+    out = parts.groupby("status", as_index=False).agg(
+        n_docs=("n_docs", "sum"), min_doc_id=("min_doc_id", "min"),
+        max_doc_id=("max_doc_id", "max"))
+    return out.astype(
+        {"n_docs": "int64", "min_doc_id": "int64", "max_doc_id": "int64"}
+    )[cols]

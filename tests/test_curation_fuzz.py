@@ -76,6 +76,8 @@ FUZZ_ENTRIES = [
     "percolate",
     "ndcg_eval",
     "source_kl",
+    "line_dedup",
+    "snapshot_diff",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
