@@ -8404,3 +8404,191 @@ FROM j GROUP BY 1
 
 
 QUERIES["snapshot_diff"] = (q_snapshot_diff, _SQL_SNAPSHOT_DIFF)
+
+
+# --------------------------------------------------------------------------
+# integer k-means (Lloyd) over quantized embeddings — the SemDeDup-style
+# clustering primitive.  Coordinates quantized exactly as coreset_sample
+# (round(x*1024)); every distance, assignment (ties: cid asc) and
+# centroid update (TRUNCATING integer division — DuckDB `//` truncates
+# toward zero while numpy floors, so the engine matches DuckDB with
+# sign(s)*(|s|//n)) is exact integer arithmetic, so the unrolled-CTE SQL
+# is hash-exact.  Empty clusters drop out of the next iteration on both
+# engines.
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _kmeans_partials(ds, cent: np.ndarray, cids: np.ndarray):
+    """One assignment scan: per-batch per-cid partials in long form
+    (j=1..d per-dim sums; j=0 count; j=-1 inertia)."""
+    cref = ray.put(cent)
+
+    def part(b: pa.Table, cref=cref, cid_arr=cids) -> pa.Table:
+        empty = pa.table(
+            {"cid": pa.array([], pa.int64()),
+             "j": pa.array([], pa.int64()),
+             "v": pa.array([], pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        _ids, q = _quant_embeddings(b)
+        C = ray.get(cref)
+        diff = q[:, None, :] - C[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        a = np.argmin(d2, axis=1)  # first min == smallest cid (ties asc)
+        mind = d2[np.arange(len(q)), a]
+        acid = cid_arr[a]
+        order = np.argsort(acid, kind="stable")
+        uc, starts = np.unique(acid[order], return_index=True)
+        qsum = np.add.reduceat(q[order], starts, axis=0)
+        isum = np.add.reduceat(mind[order], starts)
+        n = np.diff(np.append(starts, len(acid))).astype(np.int64)
+        d = q.shape[1]
+        nl = len(uc)
+        return pa.table(
+            {"cid": pa.array(
+                np.concatenate([np.repeat(uc, d), uc, uc]), pa.int64()),
+             "j": pa.array(
+                 np.concatenate(
+                     [np.tile(np.arange(1, d + 1, dtype=np.int64), nl),
+                      np.zeros(nl, np.int64),
+                      np.full(nl, -1, np.int64)]), pa.int64()),
+             "v": pa.array(
+                 np.concatenate([qsum.ravel(), n, isum]), pa.int64())}
+        )
+
+    p = ds.map_batches(part, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    if not len(p):
+        return p
+    return p.groupby(["cid", "j"], as_index=False)["v"].sum()
+
+
+def q_kmeans_embed(sf_dir: str):
+    """``cid, n_vecs, inertia, centroid_l1`` after ``KMEANS_ITERS`` Lloyd
+    iterations from the K-smallest-vec_id seeds (cid = 1-based seed rank).
+
+    Shape: ITERS+2 streaming scans (seed candidates, one per iteration,
+    final stats), centroids broadcast once per scan via ``ray.put``,
+    per-batch exact-integer einsum assignment emitting K*(d+2) partial
+    rows per task, bounded driver combine.  The declared cost is the
+    scans — at 10^12 vectors seed via ann_lsh representatives and fold
+    iterations, same per-scan shape."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+    cols = ["cid", "n_vecs", "inertia", "centroid_l1"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def init_cand(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "q": pa.array([], pa.list_(pa.int64()))}
+        )
+        if b.num_rows == 0:
+            return empty
+        ids, q = _quant_embeddings(b)
+        sel = np.argsort(ids, kind="stable")[:KMEANS_K]
+        return pa.table(
+            {"vec_id": pa.array(ids[sel], pa.int64()),
+             "q": pa.array([r.tolist() for r in q[sel]],
+                           pa.list_(pa.int64()))}
+        )
+
+    cand = ds.map_batches(init_cand, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if not len(cand):
+        return _empty()
+    cand = cand.sort_values("vec_id", kind="mergesort").head(KMEANS_K)
+    cent = np.stack([np.asarray(v, np.int64) for v in cand["q"]])
+    cids = np.arange(1, len(cent) + 1, dtype=np.int64)
+
+    for _t in range(KMEANS_ITERS):
+        agg = _kmeans_partials(ds, cent, cids)
+        counts = agg[agg["j"] == 0].set_index("cid")["v"]
+        live = counts[counts > 0].index.to_numpy(np.int64)
+        live.sort()
+        dims = agg[agg["j"] >= 1]
+        piv = dims.pivot_table(index="cid", columns="j", values="v",
+                               aggfunc="sum").loc[live]
+        s = piv.to_numpy(np.int64)
+        n = counts.loc[live].to_numpy(np.int64)[:, None]
+        cent = np.sign(s) * (np.abs(s) // n)  # truncating division
+        cids = live
+
+    agg = _kmeans_partials(ds, cent, cids)
+    counts = agg[agg["j"] == 0].set_index("cid")["v"]
+    inertia = agg[agg["j"] == -1].set_index("cid")["v"]
+    live = counts[counts > 0].index.to_numpy(np.int64)
+    live.sort()
+    l1 = {int(c): int(np.abs(cent[i]).sum()) for i, c in enumerate(cids)}
+    out = pd.DataFrame(
+        {"cid": live,
+         "n_vecs": counts.loc[live].to_numpy(np.int64),
+         "inertia": inertia.loc[live].to_numpy(np.int64),
+         "centroid_l1": np.array([l1[int(c)] for c in live], np.int64)}
+    )
+    return out.astype({c: "int64" for c in cols})[cols]
+
+
+def _sql_kmeans_embed() -> str:
+    g = CORESET_GRID
+    d2 = ("list_sum(list_transform(range(1, len(e.q) + 1), "
+          "j -> (e.q[j] - c.q[j]) * (e.q[j] - c.q[j])))")
+    parts = [f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id,
+           [CAST(round(x * {g}) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])]
+               AS q
+    FROM embeddings
+),
+lng AS MATERIALIZED (
+    SELECT vec_id, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS j FROM e
+),
+cent1 AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cid, q
+    FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT {KMEANS_K})
+)"""]
+    for t in range(1, KMEANS_ITERS + 1):
+        parts.append(f""",
+a{t} AS MATERIALIZED (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT e.vec_id, c.cid, {d2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rk
+        FROM e CROSS JOIN cent{t} c
+    ) WHERE rk = 1
+),
+cent{t + 1} AS MATERIALIZED (
+    SELECT cid, list(cv ORDER BY j) AS q
+    FROM (
+        SELECT a.cid, l.j, (sum(l.v) // count(*))::BIGINT AS cv
+        FROM a{t} a JOIN lng l USING (vec_id)
+        GROUP BY 1, 2
+    ) GROUP BY cid
+)""")
+    f = KMEANS_ITERS + 1
+    parts.append(f""",
+af AS MATERIALIZED (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT e.vec_id, c.cid, {d2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rk
+        FROM e CROSS JOIN cent{f} c
+    ) WHERE rk = 1
+)
+SELECT c.cid::BIGINT AS cid, count(*)::BIGINT AS n_vecs,
+       sum(af.d2)::BIGINT AS inertia,
+       any_value(list_sum(list_transform(c.q, x -> abs(x))))::BIGINT
+           AS centroid_l1
+FROM af JOIN cent{f} c USING (cid)
+GROUP BY c.cid""")
+    return "".join(parts)
+
+
+QUERIES["kmeans_embed"] = (q_kmeans_embed, _sql_kmeans_embed())

@@ -108,3 +108,29 @@ def test_mmr_fuzz(ray_session, tmp_path_factory, vecs):
     assert got[["step", "vec_id", "rel", "maxdiv", "mmr_x2"]].to_numpy(
     ).tolist() == want[["step", "vec_id", "rel", "maxdiv", "mmr_x2"]].to_numpy(
     ).tolist()
+
+
+@settings(max_examples=10, deadline=None)
+@given(vecs=st.lists(_VEC, min_size=1, max_size=24))
+def test_kmeans_fuzz(ray_session, tmp_path_factory, vecs):
+    """Engine vs DuckDB oracle on random coarse-grid tables: exercises
+    quantization ties, duplicate points (empty-cluster drop), and
+    n < K seeds."""
+    import pandas as pd
+
+    from invertedindexbuilder_ray.pipelines.catalog import QUERIES
+
+    tmpdir = str(tmp_path_factory.mktemp("kmeans"))
+    _write_embeddings(tmpdir, vecs)
+    fn, sql = QUERIES["kmeans_embed"]
+    got = fn(tmpdir).sort_values("cid").reset_index(drop=True)
+    assert int(got["n_vecs"].sum()) == len(vecs)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmpdir, 'embeddings.parquet')}')"
+    )
+    want = con.execute(sql).fetchdf().sort_values("cid").reset_index(
+        drop=True)[list(got.columns)]
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
