@@ -195,7 +195,7 @@ def run_bench() -> dict:
         "mmr_rerank", "vocab_uniqueness", "dup_source_matrix",
         "readability", "source_jaccard", "vocab_drift",
         "percolate", "ndcg_eval", "source_kl",
-        "line_dedup", "snapshot_diff", "kmeans_embed",
+        "line_dedup", "snapshot_diff", "kmeans_embed", "prf_expand",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

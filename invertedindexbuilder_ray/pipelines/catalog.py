@@ -8592,3 +8592,23 @@ GROUP BY c.cid""")
 
 
 QUERIES["kmeans_embed"] = (q_kmeans_embed, _sql_kmeans_embed())
+
+
+# --------------------------------------------------------------------------
+# pseudo-relevance-feedback query expansion
+
+
+def q_prf_expand(sf_dir: str):
+    """See ranking.prf_expand_df."""
+    from .ranking import prf_expand_df
+
+    return prf_expand_df(sf_dir)
+
+
+def _sql_prf_expand() -> str:
+    from .ranking import sql_prf_expand
+
+    return sql_prf_expand()
+
+
+QUERIES["prf_expand"] = (q_prf_expand, _sql_prf_expand())

@@ -362,3 +362,184 @@ SELECT nc.term, nc.n_candidates, dcg.dcg_fp, idcg.idcg_fp,
        ((1000000 * dcg.dcg_fp) // idcg.idcg_fp)::BIGINT AS ndcg_x1e6
 FROM nc JOIN dcg USING (term) JOIN idcg USING (term)
 """
+
+
+# ---------------------------------------------------------------------------
+# pseudo-relevance-feedback query expansion (Rocchio/RM3 family)
+
+PRF_FEEDBACK_K = 10
+PRF_EXPANSION_K = 10
+
+
+def prf_expand_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """Expansion terms for the top-df query term: ``term, fb_df, corpus_df,
+    score_fp, rank``.
+
+    Feedback set = top-``PRF_FEEDBACK_K`` docs under the integer
+    length-normalized ranking (s = 1000*tf // dl, ties doc asc) for the
+    query term.  Candidate expansion terms are ranked by
+    ``score_fp = fb_df * 1_000_000 - corpus_df`` (reward presence in the
+    feedback docs, penalize common terms; exact int64 for corpus_df <
+    1e6 docs per the asserted bound), query term excluded, ties term
+    asc, top ``PRF_EXPANSION_K``.
+
+    Shape: two bounded scans (top-df query derivation; per-batch
+    ranking candidates, <=K rows per batch) + ONE term-sharded exchange
+    computing fb_df/corpus_df per term with the <=K-doc feedback set
+    broadcast in the closure, per-shard top-K candidates, bounded
+    driver merge."""
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+    cols = ["term", "fb_df", "corpus_df", "score_fp", "rank"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "term" else "int64") for c in cols})
+
+    top = _top_df_terms(docs, 1)
+    if not top:
+        return _empty()
+    qterm = top[0][0]
+
+    def cand(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "s": pa.array([], pa.int64())}
+        )
+        toks, _td, row_idx, _h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dl = np.bincount(row_idx, minlength=batch.num_rows).astype(np.int64)
+        m = pc.equal(toks, qterm).to_numpy(zero_copy_only=False)
+        tf = np.bincount(row_idx[m], minlength=batch.num_rows).astype(
+            np.int64)
+        sel = tf > 0
+        if not sel.any():
+            return empty
+        s = (1000 * tf[sel]) // dl[sel]
+        dsel = doc_ids[sel]
+        k = np.lexsort((dsel, -s))[:PRF_FEEDBACK_K]
+        return pa.table(
+            {"doc_id": pa.array(dsel[k], pa.int64()),
+             "s": pa.array(s[k], pa.int64())}
+        )
+
+    cands = docs.map_batches(cand, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    if not len(cands):
+        return _empty()
+    fb = cands.sort_values(["s", "doc_id"], ascending=[False, True],
+                           kind="mergesort").head(PRF_FEEDBACK_K)
+    fb_ids = np.sort(fb["doc_id"].to_numpy(np.int64))
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.utf8()),
+             "fb": pa.array([], pa.int64()),
+             "th": pa.array([], pa.int64())}
+        )
+        toks, token_doc, _ri, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        infb = np.isin(token_doc, fb_ids)
+        t = pa.table(
+            {"term": toks,
+             "doc": pa.array(token_doc, pa.int64()),
+             "fb": pa.array(infb.astype(np.int64), pa.int64()),
+             "th": pa.array(h1.view(np.int64), pa.int64())}
+        )
+        d = t.group_by(["term", "doc"]).aggregate(
+            [("th", "min"), ("fb", "max")])
+        g = d.group_by("term").aggregate(
+            [("fb_max", "sum"), ("doc", "count"), ("th_min", "min")])
+        return pa.table(
+            {"term": g["term"],
+             "fb": g["fb_max_sum"].cast(pa.int64()),
+             "df": g["doc_count"].cast(pa.int64()),
+             "th": g["th_min_min"]}
+        )
+
+    rows = docs.map_batches(term_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("term", as_index=False).agg(
+            fb_df=("fb", "sum"), corpus_df=("df", "sum"))
+        if int(s["corpus_df"].max()) >= 1_000_000:
+            raise ValueError(
+                "prf_expand: corpus_df >= 1e6 breaks the composite "
+                "integer score; widen the score scale first"
+            )
+        s = s[(s["fb_df"] > 0) & (s["term"] != qterm)]
+        s["score_fp"] = s["fb_df"] * 1_000_000 - s["corpus_df"]
+        return s.sort_values(["score_fp", "term"],
+                             ascending=[False, True],
+                             kind="mergesort").head(PRF_EXPANSION_K)
+
+    part_schema = pa.schema(
+        [("term", pa.utf8()), ("fb_df", pa.int64()),
+         ("corpus_df", pa.int64()), ("score_fp", pa.int64())]
+    )
+    parts = _sharded_groupby(rows, ["th"], per_shard,
+                             empty_schema=part_schema).to_pandas()
+    if not len(parts):
+        return _empty()
+    out = parts.sort_values(["score_fp", "term"], ascending=[False, True],
+                            kind="mergesort").head(
+        PRF_EXPANSION_K).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.astype(
+        {"fb_df": "int64", "corpus_df": "int64", "score_fp": "int64",
+         "rank": "int64"})[cols]
+
+
+def sql_prf_expand() -> str:
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+q AS (
+    SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+        FROM df
+    ) WHERE rk = 1
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+tfq AS (
+    SELECT t.doc_id, count(*)::BIGINT AS tf
+    FROM tok t JOIN q ON t.term = q.term GROUP BY 1
+),
+fb AS (
+    SELECT doc_id FROM (
+        SELECT tfq.doc_id,
+               row_number() OVER (
+                   ORDER BY (1000 * tfq.tf) // dl.n DESC, tfq.doc_id) AS rk
+        FROM tfq JOIN dl USING (doc_id)
+    ) WHERE rk <= {PRF_FEEDBACK_K}
+),
+td AS (SELECT DISTINCT doc_id, term FROM tok),
+stats AS (
+    SELECT td.term,
+           sum((td.doc_id IN (SELECT doc_id FROM fb))::BIGINT)::BIGINT
+               AS fb_df,
+           count(*)::BIGINT AS corpus_df
+    FROM td GROUP BY 1
+)
+SELECT term, fb_df, corpus_df,
+       (fb_df * 1000000 - corpus_df)::BIGINT AS score_fp, rk::BIGINT AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        ORDER BY fb_df * 1000000 - corpus_df DESC, term) AS rk
+    FROM stats
+    WHERE fb_df > 0 AND term <> (SELECT term FROM q)
+)
+WHERE rk <= {PRF_EXPANSION_K}
+"""

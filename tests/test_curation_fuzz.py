@@ -78,6 +78,7 @@ FUZZ_ENTRIES = [
     "source_kl",
     "line_dedup",
     "snapshot_diff",
+    "prf_expand",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
