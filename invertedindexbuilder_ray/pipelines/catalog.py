@@ -8466,24 +8466,10 @@ def _kmeans_partials(ds, cent: np.ndarray, cids: np.ndarray):
     return p.groupby(["cid", "j"], as_index=False)["v"].sum()
 
 
-def q_kmeans_embed(sf_dir: str):
-    """``cid, n_vecs, inertia, centroid_l1`` after ``KMEANS_ITERS`` Lloyd
-    iterations from the K-smallest-vec_id seeds (cid = 1-based seed rank).
-
-    Shape: ITERS+2 streaming scans (seed candidates, one per iteration,
-    final stats), centroids broadcast once per scan via ``ray.put``,
-    per-batch exact-integer einsum assignment emitting K*(d+2) partial
-    rows per task, bounded driver combine.  The declared cost is the
-    scans — at 10^12 vectors seed via ann_lsh representatives and fold
-    iterations, same per-scan shape."""
-    import pandas as pd
-
-    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
-    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
-    cols = ["cid", "n_vecs", "inertia", "centroid_l1"]
-
-    def _empty() -> pd.DataFrame:
-        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+def _kmeans_fit(ds) -> tuple[np.ndarray, np.ndarray] | None:
+    """Fit ``KMEANS_ITERS`` Lloyd iterations from the K-smallest-vec_id
+    seeds; returns (centroids, cids) or None on an empty table.  One
+    bounded candidate scan + one assignment scan per iteration."""
 
     def init_cand(b: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -8503,7 +8489,7 @@ def q_kmeans_embed(sf_dir: str):
     cand = ds.map_batches(init_cand, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas()
     if not len(cand):
-        return _empty()
+        return None
     cand = cand.sort_values("vec_id", kind="mergesort").head(KMEANS_K)
     cent = np.stack([np.asarray(v, np.int64) for v in cand["q"]])
     cids = np.arange(1, len(cent) + 1, dtype=np.int64)
@@ -8520,6 +8506,32 @@ def q_kmeans_embed(sf_dir: str):
         n = counts.loc[live].to_numpy(np.int64)[:, None]
         cent = np.sign(s) * (np.abs(s) // n)  # truncating division
         cids = live
+    return cent, cids
+
+
+def q_kmeans_embed(sf_dir: str):
+    """``cid, n_vecs, inertia, centroid_l1`` after ``KMEANS_ITERS`` Lloyd
+    iterations from the K-smallest-vec_id seeds (cid = 1-based seed rank).
+
+    Shape: ITERS+2 streaming scans (seed candidates, one per iteration,
+    final stats), centroids broadcast once per scan via ``ray.put``,
+    per-batch exact-integer einsum assignment emitting K*(d+2) partial
+    rows per task, bounded driver combine.  The declared cost is the
+    scans — at 10^12 vectors seed via ann_lsh representatives and fold
+    iterations, same per-scan shape."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+    cols = ["cid", "n_vecs", "inertia", "centroid_l1"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    fit = _kmeans_fit(ds)
+    if fit is None:
+        return _empty()
+    cent, cids = fit
 
     agg = _kmeans_partials(ds, cent, cids)
     counts = agg[agg["j"] == 0].set_index("cid")["v"]
@@ -8612,3 +8624,200 @@ def _sql_prf_expand() -> str:
 
 
 QUERIES["prf_expand"] = (q_prf_expand, _sql_prf_expand())
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: near-duplicate pairs WITHIN k-means clusters — the published
+# semantic-dedup recipe (cluster first, then per-cluster pairwise cosine).
+# Exactness at the threshold without sqrt: a pair qualifies iff dot > 0
+# and 10000*dot^2 >= 9801*|a|^2*|b|^2  (cos >= 0.99 exactly, squared
+# form; products exceed int64 so the engine checks with Python ints and
+# the SQL with HUGEINT).  The sf tables have no 0.99-cosine pairs, so the
+# input is the same deterministic dup-every-100th augmentation as
+# embedding_neardup_srp, replicated in the SQL.
+
+SEMDEDUP_T_NUM = 9801  # t^2 * 10^4 for t = 0.99
+SEMDEDUP_T_DEN = 10000
+
+
+def _semdedup_aug(ds):
+    def aug(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % EMB_AUG_EVERY == 0)
+        dup = b.filter(mask)
+        dup = dup.set_column(
+            dup.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(dup["vec_id"], EMB_AUG_OFFSET),
+        )
+        return pa.concat_tables([b, dup])
+
+    return ds.map_batches(aug, batch_format="pyarrow")
+
+
+def q_semdedup_pairs(sf_dir: str):
+    """``cid, vec_a, vec_b, dot, na2, nb2`` for same-cluster pairs with
+    quantized cosine >= 0.99 (exact squared-form integer test).
+
+    Shape: the kmeans_embed fit (ITERS+1 broadcast scans) over the
+    augmented table, one assignment pass emitting (vec_id, cid, q), one
+    cid-sharded exchange doing the per-cluster pairwise check (int64
+    Gram matmul + float prefilter with margin, Python-int exact test
+    only near the boundary).  Per-cluster quadratic is the SemDeDup
+    contract — K scales with N so cluster size stays bounded."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = _semdedup_aug(
+        read_parquet_sized(path, columns=["vec_id", "embedding"]))
+    cols = ["cid", "vec_a", "vec_b", "dot", "na2", "nb2"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    fit = _kmeans_fit(ds)
+    if fit is None:
+        return _empty()
+    cent, cids = fit
+    cref = ray.put(cent)
+
+    def assign(b: pa.Table, cref=cref, cid_arr=cids) -> pa.Table:
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cid": pa.array([], pa.int64()),
+             "q": pa.array([], pa.list_(pa.int64()))}
+        )
+        if b.num_rows == 0:
+            return empty
+        ids, q = _quant_embeddings(b)
+        C = ray.get(cref)
+        diff = q[:, None, :] - C[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        a = np.argmin(d2, axis=1)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "cid": pa.array(cid_arr[a], pa.int64()),
+             "q": pa.array([r.tolist() for r in q], pa.list_(pa.int64()))}
+        )
+
+    rows = ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        out = {c: [] for c in cols}
+        for cid, grp in g.groupby("cid"):
+            ids = grp["vec_id"].to_numpy(np.int64)
+            Q = np.stack([np.asarray(v, np.int64) for v in grp["q"]])
+            order = np.argsort(ids, kind="stable")
+            ids, Q = ids[order], Q[order]
+            G = Q @ Q.T
+            n2 = np.diag(G).copy()
+            # float prefilter with margin; exact Python-int test after
+            fG = G.astype(np.float64)
+            fn2 = n2.astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                approx = (fG * fG * SEMDEDUP_T_DEN
+                          - SEMDEDUP_T_NUM * fn2[:, None] * fn2[None, :])
+            iu = np.triu_indices(len(ids), k=1)
+            cand = np.where((G[iu] > 0) & (approx[iu] > -1e6))[0]
+            for c in cand:
+                i, j = int(iu[0][c]), int(iu[1][c])
+                dot, na2, nb2 = int(G[i, j]), int(n2[i]), int(n2[j])
+                if SEMDEDUP_T_DEN * dot * dot >= SEMDEDUP_T_NUM * na2 * nb2:
+                    out["cid"].append(int(cid))
+                    out["vec_a"].append(int(ids[i]))
+                    out["vec_b"].append(int(ids[j]))
+                    out["dot"].append(dot)
+                    out["na2"].append(na2)
+                    out["nb2"].append(nb2)
+        return pd.DataFrame(out).astype({c: "int64" for c in cols})
+
+    part_schema = pa.schema([(c, pa.int64()) for c in cols])
+    pairs = _sharded_groupby(rows, ["cid"], per_cluster,
+                             empty_schema=part_schema).to_pandas()
+    if not len(pairs):
+        return _empty()
+    return pairs.astype({c: "int64" for c in cols})[cols]
+
+
+def _sql_semdedup_pairs() -> str:
+    g = CORESET_GRID
+    d2 = ("list_sum(list_transform(range(1, len(e.q) + 1), "
+          "j -> (e.q[j] - c.q[j]) * (e.q[j] - c.q[j])))")
+    parts = [f"""
+WITH aug AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {EMB_AUG_OFFSET} AS vec_id, embedding
+    FROM embeddings WHERE vec_id % {EMB_AUG_EVERY} = 0
+),
+e AS MATERIALIZED (
+    SELECT vec_id,
+           [CAST(round(x * {g}) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])]
+               AS q
+    FROM aug
+),
+lng AS MATERIALIZED (
+    SELECT vec_id, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS j FROM e
+),
+cent1 AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cid, q
+    FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT {KMEANS_K})
+)"""]
+    for t in range(1, KMEANS_ITERS + 1):
+        parts.append(f""",
+a{t} AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rk
+        FROM e CROSS JOIN cent{t} c
+    ) WHERE rk = 1
+),
+cent{t + 1} AS MATERIALIZED (
+    SELECT cid, list(cv ORDER BY j) AS q
+    FROM (
+        SELECT a.cid, l.j, (sum(l.v) // count(*))::BIGINT AS cv
+        FROM a{t} a JOIN lng l USING (vec_id)
+        GROUP BY 1, 2
+    ) GROUP BY cid
+)""")
+    f = KMEANS_ITERS + 1
+    parts.append(f""",
+af AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rk
+        FROM e CROSS JOIN cent{f} c
+    ) WHERE rk = 1
+),
+n2 AS MATERIALIZED (
+    SELECT vec_id, list_sum(list_transform(q, x -> x * x))::BIGINT AS nn
+    FROM e
+)
+SELECT a.cid::BIGINT AS cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_sum(list_transform(range(1, len(ea.q) + 1),
+                               j -> ea.q[j] * eb.q[j]))::BIGINT AS dot,
+       na.nn AS na2, nb.nn AS nb2
+FROM af a
+JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+JOIN n2 na ON na.vec_id = a.vec_id
+JOIN n2 nb ON nb.vec_id = b.vec_id
+WHERE list_sum(list_transform(range(1, len(ea.q) + 1),
+                              j -> ea.q[j] * eb.q[j])) > 0
+  AND {SEMDEDUP_T_DEN} * CAST(list_sum(list_transform(range(1, len(ea.q) + 1),
+                              j -> ea.q[j] * eb.q[j])) AS HUGEINT)
+      * list_sum(list_transform(range(1, len(ea.q) + 1),
+                                j -> ea.q[j] * eb.q[j]))
+      >= {SEMDEDUP_T_NUM} * CAST(na.nn AS HUGEINT) * nb.nn
+"""
+)
+    return "".join(parts)
+
+
+QUERIES["semdedup_pairs"] = (q_semdedup_pairs, _sql_semdedup_pairs())

@@ -134,3 +134,30 @@ def test_kmeans_fuzz(ray_session, tmp_path_factory, vecs):
         drop=True)[list(got.columns)]
     con.close()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vecs=st.lists(_VEC, min_size=1, max_size=20))
+def test_semdedup_fuzz(ray_session, tmp_path_factory, vecs):
+    """Engine vs DuckDB oracle on random coarse-grid tables — exercises
+    the exact squared-form threshold test (grid points produce many
+    exact-boundary cosines) and the augmentation's duplicate pairs."""
+    import pandas as pd
+
+    from invertedindexbuilder_ray.pipelines.catalog import QUERIES
+
+    tmpdir = str(tmp_path_factory.mktemp("semdedup"))
+    _write_embeddings(tmpdir, vecs)
+    fn, sql = QUERIES["semdedup_pairs"]
+    got = fn(tmpdir).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmpdir, 'embeddings.parquet')}')"
+    )
+    want = con.execute(sql).fetchdf().sort_values(
+        ["vec_a", "vec_b"]).reset_index(drop=True)[list(got.columns)]
+    con.close()
+    if len(got) == 0 and len(want) == 0:
+        return
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
