@@ -8821,3 +8821,58 @@ WHERE list_sum(list_transform(range(1, len(ea.q) + 1),
 
 
 QUERIES["semdedup_pairs"] = (q_semdedup_pairs, _sql_semdedup_pairs())
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator over term frequencies
+
+
+def q_tail_index(sf_dir: str):
+    """See curation.tail_index_df."""
+    from .curation import tail_index_df
+
+    return tail_index_df(sf_dir)
+
+
+def _sql_tail_index() -> str:
+    from .curation import TAIL_K
+
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+cnt AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+top AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk
+    FROM cnt QUALIFY rk <= {TAIL_K}
+),
+lg AS (
+    SELECT rk,
+           CAST(round(log2(c >> s) * 1000000000) AS BIGINT)
+               + s * 1000000000 AS lg, c
+    FROM (SELECT *, greatest(length(bin(c))::BIGINT - 16, 0) AS s FROM top)
+),
+agg AS (
+    SELECT count(*)::BIGINT AS k,
+           coalesce(min(c), 0)::BIGINT AS c_min,
+           coalesce(sum(CASE WHEN rk < (SELECT count(*) FROM lg)
+                             THEN lg END), 0)::BIGINT AS s_head,
+           coalesce(max(CASE WHEN rk = (SELECT count(*) FROM lg)
+                             THEN lg END), 0)::BIGINT AS lg_min
+    FROM lg
+)
+SELECT k AS n_terms, c_min,
+       (s_head - (k - 1) * lg_min)::BIGINT AS hill_fp,
+       CASE WHEN k >= 2 AND s_head - (k - 1) * lg_min > 0
+            THEN round(((k - 1) * 1000000000)::DOUBLE
+                       / (s_head - (k - 1) * lg_min)::DOUBLE, 6)
+            ELSE 0.0 END AS alpha
+FROM agg
+"""
+
+
+QUERIES["tail_index"] = (q_tail_index, _sql_tail_index())

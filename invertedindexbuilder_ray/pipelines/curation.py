@@ -3195,3 +3195,41 @@ def snapshot_diff_df(source: str | rd.Dataset) -> pd.DataFrame:
     return out.astype(
         {"n_docs": "int64", "min_doc_id": "int64", "max_doc_id": "int64"}
     )[cols]
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator over the term-frequency distribution — the
+# heavy-tail diagnostic complementing zipf_slope.  hill_fp =
+# sum_{i<k} (L(c_i) - L(c_k)) over the top-TAIL_K counts in fixed-point
+# log2 (textpipe._log2_fp_ext), alpha = (k-1)*1e9 / hill_fp as the only
+# float (identical int->double casts on both engines).
+
+TAIL_K = 64
+
+
+def tail_index_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """One row: ``n_terms, c_min, hill_fp, alpha`` (alpha = 0.0 when
+    n_terms < 2 or hill_fp = 0 by convention on both engines).
+
+    Shape: one bounded vocabulary pass (per-shard top-K candidates,
+    fixed-size driver merge), O(K) driver combine over exact ints."""
+    from .textpipe import _log2_fp_ext
+
+    docs = _docs(source)
+    vocab_df, _total = _count_vocab(docs, TAIL_K)
+    k = len(vocab_df)
+    out = {"n_terms": [np.int64(k)], "c_min": [np.int64(0)],
+           "hill_fp": [np.int64(0)], "alpha": [0.0]}
+    if k:
+        c = vocab_df["c"].to_numpy(np.int64)
+        lg = _log2_fp_ext(c)
+        c_min = int(c[-1])
+        hill = int(lg[:-1].sum() - (k - 1) * int(lg[-1]))
+        out["c_min"] = [np.int64(c_min)]
+        out["hill_fp"] = [np.int64(hill)]
+        if k >= 2 and hill > 0:
+            out["alpha"] = [float(round_half_away(
+                np.array([float((k - 1) * 1_000_000_000) / float(hill)]),
+                6)[0])]
+    return pd.DataFrame(out).astype(
+        {"n_terms": "int64", "c_min": "int64", "hill_fp": "int64"})

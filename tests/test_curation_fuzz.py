@@ -79,6 +79,7 @@ FUZZ_ENTRIES = [
     "line_dedup",
     "snapshot_diff",
     "prf_expand",
+    "tail_index",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
