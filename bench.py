@@ -196,7 +196,7 @@ def run_bench() -> dict:
         "readability", "source_jaccard", "vocab_drift",
         "percolate", "ndcg_eval", "source_kl",
         "line_dedup", "snapshot_diff", "kmeans_embed", "prf_expand",
-        "semdedup_pairs", "tail_index",
+        "semdedup_pairs", "tail_index", "funnel_latency",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

@@ -8876,3 +8876,59 @@ FROM agg
 
 
 QUERIES["tail_index"] = (q_tail_index, _sql_tail_index())
+
+
+# --------------------------------------------------------------------------
+# funnel conversion-latency quantiles (funnel x exact-order-stat engines)
+
+FUNNEL_LAT_QS = [0.5, 0.9, 0.99]
+
+
+def q_funnel_latency(sf_dir: str):
+    """(q, value): exact quantile_disc of the view->purchase conversion
+    latency (t_last - t_first, epoch microseconds; exact in float64) over
+    users completing the whole funnel.  Composition: the funnel_stages
+    bucketed exchange feeds the histogram-refinement exact-quantile
+    engine — no global sort at any scale."""
+    from .quantiles import exact_quantiles_disc
+    from .temporal import funnel_stages
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["user_id", "ts", "event_type"])
+    out = funnel_stages(
+        ev, key="user_id", ts="ts", type_col="event_type",
+        stages=FUNNEL_STAGES)
+    n = len(FUNNEL_STAGES)
+
+    def deltas(b: pa.Table) -> pa.Table:
+        stage = b["stage"].to_numpy(zero_copy_only=False)
+        keep = stage == n
+        t1 = b["t1_us"].to_numpy(zero_copy_only=False)[keep]
+        tn = b[f"t{n}_us"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {"d": pa.array((tn - t1).astype(np.float64), pa.float64())}
+        )
+
+    dds = out.map_batches(deltas, batch_format="pyarrow")
+    return exact_quantiles_disc(dds, "d", FUNNEL_LAT_QS)
+
+
+def _sql_funnel_latency() -> str:
+    base = _sql_events_funnel()
+    # reuse the funnel CTE chain verbatim; wrap it to extract deltas
+    sels = [
+        f"SELECT {q} AS q, quantile_disc(d, {q}) AS value FROM deltas"
+        for q in FUNNEL_LAT_QS
+    ]
+    names = FUNNEL_STAGES
+    k = len(names)
+    return f"""
+WITH f AS ({base}),
+deltas AS (
+    SELECT (t{k}_us - t1_us)::DOUBLE AS d FROM f WHERE stage = {k}
+)
+{" UNION ALL ".join(sels)}
+"""
+
+
+QUERIES["funnel_latency"] = (q_funnel_latency, _sql_funnel_latency())
