@@ -8932,3 +8932,214 @@ deltas AS (
 
 
 QUERIES["funnel_latency"] = (q_funnel_latency, _sql_funnel_latency())
+
+
+# --------------------------------------------------------------------------
+# cluster labeling: top terms per k-means cluster (embeddings ⋈ documents)
+
+CLUSTER_TOP_TERMS_K = 5
+
+
+def q_cluster_top_terms(sf_dir: str):
+    """``cid, term, c, rank`` — the top-``CLUSTER_TOP_TERMS_K`` terms
+    (total occurrences, ties term asc) of the documents whose embedding
+    (vec_id = doc_id) lands in each k-means cluster: the cluster-labeling
+    step of a SemDeDup/data-map pipeline.
+
+    Shape: kmeans fit (bounded scans) + assignment pass on embeddings,
+    per-batch (doc, term, c) Arrow partials on documents, ONE
+    doc-sharded exchange stitching cid onto term rows (both sides
+    co-locate by id), ONE term-sharded exchange with per-shard per-cid
+    top-K candidates (a (cid, term) group lives in one shard), bounded
+    driver merge."""
+    import pandas as pd
+
+    from .curation import _batch_tokens
+    from .dedup import _sharded_groupby
+
+    epath = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    eds = read_parquet_sized(epath, columns=["vec_id", "embedding"])
+    cols = ["cid", "term", "c", "rank"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "term" else "int64") for c in cols})
+
+    fit = _kmeans_fit(eds)
+    if fit is None:
+        return _empty()
+    cent, cids = fit
+    cref = ray.put(cent)
+
+    def assign(b: pa.Table, cref=cref, cid_arr=cids) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cid": pa.array([], pa.int64()),
+             "term": pa.array([], pa.utf8()),
+             "c": pa.array([], pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        ids, q = _quant_embeddings(b)
+        C = ray.get(cref)
+        diff = q[:, None, :] - C[None, :, :]
+        d2 = np.einsum("nkd,nkd->nk", diff, diff)
+        a = np.argmin(d2, axis=1)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "cid": pa.array(cid_arr[a], pa.int64()),
+             "term": pa.array([""] * len(ids), pa.utf8()),
+             "c": pa.array(np.zeros(len(ids), np.int64), pa.int64())}
+        )
+
+    aside = eds.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    dpath = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    docs = read_parquet_sized(dpath, columns=["doc_id", "text"])
+
+    def term_partials(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cid": pa.array([], pa.int64()),
+             "term": pa.array([], pa.utf8()),
+             "c": pa.array([], pa.int64())}
+        )
+        toks, token_doc, _ri, _h1, _h2 = _batch_tokens(b)
+        if not len(toks):
+            return empty
+        t = pa.table(
+            {"doc_id": pa.array(token_doc, pa.int64()), "term": toks}
+        )
+        g = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        n = g.num_rows
+        return pa.table(
+            {"doc_id": g["doc_id"],
+             "cid": pa.array(np.full(n, -1, np.int64), pa.int64()),
+             "term": g["term"],
+             "c": g["count_all"].cast(pa.int64())}
+        )
+
+    tside = docs.map_batches(term_partials, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    both = aside.union(tside)
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["cid"] >= 0][["doc_id", "cid"]]
+        t = g[g["cid"] < 0][["doc_id", "term", "c"]]
+        j = t.merge(a, on="doc_id", how="inner")
+        out = j.groupby(["cid", "term"], as_index=False)["c"].sum()
+        return out.astype({"cid": "int64", "c": "int64"})
+
+    part_schema = pa.schema(
+        [("cid", pa.int64()), ("term", pa.utf8()), ("c", pa.int64())]
+    )
+    ct = _sharded_groupby(both, ["doc_id"], stitch,
+                          empty_schema=part_schema)
+
+    def add_th(b: pa.Table) -> pa.Table:
+        # shard by a hash of the term string (cheap: python hash is NOT
+        # stable across workers — reuse the span-hash on the term bytes)
+        from ..functions.tokenize import _span_hashes, _string_buffers
+
+        t = b["term"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        data, offs = _string_buffers(t)
+        lens = np.diff(offs).astype(np.int64)
+        h1, _h2 = _span_hashes(
+            data, offs[:-1].astype(np.int64), np.minimum(lens, 16))
+        return b.append_column(
+            "th", pa.array(h1.view(np.int64), pa.int64()))
+
+    ct = ct.map_batches(add_th, batch_format="pyarrow")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["cid", "term"], as_index=False)["c"].sum()
+        s = s.sort_values(["cid", "c", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        return s.groupby("cid", as_index=False).head(CLUSTER_TOP_TERMS_K)
+
+    cand = _sharded_groupby(ct, ["th"], per_shard,
+                            empty_schema=part_schema).to_pandas()
+    if not len(cand):
+        return _empty()
+    cand = cand[cand["cid"] >= 0]
+    top = cand.sort_values(["cid", "c", "term"],
+                           ascending=[True, False, True],
+                           kind="mergesort").groupby(
+        "cid", as_index=False).head(CLUSTER_TOP_TERMS_K)
+    top = top.reset_index(drop=True)
+    top["rank"] = top.groupby("cid").cumcount() + 1
+    return top.astype({"cid": "int64", "c": "int64", "rank": "int64"})[cols]
+
+
+def _sql_cluster_top_terms() -> str:
+    g = CORESET_GRID
+    d2 = ("list_sum(list_transform(range(1, len(e.q) + 1), "
+          "j -> (e.q[j] - c.q[j]) * (e.q[j] - c.q[j])))")
+    parts = [f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id,
+           [CAST(round(x * {g}) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])]
+               AS q
+    FROM embeddings
+),
+lng AS MATERIALIZED (
+    SELECT vec_id, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS j FROM e
+),
+cent1 AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cid, q
+    FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT {KMEANS_K})
+)"""]
+    for t in range(1, KMEANS_ITERS + 1):
+        parts.append(f""",
+a{t} AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rk
+        FROM e CROSS JOIN cent{t} c
+    ) WHERE rk = 1
+),
+cent{t + 1} AS MATERIALIZED (
+    SELECT cid, list(cv ORDER BY j) AS q
+    FROM (
+        SELECT a.cid, l.j, (sum(l.v) // count(*))::BIGINT AS cv
+        FROM a{t} a JOIN lng l USING (vec_id)
+        GROUP BY 1, 2
+    ) GROUP BY cid
+)""")
+    f = KMEANS_ITERS + 1
+    parts.append(f""",
+af AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rk
+        FROM e CROSS JOIN cent{f} c
+    ) WHERE rk = 1
+),
+filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+ctc AS (
+    SELECT af.cid, t.term, count(*)::BIGINT AS c
+    FROM tok t JOIN af ON af.vec_id = t.doc_id
+    GROUP BY 1, 2
+)
+SELECT cid::BIGINT AS cid, term, c, rk::BIGINT AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY cid ORDER BY c DESC, term) AS rk
+    FROM ctc
+)
+WHERE rk <= {CLUSTER_TOP_TERMS_K}""")
+    return "".join(parts)
+
+
+QUERIES["cluster_top_terms"] = (q_cluster_top_terms, _sql_cluster_top_terms())
