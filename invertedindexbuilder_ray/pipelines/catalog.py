@@ -9143,3 +9143,47 @@ WHERE rk <= {CLUSTER_TOP_TERMS_K}""")
 
 
 QUERIES["cluster_top_terms"] = (q_cluster_top_terms, _sql_cluster_top_terms())
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint over hourly event counts
+
+
+def q_events_cusum(sf_dir: str):
+    """See temporal.cusum_hourly."""
+    from .temporal import cusum_hourly
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["ts"])
+    return cusum_hourly(ev)
+
+
+_SQL_EVENTS_CUSUM = """
+WITH RECURSIVE hc AS (
+    SELECT epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS c
+    FROM events GROUP BY 1
+),
+o AS (
+    SELECT h, c, row_number() OVER (ORDER BY h) AS rn,
+           count(*) OVER () AS n, sum(c) OVER ()::BIGINT AS t
+    FROM hc
+),
+rec AS (
+    SELECT rn, h, greatest(0, n * c - t)::BIGINT AS s, n, t
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.rn, o.h, greatest(0, rec.s + o.n * o.c - o.t)::BIGINT, o.n, o.t
+    FROM rec JOIN o ON o.rn = rec.rn + 1
+),
+mx AS (
+    SELECT s, h FROM rec ORDER BY s DESC, rn ASC LIMIT 1
+)
+SELECT coalesce((SELECT max(n) FROM o), 0)::BIGINT AS n_hours,
+       coalesce((SELECT max(t) FROM o), 0)::BIGINT AS total,
+       coalesce((SELECT s FROM mx), 0)::BIGINT AS max_cusum,
+       CASE WHEN coalesce((SELECT s FROM mx), 0) > 0
+            THEN (SELECT h FROM mx) ELSE -1 END::BIGINT AS peak_hour
+"""
+
+
+QUERIES["events_cusum"] = (q_events_cusum, _SQL_EVENTS_CUSUM)

@@ -811,3 +811,66 @@ def event_transitions(
         col = agg[c].astype(object)
         agg[c] = col.where(col.notna(), None)
     return agg[cols]
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint / burst onset detection over hourly event counts.
+# All-integer recurrence (counts scaled by n_hours so the mean needs no
+# division): S_t = max(0, S_{t-1} + (n*c_t - T)) over OBSERVED hours in
+# ascending order; the peak S marks the end of the strongest upward
+# deviation run.  The hour series is bounded (one row per hour), so the
+# distributed part is the count aggregation; the recurrence itself is a
+# driver loop here and a recursive CTE in the oracle.
+
+CUSUM_MAX_HOURS = 200_000  # driver-loop + recursive-CTE bound, ~23 years
+
+
+def cusum_hourly(events: rd.Dataset, *, ts: str = "ts") -> "pd.DataFrame":
+    """One row: ``n_hours, total, max_cusum, peak_hour`` (peak_hour =
+    epoch-hour index of the FIRST maximum; all zeros/NULL-free when the
+    table is empty except n_hours/total = 0)."""
+    import pandas as pd
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"h": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        h = us // 3_600_000_000
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {"h": pa.array(uh, pa.int64()),
+             "c": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = events.map_batches(per_batch, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    cols = ["n_hours", "total", "max_cusum", "peak_hour"]
+    if not len(parts):
+        return pd.DataFrame(
+            [{"n_hours": 0, "total": 0, "max_cusum": 0, "peak_hour": -1}]
+        ).astype({c: "int64" for c in cols})[cols]
+    agg = parts.groupby("h", as_index=False)["c"].sum().sort_values("h")
+    n = len(agg)
+    if n > CUSUM_MAX_HOURS:
+        raise ValueError(
+            f"cusum_hourly: {n} observed hours exceeds the declared "
+            f"recurrence bound {CUSUM_MAX_HOURS}"
+        )
+    c = agg["c"].to_numpy(np.int64)
+    h = agg["h"].to_numpy(np.int64)
+    total = int(c.sum())
+    s = 0
+    best = 0
+    best_h = int(h[0])
+    for i in range(n):
+        s = max(0, s + int(n) * int(c[i]) - total)
+        if s > best:
+            best = s
+            best_h = int(h[i])
+    return pd.DataFrame(
+        [{"n_hours": n, "total": total, "max_cusum": best,
+          "peak_hour": best_h if best > 0 else -1}]
+    ).astype({c_: "int64" for c_ in cols})[cols]

@@ -38,6 +38,8 @@ FUZZ_ENTRIES = [
     "events_retention",
     "decayed_user_score",
     "event_bursts",
+    "events_cusum",
+    "funnel_latency",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
