@@ -197,7 +197,7 @@ def run_bench() -> dict:
         "percolate", "ndcg_eval", "source_kl",
         "line_dedup", "snapshot_diff", "kmeans_embed", "prf_expand",
         "semdedup_pairs", "tail_index", "funnel_latency",
-        "cluster_top_terms", "events_cusum",
+        "cluster_top_terms", "events_cusum", "pq_codebook",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

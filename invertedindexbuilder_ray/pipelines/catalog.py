@@ -9187,3 +9187,207 @@ SELECT coalesce((SELECT max(n) FROM o), 0)::BIGINT AS n_hours,
 
 
 QUERIES["events_cusum"] = (q_events_cusum, _SQL_EVENTS_CUSUM)
+
+
+# --------------------------------------------------------------------------
+# product-quantization codebook training (the PQ half of IVF-PQ — the
+# 10^12-vector ANN path).  The 64-dim space splits into PQ_SUB contiguous
+# subspaces; each gets its own integer Lloyd codebook (same arithmetic
+# contract as kmeans_embed: truncating division, ties cid asc, empty
+# clusters drop).  ONE scan per iteration trains ALL subspaces at once
+# (the centroid sets broadcast together; per batch, one einsum per
+# subspace over a slice view — scans do not multiply with PQ_SUB).
+
+PQ_SUB = 4
+PQ_K = 4
+PQ_ITERS = 2
+
+
+def q_pq_codebook(sf_dir: str):
+    """``sub, cid, n_vecs, inertia`` per subspace codeword after
+    ``PQ_ITERS`` Lloyd iterations (seeds = the K-smallest-vec_id
+    subvectors; sub is 0-based, cid 1-based)."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+    cols = ["sub", "cid", "n_vecs", "inertia"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def init_cand(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "q": pa.array([], pa.list_(pa.int64()))}
+        )
+        if b.num_rows == 0:
+            return empty
+        ids, q = _quant_embeddings(b)
+        sel = np.argsort(ids, kind="stable")[:PQ_K]
+        return pa.table(
+            {"vec_id": pa.array(ids[sel], pa.int64()),
+             "q": pa.array([r.tolist() for r in q[sel]],
+                           pa.list_(pa.int64()))}
+        )
+
+    cand = ds.map_batches(init_cand, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if not len(cand):
+        return _empty()
+    cand = cand.sort_values("vec_id", kind="mergesort").head(PQ_K)
+    full = np.stack([np.asarray(v, np.int64) for v in cand["q"]])
+    dim = full.shape[1]
+    if dim % PQ_SUB:
+        raise ValueError(f"pq_codebook: dim {dim} not divisible by {PQ_SUB}")
+    w = dim // PQ_SUB
+    # state per subspace: (centroids, cids)
+    state = [(full[:, s * w:(s + 1) * w].copy(),
+              np.arange(1, PQ_K + 1, dtype=np.int64)) for s in range(PQ_SUB)]
+
+    def scan(state_now):
+        cref = ray.put([c for c, _ in state_now])
+        cidl = [cid for _, cid in state_now]
+
+        def part(b: pa.Table, cref=cref, cidl=cidl) -> pa.Table:
+            empty = pa.table(
+                {"sub": pa.array([], pa.int64()),
+                 "cid": pa.array([], pa.int64()),
+                 "j": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.int64())}
+            )
+            if b.num_rows == 0:
+                return empty
+            _ids, q = _quant_embeddings(b)
+            C = ray.get(cref)
+            subs, cidc, jc, vc = [], [], [], []
+            for s in range(PQ_SUB):
+                qs = q[:, s * w:(s + 1) * w]
+                diff = qs[:, None, :] - C[s][None, :, :]
+                d2 = np.einsum("nkd,nkd->nk", diff, diff)
+                a = np.argmin(d2, axis=1)
+                mind = d2[np.arange(len(qs)), a]
+                acid = cidl[s][a]
+                order = np.argsort(acid, kind="stable")
+                uc, starts = np.unique(acid[order], return_index=True)
+                qsum = np.add.reduceat(qs[order], starts, axis=0)
+                isum = np.add.reduceat(mind[order], starts)
+                n = np.diff(np.append(starts, len(acid))).astype(np.int64)
+                nl = len(uc)
+                subs.append(np.full(nl * (w + 2), s, np.int64))
+                cidc.append(np.concatenate([np.repeat(uc, w), uc, uc]))
+                jc.append(np.concatenate(
+                    [np.tile(np.arange(1, w + 1, dtype=np.int64), nl),
+                     np.zeros(nl, np.int64), np.full(nl, -1, np.int64)]))
+                vc.append(np.concatenate([qsum.ravel(), n, isum]))
+            return pa.table(
+                {"sub": pa.array(np.concatenate(subs), pa.int64()),
+                 "cid": pa.array(np.concatenate(cidc), pa.int64()),
+                 "j": pa.array(np.concatenate(jc), pa.int64()),
+                 "v": pa.array(np.concatenate(vc), pa.int64())}
+            )
+
+        p = ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+        return p.groupby(["sub", "cid", "j"], as_index=False)["v"].sum()
+
+    for _t in range(PQ_ITERS):
+        agg = scan(state)
+        new_state = []
+        for s in range(PQ_SUB):
+            a = agg[agg["sub"] == s]
+            counts = a[a["j"] == 0].set_index("cid")["v"]
+            live = counts[counts > 0].index.to_numpy(np.int64)
+            live.sort()
+            piv = a[a["j"] >= 1].pivot_table(
+                index="cid", columns="j", values="v",
+                aggfunc="sum").loc[live]
+            sm = piv.to_numpy(np.int64)
+            n = counts.loc[live].to_numpy(np.int64)[:, None]
+            new_state.append(
+                (np.sign(sm) * (np.abs(sm) // n), live))
+        state = new_state
+
+    agg = scan(state)
+    rows = []
+    for s in range(PQ_SUB):
+        a = agg[agg["sub"] == s]
+        counts = a[a["j"] == 0].set_index("cid")["v"]
+        inertia = a[a["j"] == -1].set_index("cid")["v"]
+        live = counts[counts > 0].index.to_numpy(np.int64)
+        live.sort()
+        for c in live:
+            rows.append({"sub": s, "cid": int(c),
+                         "n_vecs": int(counts.loc[c]),
+                         "inertia": int(inertia.loc[c])})
+    if not rows:
+        return _empty()
+    return pd.DataFrame(rows).astype({c: "int64" for c in cols})[cols]
+
+
+def _sql_pq_codebook() -> str:
+    g = CORESET_GRID
+    blocks = [f"""
+WITH e0 AS MATERIALIZED (
+    SELECT vec_id,
+           [CAST(round(x * {g}) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])]
+               AS qf
+    FROM embeddings
+)"""]
+    sels = []
+    # DuckDB list slicing is 1-based inclusive: qf[a:b]
+    # subspace width is derived from the data (len(qf) // PQ_SUB)
+    for s in range(PQ_SUB):
+        a = f"(len(e0.qf) // {PQ_SUB}) * {s} + 1"
+        b = f"(len(e0.qf) // {PQ_SUB}) * {s + 1}"
+        d2 = ("list_sum(list_transform(range(1, len(e.q) + 1), "
+              "j -> (e.q[j] - c.q[j]) * (e.q[j] - c.q[j])))")
+        blocks.append(f""",
+e_{s} AS MATERIALIZED (
+    SELECT vec_id, qf[{a}:{b}] AS q FROM e0
+),
+lng_{s} AS MATERIALIZED (
+    SELECT vec_id, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS j
+    FROM e_{s}
+),
+cent_{s}_1 AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cid, q
+    FROM (SELECT vec_id, q FROM e_{s} ORDER BY vec_id LIMIT {PQ_K})
+)""")
+        for t in range(1, PQ_ITERS + 1):
+            blocks.append(f""",
+a_{s}_{t} AS MATERIALIZED (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rk
+        FROM e_{s} e CROSS JOIN cent_{s}_{t} c
+    ) WHERE rk = 1
+),
+cent_{s}_{t + 1} AS MATERIALIZED (
+    SELECT cid, list(cv ORDER BY j) AS q
+    FROM (
+        SELECT a.cid, l.j, (sum(l.v) // count(*))::BIGINT AS cv
+        FROM a_{s}_{t} a JOIN lng_{s} l USING (vec_id)
+        GROUP BY 1, 2
+    ) GROUP BY cid
+)""")
+        f = PQ_ITERS + 1
+        blocks.append(f""",
+af_{s} AS MATERIALIZED (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT e.vec_id, c.cid, {d2} AS d2,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2}, c.cid) AS rk
+        FROM e_{s} e CROSS JOIN cent_{s}_{f} c
+    ) WHERE rk = 1
+)""")
+        sels.append(
+            f"SELECT {s}::BIGINT AS sub, cid::BIGINT AS cid, "
+            f"count(*)::BIGINT AS n_vecs, sum(d2)::BIGINT AS inertia "
+            f"FROM af_{s} GROUP BY cid"
+        )
+    return "".join(blocks) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+QUERIES["pq_codebook"] = (q_pq_codebook, _sql_pq_codebook())

@@ -161,3 +161,28 @@ def test_semdedup_fuzz(ray_session, tmp_path_factory, vecs):
     if len(got) == 0 and len(want) == 0:
         return
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vecs=st.lists(_VEC, min_size=1, max_size=20))
+def test_pq_codebook_fuzz(ray_session, tmp_path_factory, vecs):
+    """Engine vs DuckDB oracle on random coarse-grid tables (DIM=4 with
+    PQ_SUB=4 -> 1-dim subspaces: the degenerate-width edge)."""
+    import pandas as pd
+
+    from invertedindexbuilder_ray.pipelines.catalog import QUERIES
+
+    tmpdir = str(tmp_path_factory.mktemp("pq"))
+    _write_embeddings(tmpdir, vecs)
+    fn, sql = QUERIES["pq_codebook"]
+    got = fn(tmpdir).sort_values(["sub", "cid"]).reset_index(drop=True)
+    assert int(got.groupby("sub")["n_vecs"].sum().min()) == len(vecs)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmpdir, 'embeddings.parquet')}')"
+    )
+    want = con.execute(sql).fetchdf().sort_values(
+        ["sub", "cid"]).reset_index(drop=True)[list(got.columns)]
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
