@@ -9391,3 +9391,48 @@ af_{s} AS MATERIALIZED (
 
 
 QUERIES["pq_codebook"] = (q_pq_codebook, _sql_pq_codebook())
+
+
+# --------------------------------------------------------------------------
+# per-user robust (median/MAD) value outliers
+
+
+def q_user_value_outliers(sf_dir: str):
+    """See temporal.user_value_outliers_df."""
+    from .temporal import user_value_outliers_df
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["user_id", "value"])
+    return user_value_outliers_df(ev)
+
+
+_SQL_USER_VALUE_OUTLIERS = """
+WITH q AS (
+    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+med AS (
+    SELECT user_id, count(*)::BIGINT AS n,
+           quantile_disc(v, 0.5)::BIGINT AS med_cents
+    FROM q GROUP BY 1
+),
+d AS (
+    SELECT q.user_id, abs(q.v - med.med_cents)::BIGINT AS av
+    FROM q JOIN med USING (user_id)
+),
+mad AS (
+    SELECT user_id, quantile_disc(av, 0.5)::BIGINT AS mad_cents
+    FROM d GROUP BY 1
+),
+outl AS (
+    SELECT d.user_id, sum((d.av > 3 * mad.mad_cents)::BIGINT)::BIGINT AS c
+    FROM d JOIN mad USING (user_id)
+    WHERE mad.mad_cents > 0 GROUP BY 1
+)
+SELECT med.user_id, med.n, med.med_cents, mad.mad_cents,
+       coalesce(outl.c, 0)::BIGINT AS n_outliers
+FROM med JOIN mad USING (user_id) LEFT JOIN outl USING (user_id)
+"""
+
+
+QUERIES["user_value_outliers"] = (
+    q_user_value_outliers, _SQL_USER_VALUE_OUTLIERS)

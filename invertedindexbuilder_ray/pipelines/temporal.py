@@ -874,3 +874,73 @@ def cusum_hourly(events: rd.Dataset, *, ts: str = "ts") -> "pd.DataFrame":
         [{"n_hours": n, "total": total, "max_cusum": best,
           "peak_hour": best_h if best > 0 else -1}]
     ).astype({c_: "int64" for c_ in cols})[cols]
+
+
+# ---------------------------------------------------------------------------
+# per-user robust outliers: median/MAD per user computed exactly IN-SHARD
+# (a user's rows co-locate under the user-sharded exchange, so the
+# quantile_disc order stat is a vectorized in-shard sort — no global
+# order-stat machinery and no per-user Ray groupby).  Values quantized to
+# cents (round(value*100), exact double scaling region for |v| < 2^43).
+
+OUTLIER_K = 3  # |v - med| > K * mad
+
+
+def user_value_outliers_df(events: rd.Dataset) -> pd.DataFrame:
+    """(user_id, n, med_cents, mad_cents, n_outliers): quantile_disc
+    medians (element at ceil(N/2)-1 of the ascending sort — DuckDB
+    quantile_disc(0.5) semantics), MAD the same order stat over
+    |v - med|, outliers = count of |v - med| > OUTLIER_K * mad (0 when
+    mad = 0 — ties collapse, matching the SQL)."""
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+    from .dedup import _sharded_groupby
+
+    def quant(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "v": pa.array([], pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vc = round_half_away(v * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {"user_id": pc.cast(b["user_id"], pa.int64()),
+             "v": pa.array(vc, pa.int64())}
+        )
+
+    rows = events.map_batches(quant, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": [], "n": [], "med_cents": [], "mad_cents": [],
+               "n_outliers": []}
+        for uid, grp in g.groupby("user_id"):
+            v = np.sort(grp["v"].to_numpy(np.int64))
+            n = len(v)
+            med = int(v[-(-n // 2) - 1])  # ceil(n/2)-1, 0-based
+            d = np.sort(np.abs(v - med))
+            mad = int(d[-(-n // 2) - 1])
+            out["user_id"].append(int(uid))
+            out["n"].append(n)
+            out["med_cents"].append(med)
+            out["mad_cents"].append(mad)
+            out["n_outliers"].append(
+                int((np.abs(v - med) > OUTLIER_K * mad).sum())
+                if mad > 0 else 0)
+        return pd.DataFrame(out).astype(
+            {c: "int64" for c in out})
+
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("n", pa.int64()),
+         ("med_cents", pa.int64()), ("mad_cents", pa.int64()),
+         ("n_outliers", pa.int64())]
+    )
+    res = _sharded_groupby(rows, ["user_id"], per_shard,
+                           empty_schema=part_schema).to_pandas()
+    cols = ["user_id", "n", "med_cents", "mad_cents", "n_outliers"]
+    if not len(res):
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    return res.astype({c: "int64" for c in cols})[cols]

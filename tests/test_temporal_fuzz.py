@@ -40,6 +40,7 @@ FUZZ_ENTRIES = [
     "event_bursts",
     "events_cusum",
     "funnel_latency",
+    "user_value_outliers",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
