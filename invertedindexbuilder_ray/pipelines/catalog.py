@@ -9436,3 +9436,48 @@ FROM med JOIN mad USING (user_id) LEFT JOIN outl USING (user_id)
 
 QUERIES["user_value_outliers"] = (
     q_user_value_outliers, _SQL_USER_VALUE_OUTLIERS)
+
+
+# --------------------------------------------------------------------------
+# SAX symbolization of the global event-value series
+
+
+def q_value_sax(sf_dir: str):
+    """See temporal.value_sax_ds."""
+    from .temporal import value_sax_ds
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["ts", "event_id", "value"])
+    return value_sax_ds(ev)
+
+
+def _sql_value_sax() -> str:
+    from .temporal import SAX_W
+
+    return f"""
+WITH q AS (
+    SELECT epoch_us(ts) AS us, event_id,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+),
+bp AS (
+    SELECT quantile_disc(v, 0.25)::BIGINT AS b1,
+           quantile_disc(v, 0.5)::BIGINT AS b2,
+           quantile_disc(v, 0.75)::BIGINT AS b3
+    FROM q
+),
+r AS (
+    SELECT v,
+           (row_number() OVER (ORDER BY us, event_id) - 1) // {SAX_W} AS win
+    FROM q
+),
+w AS (SELECT win, count(*)::BIGINT AS n, sum(v)::BIGINT AS s FROM r GROUP BY 1)
+SELECT win, n, (s // n)::BIGINT AS paa_cents,
+       (CASE WHEN s // n <= b1 THEN 0
+             WHEN s // n <= b2 THEN 1
+             WHEN s // n <= b3 THEN 2 ELSE 3 END)::BIGINT AS symbol
+FROM w CROSS JOIN bp
+"""
+
+
+QUERIES["value_sax"] = (q_value_sax, _sql_value_sax())

@@ -944,3 +944,122 @@ def user_value_outliers_df(events: rd.Dataset) -> pd.DataFrame:
     if not len(res):
         return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
     return res.astype({c: "int64" for c in cols})[cols]
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization of the global event-value series: tumbling windows of
+# SAX_W events under the (ts, event_id) total order, PAA = truncating
+# integer mean of cents-quantized values, alphabet of 4 symbols cut at
+# the EXACT global quartiles (quantile_disc elements — integers, so the
+# cuts are engine-independent).  Global window ids come from a two-level
+# scan (per-hour counts -> driver exclusive prefix sums -> in-shard
+# ranks), not a global sort: the hour map is bounded (CUSUM_MAX_HOURS).
+
+SAX_W = 16
+
+
+def value_sax_ds(events: rd.Dataset) -> rd.Dataset:
+    """(win, n, paa_cents, symbol) per tumbling ``SAX_W``-event window."""
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+    from .dedup import _sharded_groupby
+    from .quantiles import exact_quantiles_disc
+
+    def quant(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"h": pa.array([], pa.int64()), "us": pa.array([], pa.int64()),
+             "event_id": pa.array([], pa.int64()),
+             "v": pa.array([], pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vc = round_half_away(v * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {"h": pa.array(us // 3_600_000_000, pa.int64()),
+             "us": pa.array(us, pa.int64()),
+             "event_id": pc.cast(b["event_id"], pa.int64()),
+             "v": pa.array(vc, pa.int64())}
+        )
+
+    rows = events.map_batches(quant, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # pass A: per-hour counts -> driver exclusive prefix offsets
+    def hour_counts(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy(zero_copy_only=False)
+        uh, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {"h": pa.array(uh, pa.int64()),
+             "c": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    hc = rows.map_batches(hour_counts, batch_format="pyarrow").to_pandas()
+    out_schema = pa.schema(
+        [("win", pa.int64()), ("n", pa.int64()),
+         ("paa_cents", pa.int64()), ("symbol", pa.int64())]
+    )
+    if not len(hc):
+        return rd.from_arrow(out_schema.empty_table())
+    agg = hc.groupby("h", as_index=False)["c"].sum().sort_values("h")
+    if len(agg) > CUSUM_MAX_HOURS:
+        raise ValueError(
+            f"value_sax: {len(agg)} observed hours exceeds the declared "
+            f"driver-map bound {CUSUM_MAX_HOURS}"
+        )
+    csum = np.concatenate(
+        ([0], np.cumsum(agg["c"].to_numpy(np.int64))[:-1]))
+    off = dict(zip(agg["h"].astype("int64").tolist(),
+                   (int(x) for x in csum)))
+
+    # exact quartile breakpoints (quantile_disc elements are ints)
+    def vonly(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"d": pc.cast(b["v"], pa.float64())}
+        )
+
+    bdf = exact_quantiles_disc(
+        rows.map_batches(vonly, batch_format="pyarrow"), "d",
+        [0.25, 0.5, 0.75])
+    b1, b2, b3 = (int(x) for x in bdf["value"].tolist())
+
+    # pass B: in-shard ranks (an hour's rows co-locate) -> window partials
+    def per_hour(g: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for h, grp in g.groupby("h"):
+            order = np.lexsort(
+                (grp["event_id"].to_numpy(np.int64),
+                 grp["us"].to_numpy(np.int64)))
+            v = grp["v"].to_numpy(np.int64)[order]
+            rank = off[int(h)] + np.arange(len(v), dtype=np.int64)
+            win = rank // SAX_W
+            f = pd.DataFrame({"win": win, "v": v})
+            parts.append(f.groupby("win", as_index=False).agg(
+                n=("v", "size"), s=("v", "sum")))
+        out = pd.concat(parts, ignore_index=True)
+        return out.astype({"win": "int64", "n": "int64", "s": "int64"})
+
+    part_schema = pa.schema(
+        [("win", pa.int64()), ("n", pa.int64()), ("s", pa.int64())]
+    )
+    parts = _sharded_groupby(rows, ["h"], per_hour)
+
+    # pass C: combine window partials (a window may span hours/shards)
+    def per_win(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.groupby("win", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"))
+        s = w["s"].to_numpy(np.int64)
+        n = w["n"].to_numpy(np.int64)
+        paa = np.sign(s) * (np.abs(s) // n)  # truncating, matches //
+        sym = np.where(paa <= b1, 0,
+                       np.where(paa <= b2, 1, np.where(paa <= b3, 2, 3)))
+        return pd.DataFrame(
+            {"win": w["win"], "n": n, "paa_cents": paa,
+             "symbol": sym.astype(np.int64)}
+        ).astype({"win": "int64", "n": "int64", "paa_cents": "int64",
+                  "symbol": "int64"})
+
+    return _sharded_groupby(parts, ["win"], per_win,
+                            empty_schema=out_schema)

@@ -41,6 +41,7 @@ FUZZ_ENTRIES = [
     "events_cusum",
     "funnel_latency",
     "user_value_outliers",
+    "value_sax",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
