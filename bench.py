@@ -198,7 +198,7 @@ def run_bench() -> dict:
         "line_dedup", "snapshot_diff", "kmeans_embed", "prf_expand",
         "semdedup_pairs", "tail_index", "funnel_latency",
         "cluster_top_terms", "events_cusum", "pq_codebook",
-        "user_value_outliers", "value_sax",
+        "user_value_outliers", "value_sax", "custdist", "rich_inactive",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

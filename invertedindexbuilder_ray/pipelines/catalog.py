@@ -9481,3 +9481,227 @@ FROM w CROSS JOIN bp
 
 
 QUERIES["value_sax"] = (q_value_sax, _sql_value_sax())
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution (count-of-counts)
+
+
+def q_custdist(sf_dir: str):
+    """(c_count, custdist): how many customers placed exactly c_count
+    orders, INCLUDING zero-order customers (the left-join leg).
+
+    Shape: per-batch order partials (o_custkey, n) — then ONE
+    custkey-sharded exchange joining the partial counts to the customer
+    side in-shard (both sides co-locate), then a bounded count-of-counts
+    combine (distinct c_count values are tiny)."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    base = sf_dir if os.path.isdir(sf_dir) else os.path.dirname(sf_dir)
+    orders = read_parquet_sized(
+        os.path.join(base, "orders.parquet"), columns=["o_custkey"])
+    cust = read_parquet_sized(
+        os.path.join(base, "customer.parquet"), columns=["c_custkey"])
+
+    def o_part(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, c = np.unique(k, return_counts=True)
+        return pa.table(
+            {"k": pa.array(uk, pa.int64()),
+             "n": pa.array(c.astype(np.int64), pa.int64()),
+             "side": pa.array(np.zeros(len(uk), np.int64), pa.int64())}
+        )
+
+    def c_part(b: pa.Table) -> pa.Table:
+        k = pc.cast(b["c_custkey"], pa.int64())
+        return pa.table(
+            {"k": k,
+             "n": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+             "side": pa.array(np.ones(b.num_rows, np.int64), pa.int64())}
+        )
+
+    both = orders.map_batches(o_part, batch_format="pyarrow").union(
+        cust.map_batches(c_part, batch_format="pyarrow"))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        oc = g[g["side"] == 0].groupby("k")["n"].sum()
+        ck = g.loc[g["side"] == 1, "k"]
+        cnt = ck.map(oc).fillna(0).astype("int64")
+        out = cnt.value_counts().rename_axis("c_count").reset_index(
+            name="custdist")
+        return out.astype({"c_count": "int64", "custdist": "int64"})
+
+    part_schema = pa.schema(
+        [("c_count", pa.int64()), ("custdist", pa.int64())]
+    )
+    parts = _sharded_groupby(both, ["k"], per_shard,
+                             empty_schema=part_schema).to_pandas()
+    cols = ["c_count", "custdist"]
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    return out.astype({"c_count": "int64", "custdist": "int64"})[cols]
+
+
+_SQL_CUSTDIST = """
+WITH co AS (
+    SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+)
+SELECT c_count, count(*)::BIGINT AS custdist FROM co GROUP BY 1
+"""
+
+
+QUERIES["custdist"] = (q_custdist, _SQL_CUSTDIST)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: above-average balances with no orders, by nation.
+# The "above average" comparison is EXACT integer algebra:
+# cents_i * N_pos > SUM_pos_cents  <=>  bal_i > avg(bal where bal > 0)
+# — no float threshold, so the boundary can never disagree.
+
+
+RICH_AUG_EVERY = 10
+RICH_AUG_OFFSET = 1_000_000
+
+
+def q_rich_inactive(sf_dir: str):
+    """(n_name, n_cust, sum_bal_cents) for customers whose balance
+    exceeds the average POSITIVE balance and who placed no orders.
+
+    The synthetic customer table is fully active (every customer has
+    orders), so the input is augmented with deterministic no-order
+    clones (every ``RICH_AUG_EVERY``-th customer, key + 1e6, balance
+    doubled IN THE CENTS DOMAIN so no second float rounding), replicated
+    in the SQL — the embedding_neardup_srp precedent."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    base = sf_dir if os.path.isdir(sf_dir) else os.path.dirname(sf_dir)
+    cust = read_parquet_sized(
+        os.path.join(base, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = read_parquet_sized(
+        os.path.join(base, "orders.parquet"), columns=["o_custkey"])
+    nation = read_parquet_sized(
+        os.path.join(base, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"].astype("int64"),
+                    nation["n_name"]))
+
+    from ..functions.rounding import round_half_away
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vc = round_half_away(v * 100.0, 0).astype(np.int64)
+        k = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        am = k % RICH_AUG_EVERY == 0
+        k = np.concatenate([k, k[am] + RICH_AUG_OFFSET])
+        nat = np.concatenate([nat, nat[am]])
+        vc = np.concatenate([vc, 2 * vc[am]])
+        return pa.table(
+            {"k": pa.array(k, pa.int64()),
+             "nat": pa.array(nat, pa.int64()),
+             "cents": pa.array(vc, pa.int64()),
+             "side": pa.array(np.zeros(len(k), np.int64), pa.int64())}
+        )
+
+    cds = cust.map_batches(cents, batch_format="pyarrow")
+
+    # global positive-balance moments (two scalars)
+    def pos_mom(b: pa.Table) -> pa.Table:
+        v = b["cents"].to_numpy(zero_copy_only=False)
+        p = v[v > 0]
+        return pa.table(
+            {"s": pa.array([int(p.sum())], pa.int64()),
+             "n": pa.array([len(p)], pa.int64())}
+        )
+
+    mom = cds.map_batches(pos_mom, batch_format="pyarrow").to_pandas()
+    s_pos = int(mom["s"].sum()) if len(mom) else 0
+    n_pos = int(mom["n"].sum()) if len(mom) else 0
+    cols = ["n_name", "n_cust", "sum_bal_cents"]
+    if n_pos == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=object if c == "n_name" else "int64")
+             for c in cols})
+
+    def o_keys(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk = np.unique(k)
+        z = np.zeros(len(uk), np.int64)
+        return pa.table(
+            {"k": pa.array(uk, pa.int64()),
+             "nat": pa.array(z, pa.int64()),
+             "cents": pa.array(z, pa.int64()),
+             "side": pa.array(np.ones(len(uk), np.int64), pa.int64())}
+        )
+
+    both = cds.union(orders.map_batches(o_keys, batch_format="pyarrow"))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        has_order = set(g.loc[g["side"] == 1, "k"].tolist())
+        c = g[g["side"] == 0]
+        keep = (~c["k"].isin(has_order)) & (
+            c["cents"].to_numpy(np.int64) * n_pos > s_pos)
+        sel = c[keep]
+        out = sel.groupby("nat", as_index=False).agg(
+            n_cust=("k", "size"), sum_bal_cents=("cents", "sum"))
+        return out.astype({"nat": "int64", "n_cust": "int64",
+                           "sum_bal_cents": "int64"})
+
+    part_schema = pa.schema(
+        [("nat", pa.int64()), ("n_cust", pa.int64()),
+         ("sum_bal_cents", pa.int64())]
+    )
+    parts = _sharded_groupby(both, ["k"], per_shard,
+                             empty_schema=part_schema).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=object if c == "n_name" else "int64")
+             for c in cols})
+    out = parts.groupby("nat", as_index=False).agg(
+        n_cust=("n_cust", "sum"), sum_bal_cents=("sum_bal_cents", "sum"))
+    out["n_name"] = out["nat"].map(nmap)
+    return out.astype(
+        {"n_cust": "int64", "sum_bal_cents": "int64"})[cols]
+
+
+_SQL_RICH_INACTIVE = f"""
+WITH c0 AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+),
+c AS (
+    SELECT * FROM c0
+    UNION ALL
+    SELECT c_custkey + {RICH_AUG_OFFSET}, c_nationkey, 2 * cents
+    FROM c0 WHERE c_custkey % {RICH_AUG_EVERY} = 0
+),
+mom AS (
+    SELECT sum(cents)::BIGINT AS s, count(*)::BIGINT AS n
+    FROM c WHERE cents > 0
+),
+sel AS (
+    SELECT c.c_nationkey, c.cents
+    FROM c CROSS JOIN mom
+    WHERE c.cents * mom.n > mom.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+)
+SELECT n.n_name, count(*)::BIGINT AS n_cust,
+       sum(sel.cents)::BIGINT AS sum_bal_cents
+FROM sel JOIN nation n ON n.n_nationkey = sel.c_nationkey
+GROUP BY 1
+"""
+
+
+QUERIES["rich_inactive"] = (q_rich_inactive, _SQL_RICH_INACTIVE)

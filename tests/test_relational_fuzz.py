@@ -37,6 +37,8 @@ FUZZ_ENTRIES = [
     "pareto_front",
     "customer_order_balance",
     "price_ntile",
+    "custdist",
+    "rich_inactive",
 ]
 
 _LINE = st.tuples(
