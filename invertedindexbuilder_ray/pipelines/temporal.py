@@ -915,23 +915,36 @@ def user_value_outliers_df(events: rd.Dataset) -> pd.DataFrame:
                               zero_copy_batch=True)
 
     def per_shard(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"user_id": [], "n": [], "med_cents": [], "mad_cents": [],
-               "n_outliers": []}
-        for uid, grp in g.groupby("user_id"):
-            v = np.sort(grp["v"].to_numpy(np.int64))
-            n = len(v)
-            med = int(v[-(-n // 2) - 1])  # ceil(n/2)-1, 0-based
-            d = np.sort(np.abs(v - med))
-            mad = int(d[-(-n // 2) - 1])
-            out["user_id"].append(int(uid))
-            out["n"].append(n)
-            out["med_cents"].append(med)
-            out["mad_cents"].append(mad)
-            out["n_outliers"].append(
-                int((np.abs(v - med) > OUTLIER_K * mad).sum())
-                if mad > 0 else 0)
-        return pd.DataFrame(out).astype(
-            {c: "int64" for c in out})
+        # fully vectorized over ALL users in the shard (no Python loop
+        # over groups): one lexsort by (user, value) gives every user's
+        # order stat as a gather at offset + ceil(n/2)-1
+        u = g["user_id"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+
+        def grouped_disc_median(keys, vals):
+            order = np.lexsort((vals, keys))
+            ks, vs = keys[order], vals[order]
+            uk, starts = np.unique(ks, return_index=True)
+            n = np.diff(np.append(starts, len(ks))).astype(np.int64)
+            idx = starts + (-(-n // 2) - 1)  # ceil(n/2)-1 within group
+            return uk, n, vs[idx]
+
+        uk, n, med = grouped_disc_median(u, v)
+        av = np.abs(v - med[np.searchsorted(uk, u)])
+        uk2, _n2, mad = grouped_disc_median(u, av)
+        mad_of = np.zeros(len(uk), np.int64)
+        mad_of[np.searchsorted(uk, uk2)] = mad
+        madv = mad_of[np.searchsorted(uk, u)]
+        outl = (av > OUTLIER_K * madv) & (madv > 0)
+        n_out = np.bincount(
+            np.searchsorted(uk, u[outl]), minlength=len(uk)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": uk, "n": n, "med_cents": med,
+             "mad_cents": mad_of, "n_outliers": n_out}
+        ).astype({c: "int64" for c in
+                  ("user_id", "n", "med_cents", "mad_cents",
+                   "n_outliers")})
 
     part_schema = pa.schema(
         [("user_id", pa.int64()), ("n", pa.int64()),
