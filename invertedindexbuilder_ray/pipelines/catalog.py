@@ -9705,3 +9705,122 @@ GROUP BY 1
 
 
 QUERIES["rich_inactive"] = (q_rich_inactive, _SQL_RICH_INACTIVE)
+
+
+# --------------------------------------------------------------------------
+# power-iteration PCA direction over the embedding second-moment (Gram)
+# matrix — distributed linear algebra on exact integers.  The ONLY
+# distributed work is the d x d second-moment matrix (fixed 4096-row
+# partials per batch); the 3 matvec iterations run on the driver /
+# in chained CTEs.  Magnitude control keeps everything in int64: the
+# Gram matrix pre-scales to < 2^26 and each iterate rescales to < 2^20
+# via ARITHMETIC right-shifts (numpy >> and DuckDB >> both floor, so
+# the two engines agree on negatives; bitlen = length(bin(x)) on ints).
+
+PCA_ITERS = 3
+_PCA_C_BITS = 26
+_PCA_V_BITS = 20
+
+
+def _bitlen(x: int) -> int:
+    return int(x).bit_length()
+
+
+def q_embed_pca_power(sf_dir: str):
+    """(j, v): the dominant second-moment direction after ``PCA_ITERS``
+    integer power iterations from the all-ones start (j is the 1-based
+    dimension; v the fixed-point component)."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+
+    def gram(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"r": pa.array([], pa.int64()), "c": pa.array([], pa.int64()),
+             "w": pa.array([], pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        _ids, q = _quant_embeddings(b)
+        C = q.T @ q  # (d, d) int64; |entry| <= n_batch * 2^20
+        d = C.shape[0]
+        rr, cc = np.meshgrid(np.arange(1, d + 1, dtype=np.int64),
+                             np.arange(1, d + 1, dtype=np.int64),
+                             indexing="ij")
+        return pa.table(
+            {"r": pa.array(rr.ravel(), pa.int64()),
+             "c": pa.array(cc.ravel(), pa.int64()),
+             "w": pa.array(C.ravel(), pa.int64())}
+        )
+
+    parts = ds.map_batches(gram, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    cols = ["j", "v"]
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    g = parts.groupby(["r", "c"], as_index=False)["w"].sum()
+    d = int(g["r"].max())
+    C = np.zeros((d, d), np.int64)
+    C[g["r"].to_numpy(np.int64) - 1, g["c"].to_numpy(np.int64) - 1] = \
+        g["w"].to_numpy(np.int64)
+    mx = int(np.abs(C).max())
+    sc = max(0, _bitlen(mx) - _PCA_C_BITS)
+    C = C >> sc  # arithmetic shift, matches DuckDB >>
+    v = np.ones(d, np.int64)
+    for _t in range(PCA_ITERS):
+        w = C @ v
+        mw = int(np.abs(w).max())
+        st = max(0, _bitlen(mw) - _PCA_V_BITS)
+        v = w >> st
+    return pd.DataFrame(
+        {"j": np.arange(1, d + 1, dtype=np.int64), "v": v}
+    ).astype({"j": "int64", "v": "int64"})
+
+
+def _sql_embed_pca_power() -> str:
+    g = CORESET_GRID
+    parts = [f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id,
+           [CAST(round(x * {g}) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])]
+               AS q
+    FROM embeddings
+),
+lng AS MATERIALIZED (
+    SELECT vec_id, unnest(q) AS v, unnest(range(1, len(q) + 1)) AS j FROM e
+),
+g0 AS MATERIALIZED (
+    SELECT a.j AS r, b.j AS c, sum(a.v * b.v)::BIGINT AS w
+    FROM lng a JOIN lng b USING (vec_id)
+    GROUP BY 1, 2
+),
+sc AS (
+    SELECT greatest(length(bin(max(abs(w))))::BIGINT - {_PCA_C_BITS}, 0) AS s
+    FROM g0
+),
+cm AS MATERIALIZED (
+    SELECT r, c, (w >> (SELECT s FROM sc))::BIGINT AS w FROM g0
+),
+v0 AS (SELECT unnest(range(1, (SELECT max(r) FROM cm) + 1)) AS j,
+              1::BIGINT AS v)"""]
+    for t in range(1, PCA_ITERS + 1):
+        parts.append(f""",
+w{t} AS MATERIALIZED (
+    SELECT cm.r AS j, sum(cm.w * v.v)::BIGINT AS w
+    FROM cm JOIN v{t - 1} v ON v.j = cm.c
+    GROUP BY 1
+),
+s{t} AS (
+    SELECT greatest(length(bin(max(abs(w))))::BIGINT - {_PCA_V_BITS}, 0) AS s
+    FROM w{t}
+),
+v{t} AS MATERIALIZED (
+    SELECT j, (w >> (SELECT s FROM s{t}))::BIGINT AS v FROM w{t}
+)""")
+    parts.append(f"""
+SELECT j::BIGINT AS j, v FROM v{PCA_ITERS}""")
+    return "".join(parts)
+
+
+QUERIES["embed_pca_power"] = (q_embed_pca_power, _sql_embed_pca_power())

@@ -186,3 +186,27 @@ def test_pq_codebook_fuzz(ray_session, tmp_path_factory, vecs):
         ["sub", "cid"]).reset_index(drop=True)[list(got.columns)]
     con.close()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vecs=st.lists(_VEC, min_size=1, max_size=20))
+def test_pca_power_fuzz(ray_session, tmp_path_factory, vecs):
+    """Engine vs DuckDB on random coarse-grid tables: exercises negative
+    Gram entries (arithmetic >> on negatives) and the zero-matrix edge."""
+    import pandas as pd
+
+    from invertedindexbuilder_ray.pipelines.catalog import QUERIES
+
+    tmpdir = str(tmp_path_factory.mktemp("pca"))
+    _write_embeddings(tmpdir, vecs)
+    fn, sql = QUERIES["embed_pca_power"]
+    got = fn(tmpdir).sort_values("j").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmpdir, 'embeddings.parquet')}')"
+    )
+    want = con.execute(sql).fetchdf().sort_values("j").reset_index(
+        drop=True)[list(got.columns)]
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
