@@ -9824,3 +9824,88 @@ SELECT j::BIGINT AS j, v FROM v{PCA_ITERS}""")
 
 
 QUERIES["embed_pca_power"] = (q_embed_pca_power, _sql_embed_pca_power())
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority count of orders with a late-shipped line
+# (EXISTS lineitem with l_shipdate > o_orderdate).  The EXISTS collapses
+# per batch to one (orderkey, max shipdate) partial, so the exchange
+# moves one row per (batch, orderkey) instead of every lineitem.
+
+
+def q_order_priority_ct(sf_dir: str):
+    """(o_orderpriority, n_orders) — NULL priorities form their own
+    group (SQL GROUP BY semantics; pandas needs dropna=False)."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    base = sf_dir if os.path.isdir(sf_dir) else os.path.dirname(sf_dir)
+    orders = read_parquet_sized(
+        os.path.join(base, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = read_parquet_sized(
+        os.path.join(base, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"])
+
+    def o_part(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": pc.cast(b["o_orderkey"], pa.int64()),
+             "t": pc.cast(b["o_orderdate"], pa.int64()),
+             "prio": pc.cast(b["o_orderpriority"], pa.string()),
+             "side": pa.array(np.zeros(b.num_rows, np.int64), pa.int64())}
+        )
+
+    def l_part(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.cast(b["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        uk, starts = np.unique(k[order], return_index=True)
+        mx = np.maximum.reduceat(t[order], starts)
+        return pa.table(
+            {"k": pa.array(uk, pa.int64()),
+             "t": pa.array(mx, pa.int64()),
+             "prio": pa.array([None] * len(uk), pa.string()),
+             "side": pa.array(np.ones(len(uk), np.int64), pa.int64())}
+        )
+
+    both = orders.map_batches(o_part, batch_format="pyarrow").union(
+        li.map_batches(l_part, batch_format="pyarrow"))
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        lmax = g[g["side"] == 1].groupby("k")["t"].max()
+        o = g[g["side"] == 0]
+        ship = o["k"].map(lmax)
+        keep = ship.notna() & (ship > o["t"])
+        out = o[keep].groupby("prio", dropna=False, as_index=False).size()
+        out.columns = ["o_orderpriority", "n_orders"]
+        return out.astype({"n_orders": "int64"})
+
+    part_schema = pa.schema(
+        [("o_orderpriority", pa.string()), ("n_orders", pa.int64())]
+    )
+    parts = _sharded_groupby(both, ["k"], per_shard,
+                             empty_schema=part_schema).to_pandas()
+    cols = ["o_orderpriority", "n_orders"]
+    if not len(parts):
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=object if c == cols[0] else "int64")
+             for c in cols})
+    out = parts.groupby("o_orderpriority", dropna=False,
+                        as_index=False)["n_orders"].sum()
+    return out.astype({"n_orders": "int64"})[cols]
+
+
+_SQL_ORDER_PRIORITY_CT = """
+SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY 1
+"""
+
+
+QUERIES["order_priority_ct"] = (q_order_priority_ct, _SQL_ORDER_PRIORITY_CT)

@@ -39,6 +39,7 @@ FUZZ_ENTRIES = [
     "price_ntile",
     "custdist",
     "rich_inactive",
+    "order_priority_ct",
 ]
 
 _LINE = st.tuples(
