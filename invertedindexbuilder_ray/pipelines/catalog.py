@@ -9894,6 +9894,10 @@ def q_order_priority_ct(sf_dir: str):
              for c in cols})
     out = parts.groupby("o_orderpriority", dropna=False,
                         as_index=False)["n_orders"].sum()
+    # pandas' dropna=False NULL group key is NaN; the driver compares the
+    # stringified column against DuckDB's None — normalize
+    p = out["o_orderpriority"]
+    out["o_orderpriority"] = p.astype(object).where(p.notna(), None)
     return out.astype({"n_orders": "int64"})[cols]
 
 

@@ -83,6 +83,16 @@ def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
                 "l_suppkey": pa.array(
                     [(r[0] + r[1] * 7 + r[2] * 3) % 200 for r in lines], pa.int64()
                 ),
+                # ship dates overlapping the o_orderdate 1995-1997 spread so
+                # the Q4 EXISTS predicate (l_shipdate > o_orderdate) flips
+                # both ways; coarse grid -> boundary-equal dates too
+                "l_shipdate": pa.array(
+                    [
+                        f"{1995 + (r[2] + r[0]) % 3}-0{1 + (r[0] + r[1]) % 9}-15"
+                        for r in lines
+                    ],
+                    pa.string(),
+                ).cast(pa.timestamp("us")),
             }
         ),
         os.path.join(tmpdir, "lineitem.parquet"),
