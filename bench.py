@@ -199,7 +199,7 @@ def run_bench() -> dict:
         "semdedup_pairs", "tail_index", "funnel_latency",
         "cluster_top_terms", "events_cusum", "pq_codebook",
         "user_value_outliers", "value_sax", "custdist", "rich_inactive",
-        "embed_pca_power", "order_priority_ct",
+        "embed_pca_power", "order_priority_ct", "moss_pairs",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

@@ -9913,3 +9913,40 @@ GROUP BY 1
 
 
 QUERIES["order_priority_ct"] = (q_order_priority_ct, _SQL_ORDER_PRIORITY_CT)
+
+
+# --------------------------------------------------------------------------
+# MOSS plagiarism pairs over winnowed fingerprints
+
+
+def q_moss_pairs(sf_dir: str):
+    """See curation.moss_pairs_df."""
+    from .curation import moss_pairs_df
+
+    return moss_pairs_df(sf_dir)
+
+
+def _sql_moss_pairs() -> str:
+    from .curation import MOSS_FP_CAP, MOSS_MIN_SHARED
+
+    base = _sql_winnow_fingerprints()
+    return f"""
+WITH wfp AS (
+    SELECT DISTINCT doc_id, fp FROM ({base})
+),
+capped AS (
+    SELECT doc_id, fp FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        FROM wfp
+    ) WHERE rk <= {MOSS_FP_CAP}
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+    FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= {MOSS_MIN_SHARED}
+"""
+
+
+QUERIES["moss_pairs"] = (q_moss_pairs, _sql_moss_pairs())

@@ -3233,3 +3233,67 @@ def tail_index_df(source: str | rd.Dataset) -> pd.DataFrame:
                 6)[0])]
     return pd.DataFrame(out).astype(
         {"n_terms": "int64", "c_min": "int64", "hill_fp": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# MOSS-style plagiarism pairs (Schleimer/Wilkerson/Aiken winnowing paper's
+# stated application): doc pairs sharing >= MOSS_MIN_SHARED distinct
+# winnowed fingerprints.  The skew guard is DETERMINISTIC and replicated
+# in SQL — per fingerprint only the MOSS_FP_CAP smallest doc_ids pair up
+# (row_number() <= CAP), so a boilerplate fingerprint shared by millions
+# of docs costs C(CAP,2), not C(df,2), and both engines agree exactly.
+
+MOSS_FP_CAP = 64
+MOSS_MIN_SHARED = 2
+
+
+def moss_pairs_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """(doc_a, doc_b, n_shared) for pairs sharing >= MOSS_MIN_SHARED
+    winnowed fingerprints (under the per-fp cap).
+
+    Shape: the winnow pass (zero exchanges) -> per-batch distinct
+    (doc, fp) -> ONE fp-sharded exchange (a fingerprint's docs co-locate:
+    cap + pair generation are exact in-shard) -> ONE pair-sharded sum."""
+    from .dedup import _sharded_groupby
+
+    wf = winnow_fingerprints_ds(source)
+
+    def dedup_fp(b: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"doc_id": b["doc_id"], "fp": b["fp"]}
+        ).group_by(["doc_id", "fp"]).aggregate([])
+        return g
+
+    dfp = wf.map_batches(dedup_fp, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def per_fp(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[["doc_id", "fp"]].drop_duplicates()
+        s = s.sort_values(["fp", "doc_id"], kind="mergesort")
+        s = s.groupby("fp", as_index=False).head(MOSS_FP_CAP)
+        j = s.merge(s, on="fp", suffixes=("_a", "_b"))
+        j = j[j["doc_id_a"] < j["doc_id_b"]]
+        out = j.groupby(["doc_id_a", "doc_id_b"], as_index=False).size()
+        out.columns = ["doc_a", "doc_b", "n_shared"]
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "n_shared": "int64"})
+
+    parts = _sharded_groupby(dfp, ["fp"], per_fp)
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False)[
+            "n_shared"].sum()
+        out = out[out["n_shared"] >= MOSS_MIN_SHARED]
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "n_shared": "int64"})
+
+    pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("n_shared", pa.int64())]
+    )
+    res = _sharded_groupby(parts, ["doc_a", "doc_b"], per_pair,
+                           empty_schema=pair_schema).to_pandas()
+    cols = ["doc_a", "doc_b", "n_shared"]
+    if not len(res):
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    return res.astype({c: "int64" for c in cols})[cols]

@@ -80,6 +80,7 @@ FUZZ_ENTRIES = [
     "snapshot_diff",
     "prf_expand",
     "tail_index",
+    "moss_pairs",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
