@@ -9950,3 +9950,48 @@ SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= {MOSS_MIN_SHARED}
 
 
 QUERIES["moss_pairs"] = (q_moss_pairs, _sql_moss_pairs())
+
+
+# --------------------------------------------------------------------------
+# term burstiness (Church & Gale variance-to-mean over all docs)
+
+
+def q_term_burstiness(sf_dir: str):
+    """See curation.term_burstiness_df."""
+    from .curation import term_burstiness_df
+
+    return term_burstiness_df(sf_dir)
+
+
+def _sql_term_burstiness() -> str:
+    from .curation import BURST_V
+
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+nd AS (SELECT count(*)::HUGEINT AS n FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+agg AS (
+    SELECT term, count(*)::BIGINT AS df, sum(c)::BIGINT AS s1,
+           sum(c * c)::BIGINT AS s2
+    FROM tf GROUP BY 1
+),
+top AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY s1 DESC, term) AS rk
+        FROM agg
+    ) WHERE rk <= {BURST_V}
+)
+SELECT term, df, s1, s2,
+       CAST((1000000::HUGEINT * (nd.n * s2 - s1::HUGEINT * s1))
+            // (nd.n * s1) AS BIGINT) AS vmr_x1e6
+FROM top CROSS JOIN nd
+"""
+
+
+QUERIES["term_burstiness"] = (q_term_burstiness, _sql_term_burstiness())

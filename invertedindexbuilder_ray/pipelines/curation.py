@@ -3297,3 +3297,104 @@ def moss_pairs_df(source: str | rd.Dataset) -> pd.DataFrame:
     if not len(res):
         return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
     return res.astype({c: "int64" for c in cols})[cols]
+
+
+# ---------------------------------------------------------------------------
+# term burstiness (Church & Gale): variance-to-mean ratio of per-doc tf
+# over ALL docs (zeros included) for the top-BURST_V terms.  With N docs,
+# s1 = sum tf, s2 = sum tf^2:  VMR = (N*s2 - s1^2) / (N*s1) — exact
+# integers until the single final x1e6 floor (Python ints / HUGEINT SQL;
+# N*s2 can reach 2^68).  VMR >> 1 marks bursty content words, VMR ~ 1
+# Poisson-like function words — the classic stopword separator.
+
+BURST_V = 32
+
+
+def term_burstiness_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """Top-``BURST_V`` terms by total count: ``term, df, s1, s2,
+    vmr_x1e6`` (ties term asc; vmr floor-scaled by 1e6).
+
+    Shape: per-batch per-(term, doc) Arrow tf partials folded to
+    per-term (s1, s2, df) — exact, docs never span batches — ONE
+    term-sharded exchange with per-shard top-V candidates, O(V) driver
+    combine over Python ints."""
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+
+    def n_docs_part(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    nd = docs.map_batches(n_docs_part, batch_format="pyarrow").to_pandas()
+    n_docs = int(nd["n"].sum()) if len(nd) else 0
+    cols = ["term", "df", "s1", "s2", "vmr_x1e6"]
+    if not n_docs:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "term" else "int64") for c in cols})
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.utf8()),
+             "df": pa.array([], pa.int64()),
+             "s1": pa.array([], pa.int64()),
+             "s2": pa.array([], pa.int64()),
+             "th": pa.array([], pa.int64())}
+        )
+        toks, token_doc, _ri, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        t = pa.table(
+            {"term": toks,
+             "doc": pa.array(token_doc, pa.int64()),
+             "th": pa.array(h1.view(np.int64), pa.int64())}
+        )
+        tf = t.group_by(["term", "doc"]).aggregate(
+            [("th", "min"), ([], "count_all")])
+        c = tf["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t2 = pa.table(
+            {"term": tf["term"],
+             "one": pa.array(np.ones(len(c), np.int64), pa.int64()),
+             "c": pa.array(c, pa.int64()),
+             "c2": pa.array(c * c, pa.int64()),
+             "th": tf["th_min"]}
+        )
+        g = t2.group_by("term").aggregate(
+            [("one", "sum"), ("c", "sum"), ("c2", "sum"), ("th", "min")])
+        return pa.table(
+            {"term": g["term"],
+             "df": g["one_sum"].cast(pa.int64()),
+             "s1": g["c_sum"].cast(pa.int64()),
+             "s2": g["c2_sum"].cast(pa.int64()),
+             "th": g["th_min"]}
+        )
+
+    pr = docs.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("term", as_index=False).agg(
+            df=("df", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+        s = s.sort_values(["s1", "term"], ascending=[False, True],
+                          kind="mergesort").head(BURST_V)
+        return s.astype({"df": "int64", "s1": "int64", "s2": "int64"})
+
+    part_schema = pa.schema(
+        [("term", pa.utf8()), ("df", pa.int64()),
+         ("s1", pa.int64()), ("s2", pa.int64())]
+    )
+    cand = _sharded_groupby(pr, ["th"], per_shard,
+                            empty_schema=part_schema).to_pandas()
+    if not len(cand):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "term" else "int64") for c in cols})
+    top = cand.sort_values(["s1", "term"], ascending=[False, True],
+                           kind="mergesort").head(BURST_V)
+    vmr = [
+        (1_000_000 * (n_docs * int(r.s2) - int(r.s1) ** 2))
+        // (n_docs * int(r.s1))
+        for r in top.itertuples()
+    ]
+    out = top.assign(vmr_x1e6=np.array(vmr, np.int64))
+    return out.astype(
+        {"df": "int64", "s1": "int64", "s2": "int64", "vmr_x1e6": "int64"}
+    )[cols]

@@ -81,6 +81,7 @@ FUZZ_ENTRIES = [
     "prf_expand",
     "tail_index",
     "moss_pairs",
+    "term_burstiness",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
