@@ -9995,3 +9995,51 @@ FROM top CROSS JOIN nd
 
 
 QUERIES["term_burstiness"] = (q_term_burstiness, _sql_term_burstiness())
+
+
+# --------------------------------------------------------------------------
+# exact two-sample KS test on doc length (src0 vs rest)
+
+
+def q_length_ks(sf_dir: str):
+    """See curation.length_ks_df."""
+    from .curation import length_ks_df
+
+    return length_ks_df(sf_dir)
+
+
+def _sql_length_ks() -> str:
+    from .curation import KS_GROUP_SOURCE
+
+    return f"""
+WITH g AS (
+    SELECT n_chars AS v,
+           (source = '{KS_GROUP_SOURCE}')::BIGINT AS grp
+    FROM documents
+),
+n AS (
+    SELECT sum(grp)::BIGINT AS na, sum(1 - grp)::BIGINT AS nb FROM g
+),
+c AS (
+    SELECT v, sum(grp)::BIGINT AS ca, sum(1 - grp)::BIGINT AS cb
+    FROM g GROUP BY 1
+),
+cum AS (
+    SELECT v, sum(ca) OVER (ORDER BY v)::BIGINT AS cca,
+           sum(cb) OVER (ORDER BY v)::BIGINT AS ccb
+    FROM c
+),
+d AS (
+    SELECT v, abs(n.nb * cca - n.na * ccb)::BIGINT AS dd
+    FROM cum CROSS JOIN n
+),
+best AS (SELECT dd, v FROM d ORDER BY dd DESC, v ASC LIMIT 1)
+SELECT n.na AS n_a, n.nb AS n_b, best.dd AS ks_num,
+       ((1000000 * best.dd) // (n.na * n.nb))::BIGINT AS ks_x1e6,
+       best.v::BIGINT AS arg_value
+FROM best CROSS JOIN n
+WHERE n.na > 0 AND n.nb > 0
+"""
+
+
+QUERIES["length_ks"] = (q_length_ks, _sql_length_ks())

@@ -3398,3 +3398,89 @@ def term_burstiness_df(source: str | rd.Dataset) -> pd.DataFrame:
     return out.astype(
         {"df": "int64", "s1": "int64", "s2": "int64", "vmr_x1e6": "int64"}
     )[cols]
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample Kolmogorov-Smirnov on doc length: src0 vs the rest —
+# the distribution-shift test complementing vocab_drift (which tests the
+# vocabulary; this tests a numeric marginal).  KS in exact integers:
+# D * n_a * n_b = max over values v of |n_b*C_a(v) - n_a*C_b(v)|
+# (C = cumulative counts), so the statistic is a single int64 (N^2 <
+# 2^52) and only the final x1e6 report floors.
+
+KS_MAX_VALUES = 1 << 20  # distinct-value histogram bound (driver combine)
+KS_GROUP_SOURCE = "src0"
+
+
+def length_ks_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """One row: ``n_a, n_b, ks_num, ks_x1e6, arg_value`` where
+    ks_num = max |n_b*C_a - n_a*C_b|, ks_x1e6 = 1e6*ks_num // (n_a*n_b),
+    arg_value = the SMALLEST n_chars attaining the max.  Empty when
+    either group is empty.
+
+    Shape: per-batch (value, group) count partials; the distinct-value
+    histogram reaches the driver (lengths are a bounded dimension —
+    loud KS_MAX_VALUES cap), where the CDF scan is O(V)."""
+    import os
+
+    from ..sources.util import read_parquet_sized
+
+    if isinstance(source, rd.Dataset):
+        docs = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        docs = read_parquet_sized(path, columns=["n_chars", "source"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"v": pa.array([], pa.int64()),
+             "ca": pa.array([], pa.int64()),
+             "cb": pa.array([], pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = pc.equal(b["source"], KS_GROUP_SOURCE).to_numpy(
+            zero_copy_only=False)
+        uv, inv = np.unique(v, return_inverse=True)
+        ca = np.bincount(inv[grp], minlength=len(uv)).astype(np.int64)
+        cb = np.bincount(inv[~grp], minlength=len(uv)).astype(np.int64)
+        return pa.table(
+            {"v": pa.array(uv, pa.int64()),
+             "ca": pa.array(ca, pa.int64()),
+             "cb": pa.array(cb, pa.int64())}
+        )
+
+    parts = docs.map_batches(partials, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    cols = ["n_a", "n_b", "ks_num", "ks_x1e6", "arg_value"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    if not len(parts):
+        return _empty()
+    h = parts.groupby("v", as_index=False).agg(
+        ca=("ca", "sum"), cb=("cb", "sum")).sort_values("v")
+    if len(h) > KS_MAX_VALUES:
+        raise ValueError(
+            f"length_ks: {len(h)} distinct values exceeds the declared "
+            f"driver-histogram bound {KS_MAX_VALUES}"
+        )
+    na = int(h["ca"].sum())
+    nb = int(h["cb"].sum())
+    if na == 0 or nb == 0:
+        return _empty()
+    Ca = np.cumsum(h["ca"].to_numpy(np.int64))
+    Cb = np.cumsum(h["cb"].to_numpy(np.int64))
+    d = np.abs(nb * Ca - na * Cb)
+    i = int(np.argmax(d))  # first max == smallest value attaining it
+    return pd.DataFrame(
+        [{"n_a": na, "n_b": nb, "ks_num": int(d[i]),
+          "ks_x1e6": (1_000_000 * int(d[i])) // (na * nb),
+          "arg_value": int(h["v"].iloc[i])}]
+    ).astype({c: "int64" for c in cols})[cols]

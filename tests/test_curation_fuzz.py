@@ -82,6 +82,7 @@ FUZZ_ENTRIES = [
     "tail_index",
     "moss_pairs",
     "term_burstiness",
+    "length_ks",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
