@@ -200,7 +200,7 @@ def run_bench() -> dict:
         "cluster_top_terms", "events_cusum", "pq_codebook",
         "user_value_outliers", "value_sax", "custdist", "rich_inactive",
         "embed_pca_power", "order_priority_ct", "moss_pairs",
-        "term_burstiness", "length_ks",
+        "term_burstiness", "length_ks", "lang_feature_terms",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

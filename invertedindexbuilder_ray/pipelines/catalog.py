@@ -10043,3 +10043,70 @@ WHERE n.na > 0 AND n.nb > 0
 
 
 QUERIES["length_ks"] = (q_length_ks, _sql_length_ks())
+
+
+# --------------------------------------------------------------------------
+# per-language G-test feature selection
+
+
+def q_lang_feature_terms(sf_dir: str):
+    """See curation.lang_feature_terms_df."""
+    from .curation import lang_feature_terms_df
+
+    return lang_feature_terms_df(sf_dir)
+
+
+def _sql_lang_feature_terms() -> str:
+    from .curation import FEAT_TOP_K
+
+    return f"""
+WITH filt AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+nl AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+nt AS (SELECT count(*)::BIGINT AS n FROM documents),
+tok AS (SELECT doc_id, lang, unnest(toks) AS term FROM filt),
+td AS (SELECT DISTINCT term, doc_id, lang FROM tok),
+dfl AS (SELECT term, lang, count(*)::BIGINT AS a FROM td GROUP BY 1, 2),
+tt AS (SELECT term, sum(a)::BIGINT AS t FROM dfl GROUP BY 1),
+cells AS (
+    SELECT dfl.term, dfl.lang, dfl.a,
+           nl.n - dfl.a AS b, tt.t - dfl.a AS c,
+           nt.n - nl.n - (tt.t - dfl.a) AS d, nt.n AS n
+    FROM dfl JOIN tt USING (term) JOIN nl USING (lang) CROSS JOIN nt
+),
+kv AS (
+    SELECT term, lang, a, c,
+           unnest([a, b, c, d, n, a + b, c + d, a + c, b + d]) AS k,
+           unnest([1, 1, 1, 1, 1, -1, -1, -1, -1]) AS sgn
+    FROM cells
+),
+sterm AS (
+    SELECT term, lang, a, c, sgn,
+           CASE WHEN k <= 1 THEN 0::HUGEINT ELSE
+               k::HUGEINT * (CAST(round(log2(k >> s) * 1000000000) AS HUGEINT)
+                             + s::HUGEINT * 1000000000)
+           END AS sk
+    FROM (SELECT *, greatest(length(bin(k))::BIGINT - 16, 0) AS s FROM kv)
+),
+g AS (
+    SELECT term, lang, any_value(a) AS df_in, any_value(c) AS df_out,
+           CAST(2 * sum(sgn * sk) AS BIGINT) AS g_fp
+    FROM sterm GROUP BY term, lang
+)
+SELECT lang, term, df_in::BIGINT AS df_in, df_out::BIGINT AS df_out, g_fp,
+       rk::BIGINT AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY g_fp DESC, term) AS rk
+    FROM g
+)
+WHERE rk <= {FEAT_TOP_K}
+"""
+
+
+QUERIES["lang_feature_terms"] = (
+    q_lang_feature_terms, _sql_lang_feature_terms())

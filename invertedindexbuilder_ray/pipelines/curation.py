@@ -3484,3 +3484,133 @@ def length_ks_df(source: str | rd.Dataset) -> pd.DataFrame:
           "ks_x1e6": (1_000_000 * int(d[i])) // (na * nb),
           "arg_value": int(h["v"].iloc[i])}]
     ).astype({c: "int64" for c in cols})[cols]
+
+
+# ---------------------------------------------------------------------------
+# supervised feature selection: top G-test terms PER LANGUAGE (the
+# one-vs-rest 2x2 presence test used to pick classifier features).
+# Same exact fixed-point S(k) = k*log2(k) machinery as vocab_drift, over
+# doc-level presence counts, so g_fp is an exact int64 rank key.
+
+FEAT_TOP_K = 5
+
+
+def lang_feature_terms_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """Top-``FEAT_TOP_K`` terms per lang by the one-vs-rest presence
+    G-test: ``lang, term, df_in, df_out, g_fp, rank`` (ties term asc).
+
+    Shape: one tiny per-lang doc-count pass (bounded langs, broadcast),
+    per-batch (term, lang) df partials (exact — docs never span
+    batches), ONE term-sharded exchange computing per-(term, lang) G
+    in-shard with per-shard per-lang top-K candidates, bounded driver
+    merge."""
+    import os
+
+    from ..sources.util import read_parquet_sized
+    from .dedup import _sharded_groupby
+    from .textpipe import _LLR_MAX_N, _s_fp
+
+    if isinstance(source, rd.Dataset):
+        docs = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        docs = read_parquet_sized(path, columns=["doc_id", "text", "lang"])
+
+    def lang_counts(b: pa.Table) -> pa.Table:
+        g = pa.table({"lang": b["lang"]}).group_by("lang").aggregate(
+            [([], "count_all")])
+        return pa.table(
+            {"lang": g["lang"], "n": g["count_all"].cast(pa.int64())}
+        )
+
+    lc = docs.map_batches(lang_counts, batch_format="pyarrow").to_pandas()
+    cols = ["lang", "term", "df_in", "df_out", "g_fp", "rank"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c in ("lang", "term") else "int64")
+            for c in cols})
+
+    if not len(lc):
+        return _empty()
+    lsum = lc.groupby("lang")["n"].sum()
+    n_by_lang = {str(k): int(v) for k, v in lsum.items()}
+    n_total = int(lsum.sum())
+    if n_total >= _LLR_MAX_N:
+        raise ValueError(
+            f"lang_feature_terms: {n_total} docs >= 2^26 exceeds the "
+            "int64-safe S(k) domain"
+        )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.utf8()),
+             "lang": pa.array([], pa.utf8()),
+             "df": pa.array([], pa.int64()),
+             "th": pa.array([], pa.int64())}
+        )
+        toks, token_doc, row_idx, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        lg = pc.take(batch["lang"], pa.array(row_idx, pa.int64()))
+        t = pa.table(
+            {"term": toks,
+             "doc": pa.array(token_doc, pa.int64()),
+             "lang": lg,
+             "th": pa.array(h1.view(np.int64), pa.int64())}
+        )
+        d = t.group_by(["term", "doc", "lang"]).aggregate([("th", "min")])
+        g = d.group_by(["term", "lang"]).aggregate(
+            [("doc", "count"), ("th_min", "min")])
+        return pa.table(
+            {"term": g["term"], "lang": g["lang"],
+             "df": g["doc_count"].cast(pa.int64()),
+             "th": g["th_min_min"]}
+        )
+
+    pr = docs.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["term", "lang"], as_index=False)["df"].sum()
+        t_tot = s.groupby("term")["df"].transform("sum").to_numpy(np.int64)
+        a = s["df"].to_numpy(np.int64)
+        nl = s["lang"].map(n_by_lang).to_numpy(np.int64)
+        b = nl - a
+        c = t_tot - a
+        d = n_total - nl - c
+        gv = 2 * (
+            _s_fp(a) + _s_fp(b) + _s_fp(c) + _s_fp(d)
+            + _s_fp(np.full(len(a), n_total, np.int64))
+            - _s_fp(a + b) - _s_fp(c + d) - _s_fp(a + c) - _s_fp(b + d)
+        )
+        out = pd.DataFrame(
+            {"lang": s["lang"], "term": s["term"],
+             "df_in": a, "df_out": c, "g_fp": gv}
+        )
+        out = out.sort_values(["lang", "g_fp", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return out.groupby("lang", as_index=False).head(FEAT_TOP_K).astype(
+            {"df_in": "int64", "df_out": "int64", "g_fp": "int64"})
+
+    part_schema = pa.schema(
+        [("lang", pa.utf8()), ("term", pa.utf8()), ("df_in", pa.int64()),
+         ("df_out", pa.int64()), ("g_fp", pa.int64())]
+    )
+    cand = _sharded_groupby(pr, ["th"], per_shard,
+                            empty_schema=part_schema).to_pandas()
+    if not len(cand):
+        return _empty()
+    top = cand.sort_values(["lang", "g_fp", "term"],
+                           ascending=[True, False, True],
+                           kind="mergesort").groupby(
+        "lang", as_index=False).head(FEAT_TOP_K).reset_index(drop=True)
+    top["rank"] = top.groupby("lang").cumcount() + 1
+    return top.astype(
+        {"df_in": "int64", "df_out": "int64", "g_fp": "int64",
+         "rank": "int64"})[cols]

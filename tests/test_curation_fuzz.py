@@ -83,6 +83,7 @@ FUZZ_ENTRIES = [
     "moss_pairs",
     "term_burstiness",
     "length_ks",
+    "lang_feature_terms",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
