@@ -201,6 +201,7 @@ def run_bench() -> dict:
         "user_value_outliers", "value_sax", "custdist", "rich_inactive",
         "embed_pca_power", "order_priority_ct", "moss_pairs",
         "term_burstiness", "length_ks", "lang_feature_terms",
+        "hapax_ratio", "source_gini",
     ]
     for name in catalog_names:
         fn, _sql = QUERIES[name]

@@ -10110,3 +10110,70 @@ WHERE rk <= {FEAT_TOP_K}
 
 QUERIES["lang_feature_terms"] = (
     q_lang_feature_terms, _sql_lang_feature_terms())
+
+
+# --------------------------------------------------------------------------
+# lexical richness + source-mixture concentration
+
+
+def q_hapax_ratio(sf_dir: str):
+    """See curation.hapax_ratio_df."""
+    from .curation import hapax_ratio_df
+
+    return hapax_ratio_df(sf_dir)
+
+
+_SQL_HAPAX_RATIO = """
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT unnest(toks) AS term FROM filt),
+c AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1)
+SELECT count(*)::BIGINT AS n_terms,
+       coalesce(sum((c = 1)::BIGINT), 0)::BIGINT AS n_hapax,
+       coalesce(sum((c = 2)::BIGINT), 0)::BIGINT AS n_dis,
+       CASE WHEN count(*) > 0
+            THEN (1000000 * coalesce(sum((c = 1)::BIGINT), 0)) // count(*)
+            ELSE 0 END::BIGINT AS hapax_x1e6
+FROM c
+"""
+
+
+QUERIES["hapax_ratio"] = (q_hapax_ratio, _SQL_HAPAX_RATIO)
+
+
+def q_source_gini(sf_dir: str):
+    """See curation.source_gini_df."""
+    from .curation import source_gini_df
+
+    return source_gini_df(sf_dir)
+
+
+_SQL_SOURCE_GINI = """
+WITH filt AS (
+    SELECT source,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT source, unnest(toks) AS term FROM filt),
+m AS (SELECT source, count(*)::BIGINT AS t FROM tok GROUP BY 1),
+r AS (
+    SELECT t, row_number() OVER (ORDER BY t ASC, source ASC)::BIGINT AS i,
+           count(*) OVER ()::BIGINT AS n, sum(t) OVER ()::BIGINT AS total
+    FROM m
+)
+SELECT any_value(n) AS n_sources, any_value(total) AS total_tokens,
+       sum((2 * i - n - 1) * t)::BIGINT AS gini_num,
+       CASE WHEN any_value(total) > 0
+            THEN (1000000 * sum((2 * i - n - 1) * t))
+                 // (any_value(n) * any_value(total))
+            ELSE 0 END::BIGINT AS gini_x1e6
+FROM r
+"""
+
+
+QUERIES["source_gini"] = (q_source_gini, _SQL_SOURCE_GINI)

@@ -3614,3 +3614,123 @@ def lang_feature_terms_df(source: str | rd.Dataset) -> pd.DataFrame:
     return top.astype(
         {"df_in": "int64", "df_out": "int64", "g_fp": "int64",
          "rank": "int64"})[cols]
+
+
+# ---------------------------------------------------------------------------
+# lexical richness: vocabulary size and hapax/dis legomena counts (the
+# classic corpus-quality diagnostics; a synthetic or template corpus has
+# an anomalously low hapax ratio).
+
+
+def hapax_ratio_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """One row: ``n_terms, n_hapax, n_dis, hapax_x1e6`` (cf==1 / cf==2
+    term counts; ratio = 1e6*n_hapax // n_terms).
+
+    Shape: per-batch per-term count partials, ONE term-sharded exchange
+    emitting three scalars per shard, O(shards) driver sum."""
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.utf8()),
+             "c": pa.array([], pa.int64()),
+             "th": pa.array([], pa.int64())}
+        )
+        toks, _td, _ri, h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        g = pa.table(
+            {"term": toks, "th": pa.array(h1.view(np.int64), pa.int64())}
+        ).group_by("term").aggregate([("th", "min"), ([], "count_all")])
+        return pa.table(
+            {"term": g["term"], "c": g["count_all"].cast(pa.int64()),
+             "th": g["th_min"]}
+        )
+
+    pr = docs.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("term")["c"].sum()
+        return pd.DataFrame(
+            [{"n_terms": np.int64(len(s)),
+              "n_hapax": np.int64(int((s == 1).sum())),
+              "n_dis": np.int64(int((s == 2).sum()))}]
+        ).astype({"n_terms": "int64", "n_hapax": "int64", "n_dis": "int64"})
+
+    part_schema = pa.schema(
+        [("n_terms", pa.int64()), ("n_hapax", pa.int64()),
+         ("n_dis", pa.int64())]
+    )
+    parts = _sharded_groupby(pr, ["th"], per_shard,
+                             empty_schema=part_schema).to_pandas()
+    cols = ["n_terms", "n_hapax", "n_dis", "hapax_x1e6"]
+    nt = int(parts["n_terms"].sum()) if len(parts) else 0
+    nh = int(parts["n_hapax"].sum()) if len(parts) else 0
+    ndi = int(parts["n_dis"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        [{"n_terms": nt, "n_hapax": nh, "n_dis": ndi,
+          "hapax_x1e6": (1_000_000 * nh) // nt if nt else 0}]
+    ).astype({c: "int64" for c in cols})[cols]
+
+
+# ---------------------------------------------------------------------------
+# source-mixture concentration: exact Gini coefficient of token mass
+# across sources (bounded dimension).  With sources sorted by (mass asc,
+# name asc), gini_num = sum_i (2i - n - 1) * x_i and
+# gini = gini_num / (n * total).
+
+
+def source_gini_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """One row: ``n_sources, total_tokens, gini_num, gini_x1e6``."""
+    import os
+
+    from ..sources.util import read_parquet_sized
+
+    if isinstance(source, rd.Dataset):
+        docs = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        docs = read_parquet_sized(path, columns=["doc_id", "text", "source"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"source": pa.array([], pa.utf8()),
+             "t": pa.array([], pa.int64())}
+        )
+        toks, _td, row_idx, _h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        src = pc.take(batch["source"], pa.array(row_idx, pa.int64()))
+        g = pa.table({"source": src}).group_by("source").aggregate(
+            [([], "count_all")])
+        return pa.table(
+            {"source": g["source"], "t": g["count_all"].cast(pa.int64())}
+        )
+
+    parts = docs.map_batches(partials, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    cols = ["n_sources", "total_tokens", "gini_num", "gini_x1e6"]
+    if not len(parts):
+        return pd.DataFrame(
+            [{"n_sources": 0, "total_tokens": 0, "gini_num": 0,
+              "gini_x1e6": 0}]).astype({c: "int64" for c in cols})[cols]
+    s = parts.groupby("source", as_index=False)["t"].sum()
+    s = s.sort_values(["t", "source"], ascending=[True, True],
+                      kind="mergesort").reset_index(drop=True)
+    x = s["t"].to_numpy(np.int64)
+    n = len(x)
+    total = int(x.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    gini_num = int(((2 * i - n - 1) * x).sum())
+    gini = (1_000_000 * gini_num) // (n * total) if total else 0
+    return pd.DataFrame(
+        [{"n_sources": n, "total_tokens": total, "gini_num": gini_num,
+          "gini_x1e6": gini}]
+    ).astype({c: "int64" for c in cols})[cols]

@@ -84,6 +84,8 @@ FUZZ_ENTRIES = [
     "term_burstiness",
     "length_ks",
     "lang_feature_terms",
+    "hapax_ratio",
+    "source_gini",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
