@@ -10166,9 +10166,10 @@ r AS (
            count(*) OVER ()::BIGINT AS n, sum(t) OVER ()::BIGINT AS total
     FROM m
 )
-SELECT any_value(n) AS n_sources, any_value(total) AS total_tokens,
-       sum((2 * i - n - 1) * t)::BIGINT AS gini_num,
-       CASE WHEN any_value(total) > 0
+SELECT coalesce(any_value(n), 0)::BIGINT AS n_sources,
+       coalesce(any_value(total), 0)::BIGINT AS total_tokens,
+       coalesce(sum((2 * i - n - 1) * t), 0)::BIGINT AS gini_num,
+       CASE WHEN coalesce(any_value(total), 0) > 0
             THEN (1000000 * sum((2 * i - n - 1) * t))
                  // (any_value(n) * any_value(total))
             ELSE 0 END::BIGINT AS gini_x1e6
