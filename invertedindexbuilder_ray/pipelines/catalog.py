@@ -10178,3 +10178,81 @@ FROM r
 
 
 QUERIES["source_gini"] = (q_source_gini, _SQL_SOURCE_GINI)
+
+
+# --------------------------------------------------------------------------
+# Deequ-style data-validation suite (constraint checks as a pipeline gate)
+
+
+def q_validation_suite(sf_dir: str):
+    """See validate.validation_suite_df."""
+    from .validate import validation_suite_df
+
+    return validation_suite_df(sf_dir)
+
+
+_SQL_VALIDATION_SUITE = """
+WITH checks AS (
+    SELECT 'doc_id_unique' AS check_name, 'documents' AS tbl,
+           (count(*) - count(DISTINCT doc_id))::BIGINT AS metric
+    FROM documents
+    UNION ALL
+    SELECT 'text_nonnull', 'documents',
+           coalesce(sum((text IS NULL)::BIGINT), 0)::BIGINT
+    FROM documents
+    UNION ALL
+    SELECT 'lang_domain', 'documents',
+           coalesce(sum((lang IS NULL OR lang NOT IN
+                         ('en','de','fr','es','zh'))::BIGINT), 0)::BIGINT
+    FROM documents
+    UNION ALL
+    SELECT 'orders_custkey_fk', 'orders',
+           coalesce(sum((NOT EXISTS (
+               SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+           ))::BIGINT), 0)::BIGINT
+    FROM orders o
+    UNION ALL
+    SELECT 'orderstatus_domain', 'orders',
+           coalesce(sum((o_orderstatus IS NULL OR o_orderstatus NOT IN
+                         ('F','O','P'))::BIGINT), 0)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', 'lineitem',
+           coalesce(sum((NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+           ))::BIGINT), 0)::BIGINT
+    FROM lineitem l
+    UNION ALL
+    SELECT 'quantity_range', 'lineitem',
+           coalesce(sum((l_quantity IS NULL OR l_quantity < 1
+                         OR l_quantity > 50)::BIGINT), 0)::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT 'acctbal_range', 'customer',
+           coalesce(sum((c_acctbal IS NULL OR c_acctbal < -1000
+                         OR c_acctbal > 10000)::BIGINT), 0)::BIGINT
+    FROM customer
+    UNION ALL
+    SELECT 'events_ts_bounds', 'events',
+           coalesce(sum((ts IS NULL
+                         OR ts < TIMESTAMP '2024-01-01'
+                         OR ts >= TIMESTAMP '2025-01-01')::BIGINT),
+                    0)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'embedding_dim', 'embeddings',
+           coalesce(sum((embedding IS NULL OR len(embedding) <>
+               (SELECT len(embedding) AS l FROM embeddings
+                WHERE embedding IS NOT NULL
+                GROUP BY 1 ORDER BY count(*) DESC, l ASC
+                LIMIT 1))::BIGINT),
+                    0)::BIGINT
+    FROM embeddings
+)
+SELECT check_name, tbl, metric,
+       (CASE WHEN metric = 0 THEN 1 ELSE 0 END)::BIGINT AS passed
+FROM checks
+"""
+
+
+QUERIES["validation_suite"] = (q_validation_suite, _SQL_VALIDATION_SUITE)

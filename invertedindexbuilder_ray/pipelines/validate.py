@@ -1,0 +1,291 @@
+"""Deequ-style data-validation suite over the warehouse tables.
+
+A 100-TB ingest runs constraint checks (completeness, uniqueness,
+referential integrity, value domains) as a gate before any expensive
+downstream stage.  This module expresses each check as a streaming
+aggregate:
+
+- scalar checks (null counts, range/domain violations) are per-batch
+  Arrow counters — one tiny row per batch reaches the driver;
+- uniqueness and foreign-key checks need key co-location, so they run
+  through ``dedup._sharded_groupby`` (hash-shard the key space to a
+  bounded group count, vectorized pandas inside each shard) — never a
+  per-key Ray groupby and never a driver-side key set.
+
+Output is one row per check: ``(check_name, tbl, metric, passed)``
+where ``metric`` is the violation count and ``passed = (metric == 0)``
+as int64 — all-integer so the DuckDB oracle pairs hash-exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources.util import read_parquet_sized
+from .dedup import _sharded_groupby, _shards_for
+
+LANG_DOMAIN = ("en", "de", "fr", "es", "zh")
+ORDERSTATUS_DOMAIN = ("F", "O", "P")
+QTY_LO, QTY_HI = 1.0, 50.0
+ACCT_LO, ACCT_HI = -1000.0, 10000.0
+TS_LO = pd.Timestamp("2024-01-01").value // 1000  # us since epoch
+TS_HI = pd.Timestamp("2025-01-01").value // 1000
+
+
+def _tbl(sf_dir: str, name: str, columns: list[str]) -> rd.Dataset:
+    return read_parquet_sized(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+def _sum_counts(ds: rd.Dataset, partials) -> dict[str, int]:
+    """Run a per-batch counter fn (Table -> {name: int}) and sum on the
+    driver; only one fixed-width row per batch crosses the object store."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        d = partials(batch)
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in d.items()})
+
+    out: dict[str, int] = {}
+    for row in ds.map_batches(f, batch_format="pyarrow").take_all():
+        for k, v in row.items():
+            out[k] = out.get(k, 0) + int(v)
+    return out
+
+
+def _dup_count(ds: rd.Dataset, key: str, n_rows: int) -> int:
+    """Rows minus distinct keys, via per-batch unique partials + a
+    key-sharded exchange (per-shard ``sum(c) - nunique``)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch.select([key]).group_by(key).aggregate([([], "count_all")])
+        return pa.table(
+            {"k": g[key].cast(pa.int64()), "c": g["count_all"].cast(pa.int64())}
+        )
+
+    pr = ds.map_batches(partials, batch_format="pyarrow")
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("k")["c"].sum()
+        return pd.DataFrame(
+            [{"dups": np.int64(int(s.sum()) - len(s))}]
+        ).astype({"dups": "int64"})
+
+    schema = pa.schema([("dups", pa.int64())])
+    parts = _sharded_groupby(
+        pr, ["k"], per_shard, num_shards=_shards_for(n_rows),
+        empty_schema=schema,
+    ).to_pandas()
+    return int(parts["dups"].sum()) if len(parts) else 0
+
+
+def _fk_orphans(
+    child: rd.Dataset, child_key: str, parent: rd.Dataset, parent_key: str,
+    n_rows: int,
+) -> int:
+    """Count child rows whose key has no parent row: tag sides, union,
+    shard by key, per-shard anti count.  Both sides stream; no driver
+    key set, no broadcast bound."""
+
+    def tag(side: int, key: str):
+        def f(batch: pa.Table) -> pa.Table:
+            g = batch.select([key]).group_by(key).aggregate(
+                [([], "count_all")]
+            )
+            n = g.num_rows
+            return pa.table(
+                {
+                    "k": g[key].cast(pa.int64()),
+                    "c": g["count_all"].cast(pa.int64()),
+                    "side": pa.array(np.full(n, side, np.int64)),
+                }
+            )
+
+        return f
+
+    both = child.map_batches(tag(0, child_key), batch_format="pyarrow").union(
+        parent.map_batches(tag(1, parent_key), batch_format="pyarrow")
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        has_parent = set(g.loc[g["side"] == 1, "k"])
+        ch = g[g["side"] == 0]
+        orphans = int(ch.loc[~ch["k"].isin(has_parent), "c"].sum())
+        return pd.DataFrame([{"orphans": np.int64(orphans)}]).astype(
+            {"orphans": "int64"}
+        )
+
+    schema = pa.schema([("orphans", pa.int64())])
+    parts = _sharded_groupby(
+        both, ["k"], per_shard, num_shards=_shards_for(n_rows),
+        empty_schema=schema,
+    ).to_pandas()
+    return int(parts["orphans"].sum()) if len(parts) else 0
+
+
+def validation_suite_df(sf_dir: str) -> pd.DataFrame:
+    """Run the full constraint suite; one row per check.
+
+    Columns: ``check_name, tbl, metric, passed`` (metric = violation
+    count; passed = 1 iff metric == 0)."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "lang"])
+    orders = _tbl(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"]
+    )
+    lineitem = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    customer = _tbl(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    events = _tbl(sf_dir, "events", ["ts"])
+    emb = _tbl(sf_dir, "embeddings", ["embedding"])
+
+    n_docs = docs.count()
+    n_orders = orders.count()
+    n_lineitem = lineitem.count()
+
+    # --- scalar per-batch counters (one pass per table) ------------------
+    def docs_counts(batch: pa.Table) -> dict[str, int]:
+        text_null = int(pc.sum(pc.is_null(batch["text"])).as_py() or 0)
+        lang = batch["lang"]
+        bad_lang = int(
+            pc.sum(
+                pc.or_kleene(
+                    pc.is_null(lang),
+                    pc.invert(pc.is_in(lang, value_set=pa.array(LANG_DOMAIN))),
+                )
+            ).as_py()
+            or 0
+        )
+        return {"text_null": text_null, "bad_lang": bad_lang}
+
+    def orders_counts(batch: pa.Table) -> dict[str, int]:
+        st = batch["o_orderstatus"]
+        bad = int(
+            pc.sum(
+                pc.or_kleene(
+                    pc.is_null(st),
+                    pc.invert(
+                        pc.is_in(st, value_set=pa.array(ORDERSTATUS_DOMAIN))
+                    ),
+                )
+            ).as_py()
+            or 0
+        )
+        return {"bad_status": bad}
+
+    def lineitem_counts(batch: pa.Table) -> dict[str, int]:
+        q = batch["l_quantity"]
+        bad = int(
+            pc.sum(
+                pc.or_kleene(
+                    pc.is_null(q),
+                    pc.or_(pc.less(q, QTY_LO), pc.greater(q, QTY_HI)),
+                )
+            ).as_py()
+            or 0
+        )
+        return {"bad_qty": bad}
+
+    def customer_counts(batch: pa.Table) -> dict[str, int]:
+        b = batch["c_acctbal"]
+        bad = int(
+            pc.sum(
+                pc.or_kleene(
+                    pc.is_null(b),
+                    pc.or_(pc.less(b, ACCT_LO), pc.greater(b, ACCT_HI)),
+                )
+            ).as_py()
+            or 0
+        )
+        return {"bad_bal": bad}
+
+    def events_counts(batch: pa.Table) -> dict[str, int]:
+        us = batch["ts"].cast(pa.int64())
+        bad = int(
+            pc.sum(
+                pc.or_kleene(
+                    pc.is_null(us),
+                    pc.or_(pc.less(us, TS_LO), pc.greater_equal(us, TS_HI)),
+                )
+            ).as_py()
+            or 0
+        )
+        return {"bad_ts": bad}
+
+    def emb_counts(batch: pa.Table) -> dict[str, int]:
+        lens = pc.list_value_length(batch["embedding"]).cast(pa.int64())
+        vc = pa.table({"l": lens}).group_by("l").aggregate([([], "count_all")])
+        out = {"emb_n": batch.num_rows}
+        for ln, c in zip(
+            vc["l"].to_pylist(), vc["count_all"].to_pylist()
+        ):
+            key = "len_null" if ln is None else f"len_{ln}"
+            out[key] = out.get(key, 0) + int(c)
+        return out
+
+    dc = _sum_counts(docs, docs_counts)
+    oc = _sum_counts(orders, orders_counts)
+    lc = _sum_counts(lineitem, lineitem_counts)
+    cc = _sum_counts(customer, customer_counts)
+    ec = _sum_counts(events, events_counts)
+
+    # embedding-dim check: per-batch (len -> count) partials; the distinct
+    # dimension count is bounded (one fixed dim per corpus, a handful on a
+    # corrupted one), so the driver combine is O(#distinct dims).  The
+    # expected dim is the MODE length (ties: smaller len) — "!= min"
+    # would flag the whole corpus when a single row is truncated.
+    emb_parts = _sum_counts(emb, emb_counts)
+    emb_n = emb_parts.pop("emb_n", 0)
+    dims = sorted(
+        (int(k.split("_", 1)[1]), c)
+        for k, c in emb_parts.items()
+        if k.startswith("len_") and k != "len_null"
+    )
+    if dims:
+        mode_len = max(dims, key=lambda lc: (lc[1], -lc[0]))[0]
+        bad_dim = emb_n - emb_parts[f"len_{mode_len}"]
+    else:
+        bad_dim = emb_n  # all-null (or empty) embedding column
+
+    dup_docs = _dup_count(docs.select_columns(["doc_id"]), "doc_id", n_docs)
+    orphan_orders = _fk_orphans(
+        orders.select_columns(["o_custkey"]), "o_custkey",
+        customer.select_columns(["c_custkey"]), "c_custkey",
+        n_orders,
+    )
+    orphan_lineitem = _fk_orphans(
+        lineitem.select_columns(["l_orderkey"]), "l_orderkey",
+        orders.select_columns(["o_orderkey"]), "o_orderkey",
+        n_lineitem,
+    )
+
+    rows = [
+        ("doc_id_unique", "documents", dup_docs),
+        ("text_nonnull", "documents", dc["text_null"]),
+        ("lang_domain", "documents", dc["bad_lang"]),
+        ("orders_custkey_fk", "orders", orphan_orders),
+        ("orderstatus_domain", "orders", oc["bad_status"]),
+        ("lineitem_orderkey_fk", "lineitem", orphan_lineitem),
+        ("quantity_range", "lineitem", lc["bad_qty"]),
+        ("acctbal_range", "customer", cc["bad_bal"]),
+        ("events_ts_bounds", "events", ec["bad_ts"]),
+        ("embedding_dim", "embeddings", bad_dim),
+    ]
+    df = pd.DataFrame(
+        [
+            {
+                "check_name": n,
+                "tbl": t,
+                "metric": np.int64(m),
+                "passed": np.int64(1 if m == 0 else 0),
+            }
+            for n, t, m in rows
+        ]
+    )
+    return df.astype({"metric": "int64", "passed": "int64"})[
+        ["check_name", "tbl", "metric", "passed"]
+    ]
