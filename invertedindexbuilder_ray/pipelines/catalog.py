@@ -10256,3 +10256,30 @@ FROM checks
 
 
 QUERIES["validation_suite"] = (q_validation_suite, _SQL_VALIDATION_SUITE)
+
+
+def q_k_anonymity(sf_dir: str):
+    """See validate.k_anonymity_df."""
+    from .validate import k_anonymity_df
+
+    return k_anonymity_df(sf_dir)
+
+
+_SQL_K_ANONYMITY = """
+WITH g0 AS (
+    SELECT lang, source, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2
+),
+rel0 AS (SELECT lang, source, c FROM g0 WHERE c >= 5),
+fail0 AS (SELECT lang, source, c FROM g0 WHERE c < 5),
+g1 AS (SELECT lang, sum(c)::BIGINT AS c FROM fail0 GROUP BY 1),
+rel1 AS (SELECT lang, '*' AS source, c FROM g1 WHERE c >= 5),
+sup AS (SELECT coalesce(sum(c), 0)::BIGINT AS c FROM g1 WHERE c < 5)
+SELECT lang, source, c AS cnt, 0::BIGINT AS lvl FROM rel0
+UNION ALL
+SELECT lang, source, c, 1::BIGINT FROM rel1
+UNION ALL
+SELECT '*', '*', c, 2::BIGINT FROM sup WHERE c > 0
+"""
+
+
+QUERIES["k_anonymity"] = (q_k_anonymity, _SQL_K_ANONYMITY)

@@ -289,3 +289,63 @@ def validation_suite_df(sf_dir: str) -> pd.DataFrame:
     return df.astype({"metric": "int64", "passed": "int64"})[
         ["check_name", "tbl", "metric", "passed"]
     ]
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity with a generalization hierarchy over the documents
+# quasi-identifiers (lang, source).  Level 0 releases QI groups with
+# count >= k as-is; rows in failing groups generalize source -> '*'
+# (level 1, regrouped by lang); groups failing again are suppressed into
+# a single ('*', '*') row (level 2).  The QI domain is a bounded
+# enumeration (langs x sources), so per-batch Arrow group_by partials +
+# a driver combine is the scale-correct plan — no shuffle at all.
+
+K_ANON = 5
+
+
+def k_anonymity_df(sf_dir: str, k: int = K_ANON) -> pd.DataFrame:
+    """Rows: ``(lang, source, cnt, lvl)`` — lvl 0 released, 1 source-
+    generalized, 2 suppressed."""
+    docs = _tbl(sf_dir, "documents", ["lang", "source"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "source": g["source"],
+                "c": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(partials, batch_format="pyarrow").to_pandas()
+    cols = ["lang", "source", "cnt", "lvl"]
+    if not len(parts):
+        return pd.DataFrame(columns=cols).astype(
+            {"lang": "object", "source": "object", "cnt": "int64",
+             "lvl": "int64"}
+        )
+    g0 = parts.groupby(["lang", "source"], as_index=False)["c"].sum()
+    rel0 = g0[g0["c"] >= k]
+    fail0 = g0[g0["c"] < k]
+    g1 = fail0.groupby("lang", as_index=False)["c"].sum()
+    rel1 = g1[g1["c"] >= k].assign(source="*")
+    sup = int(g1.loc[g1["c"] < k, "c"].sum())
+    rows = [
+        pd.DataFrame(
+            {"lang": rel0["lang"], "source": rel0["source"],
+             "cnt": rel0["c"], "lvl": 0}
+        ),
+        pd.DataFrame(
+            {"lang": rel1["lang"], "source": rel1["source"],
+             "cnt": rel1["c"], "lvl": 1}
+        ),
+    ]
+    if sup > 0:
+        rows.append(
+            pd.DataFrame(
+                [{"lang": "*", "source": "*", "cnt": sup, "lvl": 2}]
+            )
+        )
+    out = pd.concat(rows, ignore_index=True)
+    return out.astype({"cnt": "int64", "lvl": "int64"})[cols]

@@ -86,6 +86,7 @@ FUZZ_ENTRIES = [
     "lang_feature_terms",
     "hapax_ratio",
     "source_gini",
+    "k_anonymity",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
