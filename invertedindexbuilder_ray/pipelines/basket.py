@@ -1,0 +1,121 @@
+"""Market-basket association rules over order/part baskets.
+
+Frequent-itemset mining at warehouse scale: each order is a basket of
+part brands; the engine mines directed rules ``antecedent -> consequent``
+with support / confidence / lift over all baskets.  The item domain
+(brands) is a bounded enumeration, so pair counts are tiny — the scale
+problem is basket assembly, which needs (a) a partitioned hash join to
+attach brands to line items and (b) an order-sharded exchange to
+co-locate each basket.  Both reuse the engine's join/shard primitives;
+nothing driver-side grows with the order count.
+
+All rule metrics are exact integers (``conf_x1e6 = 1e6*pair // ante``,
+``lift_x1e6 = 1e6*pair*n_baskets // (ante*cons)``) so the DuckDB oracle
+pairs hash-exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.util import read_parquet_sized
+from .dedup import _join_partitions, _sharded_groupby, _shards_for
+from .joins import partitioned_hash_join
+
+MIN_SUPPORT = 20
+
+
+def assoc_rules_df(sf_dir: str, min_support: int = MIN_SUPPORT) -> pd.DataFrame:
+    """Directed association rules between part brands co-occurring in an
+    order.  Columns: ``antecedent, consequent, pair_cnt, ante_cnt,
+    cons_cnt, conf_x1e6, lift_x1e6`` (rules with pair support below
+    ``min_support`` are dropped)."""
+    li = read_parquet_sized(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    part = read_parquet_sized(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"],
+    )
+    n_li = li.count()
+
+    joined = partitioned_hash_join(
+        li, part, left_on="l_partkey", right_on="p_partkey",
+        num_partitions=_join_partitions(n_li),
+    ).select_columns(["l_orderkey", "p_brand"])
+
+    # order-sharded basket assembly: per shard, dedupe (order, brand),
+    # count items and undirected brand pairs — output is O(#brands^2)
+    # per shard regardless of basket count
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_orderkey", "p_brand"])
+        items = d.groupby("p_brand").size()
+        m = d.merge(d, on="l_orderkey")
+        m = m[m["p_brand_x"] < m["p_brand_y"]]
+        pairs = m.groupby(["p_brand_x", "p_brand_y"]).size()
+        rows = [
+            {"a": "", "b": "", "c": np.int64(d["l_orderkey"].nunique())}
+        ]
+        rows += [
+            {"a": br, "b": "", "c": np.int64(c)} for br, c in items.items()
+        ]
+        rows += [
+            {"a": x, "b": y, "c": np.int64(c)}
+            for (x, y), c in pairs.items()
+        ]
+        return pd.DataFrame(rows).astype(
+            {"a": "object", "b": "object", "c": "int64"}
+        )
+
+    schema = pa.schema(
+        [("a", pa.utf8()), ("b", pa.utf8()), ("c", pa.int64())]
+    )
+    parts = _sharded_groupby(
+        joined, ["l_orderkey"], per_shard,
+        num_shards=_shards_for(n_li), empty_schema=schema,
+    ).to_pandas()
+
+    cols = [
+        "antecedent", "consequent", "pair_cnt", "ante_cnt", "cons_cnt",
+        "conf_x1e6", "lift_x1e6",
+    ]
+    dtypes = {
+        "antecedent": "object", "consequent": "object",
+        "pair_cnt": "int64", "ante_cnt": "int64", "cons_cnt": "int64",
+        "conf_x1e6": "int64", "lift_x1e6": "int64",
+    }
+    if not len(parts):
+        return pd.DataFrame(columns=cols).astype(dtypes)
+
+    agg = parts.groupby(["a", "b"], as_index=False)["c"].sum()
+    n_baskets = int(agg.loc[(agg["a"] == "") & (agg["b"] == ""), "c"].sum())
+    item = {
+        r["a"]: int(r["c"])
+        for _, r in agg[(agg["a"] != "") & (agg["b"] == "")].iterrows()
+    }
+    out = []
+    for _, r in agg[(agg["a"] != "") & (agg["b"] != "")].iterrows():
+        c = int(r["c"])
+        if c < min_support:
+            continue
+        for ante, cons in ((r["a"], r["b"]), (r["b"], r["a"])):
+            na, nc = item[ante], item[cons]
+            out.append(
+                {
+                    "antecedent": ante,
+                    "consequent": cons,
+                    "pair_cnt": c,
+                    "ante_cnt": na,
+                    "cons_cnt": nc,
+                    "conf_x1e6": (1_000_000 * c) // na,
+                    "lift_x1e6": (1_000_000 * c * n_baskets) // (na * nc),
+                }
+            )
+    if not out:
+        return pd.DataFrame(columns=cols).astype(dtypes)
+    return pd.DataFrame(out).astype(dtypes)[cols]

@@ -10283,3 +10283,42 @@ SELECT '*', '*', c, 2::BIGINT FROM sup WHERE c > 0
 
 
 QUERIES["k_anonymity"] = (q_k_anonymity, _SQL_K_ANONYMITY)
+
+
+# --------------------------------------------------------------------------
+# market-basket association rules (brand co-occurrence within orders)
+
+
+def q_assoc_rules(sf_dir: str):
+    """See basket.assoc_rules_df."""
+    from .basket import assoc_rules_df
+
+    return assoc_rules_df(sf_dir)
+
+
+_SQL_ASSOC_RULES = """
+WITH b AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+nb AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM b),
+item AS (SELECT p_brand, count(*)::BIGINT AS c FROM b GROUP BY 1),
+pair AS (
+    SELECT b1.p_brand AS a, b2.p_brand AS cons, count(*)::BIGINT AS c
+    FROM b b1 JOIN b b2
+      ON b1.l_orderkey = b2.l_orderkey AND b1.p_brand <> b2.p_brand
+    GROUP BY 1, 2
+)
+SELECT pair.a AS antecedent, pair.cons AS consequent,
+       pair.c AS pair_cnt, ia.c AS ante_cnt, ic.c AS cons_cnt,
+       ((1000000 * pair.c) // ia.c)::BIGINT AS conf_x1e6,
+       ((1000000 * pair.c * nb.n) // (ia.c * ic.c))::BIGINT AS lift_x1e6
+FROM pair
+JOIN item ia ON ia.p_brand = pair.a
+JOIN item ic ON ic.p_brand = pair.cons
+CROSS JOIN nb
+WHERE pair.c >= 20
+"""
+
+
+QUERIES["assoc_rules"] = (q_assoc_rules, _SQL_ASSOC_RULES)
