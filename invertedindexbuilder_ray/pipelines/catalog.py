@@ -10322,3 +10322,23 @@ WHERE pair.c >= 20
 
 
 QUERIES["assoc_rules"] = (q_assoc_rules, _SQL_ASSOC_RULES)
+
+
+# --------------------------------------------------------------------------
+# TPC-H relational tier (tpch.py): Q3/Q6/Q7/Q10/Q14/Q17/Q18 shapes with
+# integer-exact monetary measures (see tpch.py module docstring)
+
+from .tpch import (  # noqa: E402
+    SQL_Q3, SQL_Q6, SQL_Q7, SQL_Q10, SQL_Q14, SQL_Q17, SQL_Q18,
+    q3_unshipped, q6_forecast_revenue, q7_volume_shipping,
+    q10_returned_items, q14_promo_revenue, q17_small_qty_revenue,
+    q18_large_orders,
+)
+
+QUERIES["tpch_q3_unshipped"] = (q3_unshipped, SQL_Q3)
+QUERIES["tpch_q6_forecast"] = (q6_forecast_revenue, SQL_Q6)
+QUERIES["tpch_q7_volume"] = (q7_volume_shipping, SQL_Q7)
+QUERIES["tpch_q10_returns"] = (q10_returned_items, SQL_Q10)
+QUERIES["tpch_q14_promo"] = (q14_promo_revenue, SQL_Q14)
+QUERIES["tpch_q17_small_qty"] = (q17_small_qty_revenue, SQL_Q17)
+QUERIES["tpch_q18_large_orders"] = (q18_large_orders, SQL_Q18)
