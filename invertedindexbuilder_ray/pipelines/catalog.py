@@ -10342,3 +10342,12 @@ QUERIES["tpch_q10_returns"] = (q10_returned_items, SQL_Q10)
 QUERIES["tpch_q14_promo"] = (q14_promo_revenue, SQL_Q14)
 QUERIES["tpch_q17_small_qty"] = (q17_small_qty_revenue, SQL_Q17)
 QUERIES["tpch_q18_large_orders"] = (q18_large_orders, SQL_Q18)
+
+
+# --------------------------------------------------------------------------
+# fuzzy record-linkage: Levenshtein<=1 similarity join via FastSS
+# deletion-neighborhood blocking (strsim.py)
+
+from .strsim import SQL_EDIT1_PAIRS, edit1_pairs  # noqa: E402
+
+QUERIES["edit1_name_pairs"] = (edit1_pairs, SQL_EDIT1_PAIRS)

@@ -87,6 +87,7 @@ FUZZ_ENTRIES = [
     "hapax_ratio",
     "source_gini",
     "k_anonymity",
+    "edit1_name_pairs",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
