@@ -41,11 +41,27 @@ def partitioned_hash_join(
     key (name collisions get ``right_suffix``).  Row order is undefined.
     """
     def _arrow_schema(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
-        s = ds.schema().base_schema
+        # ALWAYS normalize through an identity map (fuses, zero-copy):
+        # pandas-block lineage needs Arrow blocks, and Ray's Project
+        # operator (select_columns) can report a stale PRE-projection
+        # schema on tiny/empty inputs (observed on a 1-row fuzz table:
+        # schema() returned the un-projected columns while execution
+        # produced the projected ones, so pad_right KeyError'd).  A
+        # terminal MapBatches makes the sampled schema authoritative.
+        orig = ds
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        s = ds.schema()
+        if s is None:
+            # all-empty dataset: the identity map yields no blocks to
+            # sample, so fall back to the lineage schema (fine here —
+            # an empty side contributes no pad batches with rows)
+            s = orig.schema()
+        s = s.base_schema if s is not None else None
         if not isinstance(s, pa.Schema):
-            # pandas-block lineage: normalize to Arrow blocks first
-            ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-            s = ds.schema().base_schema
+            raise TypeError(
+                f"partitioned_hash_join: expected an Arrow schema, got {s!r}"
+            )
         return ds, s
 
     left, lschema = _arrow_schema(left)
@@ -61,6 +77,16 @@ def partitioned_hash_join(
 
     def pad_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        if n == 0:
+            # schema-driven empty block: a 0-row block may carry a
+            # stale/foreign column set (Project metadata quirk)
+            cols = {c: pa.nulls(0, ltypes[c]) for c in lcols}
+            cols["__r_key"] = pa.nulls(0, pa.int64())
+            for rc, out in out_rcols.items():
+                cols[out] = pa.nulls(0, rtypes[rc])
+            cols["__bucket"] = pa.array([], pa.int64())
+            cols["__side"] = pa.array([], pa.int8())
+            return pa.table(cols)
         cols = {c: batch[c] for c in lcols}
         cols["__r_key"] = pa.nulls(n, pa.int64())
         for rc, out in out_rcols.items():
@@ -71,6 +97,14 @@ def partitioned_hash_join(
 
     def pad_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        if n == 0:
+            cols = {c: pa.nulls(0, ltypes[c]) for c in lcols}
+            cols["__r_key"] = pa.nulls(0, pa.int64())
+            for rc, out in out_rcols.items():
+                cols[out] = pa.nulls(0, rtypes[rc])
+            cols["__bucket"] = pa.array([], pa.int64())
+            cols["__side"] = pa.array([], pa.int8())
+            return pa.table(cols)
         cols = {c: pa.nulls(n, ltypes[c]) for c in lcols}
         cols["__r_key"] = batch[right_on].cast(pa.int64())
         for rc, out in out_rcols.items():

@@ -881,3 +881,457 @@ FROM s
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 """
+
+
+# ---------------------------------------------------------------- Q8
+
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+Q8_NATION = "NATION_3"
+Q8_LO, Q8_HI = "1995-01-01", "1997-01-01"
+
+
+def q8_market_share(
+    sf_dir: str, *, dim_limit: int = DIM_BROADCAST_LIMIT
+) -> pd.DataFrame:
+    """National market share by year (TPC-H Q8 shape): the widest star
+    join in the tier — lineitem semi-joined to a part-type slice,
+    enriched with the supplier nation, joined to region-gated orders —
+    with the share emitted as an exact integer ppm ratio
+    (num*1e6 // den, both engines) so the float payload is the same
+    double on both sides.
+
+    Scale: part/supplier/customer collapse to bounded broadcast lookups
+    (exact partitioned fallback above ``dim_limit``); the single
+    exchange is the lineitem⋈orders partitioned hash join; per-year
+    partials (≤ a few rows per block) combine on the driver as Python
+    ints."""
+    from .dedup import _join_partitions
+    from .joins import partitioned_hash_join
+
+    lo, hi = np.datetime64(Q8_LO), np.datetime64(Q8_HI)
+    d = _dir(sf_dir)
+    nat = read_parquet_sized(
+        os.path.join(d, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).take_all()
+    reg = read_parquet_sized(
+        os.path.join(d, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).take_all()
+    asia_rk = {int(r["r_regionkey"]) for r in reg if r["r_name"] == Q8_REGION}
+    asia_keys = np.array(
+        sorted(int(r["n_nationkey"]) for r in nat
+               if int(r["n_regionkey"]) in asia_rk),
+        np.int64,
+    )
+    target_key = next(
+        int(r["n_nationkey"]) for r in nat if r["n_name"] == Q8_NATION
+    )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["p_type"], Q8_TYPE)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(
+            pa.array(np.isin(_i64(t["c_nationkey"]), asia_keys))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        od = _ts(t["o_orderdate"])
+        t = t.filter(pa.array((od >= lo) & (od < hi)))
+        od = _ts(t["o_orderdate"])
+        year = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "o_orderkey": pa.array(_i64(t["o_orderkey"])),
+            "o_custkey": pa.array(_i64(t["o_custkey"])),
+            "o_year": pa.array(year, pa.int64()),
+        })
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _dim_semi(orders, "o_custkey", cust, "c_custkey",
+                       limit=dim_limit).select_columns(
+        ["o_orderkey", "o_year"]
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        rev = _rev_e4(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({
+            "l_orderkey": pa.array(_i64(t["l_orderkey"])),
+            "l_partkey": pa.array(_i64(t["l_partkey"])),
+            "l_suppkey": pa.array(_i64(t["l_suppkey"])),
+            "rev": pa.array(rev, pa.int64()),
+        })
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    li = _dim_semi(li, "l_partkey", part, "p_partkey", limit=dim_limit)
+    li = _dim_lookup(li, "l_suppkey", supp, "s_suppkey", "s_nationkey",
+                     "supp_nk", limit=dim_limit)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_year": pd.Series([], dtype="int64"),
+            "n_rows": pd.Series([], dtype="int64"),
+            "nation_rev_e4": pd.Series([], dtype="int64"),
+            "total_rev_e4": pd.Series([], dtype="int64"),
+            "share_ppm": pd.Series([], dtype="int64"),
+            "mkt_share": pd.Series([], dtype="float64"),
+        })
+
+    n_li = li.count()
+    # an inner join with an empty side is empty, and an all-empty Ray
+    # dataset loses its schema (partitioned_hash_join would raise)
+    if n_li == 0 or orders.count() == 0:
+        return _empty()
+
+    j = partitioned_hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        num_partitions=_join_partitions(n_li), how="inner",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _i64(t["rev"])
+        tgt = (_i64(t["supp_nk"]) == target_key).astype(np.int64)
+        g = (
+            pa.table({
+                "o_year": t["o_year"],
+                "nat": pa.array(rev * tgt, pa.int64()),
+                "tot": pa.array(rev, pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            })
+            .group_by(["o_year"])
+            .aggregate([("nat", "sum"), ("tot", "sum"), ("one", "sum")])
+        )
+        return pa.table({
+            "o_year": g["o_year"],
+            "nat": g["nat_sum"].cast(pa.int64()),
+            "tot": g["tot_sum"].cast(pa.int64()),
+            "n": g["one_sum"].cast(pa.int64()),
+        })
+
+    rows = j.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    acc: dict[int, list[int]] = {}
+    for r in rows:
+        e = acc.setdefault(int(r["o_year"]), [0, 0, 0])
+        e[0] += int(r["nat"])
+        e[1] += int(r["tot"])
+        e[2] += int(r["n"])
+    years = sorted(acc)
+    ppm = [acc[y][0] * 1_000_000 // acc[y][1] if acc[y][1] else 0
+           for y in years]
+    return pd.DataFrame({
+        "o_year": pd.Series(years, dtype="int64"),
+        "n_rows": pd.Series([acc[y][2] for y in years], dtype="int64"),
+        "nation_rev_e4": pd.Series([acc[y][0] for y in years],
+                                   dtype="int64"),
+        "total_rev_e4": pd.Series([acc[y][1] for y in years],
+                                  dtype="int64"),
+        "share_ppm": pd.Series(ppm, dtype="int64"),
+        "mkt_share": pd.Series([float(p) / 1_000_000.0 for p in ppm],
+                               dtype="float64"),
+    })
+
+
+SQL_Q8 = f"""
+WITH v AS (
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+           CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation
+                                    WHERE n_name = '{Q8_NATION}')
+                THEN 1 ELSE 0 END AS is_target
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+      AND o_orderdate >= TIMESTAMP '{Q8_LO}'
+      AND o_orderdate < TIMESTAMP '{Q8_HI}'
+),
+m AS (
+    SELECT o_year, count(*)::BIGINT AS n_rows,
+           sum(rev * is_target)::BIGINT AS nation_rev_e4,
+           sum(rev)::BIGINT AS total_rev_e4
+    FROM v GROUP BY o_year
+)
+SELECT o_year, n_rows, nation_rev_e4, total_rev_e4, share_ppm,
+       CAST(share_ppm AS DOUBLE) / 1000000.0 AS mkt_share
+FROM (
+    SELECT *, CASE WHEN total_rev_e4 = 0 THEN 0
+                   ELSE (nation_rev_e4::HUGEINT * 1000000
+                         // total_rev_e4)::BIGINT
+              END AS share_ppm
+    FROM m
+) ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------- Q15
+
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q15_top_supplier(
+    sf_dir: str, *, dim_limit: int = DIM_BROADCAST_LIMIT
+) -> pd.DataFrame:
+    """Top supplier(s) by revenue in one quarter (TPC-H Q15 shape:
+    the revenue view + global max + tie-complete selection).  Per-batch
+    Arrow partials shrink to one row per (batch, suppkey); the sharded
+    groupby finishes the per-supplier sums; only per-block integer
+    maxima and the (tiny) winner set cross to the driver."""
+    from .dedup import _sharded_groupby
+
+    lo, hi = np.datetime64(Q15_LO), np.datetime64(Q15_HI)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        sd = _ts(t["l_shipdate"])
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        rev = _rev_e4(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        g = (
+            pa.table({
+                "l_suppkey": pa.array(_i64(t["l_suppkey"])),
+                "rev": pa.array(rev, pa.int64()),
+            })
+            .group_by(["l_suppkey"])
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table({
+            "l_suppkey": g["l_suppkey"],
+            "rev": g["rev_sum"].cast(pa.int64()),
+        })
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_suppkey", as_index=False)["rev"].sum()
+
+    per_supp = _sharded_groupby(li, ["l_suppkey"], agg)
+
+    def block_max(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df[df["rev"] == df["rev"].max()]
+
+    cand = pd.DataFrame(
+        per_supp.map_batches(block_max, batch_format="pandas").take_all(),
+        columns=["l_suppkey", "rev"],
+    )
+    if not len(cand):
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "total_revenue_e4": pd.Series([], dtype="int64"),
+            "total_revenue": pd.Series([], dtype="float64"),
+        })
+    best = int(cand["rev"].max())
+    winners = cand[cand["rev"] == best].copy()
+    keys = np.sort(winners["l_suppkey"].to_numpy(np.int64))
+    names = {
+        int(r["s_suppkey"]): r["s_name"]
+        for r in _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda t, k=keys: t.filter(
+                pa.array(np.isin(_i64(t["s_suppkey"]), k))
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .take_all()
+    }
+    # inner-join semantics: a winning l_suppkey with no supplier row
+    # drops (matches the SQL join; l_suppkey is an FK in real TPC-H)
+    keys = np.array([k for k in keys if int(k) in names], np.int64)
+    out = pd.DataFrame({
+        "s_suppkey": pd.Series(keys, dtype="int64"),
+        "s_name": [names[int(k)] for k in keys],
+        "total_revenue_e4": pd.Series([best] * len(keys), dtype="int64"),
+    })
+    out["total_revenue"] = round_half_away(
+        out["total_revenue_e4"].to_numpy(np.int64).astype(np.float64)
+        / 10000.0, 2
+    )
+    return out
+
+
+SQL_Q15 = f"""
+WITH r AS (
+    SELECT l_suppkey,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+               AS total_revenue_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+      AND l_shipdate < TIMESTAMP '{Q15_HI}'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue_e4,
+       round(CAST(total_revenue_e4 AS DOUBLE) / 10000.0, 2)
+           AS total_revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------- Q19
+
+Q19_BRANCHES = (
+    ("Brand#1", 15, 1, 15),
+    ("Brand#2", 25, 10, 25),
+    ("Brand#3", 35, 20, 35),
+)
+
+
+def q19_disjunctive(
+    sf_dir: str, *, dim_limit: int = DIM_BROADCAST_LIMIT
+) -> pd.DataFrame:
+    """Disjunctive OR-of-ANDs predicate scan (TPC-H Q19 shape): three
+    brand-disjoint (brand, size-cap, quantity-band) branches evaluated
+    in ONE pass.  The part attributes pack into a single int64 lookup
+    value (branch*100 + size — p_size <= 50 < 100), so the dim lookup
+    is one searchsorted per batch; every branch always emits a row
+    (zeros when nothing matches), keeping the result non-empty at any
+    scale."""
+    brands = [b for b, _, _, _ in Q19_BRANCHES]
+
+    def p_prep(t: pa.Table) -> pa.Table:
+        brand = t["p_brand"].to_pandas().to_numpy(object)
+        size = _i64(t["p_size"])
+        branch = np.zeros(len(brand), np.int64)
+        for i, b in enumerate(brands, start=1):
+            branch[brand == b] = i
+        keep = branch > 0
+        return pa.table({
+            "p_partkey": pa.array(_i64(t["p_partkey"])[keep]),
+            "pval": pa.array(branch[keep] * 100 + size[keep], pa.int64()),
+        })
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]
+                 ).map_batches(p_prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        qty = round_half_away(
+            t["l_quantity"].to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        rev = _rev_e4(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({
+            "l_partkey": pa.array(_i64(t["l_partkey"])),
+            "qty": pa.array(qty, pa.int64()),
+            "rev": pa.array(rev, pa.int64()),
+        })
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    li = _dim_lookup(li, "l_partkey", part, "p_partkey", "pval", "pval",
+                     limit=dim_limit)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pval = _i64(t["pval"])
+        branch = pval // 100
+        size = pval % 100
+        qty = _i64(t["qty"])
+        rev = _i64(t["rev"])
+        keep = np.zeros(len(pval), bool)
+        for i, (_, max_size, qlo, qhi) in enumerate(Q19_BRANCHES, start=1):
+            keep |= (branch == i) & (size <= max_size) \
+                & (qty >= qlo) & (qty <= qhi)
+        g = (
+            pa.table({
+                "branch": pa.array(branch[keep], pa.int64()),
+                "rev": pa.array(rev[keep], pa.int64()),
+                "one": pa.array(np.ones(int(keep.sum()), np.int64)),
+            })
+            .group_by(["branch"])
+            .aggregate([("rev", "sum"), ("one", "sum")])
+        )
+        return pa.table({
+            "branch": g["branch"],
+            "rev": g["rev_sum"].cast(pa.int64()),
+            "n": g["one_sum"].cast(pa.int64()),
+        })
+
+    rows = li.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    acc = {i: [0, 0] for i in range(1, len(Q19_BRANCHES) + 1)}
+    for r in rows:
+        e = acc[int(r["branch"])]
+        e[0] += int(r["rev"])
+        e[1] += int(r["n"])
+    out = pd.DataFrame({
+        "branch": pd.Series(sorted(acc), dtype="int64"),
+        "p_brand": [Q19_BRANCHES[i - 1][0] for i in sorted(acc)],
+        "n_rows": pd.Series([acc[i][1] for i in sorted(acc)],
+                            dtype="int64"),
+        "revenue_e4": pd.Series([acc[i][0] for i in sorted(acc)],
+                                dtype="int64"),
+    })
+    out["revenue"] = round_half_away(
+        out["revenue_e4"].to_numpy(np.int64).astype(np.float64) / 10000.0, 2
+    )
+    return out
+
+
+def _sql_q19() -> str:
+    branch_rows = ", ".join(
+        f"({i}, '{b}', {s}, {qlo}, {qhi})"
+        for i, (b, s, qlo, qhi) in enumerate(Q19_BRANCHES, start=1)
+    )
+    return f"""
+WITH branches(branch, p_brand, max_size, qty_lo, qty_hi) AS (
+    VALUES {branch_rows}
+),
+m AS (
+    SELECT b.branch, count(*)::BIGINT AS n_rows,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+               AS revenue_e4
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN branches b ON part.p_brand = b.p_brand
+    WHERE p_size <= b.max_size
+      AND CAST(round(l_quantity) AS BIGINT) BETWEEN b.qty_lo AND b.qty_hi
+    GROUP BY 1
+)
+SELECT b.branch::BIGINT AS branch, b.p_brand,
+       coalesce(m.n_rows, 0)::BIGINT AS n_rows,
+       coalesce(m.revenue_e4, 0)::BIGINT AS revenue_e4,
+       round(CAST(coalesce(m.revenue_e4, 0) AS DOUBLE) / 10000.0, 2)
+           AS revenue
+FROM branches b LEFT JOIN m ON b.branch = m.branch
+ORDER BY b.branch
+"""
+
+
+SQL_Q19 = _sql_q19()

@@ -40,6 +40,9 @@ FUZZ_ENTRIES = [
     "custdist",
     "rich_inactive",
     "order_priority_ct",
+    "tpch_q8_market_share",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive",
 ]
 
 _LINE = st.tuples(
@@ -150,25 +153,66 @@ def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
         ),
         os.path.join(tmpdir, "customer.parquet"),
     )
+    # NATION_{i} names + region keys so the Q8 constants (NATION_3 /
+    # ASIA) resolve; region 1 ("OTHER") makes the region gate selective
     pq.write_table(
         pa.table(
             {
                 "n_nationkey": pa.array(list(range(4)), pa.int64()),
-                "n_name": pa.array([f"N{i}" for i in range(4)], pa.string()),
+                "n_name": pa.array(
+                    [f"NATION_{i}" for i in range(4)], pa.string()
+                ),
+                "n_regionkey": pa.array([i % 2 for i in range(4)], pa.int64()),
             }
         ),
         os.path.join(tmpdir, "nation.parquet"),
     )
-    # coarse price/size grids: duplicate points and dominance ties are the
-    # skyline edge cases the sf part table never produces
     pq.write_table(
         pa.table(
             {
-                "p_partkey": pa.array(list(range(len(lines))), pa.int64()),
-                "p_retailprice": pa.array(
-                    [(r[2] % 5) * 10.5 for r in lines], pa.float64()
+                "r_regionkey": pa.array([0, 1], pa.int64()),
+                "r_name": pa.array(["ASIA", "OTHER"], pa.string()),
+            }
+        ),
+        os.path.join(tmpdir, "region.parquet"),
+    )
+    # suppliers cover the full l_suppkey domain (FK-complete, as in
+    # TPC-H) with nations spread over 0..3 so Q8's target nation hits
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(list(range(200)), pa.int64()),
+                "s_name": pa.array([f"S{i}" for i in range(200)], pa.string()),
+                "s_nationkey": pa.array(
+                    [i % 4 for i in range(200)], pa.int64()
                 ),
-                "p_size": pa.array([r[0] % 6 for r in lines], pa.int64()),
+            }
+        ),
+        os.path.join(tmpdir, "supplier.parquet"),
+    )
+    # coarse price/size grids: duplicate points and dominance ties are the
+    # skyline edge cases the sf part table never produces.  Keys cover the
+    # actual l_partkey domain (FK-complete so the Q8/Q19 part joins hit)
+    # plus dangling extras the lineitem side never references
+    pkeys = sorted({(r[0] * 37 + r[2] * 113) % 5000 for r in lines})
+    pkeys += [5000 + i for i in range(len(lines))]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(pkeys, pa.int64()),
+                "p_retailprice": pa.array(
+                    [(k % 5) * 10.5 for k in pkeys], pa.float64()
+                ),
+                "p_size": pa.array([k % 6 for k in pkeys], pa.int64()),
+                # brands 1..4: Q19's three branches plus a never-matching
+                # brand; types include PROMO (the Q8 slice) and others
+                "p_brand": pa.array(
+                    [f"Brand#{1 + k % 4}" for k in pkeys], pa.string()
+                ),
+                "p_type": pa.array(
+                    [("PROMO", "SMALL", "LARGE")[k % 3] for k in pkeys],
+                    pa.string(),
+                ),
             }
         ),
         os.path.join(tmpdir, "part.parquet"),
@@ -184,7 +228,8 @@ def _run_pair(name: str, sf_dir: str):
     fn, sql = QUERIES[name]
     got = _to_df(fn(sf_dir))
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer", "nation", "part"):
+    for t in ("lineitem", "orders", "customer", "nation", "part",
+              "region", "supplier"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"

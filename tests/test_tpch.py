@@ -23,8 +23,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("fn_name", [
-    "q3_unshipped", "q7_volume_shipping", "q10_returned_items",
-    "q14_promo_revenue", "q17_small_qty_revenue",
+    "q3_unshipped", "q7_volume_shipping", "q8_market_share",
+    "q10_returned_items", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_qty_revenue", "q19_disjunctive",
 ])
 def test_fallback_parity(ray_session, fn_name):
     from invertedindexbuilder_ray.pipelines import tpch
@@ -44,8 +45,10 @@ def test_all_nonempty_at_sf0001(ray_session):
 
     for fn in (
         tpch.q3_unshipped, tpch.q6_forecast_revenue, tpch.q7_volume_shipping,
-        tpch.q10_returned_items, tpch.q14_promo_revenue,
+        tpch.q8_market_share, tpch.q10_returned_items,
+        tpch.q14_promo_revenue, tpch.q15_top_supplier,
         tpch.q17_small_qty_revenue, tpch.q18_large_orders,
+        tpch.q19_disjunctive,
     ):
         out = fn(SF001)
         assert len(out) > 0, fn.__name__
