@@ -1647,6 +1647,23 @@ QUERIES["approx_distinct_hll"] = (
 )
 
 
+def q_kmv_distinct(sf_dir: str):
+    """K-minimum-values distinct sketch over md5(text) — the mergeable
+    order-statistics counterpart to the HLL entry (supports union and
+    Jaccard estimation over the minima; see distinct.kmv_minima).
+    Every output column is an exact integer, so the driver hash gate
+    covers the estimate itself."""
+    from .dedup import _docs
+    from .distinct import kmv_minima
+
+    return kmv_minima(_docs(sf_dir))
+
+
+from .distinct import sql_kmv_minima as _sql_kmv_minima  # noqa: E402
+
+QUERIES["kmv_distinct"] = (q_kmv_distinct, _sql_kmv_minima())
+
+
 def q_events_hourly_users(sf_dir: str):
     """Windowed distinct-count: events and DISTINCT users per hour bucket.
 

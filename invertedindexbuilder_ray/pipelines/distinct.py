@@ -165,3 +165,109 @@ def hll_estimate(registers) -> float:
         if v:
             est = m * math.log(m / v)
     return est
+
+
+# ---------------------------------------------------------------- KMV
+
+KMV_K = 256
+_U32 = 1 << 32
+
+
+def _md5_u64(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """First 8 md5 digest bytes as little-endian uint64 per string —
+    the engine twin of DuckDB ``md5_number_upper(text)`` (verified
+    equal byte-for-byte on this build).  Same hashlib-off-the-Arrow-
+    buffer walk as dedup_exact (catalog.py): md5 is kept because the
+    SQL oracle can only reproduce md5."""
+    import hashlib
+
+    from ..functions.tokenize import _string_buffers
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    data, offsets = _string_buffers(texts)
+    mv = memoryview(data)
+    out = np.empty(len(texts), np.uint64)
+    for i in range(len(texts)):
+        d = hashlib.md5(mv[offsets[i]: offsets[i + 1]]).digest()
+        out[i] = int.from_bytes(d[:8], "little")
+    return out
+
+
+def kmv_minima(
+    docs: rd.Dataset, *, text_col: str = "text", k: int = KMV_K
+):
+    """K-minimum-values distinct sketch over ``md5(text)`` hashes.
+
+    The KMV synopsis (Bar-Yossef et al., RANDOM 2002; Beyer et al.,
+    SIGMOD 2007 — public algorithms) keeps the k smallest DISTINCT
+    hash values; the cardinality estimate is ``(k-1) * 2^64 // h_(k)``
+    (pure integer, so the driver hash gate covers it), or the exact
+    count when fewer than k distinct hashes exist.  Unlike HLL the
+    synopsis also supports set operations (union = merge-min, and a
+    Jaccard estimator over the combined minima).
+
+    Shape: one streaming pass emits <= k candidate minima per block
+    (already unique within the block), the driver merges
+    ``k x n_blocks`` int rows — the data never shuffles.  Hashes split
+    into (hi, lo) int32-range columns so both engines emit BIGINTs.
+
+    Returns a pandas frame: rank (1-based by hash), h_hi, h_lo, est.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = np.unique(_md5_u64(batch[text_col]))[:k]
+        return pa.table({
+            "h_hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
+            "h_lo": pa.array((h & np.uint64(_U32 - 1)).astype(np.int64)),
+        })
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(parts):
+        merged = np.unique(
+            parts["h_hi"].to_numpy(np.int64).astype(np.uint64)
+            * np.uint64(_U32)
+            + parts["h_lo"].to_numpy(np.int64).astype(np.uint64)
+        )[:k]
+    else:
+        merged = np.empty(0, np.uint64)
+    m = len(merged)
+    if m < k:
+        est = m
+    else:
+        est = (k - 1) * (1 << 64) // int(merged[-1])
+    return pd.DataFrame({
+        "rank": pd.Series(np.arange(1, m + 1), dtype="int64"),
+        "h_hi": pd.Series((merged >> np.uint64(32)).astype(np.int64),
+                          dtype="int64"),
+        "h_lo": pd.Series((merged & np.uint64(_U32 - 1)).astype(np.int64),
+                          dtype="int64"),
+        "est": pd.Series(np.full(m, est), dtype="int64"),
+    })
+
+
+def sql_kmv_minima(*, k: int = KMV_K, table: str = "documents") -> str:
+    """DuckDB twin of kmv_minima: md5_number_upper == the engine's
+    little-endian first-8-bytes md5 word; all arithmetic HUGEINT."""
+    return f"""
+WITH h AS (
+    SELECT DISTINCT md5_number_upper(text)::HUGEINT AS h FROM {table}
+),
+mins AS (
+    SELECT h, row_number() OVER (ORDER BY h) AS rank
+    FROM h ORDER BY h LIMIT {k}
+),
+s AS (
+    SELECT count(*) AS m, max(h) AS hk FROM mins
+)
+SELECT rank::BIGINT AS rank,
+       (h // {_U32})::BIGINT AS h_hi,
+       (h % {_U32})::BIGINT AS h_lo,
+       (CASE WHEN s.m < {k} THEN s.m
+             ELSE ({k - 1}::HUGEINT * {1 << 64}) // s.hk END)::BIGINT AS est
+FROM mins CROSS JOIN s
+ORDER BY rank
+"""

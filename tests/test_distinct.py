@@ -216,3 +216,49 @@ def test_bloom_duplicate_probe_term_marked_correctly(ray_session):
     assert not df.index.has_duplicates
     assert df.loc["abcqq9", "actually_in_base"] == 1
     assert df.loc["abcqq9", "maybe_in_base"] == 1
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def test_kmv_split_and_duplicate_invariant(ray_session):
+    """The k-minima over blocks must equal the k-minima of the whole
+    stream, and duplicates must not perturb the synopsis."""
+    import pandas as pd
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.distinct import kmv_minima
+
+    texts = [f"document number {i}" for i in range(2000)]
+    whole = kmv_minima(rd.from_pandas(pd.DataFrame({"text": texts})))
+    split = kmv_minima(
+        rd.from_pandas(pd.DataFrame({"text": texts})).repartition(13)
+    )
+    duped = kmv_minima(
+        rd.from_pandas(pd.DataFrame({"text": texts * 3})).repartition(5)
+    )
+    pd.testing.assert_frame_equal(whole, split)
+    pd.testing.assert_frame_equal(whole, duped)
+
+
+def test_kmv_estimate_accuracy(ray_session):
+    """KMV relative error is ~1/sqrt(k-2) (Beyer et al.); assert a lax
+    4-sigma band at n >> k, and exactness below k."""
+    import pandas as pd
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines.distinct import KMV_K, kmv_minima
+
+    n = 50_000
+    texts = [f"unique doc {i}" for i in range(n)]
+    out = kmv_minima(rd.from_pandas(pd.DataFrame({"text": texts})))
+    assert len(out) == KMV_K
+    est = int(out["est"].iloc[0])
+    sigma = 1.0 / (KMV_K - 2) ** 0.5
+    assert abs(est - n) / n < 4 * sigma
+
+    small = kmv_minima(
+        rd.from_pandas(pd.DataFrame({"text": texts[: KMV_K - 10]}))
+    )
+    assert int(small["est"].iloc[0]) == KMV_K - 10
+    assert len(small) == KMV_K - 10
