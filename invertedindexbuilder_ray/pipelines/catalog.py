@@ -9206,6 +9206,33 @@ SELECT coalesce((SELECT max(n) FROM o), 0)::BIGINT AS n_hours,
 QUERIES["events_cusum"] = (q_events_cusum, _SQL_EVENTS_CUSUM)
 
 
+def q_events_acf(sf_dir: str):
+    """Autocorrelation of the hourly event-count series at lags 1..6
+    (temporal.acf_hourly): exact integer moments, qty_discount_corr-
+    style bit-identical float payload."""
+    from .temporal import acf_hourly
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    return acf_hourly(read_parquet_sized(path, columns=["ts"]))
+
+
+def q_events_ewma(sf_dir: str):
+    """Fixed-point EWMA smoothing of the hourly event-count series
+    (temporal.ewma_hourly): all-integer recurrence, recursive-CTE
+    oracle."""
+    from .temporal import ewma_hourly
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    return ewma_hourly(read_parquet_sized(path, columns=["ts"]))
+
+
+from .temporal import SQL_ACF_HOURLY as _SQL_ACF  # noqa: E402
+from .temporal import SQL_EWMA_HOURLY as _SQL_EWMA  # noqa: E402
+
+QUERIES["events_acf"] = (q_events_acf, _SQL_ACF)
+QUERIES["events_ewma"] = (q_events_ewma, _SQL_EWMA)
+
+
 # --------------------------------------------------------------------------
 # product-quantization codebook training (the PQ half of IVF-PQ — the
 # 10^12-vector ANN path).  The 64-dim space splits into PQ_SUB contiguous

@@ -1076,3 +1076,170 @@ def value_sax_ds(events: rd.Dataset) -> rd.Dataset:
 
     return _sharded_groupby(parts, ["win"], per_win,
                             empty_schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# hourly-series analytics: autocorrelation + EWMA smoothing.  Both reuse the
+# cusum shape — the DISTRIBUTED part is the hourly count aggregation (one
+# streaming pass, partial (h, c) rows per block), the bounded per-hour series
+# is then analyzed on the driver behind the loud CUSUM_MAX_HOURS cap, with a
+# self-join (ACF) / recursive-CTE (EWMA) DuckDB oracle.
+
+ACF_LAGS = (1, 2, 3, 4, 5, 6)
+EWMA_ALPHA_PCT = 20  # s_t = (20*x_t + 80*s_{t-1}) / 100
+EWMA_SCALE = 1000  # fixed-point milli-units
+
+
+def _hourly_counts(
+    events: rd.Dataset, *, ts: str = "ts"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted (hour, count) over the event stream: per-block partial
+    np.unique counts, pandas combine on the driver, loud bound."""
+    def per_batch(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        uh, cnt = np.unique(us // 3_600_000_000, return_counts=True)
+        return pa.table(
+            {"h": pa.array(uh, pa.int64()),
+             "c": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = events.map_batches(per_batch, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    agg = parts.groupby("h", as_index=False)["c"].sum().sort_values("h")
+    if len(agg) > CUSUM_MAX_HOURS:
+        raise ValueError(
+            f"_hourly_counts: {len(agg)} observed hours exceeds the "
+            f"declared series bound {CUSUM_MAX_HOURS}"
+        )
+    return agg["h"].to_numpy(np.int64), agg["c"].to_numpy(np.int64)
+
+
+def acf_hourly(events: rd.Dataset, *, ts: str = "ts") -> "pd.DataFrame":
+    """Autocorrelation of the hourly event-count series at ACF_LAGS.
+
+    Pairs are (c_h, c_{h+lag}) for hours where BOTH exist (gap hours
+    pair with nothing — identical to the SQL self-join on h + lag).
+    The five moments accumulate as exact Python ints (object-dtype
+    sums, HUGEINT in SQL), so ``acf`` is one float expression over
+    identical integers — bit-identical on both engines (the
+    qty_discount_corr pattern).  Rows with no pairs keep zero moments
+    and a NULL acf."""
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+
+    h, c = _hourly_counts(events, ts=ts)
+    rows = []
+    for lag in ACF_LAGS:
+        idx = np.searchsorted(h, h + lag)
+        valid = (idx < len(h))
+        valid[valid] &= h[idx[valid]] == (h + lag)[valid]
+        x = c[valid].astype(object)
+        y = c[idx[valid]].astype(object)
+        n = int(valid.sum())
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        sxy = int((x * y).sum())
+        a = float(n * sxy - sx * sy)
+        vb = float(n * sxx - sx * sx)
+        vc = float(n * syy - sy * sy)
+        acf = (
+            float(round_half_away(np.array([a / np.sqrt(vb * vc)]), 9)[0])
+            if vb * vc > 0 else None
+        )
+        rows.append((lag, n, sx, sy, sxx, syy, sxy, acf))
+    out = pd.DataFrame(
+        rows,
+        columns=["lag", "n_pairs", "sx", "sy", "sxx", "syy", "sxy", "acf"],
+    )
+    for col in ("lag", "n_pairs", "sx", "sy", "sxx", "syy", "sxy"):
+        out[col] = out[col].astype("int64")
+    out["acf"] = out["acf"].astype("float64")
+    return out
+
+
+SQL_ACF_HOURLY = f"""
+WITH hc AS (
+    SELECT epoch_us(ts) // 3600000000 AS h, count(*)::HUGEINT AS c
+    FROM events GROUP BY 1
+),
+lags(lag) AS (VALUES {", ".join(f"({lag})" for lag in ACF_LAGS)}),
+p AS (
+    SELECT l.lag, a.c AS x, b.c AS y
+    FROM lags l
+    JOIN hc a ON TRUE
+    JOIN hc b ON b.h = a.h + l.lag
+),
+m AS (
+    SELECT lag, count(*)::HUGEINT AS n,
+           sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+           sum(x*x)::HUGEINT AS sxx, sum(y*y)::HUGEINT AS syy,
+           sum(x*y)::HUGEINT AS sxy
+    FROM p GROUP BY lag
+)
+SELECT l.lag::BIGINT AS lag,
+       coalesce(m.n, 0)::BIGINT AS n_pairs,
+       coalesce(m.sx, 0)::BIGINT AS sx, coalesce(m.sy, 0)::BIGINT AS sy,
+       coalesce(m.sxx, 0)::BIGINT AS sxx, coalesce(m.syy, 0)::BIGINT AS syy,
+       coalesce(m.sxy, 0)::BIGINT AS sxy,
+       CASE WHEN (m.n*m.sxx - m.sx*m.sx)::DOUBLE
+                 * (m.n*m.syy - m.sy*m.sy)::DOUBLE > 0
+            THEN round((m.n*m.sxy - m.sx*m.sy)::DOUBLE
+                       / sqrt((m.n*m.sxx - m.sx*m.sx)::DOUBLE
+                              * (m.n*m.syy - m.sy*m.sy)::DOUBLE), 9)
+       END AS acf
+FROM lags l LEFT JOIN m USING (lag)
+ORDER BY lag
+"""
+
+
+def ewma_hourly(events: rd.Dataset, *, ts: str = "ts") -> "pd.DataFrame":
+    """Fixed-point EWMA over the hourly count series: s_1 = x_1*SCALE,
+    s_t = (ALPHA*x_t*SCALE + (100-ALPHA)*s_{t-1}) // 100 — all-integer
+    recurrence (non-negative terms, so truncating and flooring division
+    agree), unrolled by a recursive CTE in the oracle.  Gap hours are
+    SKIPPED, not zero-filled (the series is the observed hours, exactly
+    as in cusum_hourly)."""
+    import pandas as pd
+
+    h, c = _hourly_counts(events, ts=ts)
+    s = 0
+    ew = np.empty(len(h), np.int64)
+    for i in range(len(h)):
+        if i == 0:
+            s = int(c[0]) * EWMA_SCALE
+        else:
+            s = (EWMA_ALPHA_PCT * int(c[i]) * EWMA_SCALE
+                 + (100 - EWMA_ALPHA_PCT) * s) // 100
+        ew[i] = s
+    return pd.DataFrame({
+        "hour": pd.Series(h, dtype="int64"),
+        "n_events": pd.Series(c, dtype="int64"),
+        "ewma_milli": pd.Series(ew, dtype="int64"),
+    })
+
+
+SQL_EWMA_HOURLY = f"""
+WITH RECURSIVE hc AS (
+    SELECT epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS c
+    FROM events GROUP BY 1
+),
+o AS (SELECT h, c, row_number() OVER (ORDER BY h) AS rn FROM hc),
+rec AS (
+    SELECT rn, h, c, (c::HUGEINT * {EWMA_SCALE}) AS s
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.rn, o.h, o.c,
+           ({EWMA_ALPHA_PCT} * o.c::HUGEINT * {EWMA_SCALE}
+            + {100 - EWMA_ALPHA_PCT} * rec.s) // 100
+    FROM rec JOIN o ON o.rn = rec.rn + 1
+)
+SELECT h::BIGINT AS hour, c::BIGINT AS n_events, s::BIGINT AS ewma_milli
+FROM rec ORDER BY hour
+"""

@@ -39,6 +39,8 @@ FUZZ_ENTRIES = [
     "decayed_user_score",
     "event_bursts",
     "events_cusum",
+    "events_acf",
+    "events_ewma",
     "funnel_latency",
     "user_value_outliers",
     "value_sax",
