@@ -119,3 +119,80 @@ def assoc_rules_df(sf_dir: str, min_support: int = MIN_SUPPORT) -> pd.DataFrame:
     if not out:
         return pd.DataFrame(columns=cols).astype(dtypes)
     return pd.DataFrame(out).astype(dtypes)[cols]
+
+
+# ---------------------------------------------------------------- pairs
+
+COPURCHASE_TOPK = 20
+
+
+def copurchase_pairs_df(sf_dir: str, *, k: int = COPURCHASE_TOPK) -> pd.DataFrame:
+    """Top-k co-purchased PART pairs across orders (item-item
+    co-occurrence mining — the recommender-candidate primitive, one
+    granularity below assoc_rules' bounded brand domain).
+
+    Scale shape: the self-join explosion is contained per order — an
+    order-sharded exchange co-locates each basket, the within-shard
+    pandas self-merge emits only intra-order pairs (baskets are small:
+    pairs grow as Σ b_i², not N²), a second pair-sharded exchange sums
+    counts, and the global top-k is per-block partial top-k on INTEGER
+    keys merged on the driver (k × n_blocks rows, never the data).
+    Ties are impossible past (n, pk1, pk2) — the full sort key is
+    unique — so LIMIT k is deterministic on both engines."""
+    path = (
+        os.path.join(sf_dir, "lineitem.parquet")
+        if os.path.isdir(sf_dir) else sf_dir
+    )
+    li = read_parquet_sized(path, columns=["l_orderkey", "l_partkey"])
+
+    def pairs_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        g = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
+        return g.rename(columns={
+            "l_partkey_x": "pk1", "l_partkey_y": "pk2", "size": "n"
+        })
+
+    per_shard = _sharded_groupby(
+        li, ["l_orderkey"], pairs_in_shard, empty_schema=None
+    )
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["pk1", "pk2"], as_index=False)["n"].sum()
+
+    schema = pa.schema(
+        [("pk1", pa.int64()), ("pk2", pa.int64()), ("n", pa.int64())]
+    )
+    counts = _sharded_groupby(per_shard, ["pk1"], sum_pairs,
+                              empty_schema=schema)
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "pk1", "pk2"], ascending=[False, True, True]
+        ).head(k)
+
+    cand = pd.DataFrame(
+        counts.map_batches(partial_topk, batch_format="pandas").take_all(),
+        columns=["pk1", "pk2", "n"],
+    )
+    out = cand.sort_values(
+        ["n", "pk1", "pk2"], ascending=[False, True, True]
+    ).head(k).reset_index(drop=True)
+    for c in ("pk1", "pk2", "n"):
+        out[c] = out[c].astype("int64")
+    return out[["pk1", "pk2", "n"]]
+
+
+SQL_COPURCHASE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+    SELECT a.l_partkey AS pk1, b.l_partkey AS pk2
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT pk1, pk2, count(*)::BIGINT AS n
+FROM p GROUP BY 1, 2
+ORDER BY n DESC, pk1, pk2
+LIMIT {COPURCHASE_TOPK}
+"""

@@ -10368,6 +10368,57 @@ WHERE pair.c >= 20
 QUERIES["assoc_rules"] = (q_assoc_rules, _SQL_ASSOC_RULES)
 
 
+def q_copurchase_pairs(sf_dir: str):
+    """See basket.copurchase_pairs_df: top-k co-purchased part pairs
+    (item-item co-occurrence, the recommender-candidate primitive)."""
+    from .basket import copurchase_pairs_df
+
+    return copurchase_pairs_df(sf_dir)
+
+
+def _sql_copurchase() -> str:
+    from .basket import SQL_COPURCHASE
+
+    return SQL_COPURCHASE
+
+
+QUERIES["copurchase_pairs"] = (q_copurchase_pairs, _sql_copurchase())
+
+
+def q_benford_digits(sf_dir: str):
+    """See validate.benford_digits_df: leading-digit Benford profile of
+    order totals (integer //10 digit extraction, exact ppm shares)."""
+    from .validate import benford_digits_df
+
+    return benford_digits_df(sf_dir)
+
+
+def _sql_benford() -> str:
+    from .validate import sql_benford_digits
+
+    return sql_benford_digits()
+
+
+QUERIES["benford_digits"] = (q_benford_digits, _sql_benford())
+
+
+def q_did_you_mean(sf_dir: str):
+    """See ranking.did_you_mean_df: Levenshtein<=1 spell suggestions
+    over the index lexicon ranked by (distance, df desc, term)."""
+    from .ranking import did_you_mean_df
+
+    return did_you_mean_df(sf_dir)
+
+
+def _sql_dym() -> str:
+    from .ranking import sql_did_you_mean
+
+    return sql_did_you_mean()
+
+
+QUERIES["did_you_mean"] = (q_did_you_mean, _sql_dym())
+
+
 # --------------------------------------------------------------------------
 # TPC-H relational tier (tpch.py): Q3/Q6/Q7/Q8/Q10/Q14/Q15/Q17/Q18/Q19
 # shapes with integer-exact monetary measures (see tpch.py module

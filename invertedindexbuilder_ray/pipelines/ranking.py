@@ -543,3 +543,132 @@ FROM (
 )
 WHERE rk <= {PRF_EXPANSION_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# did-you-mean query spell suggestion
+
+DYM_PROBES = ("joinn", "datq", "quer", "vektor", "tablee", "zzz")
+DYM_TOPK = 3
+
+
+def did_you_mean_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """Spelling suggestions for misspelled query terms: lexicon terms
+    within Levenshtein distance ≤ 1 of each probe, ranked by (distance,
+    document frequency desc, term) — the search-box "did you mean"
+    feature over the index lexicon (cf. the reference's query loop,
+    /root/reference/src/query.c, which has no recovery for OOV terms).
+
+    Scale shape: the probe set is tiny and FIXED, so the whole pass is
+    one streaming scan — per batch, distance-≤1 classification runs
+    vectorized over the batch's UNIQUE padded term matrix against each
+    probe (strsim.dist_le1, no FastSS indirection needed for a bounded
+    probe set), and only matching (probe, term, batch-df) partials
+    reach the pair-sharded sum.  Per-batch df partials are exact
+    because documents never span batches.
+    """
+    from .dedup import _sharded_groupby
+    from .strsim import _pad16, dist_le1
+
+    docs = _docs(source)
+    pmat, plens = _pad16(list(DYM_PROBES))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "probe": pa.array([], pa.utf8()),
+            "term": pa.array([], pa.utf8()),
+            "dist": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "th": pa.array([], pa.int64()),
+        })
+        toks, token_doc, _row, h1, _h2 = _batch_tokens(batch)
+        if len(toks) == 0:
+            return empty
+        codes, uniq = pd.factorize(toks.to_pandas(), sort=False)
+        mat, lens = _pad16(list(uniq))
+        probes_out: list[str] = []
+        terms_out: list[str] = []
+        dists: list[int] = []
+        dfs: list[int] = []
+        ths: list[int] = []
+        for pi, probe in enumerate(DYM_PROBES):
+            d = dist_le1(
+                mat, lens,
+                np.broadcast_to(pmat[pi], mat.shape),
+                np.full(len(lens), plens[pi]),
+            )
+            for ti in np.flatnonzero(d <= 1):
+                m = codes == ti
+                df = len(np.unique(token_doc[m]))
+                probes_out.append(probe)
+                terms_out.append(str(uniq[ti]))
+                dists.append(int(d[ti]))
+                dfs.append(df)
+                ths.append(int(h1[m][0]) & ((1 << 62) - 1))
+        if not probes_out:
+            return empty
+        return pa.table({
+            "probe": pa.array(probes_out, pa.utf8()),
+            "term": pa.array(terms_out, pa.utf8()),
+            "dist": pa.array(dists, pa.int64()),
+            "df": pa.array(dfs, pa.int64()),
+            "th": pa.array(ths, pa.int64()),
+        })
+
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["probe", "term", "dist"], as_index=False)["df"].sum()
+
+    merged = _sharded_groupby(parts, ["th"], agg).to_pandas()
+    if not len(merged):
+        return pd.DataFrame({
+            "probe": pd.Series([], dtype="object"),
+            "term": pd.Series([], dtype="object"),
+            "df": pd.Series([], dtype="int64"),
+            "dist": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64"),
+        })
+    merged = merged.groupby(["probe", "term", "dist"], as_index=False)["df"].sum()
+    out_rows = []
+    for probe, grp in merged.groupby("probe"):
+        grp = grp.sort_values(
+            ["dist", "df", "term"], ascending=[True, False, True]
+        ).head(DYM_TOPK)
+        for rk, (_, r) in enumerate(grp.iterrows(), start=1):
+            out_rows.append((probe, r["term"], int(r["df"]),
+                             int(r["dist"]), rk))
+    out = pd.DataFrame(
+        out_rows, columns=["probe", "term", "df", "dist", "rank"]
+    )
+    for c in ("df", "dist", "rank"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def sql_did_you_mean() -> str:
+    probe_rows = ", ".join(f"('{p}')" for p in DYM_PROBES)
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+td AS (SELECT DISTINCT doc_id, term FROM tok),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM td GROUP BY 1),
+probes(probe) AS (VALUES {probe_rows}),
+cand AS (
+    SELECT p.probe, d.term, d.df,
+           levenshtein(p.probe, d.term)::BIGINT AS dist
+    FROM probes p JOIN dfs d ON levenshtein(p.probe, d.term) <= 1
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY probe ORDER BY dist, df DESC, term) AS rk
+    FROM cand
+)
+SELECT probe, term, df, dist, rk::BIGINT AS rank
+FROM r WHERE rk <= {DYM_TOPK}
+"""

@@ -349,3 +349,81 @@ def k_anonymity_df(sf_dir: str, k: int = K_ANON) -> pd.DataFrame:
         )
     out = pd.concat(rows, ignore_index=True)
     return out.astype({"cnt": "int64", "lvl": "int64"})[cols]
+
+
+# ---------------------------------------------------------------- Benford
+
+BENFORD_EXP_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                   51153, 45757)  # round(log10(1+1/d)*1e6), d = 1..9
+
+
+def benford_digits_df(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law leading-digit profile of order totals (the classic
+    numeric-fraud / data-quality screen).  The leading digit is pure
+    integer arithmetic (repeated //10 — no float log10, whose 1-ulp
+    error at powers of ten would mis-digit), per-block digit counts
+    combine on the driver, and the observed share is an exact integer
+    ppm ratio, so every column is driver-hash-coverable.  The expected
+    Benford ppm table is a precomputed integer constant inlined into
+    both engines (the _NDCG_W pattern)."""
+    path = (
+        os.path.join(sf_dir, "orders.parquet")
+        if os.path.isdir(sf_dir) else sf_dir
+    )
+    from ..functions.rounding import round_half_away
+
+    orders = read_parquet_sized(path, columns=["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        d = cents[cents > 0]
+        while len(d) and int(d.max()) >= 10:
+            d = np.where(d >= 10, d // 10, d)
+        counts = np.bincount(d, minlength=10)[1:10]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10), pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    parts = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    n = np.zeros(9, np.int64)
+    if len(parts):
+        agg = parts.groupby("digit")["n"].sum()
+        for dig, cnt in agg.items():
+            n[int(dig) - 1] = int(cnt)
+    total = int(n.sum())
+    obs = [int(v) * 1_000_000 // total if total else 0 for v in n]
+    return pd.DataFrame({
+        "digit": pd.Series(np.arange(1, 10), dtype="int64"),
+        "n": pd.Series(n, dtype="int64"),
+        "obs_ppm": pd.Series(obs, dtype="int64"),
+        "exp_ppm": pd.Series(BENFORD_EXP_PPM, dtype="int64"),
+    })
+
+
+def sql_benford_digits() -> str:
+    evals = ", ".join(
+        f"({d}, {ppm})" for d, ppm in enumerate(BENFORD_EXP_PPM, start=1)
+    )
+    return f"""
+WITH c AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+    FROM orders
+    WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+),
+d AS (SELECT substr(v::VARCHAR, 1, 1)::BIGINT AS digit FROM c),
+m AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+t AS (SELECT coalesce(sum(n), 0)::HUGEINT AS total FROM m),
+e(digit, exp_ppm) AS (VALUES {evals})
+SELECT e.digit::BIGINT AS digit, coalesce(m.n, 0)::BIGINT AS n,
+       (CASE WHEN t.total > 0
+             THEN coalesce(m.n, 0)::HUGEINT * 1000000 // t.total
+             ELSE 0 END)::BIGINT AS obs_ppm,
+       e.exp_ppm::BIGINT AS exp_ppm
+FROM e LEFT JOIN m USING (digit) CROSS JOIN t
+ORDER BY e.digit
+"""

@@ -88,6 +88,7 @@ FUZZ_ENTRIES = [
     "source_gini",
     "k_anonymity",
     "edit1_name_pairs",
+    "did_you_mean",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

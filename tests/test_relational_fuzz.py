@@ -43,6 +43,8 @@ FUZZ_ENTRIES = [
     "tpch_q8_market_share",
     "tpch_q15_top_supplier",
     "tpch_q19_disjunctive",
+    "copurchase_pairs",
+    "benford_digits",
 ]
 
 _LINE = st.tuples(
