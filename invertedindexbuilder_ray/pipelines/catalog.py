@@ -3748,6 +3748,222 @@ FROM m
 QUERIES["qty_discount_corr"] = (q_qty_discount_corr, SQL_QTY_DISCOUNT_CORR)
 
 
+def q_qty_discount_ols(sf_dir: str):
+    """Per-returnflag OLS regression discount ~ quantity: the same
+    exact-integer-moments combine as qty_discount_corr, with slope and
+    intercept emitted as single float expressions over identical
+    integers — slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²), intercept =
+    (Sy·Sxx − Sx·Sxy)/(n·Sxx − Sx²) — so both payloads are
+    bit-identical across engines (grouped linear-model fitting, the
+    ML-lite sibling of the correlation entry)."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(
+        path, columns=["l_returnflag", "l_quantity", "l_discount"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = round_half_away(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * CORR_SCALE, 0
+        ).astype(np.int64)
+        y = round_half_away(
+            b["l_discount"].to_numpy(zero_copy_only=False) * CORR_SCALE, 0
+        ).astype(np.int64)
+        t = pa.table({
+            "f": b["l_returnflag"],
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "xx": pa.array(x * x, pa.int64()),
+            "xy": pa.array(x * y, pa.int64()),
+        })
+        g = t.group_by(["f"]).aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("xy", "sum")]
+        )
+        return pa.table({
+            "f": g["f"],
+            "n": g["x_count"].cast(pa.int64()),
+            "sx": g["x_sum"].cast(pa.int64()),
+            "sy": g["y_sum"].cast(pa.int64()),
+            "sxx": g["xx_sum"].cast(pa.int64()),
+            "sxy": g["xy_sum"].cast(pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    rows = []
+    for f, grp in parts.groupby("f", dropna=False):
+        if f is not None and not isinstance(f, str) and pd.isna(f):
+            f = None
+        n = int(grp["n"].sum())
+        sx = sum(int(v) for v in grp["sx"])
+        sy = sum(int(v) for v in grp["sy"])
+        sxx = sum(int(v) for v in grp["sxx"])
+        sxy = sum(int(v) for v in grp["sxy"])
+        den = n * sxx - sx * sx
+        if den > 0:
+            slope = float(round_half_away(
+                np.array([float(n * sxy - sx * sy) / float(den)]), 9)[0])
+            icept = float(round_half_away(
+                np.array([float(sy * sxx - sx * sxy) / float(den)]), 9)[0])
+        else:
+            slope = icept = None
+        rows.append((f, n, sx, sy, sxx, sxy, slope, icept))
+    out = pd.DataFrame(
+        rows,
+        columns=["l_returnflag", "n", "sx", "sy", "sxx", "sxy",
+                 "slope", "intercept"],
+    )
+    for c in ("n", "sx", "sy", "sxx", "sxy"):
+        out[c] = out[c].astype("int64")
+    out["slope"] = out["slope"].astype("float64")
+    out["intercept"] = out["intercept"].astype("float64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_QTY_DISCOUNT_OLS = f"""
+WITH q AS (
+    SELECT l_returnflag AS f,
+           CAST(round(l_quantity * {CORR_SCALE}) AS BIGINT) AS x,
+           CAST(round(l_discount * {CORR_SCALE}) AS BIGINT) AS y
+    FROM lineitem
+),
+m AS (
+    SELECT f, count(*)::HUGEINT AS n,
+           sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+           sum(x*x)::HUGEINT AS sxx, sum(x*y)::HUGEINT AS sxy
+    FROM q GROUP BY f
+)
+SELECT f AS l_returnflag, n::BIGINT AS n,
+       sx::BIGINT AS sx, sy::BIGINT AS sy,
+       sxx::BIGINT AS sxx, sxy::BIGINT AS sxy,
+       CASE WHEN n*sxx - sx*sx > 0
+            THEN round((n*sxy - sx*sy)::DOUBLE
+                       / (n*sxx - sx*sx)::DOUBLE, 9) END AS slope,
+       CASE WHEN n*sxx - sx*sx > 0
+            THEN round((sy*sxx - sx*sxy)::DOUBLE
+                       / (n*sxx - sx*sx)::DOUBLE, 9) END AS intercept
+FROM m
+"""
+
+QUERIES["qty_discount_ols"] = (q_qty_discount_ols, SQL_QTY_DISCOUNT_OLS)
+
+
+def q_mwu_length(sf_dir: str):
+    """Mann-Whitney U rank test of document length, lang='en' vs rest
+    (the rank-based sibling of the length_ks entry — completes the
+    hypothesis-testing family: KS, G-test, and now MWU).
+
+    Exactness: tied midranks are half-integers, so every rank statistic
+    is carried DOUBLED (r1_x2, u1_x2, u2_x2 — exact ints): for each
+    distinct value v occupying ranks [c_less+1, c_less+c_v], group A's
+    doubled rank sum adds a_v·(2·c_less + c_v + 1).  The tie-correction
+    term Σ(t³−t) is exact too; the AUC effect size u1/(n1·n2) is the
+    one float payload, a single division over identical integers.
+
+    Shape: per-batch (value, a, c) partials via Arrow group_by, a
+    value-sharded exchange sums them, and the bounded distinct-value
+    table (lengths, not rows) reaches the driver for the cumulative
+    scan — same cost class as the exact-quantiles entries."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        is_a = pc.equal(b["lang"], "en")
+        t = pa.table({
+            "v": b["n_chars"].cast(pa.int64()),
+            "a": is_a.cast(pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+        })
+        g = t.group_by(["v"]).aggregate([("a", "sum"), ("one", "sum")])
+        return pa.table({
+            "v": g["v"],
+            "a": g["a_sum"].cast(pa.int64()),
+            "c": g["one_sum"].cast(pa.int64()),
+        })
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("v", as_index=False)[["a", "c"]].sum()
+
+    schema = pa.schema([("v", pa.int64()), ("a", pa.int64()),
+                        ("c", pa.int64())])
+    vals = _sharded_groupby(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["v"], agg, empty_schema=schema,
+    ).to_pandas()
+    vals = vals.groupby("v", as_index=False)[["a", "c"]].sum().sort_values("v")
+    n1 = int(vals["a"].sum())
+    n = int(vals["c"].sum())
+    n2 = n - n1
+    r1x2 = 0
+    ties = 0
+    c_less = 0
+    for a_v, c_v in zip(vals["a"], vals["c"]):
+        a_v, c_v = int(a_v), int(c_v)
+        r1x2 += a_v * (2 * c_less + c_v + 1)
+        ties += c_v * c_v * c_v - c_v
+        c_less += c_v
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    u2x2 = 2 * n1 * n2 - u1x2
+    auc = (
+        float(round_half_away(
+            np.array([float(u1x2) / float(2 * n1 * n2)]), 9)[0])
+        if n1 > 0 and n2 > 0 else None
+    )
+    out = pd.DataFrame([{
+        "n1": n1, "n2": n2, "r1_x2": r1x2, "u1_x2": u1x2, "u2_x2": u2x2,
+        "tie_cubes": ties, "auc": auc,
+    }])
+    for c in ("n1", "n2", "r1_x2", "u1_x2", "u2_x2", "tie_cubes"):
+        out[c] = out[c].astype("int64")
+    out["auc"] = out["auc"].astype("float64")
+    return out
+
+
+SQL_MWU_LENGTH = """
+WITH v AS (
+    SELECT n_chars::BIGINT AS v,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
+    FROM documents
+),
+g AS (
+    SELECT v, sum(is_a)::HUGEINT AS a, count(*)::HUGEINT AS c
+    FROM v GROUP BY v
+),
+w AS (
+    SELECT v, a, c,
+           coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::HUGEINT AS cl
+    FROM g
+),
+m AS (
+    SELECT coalesce(sum(a * (2*cl + c + 1)), 0)::HUGEINT AS r1x2,
+           coalesce(sum(a), 0)::HUGEINT AS n1,
+           coalesce(sum(c), 0)::HUGEINT AS n,
+           coalesce(sum(c*c*c - c), 0)::HUGEINT AS ties
+    FROM w
+)
+SELECT n1::BIGINT AS n1, (n - n1)::BIGINT AS n2,
+       r1x2::BIGINT AS r1_x2,
+       (r1x2 - n1*(n1+1))::BIGINT AS u1_x2,
+       (2*n1*(n - n1) - (r1x2 - n1*(n1+1)))::BIGINT AS u2_x2,
+       ties::BIGINT AS tie_cubes,
+       CASE WHEN n1 > 0 AND n > n1
+            THEN round((r1x2 - n1*(n1+1))::DOUBLE
+                       / (2*n1*(n - n1))::DOUBLE, 9) END AS auc
+FROM m
+"""
+
+QUERIES["mwu_length"] = (q_mwu_length, SQL_MWU_LENGTH)
+
+
 def q_pagerank_terms(sf_dir: str):
     """Fixed-point PageRank over the frequent-term co-occurrence graph
     (the iterative-algorithm entry).  See curation.pagerank_terms."""
@@ -9231,6 +9447,20 @@ from .temporal import SQL_EWMA_HOURLY as _SQL_EWMA  # noqa: E402
 
 QUERIES["events_acf"] = (q_events_acf, _SQL_ACF)
 QUERIES["events_ewma"] = (q_events_ewma, _SQL_EWMA)
+
+
+def q_events_seasonality(sf_dir: str):
+    """Hour-of-day seasonality profile (temporal.seasonality_hod):
+    integer mean events/hour per hod slot."""
+    from .temporal import seasonality_hod
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    return seasonality_hod(read_parquet_sized(path, columns=["ts"]))
+
+
+from .temporal import SQL_SEASONALITY_HOD as _SQL_SEASON  # noqa: E402
+
+QUERIES["events_seasonality"] = (q_events_seasonality, _SQL_SEASON)
 
 
 # --------------------------------------------------------------------------

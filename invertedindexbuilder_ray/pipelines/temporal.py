@@ -1243,3 +1243,51 @@ rec AS (
 SELECT h::BIGINT AS hour, c::BIGINT AS n_events, s::BIGINT AS ewma_milli
 FROM rec ORDER BY hour
 """
+
+
+def seasonality_hod(events: rd.Dataset, *, ts: str = "ts") -> "pd.DataFrame":
+    """Hour-of-day seasonality profile of the event stream: for each
+    hod 0..23, the number of observed hours, total events, and the
+    exact integer mean (milli-events/hour, total*1000 // n_hours).
+    All 24 rows always emit (zeros when a slot never occurs)."""
+    import pandas as pd
+
+    h, c = _hourly_counts(events, ts=ts)
+    hod = (h % 24).astype(np.int64)
+    n_hours = np.zeros(24, np.int64)
+    total = np.zeros(24, np.int64)
+    for i in range(len(h)):
+        n_hours[hod[i]] += 1
+        total[hod[i]] += int(c[i])
+    mean_milli = [
+        int(total[i]) * 1000 // int(n_hours[i]) if n_hours[i] else 0
+        for i in range(24)
+    ]
+    return pd.DataFrame({
+        "hod": pd.Series(np.arange(24), dtype="int64"),
+        "n_hours": pd.Series(n_hours, dtype="int64"),
+        "total": pd.Series(total, dtype="int64"),
+        "mean_milli": pd.Series(mean_milli, dtype="int64"),
+    })
+
+
+SQL_SEASONALITY_HOD = """
+WITH hc AS (
+    SELECT epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS c
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT (h % 24)::BIGINT AS hod, count(*)::BIGINT AS n_hours,
+           sum(c)::HUGEINT AS total
+    FROM hc GROUP BY 1
+),
+slots AS (SELECT unnest(range(24)) AS hod)
+SELECT s.hod::BIGINT AS hod,
+       coalesce(m.n_hours, 0)::BIGINT AS n_hours,
+       coalesce(m.total, 0)::BIGINT AS total,
+       (CASE WHEN coalesce(m.n_hours, 0) > 0
+             THEN m.total * 1000 // m.n_hours ELSE 0 END)::BIGINT
+           AS mean_milli
+FROM slots s LEFT JOIN m USING (hod)
+ORDER BY s.hod
+"""

@@ -89,6 +89,7 @@ FUZZ_ENTRIES = [
     "k_anonymity",
     "edit1_name_pairs",
     "did_you_mean",
+    "mwu_length",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

@@ -45,6 +45,7 @@ FUZZ_ENTRIES = [
     "tpch_q19_disjunctive",
     "copurchase_pairs",
     "benford_digits",
+    "qty_discount_ols",
 ]
 
 _LINE = st.tuples(

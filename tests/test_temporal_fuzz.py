@@ -41,6 +41,7 @@ FUZZ_ENTRIES = [
     "events_cusum",
     "events_acf",
     "events_ewma",
+    "events_seasonality",
     "funnel_latency",
     "user_value_outliers",
     "value_sax",
