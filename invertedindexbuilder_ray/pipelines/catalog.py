@@ -4028,6 +4028,89 @@ FROM degs d JOIN r{PR_ITERS} rf USING (term)
 QUERIES["pagerank_terms"] = (q_pagerank_terms, _sql_pagerank_terms())
 
 
+def q_hits_terms(sf_dir: str):
+    """HITS hubs/authorities over the df-directed co-occurrence graph
+    (integer max-normalized half-steps).  See curation.hits_terms."""
+    from .curation import hits_terms
+
+    return hits_terms(sf_dir)
+
+
+def _sql_hits_terms() -> str:
+    from .curation import HITS_ITERS, HITS_SCALE, PR_TOP_VOCAB
+
+    steps = []
+    prev = "h0"
+    for k in range(1, HITS_ITERS + 1):
+        steps.append(f"""
+a{k}r AS MATERIALIZED (
+    SELECT t.term, coalesce(s.c, 0)::HUGEINT AS v
+    FROM topv t LEFT JOIN (
+        SELECT e.dst AS term, sum(h.v)::HUGEINT AS c
+        FROM ed e JOIN {prev} h ON h.term = e.src
+        GROUP BY 1
+    ) s USING (term)
+),
+a{k} AS MATERIALIZED (
+    SELECT term,
+           (CASE WHEN (SELECT max(v) FROM a{k}r) > 0
+                 THEN v * {HITS_SCALE} // (SELECT max(v) FROM a{k}r)
+                 ELSE 0 END)::HUGEINT AS v
+    FROM a{k}r
+),
+h{k}r AS MATERIALIZED (
+    SELECT t.term, coalesce(s.c, 0)::HUGEINT AS v
+    FROM topv t LEFT JOIN (
+        SELECT e.src AS term, sum(a.v)::HUGEINT AS c
+        FROM ed e JOIN a{k} a ON a.term = e.dst
+        GROUP BY 1
+    ) s USING (term)
+),
+h{k} AS MATERIALIZED (
+    SELECT term,
+           (CASE WHEN (SELECT max(v) FROM h{k}r) > 0
+                 THEN v * {HITS_SCALE} // (SELECT max(v) FROM h{k}r)
+                 ELSE 0 END)::HUGEINT AS v
+    FROM h{k}r
+)""")
+        prev = f"h{k}"
+    return f"""
+WITH {_SQL_TOKS_LIST},
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM filt),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+topv AS (SELECT term FROM dfc ORDER BY df DESC, term LIMIT {PR_TOP_VOCAB}),
+tv AS (SELECT t.doc_id, t.term FROM tok t JOIN topv USING (term)),
+edges AS (
+    SELECT DISTINCT a.term AS src, b.term AS dst
+    FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term <> b.term
+),
+ed AS (
+    SELECT e.src, e.dst
+    FROM edges e
+    JOIN dfc da ON da.term = e.src
+    JOIN dfc db ON db.term = e.dst
+    WHERE da.df < db.df OR (da.df = db.df AND e.src < e.dst)
+),
+h0 AS (SELECT term, {HITS_SCALE}::HUGEINT AS v FROM topv),
+{",".join(steps)}
+SELECT t.term,
+       coalesce(od.c, 0)::BIGINT AS outdeg,
+       coalesce(idg.c, 0)::BIGINT AS indeg,
+       af.v::BIGINT AS auth, hf.v::BIGINT AS hub,
+       row_number() OVER (ORDER BY hf.v DESC, t.term)::BIGINT AS hub_rank
+FROM topv t
+LEFT JOIN (SELECT src AS term, count(*)::BIGINT AS c FROM ed GROUP BY 1)
+    od USING (term)
+LEFT JOIN (SELECT dst AS term, count(*)::BIGINT AS c FROM ed GROUP BY 1)
+    idg USING (term)
+JOIN a{HITS_ITERS} af USING (term)
+JOIN h{HITS_ITERS} hf USING (term)
+"""
+
+
+QUERIES["hits_terms"] = (q_hits_terms, _sql_hits_terms())
+
+
 def q_unigram_logprob(sf_dir: str):
     """Per-doc unigram-LM negative log-likelihood (CCNet-style quality
     score) on a 16-bit probability grid.  See curation.unigram_logprob_ds."""
