@@ -203,6 +203,12 @@ def run_bench() -> dict:
         "term_burstiness", "length_ks", "lang_feature_terms",
         "hapax_ratio", "source_gini",
     ]
+    if catalog_names:
+        # every catalog entry runs in the bench — newly added operators
+        # are picked up automatically (hand-ordered names above keep the
+        # historical round-over-round comparison stable)
+        seen = set(catalog_names)
+        catalog_names += [n for n in sorted(QUERIES) if n not in seen]
     for name in catalog_names:
         fn, _sql = QUERIES[name]
         t0 = time.perf_counter()

@@ -896,9 +896,11 @@ SQL_NGRAM_JACCARD = (
 
 
 def q_dedup_ngram_jaccard(sf_dir: str):
-    from .dedup import ngram_jaccard_pairs
+    from .dedup import ngram_jaccard_pairs_cached
 
-    return ngram_jaccard_pairs(sf_dir, threshold=NGRAM_JACCARD_THRESHOLD)
+    return ngram_jaccard_pairs_cached(
+        sf_dir, threshold=NGRAM_JACCARD_THRESHOLD
+    )
 
 
 EMB_NEARDUP_THRESHOLD = 0.4
@@ -977,9 +979,11 @@ def q_dedup_clusters(sf_dir: str):
     """Connected components over the EXACT n-gram-Jaccard near-dup pairs —
     SQL-checkable end to end (the pair set is deterministic and the
     component labels are reproduced by a recursive CTE)."""
-    from .dedup import dedup_clusters, ngram_jaccard_pairs
+    from .dedup import dedup_clusters, ngram_jaccard_pairs_cached
 
-    pairs = ngram_jaccard_pairs(sf_dir, threshold=NGRAM_JACCARD_THRESHOLD)
+    pairs = ngram_jaccard_pairs_cached(
+        sf_dir, threshold=NGRAM_JACCARD_THRESHOLD
+    )
     return dedup_clusters(pairs, load_documents(sf_dir))
 
 

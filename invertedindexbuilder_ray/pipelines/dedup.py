@@ -19,6 +19,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions import sketch
@@ -361,6 +362,33 @@ def minhash_dedup_pairs_cached(
         ds = minhash_dedup_pairs(
             source, num_perm=num_perm, bands=bands, k=k, threshold=threshold
         ).materialize()
+        _PAIRS_CACHE[key] = ds
+    return ds
+
+
+def ngram_jaccard_pairs_cached(
+    source: str | rd.Dataset, *, k: int = 3, threshold: float = 0.5
+) -> rd.Dataset:
+    """`ngram_jaccard_pairs`, memoized per (file stat, params) for string
+    sources — the pair + cluster catalog entries share one pass, same
+    contract as minhash_dedup_pairs_cached."""
+    import os
+
+    if not isinstance(source, str):
+        return ngram_jaccard_pairs(source, k=k, threshold=threshold)
+    path = (
+        os.path.join(source, "documents.parquet")
+        if os.path.isdir(source)
+        else source
+    )
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ngram_jaccard_pairs(source, k=k, threshold=threshold)
+    key = ("ngram", path, st.st_size, int(st.st_mtime), k, threshold)
+    ds = _PAIRS_CACHE.get(key)
+    if ds is None:
+        ds = ngram_jaccard_pairs(source, k=k, threshold=threshold).materialize()
         _PAIRS_CACHE[key] = ds
     return ds
 
@@ -784,8 +812,98 @@ def _binary_rows(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarra
     return flat, (offsets.astype(np.int64) - offsets[0]) // 8
 
 
+# broadcast-verify bounds for ngram_jaccard_pairs: below these the whole
+# shingle-set table ships once via ray.put and verification fuses into the
+# pair-generation shard (2 light exchanges total); above them the exact
+# partitioned-join verify runs (4 exchanges, unbounded scale)
+NGRAM_BCAST_DOCS = 200_000
+NGRAM_BCAST_BYTES = 128 * 1024 * 1024
+
+
+def _ngram_verify_broadcast(
+    sets_ds: rd.Dataset, cand: rd.Dataset, threshold: float
+) -> rd.Dataset:
+    """Small-corpus ngram-Jaccard verify: broadcast the full shingle-set
+    table (sorted doc_id + offsets + flat uint64 values, one ray.put),
+    then pair-generation, within-shard dedup and EXACT verification all
+    run inside ONE skey-sharded exchange; a second light exchange dedups
+    the (few) verified pairs across shards.  Bit-identical to the
+    partitioned-join path (same lexsort intersection, same rounding) —
+    asserted by the parity test."""
+    import ray
+
+    df = sets_ds.to_pandas()
+    ids = df["doc_id"].to_numpy(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids_s = ids[order]
+    bufs = [df["shingles"].iloc[int(i)] for i in order]
+    lens0 = np.array([len(b) // 8 for b in bufs], np.int64)
+    offs0 = np.zeros(len(bufs) + 1, np.int64)
+    np.cumsum(lens0, out=offs0[1:])
+    flat0 = (
+        np.frombuffer(b"".join(bufs), np.uint64)
+        if bufs else np.empty(0, np.uint64)
+    )
+    ref = ray.put((ids_s, offs0, flat0))
+
+    def _typed_empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        })
+
+    def shard_fn(g: pd.DataFrame) -> pd.DataFrame:
+        p = _bucket_pairs(g, key="skey", max_bucket=None)
+        if not len(p):
+            return _typed_empty()
+        p = p.drop_duplicates(["doc_a", "doc_b"])
+        sids, offs, flat = ray.get(ref)
+        lens = np.diff(offs)
+        da = p["doc_a"].to_numpy(np.int64)
+        db = p["doc_b"].to_numpy(np.int64)
+        ia = np.searchsorted(sids, da)
+        ib = np.searchsorted(sids, db)
+        la, lb = lens[ia], lens[ib]
+        ga = np.repeat(offs[ia], la) + _ranges(la)
+        gb = np.repeat(offs[ib], lb) + _ranges(lb)
+        n = len(p)
+        pid = np.concatenate([
+            np.repeat(np.arange(n, dtype=np.int64), la),
+            np.repeat(np.arange(n, dtype=np.int64), lb),
+        ])
+        vals = np.concatenate([flat[ga], flat[gb]])
+        o2 = np.lexsort((vals, pid))
+        pid_s, vals_s = pid[o2], vals[o2]
+        dup = (pid_s[1:] == pid_s[:-1]) & (vals_s[1:] == vals_s[:-1])
+        inter = np.bincount(pid_s[1:][dup], minlength=n).astype(np.int64)
+        union = la + lb - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = np.where(union > 0, inter / union, 0.0)
+        keep = j >= threshold
+        if not keep.any():
+            return _typed_empty()
+        return pd.DataFrame({
+            "doc_a": da[keep],
+            "doc_b": db[keep],
+            "jaccard": round_half_away(j[keep], 6),
+        })
+
+    raw = _sharded_groupby(cand, ["skey"], shard_fn, empty_schema=None)
+    schema = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("jaccard", pa.float64()),
+    ])
+    return _sharded_groupby(
+        raw, ["doc_a", "doc_b"],
+        lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+        empty_schema=schema,
+    )
+
+
 def ngram_jaccard_pairs(
     source: str | rd.Dataset, *, k: int = 3, threshold: float = 0.5,
+    bcast_docs: int = NGRAM_BCAST_DOCS, bcast_bytes: int = NGRAM_BCAST_BYTES,
 ) -> rd.Dataset:
     """EXACT near-dup pairs: k-token-shingle Jaccard >= threshold, all pairs.
 
@@ -794,8 +912,13 @@ def ngram_jaccard_pairs(
     first ``|A| - ceil(t*|A|) + 1`` shingles of A and of B intersect, so
     blocking on prefix shingles only loses NO qualifying pair while
     cutting the explode (and hot-shingle buckets) roughly by t.
-    Verification is exact Jaccard on the full sorted shingle sets,
-    carried through hash-partitioned joins as binary arrays.  Exact up to
+    Verification is exact Jaccard on the full sorted shingle sets —
+    hybrid: when the set table fits the broadcast bounds it ships ONCE
+    (``ray.put``) and verification fuses into the pair-generation shard
+    (two light exchanges end-to-end; the bench showed the join path's
+    four all-to-alls dominated wall at small corpora); above the bounds
+    the exact partitioned-join verify carries the sets as binary arrays
+    (unbounded scale, identical results — parity-tested).  Exact up to
     64-bit shingle-hash collisions (~2^-64 per pair).
     """
     from .joins import partitioned_hash_join
@@ -838,6 +961,23 @@ def ngram_jaccard_pairs(
         )
 
     cand = sets_ds.map_batches(explode_prefix, batch_format="pyarrow")
+
+    n_docs = sets_ds.count()
+    if n_docs <= bcast_docs:
+        tot_bytes = sum(
+            int(r["b"])
+            for r in sets_ds.map_batches(
+                lambda t: pa.table({
+                    "b": pa.array(
+                        [int(pc.sum(pc.binary_length(t["shingles"]))
+                             .as_py() or 0)], pa.int64())
+                }),
+                batch_format="pyarrow",
+            ).take_all()
+        )
+        if tot_bytes <= bcast_bytes:
+            return _ngram_verify_broadcast(sets_ds, cand, threshold)
+
     raw = cand.groupby("shard").map_groups(
         lambda g: _bucket_pairs(g, key="skey", max_bucket=None),
         batch_format="pandas",

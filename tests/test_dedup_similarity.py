@@ -69,6 +69,24 @@ def test_ngram_jaccard_exact(dup_ds):
         assert j == pytest.approx(_brute_jaccard(rows[a]["text"], rows[b]["text"]), abs=1e-6)
 
 
+def test_ngram_jaccard_broadcast_join_parity(dup_ds):
+    """The small-corpus broadcast verify and the at-scale partitioned-
+    join verify must return the IDENTICAL pair set and jaccard values
+    (bcast_docs=0 forces the join path)."""
+    import pandas as pd
+
+    from invertedindexbuilder_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    fast = canon(ngram_jaccard_pairs(dup_ds, threshold=0.5))
+    slow = canon(ngram_jaccard_pairs(dup_ds, threshold=0.5, bcast_docs=0))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) > 0
+
+
 def test_simhash_dups(dup_ds):
     from invertedindexbuilder_ray.pipelines.dedup import simhash_dedup_pairs
 
