@@ -9550,6 +9550,21 @@ from .temporal import SQL_SEASONALITY_HOD as _SQL_SEASON  # noqa: E402
 QUERIES["events_seasonality"] = (q_events_seasonality, _SQL_SEASON)
 
 
+def q_events_trend_mk(sf_dir: str):
+    """Mann-Kendall monotonic-trend test on hourly counts
+    (temporal.mann_kendall_hourly): exact integer S + tie-adjusted
+    variance, continuity-corrected z payload."""
+    from .temporal import mann_kendall_hourly
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    return mann_kendall_hourly(read_parquet_sized(path, columns=["ts"]))
+
+
+from .temporal import SQL_MANN_KENDALL as _SQL_MK  # noqa: E402
+
+QUERIES["events_trend_mk"] = (q_events_trend_mk, _SQL_MK)
+
+
 # --------------------------------------------------------------------------
 # product-quantization codebook training (the PQ half of IVF-PQ — the
 # 10^12-vector ANN path).  The 64-dim space splits into PQ_SUB contiguous
@@ -10734,6 +10749,24 @@ def _sql_dym() -> str:
 
 
 QUERIES["did_you_mean"] = (q_did_you_mean, _sql_dym())
+
+
+def q_rbo_rankings(sf_dir: str):
+    """See ranking.rbo_rankings_df: fixed-point rank-biased overlap
+    between the tf ranking and the length-normalized impact ranking of
+    the top-df term's posting list."""
+    from .ranking import rbo_rankings_df
+
+    return rbo_rankings_df(sf_dir)
+
+
+def _sql_rbo() -> str:
+    from .ranking import sql_rbo_rankings
+
+    return sql_rbo_rankings()
+
+
+QUERIES["rbo_rankings"] = (q_rbo_rankings, _sql_rbo())
 
 
 # --------------------------------------------------------------------------

@@ -672,3 +672,154 @@ r AS (
 SELECT probe, term, df, dist, rk::BIGINT AS rank
 FROM r WHERE rk <= {DYM_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# rank-biased overlap between two document rankings
+
+RBO_K = 10
+RBO_P_NUM, RBO_P_DEN = 9, 10  # persistence p = 0.9
+# integer weights round((1-p) * p^(d-1) * 1e9), d = 1..K — computed once
+# here and inlined into the SQL (the _NDCG_W pattern)
+_RBO_W = [
+    round((1 - RBO_P_NUM / RBO_P_DEN) * (RBO_P_NUM / RBO_P_DEN) ** (d - 1)
+          * 1_000_000_000)
+    for d in range(1, RBO_K + 1)
+]
+
+
+def rbo_rankings_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """Rank-biased overlap (Webber et al., TOIS 2010 — public metric)
+    between two rankings of the top-df query term's posting list:
+    list A orders docs by raw tf, list B by the length-normalized
+    integer impact ``tf * 1e6 // dl`` (the impact_postings key).  Both
+    orders are total (integer key, doc_id tiebreak), the per-depth
+    overlap is an exact integer, and each depth's contribution is
+    ``(W[d] * ov_d) // d`` with the geometric weight table inlined into
+    the SQL — so the whole metric is integer-exact (a fixed-point lower
+    bound of RBO@K).
+
+    Shape: one streaming pass emits per-block partial top-K candidates
+    under BOTH orders (docs never span batches, so (tf, dl) per doc is
+    exact per block); the driver merges <= 2K rows per block.
+    Columns: ``term, d, doc_tf, doc_imp, ov, contrib, rbo_fp``."""
+    docs = _docs(source)
+    qt = _top_df_terms(docs, 1)
+    cols = ["term", "d", "doc_tf", "doc_imp", "ov", "contrib", "rbo_fp"]
+    if not len(qt):
+        return pd.DataFrame({
+            "term": pd.Series([], dtype=object),
+            "d": pd.Series([], dtype="int64"),
+            "doc_tf": pd.Series([], dtype="int64"),
+            "doc_imp": pd.Series([], dtype="int64"),
+            "ov": pd.Series([], dtype="int64"),
+            "contrib": pd.Series([], dtype="int64"),
+            "rbo_fp": pd.Series([], dtype="int64"),
+        })
+    term = qt[0][0]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "dl": pa.array([], pa.int64()),
+        })
+        toks, token_doc, _row, _h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        is_q = pc.equal(toks, term).to_numpy(zero_copy_only=False)
+        hit_docs = token_doc[is_q]
+        if not len(hit_docs):
+            return empty
+        udocs, tf = np.unique(hit_docs, return_counts=True)
+        alld, dl_all = np.unique(token_doc, return_counts=True)
+        dl = dl_all[np.searchsorted(alld, udocs)]
+        imp = tf.astype(np.int64) * 1_000_000 // dl.astype(np.int64)
+        # partial top-K under BOTH total orders: global winners are
+        # contained in the union of per-block winners
+        ka = np.lexsort((udocs, -tf))[:RBO_K]
+        kb = np.lexsort((udocs, -imp))[:RBO_K]
+        keep = np.unique(np.concatenate([ka, kb]))
+        return pa.table({
+            "doc_id": pa.array(udocs[keep].astype(np.int64)),
+            "tf": pa.array(tf[keep].astype(np.int64)),
+            "dl": pa.array(dl[keep].astype(np.int64)),
+        })
+
+    cand = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(cand):
+        return pd.DataFrame(columns=cols)
+    cand = cand.drop_duplicates("doc_id")
+    tf = cand["tf"].to_numpy(np.int64)
+    dl = cand["dl"].to_numpy(np.int64)
+    ids = cand["doc_id"].to_numpy(np.int64)
+    imp = tf * 1_000_000 // dl
+    oa = np.lexsort((ids, -tf))[:RBO_K]
+    ob = np.lexsort((ids, -imp))[:RBO_K]
+    la, lb = ids[oa], ids[ob]
+    n_d = min(RBO_K, len(la))
+    rows = []
+    rbo_fp = 0
+    for d in range(1, n_d + 1):
+        ov = len(np.intersect1d(la[:d], lb[:d]))
+        contrib = (_RBO_W[d - 1] * ov) // d
+        rbo_fp += contrib
+        rows.append((term, d, int(la[d - 1]), int(lb[d - 1]), ov, contrib))
+    out = pd.DataFrame(
+        rows, columns=["term", "d", "doc_tf", "doc_imp", "ov", "contrib"]
+    )
+    out["rbo_fp"] = rbo_fp
+    for c in ("d", "doc_tf", "doc_imp", "ov", "contrib", "rbo_fp"):
+        out[c] = out[c].astype("int64")
+    return out[cols]
+
+
+def sql_rbo_rankings() -> str:
+    w_rows = ", ".join(
+        f"({d}, {w})" for d, w in enumerate(_RBO_W, start=1)
+    )
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+td AS (SELECT DISTINCT doc_id, term FROM tok),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM td GROUP BY 1),
+qt AS (SELECT term FROM dfs ORDER BY df DESC, term LIMIT 1),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+tf AS (
+    SELECT doc_id, count(*)::BIGINT AS tf FROM tok
+    WHERE term = (SELECT term FROM qt) GROUP BY 1
+),
+j AS (
+    SELECT t.doc_id, t.tf, (t.tf * 1000000 // d.dl)::BIGINT AS imp
+    FROM tf t JOIN dl d USING (doc_id)
+),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rk
+       FROM j),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY imp DESC, doc_id) AS rk
+       FROM j),
+w(d, w) AS (VALUES {w_rows}),
+depths AS (
+    SELECT d, w FROM w
+    WHERE d <= least({RBO_K}, (SELECT count(*) FROM j))
+),
+per AS (
+    SELECT dp.d, dp.w,
+           (SELECT doc_id FROM ra WHERE rk = dp.d) AS doc_tf,
+           (SELECT doc_id FROM rb WHERE rk = dp.d) AS doc_imp,
+           (SELECT count(*) FROM ra a JOIN rb b USING (doc_id)
+            WHERE a.rk <= dp.d AND b.rk <= dp.d)::BIGINT AS ov
+    FROM depths dp
+)
+SELECT (SELECT term FROM qt) AS term, d::BIGINT AS d,
+       doc_tf::BIGINT AS doc_tf, doc_imp::BIGINT AS doc_imp, ov,
+       ((w::HUGEINT * ov) // d)::BIGINT AS contrib,
+       (sum((w::HUGEINT * ov) // d) OVER ())::BIGINT AS rbo_fp
+FROM per ORDER BY d
+"""

@@ -1291,3 +1291,78 @@ SELECT s.hod::BIGINT AS hod,
 FROM slots s LEFT JOIN m USING (hod)
 ORDER BY s.hod
 """
+
+
+MK_MAX_HOURS = 5_000  # O(n^2) sign-pair bound for the trend test
+
+
+def mann_kendall_hourly(events: rd.Dataset, *, ts: str = "ts") -> "pd.DataFrame":
+    """Mann-Kendall monotonic-trend test on the hourly count series
+    (Mann 1945 / Kendall 1975 — public method).  S = Σ_{i<j}
+    sign(c_j − c_i) and the tie-adjusted variance numerator
+    n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) are exact integers; the
+    continuity-corrected z is one float expression over them.  The
+    pair scan is O(n²) on the bounded driver series (loud cap — at
+    100 TB the series is still one row per hour)."""
+    import pandas as pd
+
+    h, c = _hourly_counts(events, ts=ts)
+    n = len(h)
+    if n > MK_MAX_HOURS:
+        raise ValueError(
+            f"mann_kendall_hourly: {n} hours exceeds the declared "
+            f"O(n^2) bound {MK_MAX_HOURS}"
+        )
+    s = 0
+    for j in range(1, n):  # bounded; ~12M sign ops at the cap
+        s += int(np.sign(c[j] - c[:j]).sum())
+    _, tcnt = np.unique(c, return_counts=True) if n else (None, np.empty(0))
+    tie_term = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in tcnt)
+    var_num = n * (n - 1) * (2 * n + 5) - tie_term
+    from ..functions.rounding import round_half_away
+
+    if var_num > 0:
+        cc = 1 if s > 0 else (-1 if s < 0 else 0)
+        z = float(round_half_away(
+            np.array([(s - cc) / np.sqrt(var_num / 18.0)]), 9)[0])
+    else:
+        z = None
+    out = pd.DataFrame([{
+        "n_hours": n, "s_stat": s, "tie_term": tie_term,
+        "var_num": var_num, "z": z,
+    }])
+    for col in ("n_hours", "s_stat", "tie_term", "var_num"):
+        out[col] = out[col].astype("int64")
+    out["z"] = out["z"].astype("float64")
+    return out
+
+
+SQL_MANN_KENDALL = """
+WITH hc AS (
+    SELECT epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS c
+    FROM events GROUP BY 1
+),
+p AS (
+    SELECT CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+    FROM hc a JOIN hc b ON b.h > a.h
+),
+t AS (
+    SELECT coalesce(sum(tt * (tt-1) * (2*tt+5)), 0)::HUGEINT AS tie_term
+    FROM (SELECT count(*)::HUGEINT AS tt FROM hc GROUP BY c)
+),
+m AS (
+    SELECT (SELECT count(*)::HUGEINT FROM hc) AS n,
+           coalesce((SELECT sum(sg) FROM p), 0)::HUGEINT AS s,
+           (SELECT tie_term FROM t) AS tie_term
+)
+SELECT n::BIGINT AS n_hours, s::BIGINT AS s_stat,
+       tie_term::BIGINT AS tie_term,
+       (n*(n-1)*(2*n+5) - tie_term)::BIGINT AS var_num,
+       CASE WHEN n*(n-1)*(2*n+5) - tie_term > 0
+            THEN round((s - CASE WHEN s > 0 THEN 1
+                                 WHEN s < 0 THEN -1 ELSE 0 END)::DOUBLE
+                       / sqrt((n*(n-1)*(2*n+5) - tie_term)::DOUBLE / 18.0),
+                       9)
+       END AS z
+FROM m
+"""

@@ -90,6 +90,7 @@ FUZZ_ENTRIES = [
     "edit1_name_pairs",
     "did_you_mean",
     "mwu_length",
+    "rbo_rankings",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

@@ -42,6 +42,7 @@ FUZZ_ENTRIES = [
     "events_acf",
     "events_ewma",
     "events_seasonality",
+    "events_trend_mk",
     "funnel_latency",
     "user_value_outliers",
     "value_sax",
