@@ -10803,3 +10803,20 @@ QUERIES["tpch_q19_disjunctive"] = (q19_disjunctive, SQL_Q19)
 from .strsim import SQL_EDIT1_PAIRS, edit1_pairs  # noqa: E402
 
 QUERIES["edit1_name_pairs"] = (edit1_pairs, SQL_EDIT1_PAIRS)
+
+
+def q_soundex_blocking(sf_dir: str):
+    """See strsim.soundex_blocking_df: simplified-Soundex phonetic keys
+    + block sizes over the record-linkage name table."""
+    from .strsim import soundex_blocking_df
+
+    return soundex_blocking_df(sf_dir)
+
+
+def _sql_soundex() -> str:
+    from .strsim import SQL_SOUNDEX_BLOCKING
+
+    return SQL_SOUNDEX_BLOCKING
+
+
+QUERIES["soundex_blocking"] = (q_soundex_blocking, _sql_soundex())

@@ -239,3 +239,122 @@ SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
 FROM names a JOIN names b ON a.id < b.id
 WHERE levenshtein(a.s, b.s) <= 1
 """
+
+
+# ---------------------------------------------------------------- soundex
+
+# American Soundex letter codes a..z (simplified: no H/W bridge rule —
+# adjacent equal codes collapse regardless of the separating letter;
+# deterministic and replicated identically in the SQL oracle)
+SOUNDEX_CODES = "01230120022455012623010202"
+
+
+def _soundex_one(s: str) -> str:
+    """Simplified Soundex of one string: letters only, first letter +
+    three collapsed non-zero codes, zero-padded.  Empty when the string
+    has no ASCII letters."""
+    letters = [ch for ch in s.lower() if "a" <= ch <= "z"]
+    if not letters:
+        return ""
+    codes = [SOUNDEX_CODES[ord(ch) - 97] for ch in letters]
+    kept = [codes[0]]
+    for c in codes[1:]:
+        if c != kept[-1]:
+            kept.append(c)
+    digits = "".join(c for c in kept[1:] if c != "0")[:3]
+    return letters[0].upper() + digits.ljust(3, "0")
+
+
+def soundex_blocking_df(sf_dir: str) -> pd.DataFrame:
+    """Phonetic blocking of the record-linkage name table: each name's
+    simplified Soundex code plus its block size (names sharing a code
+    are linkage candidates) — the classic phonetic-key complement to
+    the FastSS edit-distance join above.
+
+    The per-name encode is a bounded per-row scan over <= 16 chars on
+    the SAME every-10th-doc derived table `_names` builds (its own
+    construction is per-row too); block sizes come from one driver
+    groupby over the tiny name table.  At corpus scale the name table
+    is N/10 rows — the encode stays a streaming map_batches; only
+    (code, count) partials would need a sharded sum, same shape as
+    term df."""
+    def encode(t: pa.Table) -> pa.Table:
+        strs = t["s"].to_pylist()
+        return pa.table({
+            "id": t["id"].cast(pa.int64()),
+            "s": t["s"],
+            "soundex": pa.array([_soundex_one(s) for s in strs],
+                                pa.string()),
+        })
+
+    rows = pd.DataFrame(
+        _names(sf_dir).map_batches(
+            encode, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all(),
+        columns=["id", "s", "soundex"],
+    )
+    if not len(rows):
+        return pd.DataFrame({
+            "id": pd.Series([], dtype="int64"),
+            "s": pd.Series([], dtype="object"),
+            "soundex": pd.Series([], dtype="object"),
+            "block_n": pd.Series([], dtype="int64"),
+        })
+    sizes = rows.groupby("soundex")["id"].transform("size")
+    rows["block_n"] = sizes.astype("int64")
+    rows["id"] = rows["id"].astype("int64")
+    return rows.sort_values("id").reset_index(drop=True)
+
+
+SQL_SOUNDEX_BLOCKING = f"""
+WITH names AS (
+    SELECT doc_id AS id, substr(text, 1, {NAME_LEN}) AS s
+    FROM documents WHERE doc_id % {EDIT1_PICK_EVERY} = 0
+    UNION ALL
+    SELECT doc_id + {EDIT1_MUT_ID_OFFSET} AS id,
+           'z' || substr(text, 2, {NAME_LEN - 1}) AS s
+    FROM documents WHERE doc_id % {EDIT1_MUT_EVERY} = 0
+),
+base AS (
+    SELECT id, s, regexp_replace(lower(s), '[^a-z]', '', 'g') AS l
+    FROM names
+),
+code AS (
+    SELECT id, s, l,
+           translate(l, 'abcdefghijklmnopqrstuvwxyz',
+                     '{SOUNDEX_CODES}') AS c
+    FROM base
+),
+ch AS (
+    SELECT id, unnest(regexp_extract_all(c, '.')) AS d,
+           unnest(range(1, length(c) + 1)) AS pos
+    FROM code
+),
+dd AS (
+    SELECT id, d, pos,
+           lag(d) OVER (PARTITION BY id ORDER BY pos) AS pd
+    FROM ch
+),
+kept AS (
+    SELECT id, d, pos,
+           row_number() OVER (PARTITION BY id ORDER BY pos) AS rn
+    FROM dd WHERE pd IS NULL OR d <> pd
+),
+digits AS (
+    SELECT id,
+           coalesce(string_agg(d, '' ORDER BY rn)
+                    FILTER (WHERE rn > 1 AND d <> '0'), '') AS ds
+    FROM kept GROUP BY id
+),
+sx AS (
+    SELECT c.id, c.s,
+           CASE WHEN c.l = '' THEN ''
+                ELSE upper(substr(c.l, 1, 1))
+                     || rpad(substr(coalesce(g.ds, ''), 1, 3), 3, '0')
+           END AS soundex
+    FROM code c LEFT JOIN digits g USING (id)
+)
+SELECT id, s, soundex,
+       (count(*) OVER (PARTITION BY soundex))::BIGINT AS block_n
+FROM sx ORDER BY id
+"""

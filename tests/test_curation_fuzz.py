@@ -91,6 +91,7 @@ FUZZ_ENTRIES = [
     "did_you_mean",
     "mwu_length",
     "rbo_rankings",
+    "soundex_blocking",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

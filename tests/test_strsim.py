@@ -52,3 +52,16 @@ def test_deletion_blocking_recall(pair):
     ds = {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
     dt = {t} | {t[:i] + t[i + 1:] for i in range(len(t))}
     assert ds & dt
+
+
+def test_soundex_textbook_values():
+    from invertedindexbuilder_ray.pipelines.strsim import _soundex_one
+
+    assert _soundex_one("Robert") == "R163"
+    assert _soundex_one("Rupert") == "R163"
+    assert _soundex_one("Tymczak") == "T522"
+    assert _soundex_one("Pfister") == "P236"
+    assert _soundex_one("Ashcraft") == "A226"  # simplified: no H/W bridge
+    assert _soundex_one("") == ""
+    assert _soundex_one("123 .!") == ""
+    assert _soundex_one("a") == "A000"
