@@ -196,3 +196,84 @@ FROM p GROUP BY 1, 2
 ORDER BY n DESC, pk1, pk2
 LIMIT {COPURCHASE_TOPK}
 """
+
+
+# ---------------------------------------------------------------- triples
+
+MIN_SUPPORT_3 = 10
+
+
+def frequent_triples_df(
+    sf_dir: str, min_support: int = MIN_SUPPORT_3
+) -> pd.DataFrame:
+    """Frequent brand 3-itemsets across order baskets (the Apriori
+    depth-3 step above assoc_rules' pairs).  Same containment shape:
+    an order-sharded exchange co-locates each basket, the within-shard
+    double self-merge emits only intra-order ordered triples (the item
+    domain is the bounded brand enumeration, so shard output is
+    O(#brands^3) worst case, independent of basket count), and the
+    per-shard counts sum on the driver.  Columns: ``brand_a, brand_b,
+    brand_c, support`` with support >= ``min_support``, brand_a <
+    brand_b < brand_c."""
+    li = read_parquet_sized(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    part = read_parquet_sized(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"],
+    )
+    n_li = li.count()
+    joined = partitioned_hash_join(
+        li, part, left_on="l_partkey", right_on="p_partkey",
+        num_partitions=_join_partitions(n_li),
+    ).select_columns(["l_orderkey", "p_brand"])
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_orderkey", "p_brand"])
+        m = d.merge(d, on="l_orderkey").merge(
+            d, on="l_orderkey", suffixes=("", "_z")
+        )
+        m = m[(m["p_brand_x"] < m["p_brand_y"])
+              & (m["p_brand_y"] < m["p_brand"])]
+        t = m.groupby(
+            ["p_brand_x", "p_brand_y", "p_brand"], as_index=False
+        ).size()
+        return t.rename(columns={
+            "p_brand_x": "brand_a", "p_brand_y": "brand_b",
+            "p_brand": "brand_c", "size": "support",
+        })
+
+    schema = pa.schema([
+        ("brand_a", pa.utf8()), ("brand_b", pa.utf8()),
+        ("brand_c", pa.utf8()), ("support", pa.int64()),
+    ])
+    parts = _sharded_groupby(
+        joined, ["l_orderkey"], per_shard,
+        num_shards=_shards_for(n_li), empty_schema=schema,
+    ).to_pandas()
+    cols = ["brand_a", "brand_b", "brand_c", "support"]
+    if not len(parts):
+        return pd.DataFrame(columns=cols).astype({"support": "int64"})
+    agg = parts.groupby(
+        ["brand_a", "brand_b", "brand_c"], as_index=False
+    )["support"].sum()
+    agg = agg[agg["support"] >= min_support]
+    agg["support"] = agg["support"].astype("int64")
+    return agg.sort_values(cols[:3]).reset_index(drop=True)[cols]
+
+
+SQL_FREQUENT_TRIPLES = f"""
+WITH b AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT b1.p_brand AS brand_a, b2.p_brand AS brand_b, b3.p_brand AS brand_c,
+       count(*)::BIGINT AS support
+FROM b b1
+JOIN b b2 ON b1.l_orderkey = b2.l_orderkey AND b1.p_brand < b2.p_brand
+JOIN b b3 ON b2.l_orderkey = b3.l_orderkey AND b2.p_brand < b3.p_brand
+GROUP BY 1, 2, 3
+HAVING count(*) >= {MIN_SUPPORT_3}
+ORDER BY 1, 2, 3
+"""

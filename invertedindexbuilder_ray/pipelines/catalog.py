@@ -7002,6 +7002,69 @@ GROUP BY 1, 2
 QUERIES["langid_confusion"] = (q_langid_confusion, _sql_langid_confusion())
 
 
+def q_langid_kappa(sf_dir: str):
+    """Cohen's kappa of the language-ID classifier against the labeled
+    lang column: chance-corrected agreement from the integer confusion
+    matrix — n·agree and the expected-agreement numerator Σ row_c·col_c
+    are exact ints (HUGEINT in SQL), kappa is ONE float expression over
+    them.  Completes the classifier-evaluation family (confusion
+    matrix, AUC, NDCG → agreement statistic)."""
+    import pandas as pd
+
+    conf = q_langid_confusion(sf_dir)
+    n = int(conf["n"].sum()) if len(conf) else 0
+    agree = (
+        int(conf.loc[conf["lang"] == conf["lang_pred"], "n"].sum())
+        if len(conf) else 0
+    )
+    rows = conf.groupby("lang")["n"].sum() if len(conf) else {}
+    colsum = conf.groupby("lang_pred")["n"].sum() if len(conf) else {}
+    pe_num = sum(
+        int(rows.get(lab, 0)) * int(colsum.get(lab, 0))
+        for lab in set(getattr(rows, "index", [])) | set(
+            getattr(colsum, "index", []))
+    )
+    acc_ppm = agree * 1_000_000 // n if n else 0
+    kappa = (
+        float(round_half_away(
+            np.array([(n * agree - pe_num) / (n * n - pe_num)]), 9)[0])
+        if n * n != pe_num else None
+    )
+    out = pd.DataFrame([{
+        "n": n, "agree": agree, "pe_num": pe_num, "acc_ppm": acc_ppm,
+        "kappa": kappa,
+    }])
+    for c in ("n", "agree", "pe_num", "acc_ppm"):
+        out[c] = out[c].astype("int64")
+    out["kappa"] = out["kappa"].astype("float64")
+    return out
+
+
+def _sql_langid_kappa() -> str:
+    return f"""
+WITH conf AS ({_sql_langid_confusion()}),
+r AS (SELECT lang AS l, sum(n)::HUGEINT AS c FROM conf GROUP BY 1),
+cc AS (SELECT lang_pred AS l, sum(n)::HUGEINT AS c FROM conf GROUP BY 1),
+m AS (
+    SELECT coalesce((SELECT sum(n) FROM conf), 0)::HUGEINT AS n,
+           coalesce((SELECT sum(n) FROM conf WHERE lang = lang_pred),
+                    0)::HUGEINT AS agree,
+           coalesce((SELECT sum(r.c * cc.c) FROM r JOIN cc USING (l)),
+                    0)::HUGEINT AS pe
+)
+SELECT n::BIGINT AS n, agree::BIGINT AS agree, pe::BIGINT AS pe_num,
+       (CASE WHEN n > 0 THEN agree * 1000000 // n ELSE 0 END)::BIGINT
+           AS acc_ppm,
+       CASE WHEN n*n <> pe
+            THEN round((n*agree - pe)::DOUBLE / (n*n - pe)::DOUBLE, 9)
+       END AS kappa
+FROM m
+"""
+
+
+QUERIES["langid_kappa"] = (q_langid_kappa, _sql_langid_kappa())
+
+
 # --------------------------------------------------------------------------
 # vocabulary growth (Heaps-law curve): distinct terms among the first k
 # docs, for a grid of prefixes.  Prefix-distinct without re-scanning per
@@ -10715,6 +10778,22 @@ def _sql_copurchase() -> str:
 
 
 QUERIES["copurchase_pairs"] = (q_copurchase_pairs, _sql_copurchase())
+
+
+def q_frequent_triples(sf_dir: str):
+    """See basket.frequent_triples_df: Apriori depth-3 brand itemsets."""
+    from .basket import frequent_triples_df
+
+    return frequent_triples_df(sf_dir)
+
+
+def _sql_triples() -> str:
+    from .basket import SQL_FREQUENT_TRIPLES
+
+    return SQL_FREQUENT_TRIPLES
+
+
+QUERIES["frequent_triples"] = (q_frequent_triples, _sql_triples())
 
 
 def q_benford_digits(sf_dir: str):
