@@ -10849,20 +10849,22 @@ QUERIES["rbo_rankings"] = (q_rbo_rankings, _sql_rbo())
 
 
 # --------------------------------------------------------------------------
-# TPC-H relational tier (tpch.py): Q3/Q6/Q7/Q8/Q10/Q14/Q15/Q17/Q18/Q19
+# TPC-H relational tier (tpch.py): Q1/Q3/Q6/Q7/Q8/Q10/Q14/Q15/Q17/Q18/Q19
 # shapes with integer-exact monetary measures (see tpch.py module
 # docstring); Q2/Q9/Q11/Q16/Q20 need the partsupp table (absent from the
 # synthetic schema) and Q4/Q12/Q21 date/shipmode columns are covered by
 # order_priority_ct / the events family
 
 from .tpch import (  # noqa: E402
-    SQL_Q3, SQL_Q6, SQL_Q7, SQL_Q8, SQL_Q10, SQL_Q14, SQL_Q15, SQL_Q17,
-    SQL_Q18, SQL_Q19,
-    q3_unshipped, q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+    SQL_Q1, SQL_Q3, SQL_Q6, SQL_Q7, SQL_Q8, SQL_Q10, SQL_Q14, SQL_Q15,
+    SQL_Q17, SQL_Q18, SQL_Q19,
+    q1_pricing_summary, q3_unshipped, q6_forecast_revenue,
+    q7_volume_shipping, q8_market_share,
     q10_returned_items, q14_promo_revenue, q15_top_supplier,
     q17_small_qty_revenue, q18_large_orders, q19_disjunctive,
 )
 
+QUERIES["tpch_q1_pricing"] = (q1_pricing_summary, SQL_Q1)
 QUERIES["tpch_q3_unshipped"] = (q3_unshipped, SQL_Q3)
 QUERIES["tpch_q6_forecast"] = (q6_forecast_revenue, SQL_Q6)
 QUERIES["tpch_q7_volume"] = (q7_volume_shipping, SQL_Q7)

@@ -1,5 +1,5 @@
-"""TPC-H-shaped relational pipelines (Q3, Q6, Q7, Q10, Q14, Q17, Q18)
-over the synthetic star schema.
+"""TPC-H-shaped relational pipelines (Q1, Q3, Q6, Q7, Q8, Q10, Q14,
+Q15, Q17, Q18, Q19) over the synthetic star schema.
 
 Exactness contract (the revenue_by_nation pattern, catalog.py): every
 monetary measure is recovered to INTEGER cents / basis-points per row —
@@ -1335,3 +1335,117 @@ ORDER BY b.branch
 
 
 SQL_Q19 = _sql_q19()
+
+
+# ---------------------------------------------------------------- Q1
+
+Q1_CUT = "2000-06-30"
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 pricing summary: per (returnflag, linestatus) exact
+    integer totals of quantity / base price (cents) / discounted price
+    (1e4) / charge (1e6) plus count, with the float averages computed
+    from the integer totals by the identical expression on both engines.
+    One streaming pass; each batch emits <= 6 partial rows (the group
+    domain is bounded), the driver combines them as Python ints so a
+    100-TB charge sum cannot overflow."""
+    cut = np.datetime64(Q1_CUT)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sd = _ts(t["l_shipdate"])
+        t = t.filter(pa.array(sd <= cut))
+        qty = round_half_away(
+            t["l_quantity"].to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        ep = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dc = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        tx = _cents(t["l_tax"].to_numpy(zero_copy_only=False))
+        disc = ep * (100 - dc)
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "l_linestatus": t["l_linestatus"].to_pandas(),
+            "sum_qty": qty,
+            "sum_base_e2": ep,
+            "sum_disc_e4": disc,
+            "sum_charge_e6": disc * (100 + tx),
+            "sum_disc_pct": dc,
+            "count_order": np.ones(len(qty), np.int64),
+        })
+        agg = df.groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False
+        ).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount",
+         "l_tax", "l_returnflag", "l_linestatus"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    acc: dict[tuple[str, str], list[int]] = {}
+    for r in parts.take_all():
+        key = (r["l_returnflag"], r["l_linestatus"])
+        cur = acc.setdefault(key, [0, 0, 0, 0, 0, 0])
+        for i, c in enumerate((
+            "sum_qty", "sum_base_e2", "sum_disc_e4", "sum_charge_e6",
+            "sum_disc_pct", "count_order",
+        )):
+            cur[i] += int(r[c])  # Python ints: exact at any magnitude
+
+    rows = []
+    for (rf, ls) in sorted(acc):
+        sq, sb, sd_, sc, sp, n = acc[(rf, ls)]
+        rows.append({
+            "l_returnflag": rf, "l_linestatus": ls,
+            "sum_qty": sq, "sum_base_e2": sb, "sum_disc_e4": sd_,
+            "sum_charge_e6": sc, "count_order": n,
+            "sum_base_price": float(round_half_away(
+                np.array([float(sb) / 100.0]), 2)[0]),
+            "sum_disc_price": float(round_half_away(
+                np.array([float(sd_) / 10000.0]), 2)[0]),
+            "sum_charge": float(round_half_away(
+                np.array([float(sc) / 1000000.0]), 2)[0]),
+            "avg_qty": float(round_half_away(
+                np.array([float(sq) / float(n)]), 9)[0]),
+            "avg_price": float(round_half_away(
+                np.array([float(sb) / 100.0 / float(n)]), 9)[0]),
+            "avg_disc": float(round_half_away(
+                np.array([float(sp) / 100.0 / float(n)]), 9)[0]),
+        })
+    out = pd.DataFrame(rows)
+    for c in ("sum_qty", "sum_base_e2", "sum_disc_e4", "sum_charge_e6",
+              "count_order"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_Q1 = f"""
+WITH m AS (
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_quantity) AS HUGEINT)) AS sq,
+           sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sb,
+           sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+               * (100 - CAST(round(l_discount * 100) AS HUGEINT))) AS sd,
+           sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+               * (100 - CAST(round(l_discount * 100) AS HUGEINT))
+               * (100 + CAST(round(l_tax * 100) AS HUGEINT))) AS sc,
+           sum(CAST(round(l_discount * 100) AS HUGEINT)) AS sp,
+           count(*)::HUGEINT AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUT}'
+    GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       sq::BIGINT AS sum_qty, sb::BIGINT AS sum_base_e2,
+       sd::BIGINT AS sum_disc_e4, sc::BIGINT AS sum_charge_e6,
+       n::BIGINT AS count_order,
+       round(CAST(sb AS DOUBLE) / 100.0, 2) AS sum_base_price,
+       round(CAST(sd AS DOUBLE) / 10000.0, 2) AS sum_disc_price,
+       round(CAST(sc AS DOUBLE) / 1000000.0, 2) AS sum_charge,
+       round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE), 9) AS avg_qty,
+       round(CAST(sb AS DOUBLE) / 100.0 / CAST(n AS DOUBLE), 9) AS avg_price,
+       round(CAST(sp AS DOUBLE) / 100.0 / CAST(n AS DOUBLE), 9) AS avg_disc
+FROM m
+ORDER BY l_returnflag, l_linestatus
+"""
