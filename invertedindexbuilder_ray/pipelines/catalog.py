@@ -8650,6 +8650,26 @@ QUERIES["ndcg_eval"] = (q_ndcg_eval, _sql_ndcg_eval())
 
 
 # --------------------------------------------------------------------------
+# MAP@K / MRR ranking evaluation (binary relevance)
+
+
+def q_map_mrr_eval(sf_dir: str):
+    """See ranking.map_mrr_eval_df."""
+    from .ranking import map_mrr_eval_df
+
+    return map_mrr_eval_df(sf_dir)
+
+
+def _sql_map_mrr_eval() -> str:
+    from .ranking import sql_map_mrr_eval
+
+    return sql_map_mrr_eval()
+
+
+QUERIES["map_mrr_eval"] = (q_map_mrr_eval, _sql_map_mrr_eval())
+
+
+# --------------------------------------------------------------------------
 # per-source KL divergence vs corpus unigram distribution
 
 

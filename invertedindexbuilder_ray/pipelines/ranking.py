@@ -823,3 +823,191 @@ SELECT (SELECT term FROM qt) AS term, d::BIGINT AS d,
        (sum((w::HUGEINT * ov) // d) OVER ())::BIGINT AS rbo_fp
 FROM per ORDER BY d
 """
+
+
+# ---------------------------------------------------------------------------
+# MAP@K / MRR retrieval evaluation (completes the eval family:
+# confusion matrix -> AUC -> NDCG -> kappa -> MAP/MRR)
+
+EVAL_K = 10
+EVAL_QUERIES = 3
+EVAL_REL_TF = 3  # binary relevance: tf >= EVAL_REL_TF
+
+
+def map_mrr_eval_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """Per query term: ``term, n_candidates, n_relevant, first_rel_rank,
+    rr_x1e9, ap_num_x1e9, ap_x1e6`` — MRR and MAP@``EVAL_K`` of the
+    integer length-normalized ranking (``s = 1000*tf // dl``, ties doc
+    asc; same ranking as ndcg_eval) against binary relevance
+    ``tf >= EVAL_REL_TF``.
+
+    Everything is integer fixed point: ``rr_x1e9 = 1e9 //
+    first_rel_rank`` (0 when no relevant doc ranks <= K),
+    ``ap_num_x1e9 = sum over relevant positions k<=K of
+    (1e9 * hits_at_k) // k`` and ``ap_x1e6 = ap_num_x1e9 // (1000 *
+    min(n_relevant, K))`` — floor divisions of non-negative ints agree
+    between numpy/Python and DuckDB ``//``, so the result is hash-exact.
+
+    Scale shape identical to ndcg_eval_df: per batch each query emits
+    its top-``EVAL_K`` rows under the total ranking order plus one count
+    partial (top-k of a union is the top-k of per-batch top-k's), so the
+    driver merge sees <= (K+1) rows per (batch, query) at any corpus
+    size."""
+    docs = _docs(source)
+    cols = ["term", "n_candidates", "n_relevant", "first_rel_rank",
+            "rr_x1e9", "ap_num_x1e9", "ap_x1e6"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "term" else "int64") for c in cols})
+
+    terms = [t for t, _df in _top_df_terms(docs, EVAL_QUERIES)]
+    if not terms:
+        return _empty()
+
+    def cand(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"q": pa.array([], pa.int64()), "which": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+             "rel": pa.array([], pa.int64())}
+        )
+        toks, _td, row_idx, _h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        dl = np.bincount(row_idx, minlength=batch.num_rows).astype(np.int64)
+        qs, whichs, ds, ss, rels = [], [], [], [], []
+        for qi, t in enumerate(terms):
+            m = pc.equal(toks, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(row_idx[m], minlength=batch.num_rows).astype(
+                np.int64)
+            sel = tf > 0
+            if not sel.any():
+                continue
+            tfs = tf[sel]
+            s = (1000 * tfs) // dl[sel]
+            rel = (tfs >= EVAL_REL_TF).astype(np.int64)
+            dsel = doc_ids[sel]
+            ranked = np.lexsort((dsel, -s))[:EVAL_K]
+            qs.extend([qi] * len(ranked))
+            whichs.extend([0] * len(ranked))
+            ds.extend(dsel[ranked].tolist())
+            ss.extend(s[ranked].tolist())
+            rels.extend(rel[ranked].tolist())
+            # count partial: n_candidates in `s`, n_relevant in `rel`
+            qs.append(qi)
+            whichs.append(2)
+            ds.append(-1)
+            ss.append(int(sel.sum()))
+            rels.append(int(rel.sum()))
+        if not qs:
+            return empty
+        return pa.table(
+            {"q": pa.array(qs, pa.int64()),
+             "which": pa.array(whichs, pa.int64()),
+             "doc_id": pa.array(ds, pa.int64()),
+             "s": pa.array(ss, pa.int64()),
+             "rel": pa.array(rels, pa.int64())}
+        )
+
+    parts = docs.map_batches(cand, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return _empty()
+    rows = []
+    for qi, t in enumerate(terms):
+        p = parts[parts["q"] == qi]
+        if not len(p):
+            continue
+        r = p[p["which"] == 0].sort_values(
+            ["s", "doc_id"], ascending=[False, True],
+            kind="mergesort").head(EVAL_K)
+        rel = r["rel"].to_numpy(np.int64)
+        hits = np.cumsum(rel)
+        ranks = np.arange(1, len(rel) + 1, dtype=np.int64)
+        rel_pos = ranks[rel == 1]
+        first = int(rel_pos[0]) if len(rel_pos) else 0
+        n_cand = int(p.loc[p["which"] == 2, "s"].sum())
+        n_rel = int(p.loc[p["which"] == 2, "rel"].sum())
+        ap_num = int(
+            ((1_000_000_000 * hits[rel == 1]) // rel_pos).sum()
+        ) if len(rel_pos) else 0
+        denom = 1000 * min(n_rel, EVAL_K)
+        rows.append({
+            "term": t, "n_candidates": n_cand, "n_relevant": n_rel,
+            "first_rel_rank": first,
+            "rr_x1e9": 1_000_000_000 // first if first else 0,
+            "ap_num_x1e9": ap_num,
+            "ap_x1e6": ap_num // denom if denom else 0,
+        })
+    if not rows:
+        return _empty()
+    return pd.DataFrame(rows).astype(
+        {c: "int64" for c in cols if c != "term"})[cols]
+
+
+def sql_map_mrr_eval() -> str:
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+top AS (
+    SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+        FROM df
+    ) WHERE rk <= {EVAL_QUERIES}
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+tfq AS (
+    SELECT t.term, t.doc_id, count(*)::BIGINT AS tf
+    FROM tok t JOIN top USING (term) GROUP BY 1, 2
+),
+cand AS (
+    SELECT tfq.term, tfq.doc_id, (1000 * tfq.tf) // dl.n AS s,
+           (CASE WHEN tfq.tf >= {EVAL_REL_TF} THEN 1 ELSE 0 END)::BIGINT
+               AS rel
+    FROM tfq JOIN dl USING (doc_id)
+),
+r AS (
+    SELECT term, rel,
+           row_number() OVER (PARTITION BY term ORDER BY s DESC, doc_id)
+               AS rk,
+           sum(rel) OVER (PARTITION BY term ORDER BY s DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS hits
+    FROM cand
+),
+agg AS (
+    SELECT term, count(*)::BIGINT AS n_candidates,
+           sum(rel)::BIGINT AS n_relevant
+    FROM cand GROUP BY 1
+),
+topk AS (SELECT * FROM r WHERE rk <= {EVAL_K}),
+firstrel AS (
+    SELECT term, coalesce(min(CASE WHEN rel = 1 THEN rk END), 0)::BIGINT
+               AS first_rel_rank
+    FROM topk GROUP BY 1
+),
+ap AS (
+    SELECT term,
+           coalesce(sum(CASE WHEN rel = 1
+                             THEN (1000000000 * hits) // rk END),
+                    0)::BIGINT AS ap_num_x1e9
+    FROM topk GROUP BY 1
+)
+SELECT agg.term, agg.n_candidates, agg.n_relevant,
+       firstrel.first_rel_rank,
+       (CASE WHEN firstrel.first_rel_rank > 0
+             THEN 1000000000 // firstrel.first_rel_rank ELSE 0 END)::BIGINT
+           AS rr_x1e9,
+       ap.ap_num_x1e9,
+       (CASE WHEN least(agg.n_relevant, {EVAL_K}) > 0
+             THEN ap.ap_num_x1e9 // (1000 * least(agg.n_relevant, {EVAL_K}))
+             ELSE 0 END)::BIGINT AS ap_x1e6
+FROM agg JOIN firstrel USING (term) JOIN ap USING (term)
+"""
