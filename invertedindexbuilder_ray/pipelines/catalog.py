@@ -8670,6 +8670,26 @@ QUERIES["map_mrr_eval"] = (q_map_mrr_eval, _sql_map_mrr_eval())
 
 
 # --------------------------------------------------------------------------
+# S-stemmer vocabulary folding (top stems by df after plural stripping)
+
+
+def q_stem_terms(sf_dir: str):
+    """See curation.stem_terms_df."""
+    from .curation import stem_terms_df
+
+    return stem_terms_df(sf_dir)
+
+
+def _sql_stem_terms() -> str:
+    from .curation import sql_stem_terms
+
+    return sql_stem_terms()
+
+
+QUERIES["stem_terms"] = (q_stem_terms, _sql_stem_terms())
+
+
+# --------------------------------------------------------------------------
 # per-source KL divergence vs corpus unigram distribution
 
 

@@ -3807,3 +3807,180 @@ def hits_terms(
     for c in ("outdeg", "indeg", "auth", "hub"):
         out[c] = out[c].astype("int64")
     return out[out_cols]
+
+
+# ---------------------------------------------------------------------------
+# S-stemmer vocabulary folding (Harman-style plural stripper)
+
+STEM_TOP_K = 30
+# Anchored RE2 rules applied IN ORDER on both engines (Arrow
+# replace_substring_regex and DuckDB regexp_replace share RE2 and the
+# \1 rewrite syntax), chosen so no rule's output can match a later
+# rule: ies->y unless e/a-preceded, es->e unless a/e/o/i-preceded,
+# drop trailing s unless u/s/e/i-preceded ("this", "class", "corpus"
+# and all es/ies endings stay put for the later rules' exclusions).
+STEM_RULES = (
+    (r"([^ae])ies$", r"\1y"),
+    (r"([^aeoi])es$", r"\1e"),
+    (r"([^usei])s$", r"\1"),
+)
+
+
+def _stem(toks: pa.Array) -> pa.Array:
+    for pat, rep in STEM_RULES:
+        toks = pc.replace_substring_regex(toks, pattern=pat, replacement=rep)
+    return toks
+
+
+# sf augmentation (replicated in the SQL oracle): the synthetic corpus
+# has no inflected forms, so append plurals of corpus words to every
+# Nth doc — same pattern as the PII / substring-dup augmentations.
+STEM_AUG_EVERY = 5
+STEM_AUG_TEXT = " scans joins filters merges queries"
+
+
+def _stem_augment(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    text = pc.binary_join_element_wise(
+        pc.cast(batch["text"], pa.string()),
+        pc.if_else(
+            pa.array(ids % STEM_AUG_EVERY == 0),
+            pa.array([STEM_AUG_TEXT] * n, pa.string()),
+            pa.array([""] * n, pa.string()),
+        ),
+        "",
+    )
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
+def stem_terms_df(source: str | rd.Dataset, *, k: int = STEM_TOP_K,
+                  augment: bool = True) -> pd.DataFrame:
+    """Top-``k`` stems by document frequency after S-stemmer vocabulary
+    folding: ``stem, n_tokens, df, n_forms`` (occurrences, distinct
+    docs, distinct surface forms), ordered df desc / stem asc.
+
+    Shape: per-batch Arrow group_by gives exact (stem, doc) / (stem,
+    term) partials (documents never span batches, so per-batch df
+    partials sum exactly); ONE stem-sharded exchange (internal hash
+    key, never in the output) merges counts and dedups surface forms;
+    a stem lives in exactly one shard, so per-shard top-k -> driver
+    top-k is exact at any vocabulary size."""
+    from ..functions.hashing import term_hash
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+    if augment:
+        docs = docs.map_batches(_stem_augment, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    cols = ["stem", "n_tokens", "df", "n_forms"]
+
+    part_schema = pa.schema([
+        ("stem", pa.utf8()), ("term", pa.utf8()), ("kind", pa.int64()),
+        ("n", pa.int64()), ("sh", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = part_schema.empty_table()
+        toks, token_doc, _ri, _h1, _h2 = _batch_tokens(batch)
+        if not len(toks):
+            return empty
+        stems = _stem(toks)
+        t = pa.table({
+            "stem": stems, "term": toks,
+            "doc": pa.array(token_doc, pa.int64()),
+        })
+        # kind 0: per-stem (token count, df partial via (stem,doc) dedup)
+        tf = t.group_by(["stem"]).aggregate([("stem", "count")])
+        dfp = (
+            t.group_by(["stem", "doc"]).aggregate([])
+            .group_by(["stem"]).aggregate([("doc", "count")])
+        )
+        forms = t.group_by(["stem", "term"]).aggregate([])
+        out = pa.table({
+            "stem": pa.concat_arrays([
+                tf["stem"].combine_chunks(), dfp["stem"].combine_chunks(),
+                forms["stem"].combine_chunks(),
+            ]),
+            "term": pa.concat_arrays([
+                pa.nulls(tf.num_rows, pa.utf8()).fill_null(""),
+                pa.nulls(dfp.num_rows, pa.utf8()).fill_null(""),
+                forms["term"].combine_chunks(),
+            ]),
+            "kind": pa.array(
+                [0] * tf.num_rows + [1] * dfp.num_rows + [2] * forms.num_rows,
+                pa.int64(),
+            ),
+            "n": pa.concat_arrays([
+                tf["stem_count"].cast(pa.int64()).combine_chunks(),
+                dfp["doc_count"].cast(pa.int64()).combine_chunks(),
+                pa.nulls(forms.num_rows, pa.int64()).fill_null(0),
+            ]),
+        })
+        sh = term_hash(out["stem"].combine_chunks()).view(np.int64)
+        return out.append_column("sh", pa.array(sh, pa.int64()))
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g[g["kind"] == 0].groupby("stem")["n"].sum()
+        dfc = g[g["kind"] == 1].groupby("stem")["n"].sum()
+        forms = (
+            g[g["kind"] == 2].drop_duplicates(["stem", "term"])
+            .groupby("stem").size()
+        )
+        out = pd.DataFrame({
+            "stem": tf.index,
+            "n_tokens": tf.to_numpy(np.int64),
+            "df": dfc.reindex(tf.index).fillna(0).to_numpy(np.int64),
+            "n_forms": forms.reindex(tf.index).fillna(0).to_numpy(np.int64),
+        })
+        return out.sort_values(["df", "stem"], ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    out_schema = pa.schema([
+        ("stem", pa.utf8()), ("n_tokens", pa.int64()),
+        ("df", pa.int64()), ("n_forms", pa.int64()),
+    ])
+    res = _sharded_groupby(parts, ["sh"], per_shard,
+                           empty_schema=out_schema).to_pandas()
+    if not len(res):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "stem" else "int64") for c in cols})
+    res = res.sort_values(["df", "stem"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+    for c in cols[1:]:
+        res[c] = res[c].astype("int64")
+    return res[cols]
+
+
+def sql_stem_terms() -> str:
+    reps = "term"
+    for pat, rep in STEM_RULES:
+        reps = f"regexp_replace({reps}, '{pat}', '{rep}')".replace(
+            "\\1", "\\1")
+    return f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % {STEM_AUG_EVERY} = 0
+                        THEN '{STEM_AUG_TEXT}' ELSE '' END AS text
+    FROM documents
+),
+filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM aug
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+st AS (SELECT doc_id, term, {reps} AS stem FROM tok),
+agg AS (
+    SELECT stem, count(*)::BIGINT AS n_tokens,
+           count(DISTINCT doc_id)::BIGINT AS df,
+           count(DISTINCT term)::BIGINT AS n_forms
+    FROM st GROUP BY 1
+)
+SELECT stem, n_tokens, df, n_forms FROM agg
+ORDER BY df DESC, stem LIMIT {STEM_TOP_K}
+"""

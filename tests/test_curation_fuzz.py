@@ -92,6 +92,9 @@ FUZZ_ENTRIES = [
     "mwu_length",
     "rbo_rankings",
     "soundex_blocking",
+    "langid_kappa",
+    "map_mrr_eval",
+    "stem_terms",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
