@@ -8690,6 +8690,26 @@ QUERIES["stem_terms"] = (q_stem_terms, _sql_stem_terms())
 
 
 # --------------------------------------------------------------------------
+# asymmetric containment join (quote / sub-document near-dup)
+
+
+def q_containment_pairs(sf_dir: str):
+    """See curation.containment_pairs_df."""
+    from .curation import containment_pairs_df
+
+    return containment_pairs_df(sf_dir)
+
+
+def _sql_containment_pairs() -> str:
+    from .curation import sql_containment_pairs
+
+    return sql_containment_pairs()
+
+
+QUERIES["containment_pairs"] = (q_containment_pairs, _sql_containment_pairs())
+
+
+# --------------------------------------------------------------------------
 # per-source KL divergence vs corpus unigram distribution
 
 

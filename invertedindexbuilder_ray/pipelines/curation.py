@@ -3984,3 +3984,217 @@ agg AS (
 SELECT stem, n_tokens, df, n_forms FROM agg
 ORDER BY df DESC, stem LIMIT {STEM_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment join (quote / sub-document detection): the
+# near-dup direction Jaccard misses — a short doc whose shingles are a
+# subset of a long doc scores low Jaccard but high containment
+# C(A,B) = |sh(A) n sh(B)| / |sh(A)|.
+
+CONT_W = 8            # token-shingle width (same class as NOVELTY_WINDOW)
+CONT_MIN_PCT = 80     # keep ordered pairs with 100*ov >= pct*|sh(A)|
+CONT_FP_CAP = 64      # per-shingle doc cap (deterministic doc-asc,
+                      # replicated in the SQL oracle — the moss_pairs guard)
+CONT_QUOTE_EVERY = 50
+CONT_QUOTE_OFFSET = 20_000_000
+CONT_QUOTE_CHARS = 200
+
+
+def _quote_augment(batch: pa.Table) -> pa.Table:
+    """sf augmentation (mirrored in SQL): every Nth doc spawns a 'quote'
+    doc holding its first ``CONT_QUOTE_CHARS`` characters — a genuine
+    PARTIAL containment (the cut boundary token breaks a few shingles),
+    which the synthetic corpus cannot produce naturally."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = ids % CONT_QUOTE_EVERY == 0
+    q = batch.filter(pa.array(m))
+    quotes = pa.table({
+        "doc_id": pc.add(q["doc_id"], CONT_QUOTE_OFFSET),
+        "text": pc.utf8_slice_codeunits(
+            pc.cast(q["text"], pa.string()), 0, CONT_QUOTE_CHARS),
+    })
+    base = pa.table({"doc_id": batch["doc_id"], "text": batch["text"]})
+    return pa.concat_tables([base, quotes])
+
+
+def containment_pairs_df(
+    source: str | rd.Dataset, *, augment: bool = True
+) -> pd.DataFrame:
+    """Ordered containment pairs: ``doc_a, doc_b, n_shared, size_a,
+    cont_pct`` for every (A, B) with 100·|sh(A) ∩ sh(B)| >=
+    ``CONT_MIN_PCT``·|sh(A)| over distinct ``CONT_W``-token shingles.
+
+    Shape (the moss_pairs pipeline with asymmetric normalization): the
+    shingle pass is per-batch exact (group on the shingle STRING, the
+    wh hash only routes shards); ONE shingle-sharded exchange generates
+    in-bucket pairs under the deterministic ``CONT_FP_CAP`` doc-asc cap;
+    ONE pair-sharded sum gives exact overlaps, mirrored to both
+    directions; ONE doc-sharded join attaches |sh(A)| and applies the
+    integer threshold.  No driver materialization beyond the final
+    (threshold-filtered) result."""
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+    if augment:
+        docs = docs.map_batches(_quote_augment, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    w = CONT_W
+
+    def windows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "wh": pa.array([], pa.int64()),
+            "shingle": pa.array([], pa.utf8()),
+            "doc_id": pa.array([], pa.int64()),
+        })
+        toks, token_doc, row_idx, h1, _h2 = _batch_tokens(batch)
+        n = len(toks)
+        if n < w:
+            return empty
+        keep = row_idx[: n - w + 1] == row_idx[w - 1 :]
+        pieces = [toks.slice(i, n - w + 1) for i in range(w)]
+        joined = pc.binary_join_element_wise(*pieces, " ").filter(
+            pa.array(keep))
+        acc = np.zeros(n - w + 1, np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(w):
+                hv = h1[i : i + n - w + 1]
+                acc = (acc ^ hv) * np.uint64(1099511628211)
+        t = pa.table({
+            "wh": pa.array(acc[keep].view(np.int64), pa.int64()),
+            "shingle": joined,
+            "doc_id": pa.array(token_doc[: n - w + 1][keep], pa.int64()),
+        })
+        g = t.group_by(["shingle", "doc_id"]).aggregate([("wh", "min")])
+        return pa.table({
+            "wh": g["wh_min"],
+            "shingle": g["shingle"],
+            "doc_id": g["doc_id"],
+        })
+
+    win = docs.map_batches(windows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    # per-doc distinct-shingle sizes: exact per batch (docs never span
+    # batches; shingles already deduped per doc)
+    def size_part(b: pa.Table) -> pa.Table:
+        g = b.group_by(["doc_id"]).aggregate([([], "count_all")])
+        return pa.table({
+            "doc_a": g["doc_id"],
+            "doc_b": pa.nulls(g.num_rows, pa.int64()).fill_null(-1),
+            "n": g["count_all"].cast(pa.int64()),
+            "kind": pa.nulls(g.num_rows, pa.int64()).fill_null(1),
+        })
+
+    sizes = win.map_batches(size_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_shingle(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[["shingle", "doc_id"]].drop_duplicates()
+        s = s.sort_values(["shingle", "doc_id"], kind="mergesort")
+        s = s.groupby("shingle", as_index=False).head(CONT_FP_CAP)
+        j = s.merge(s, on="shingle", suffixes=("_a", "_b"))
+        j = j[j["doc_id_a"] < j["doc_id_b"]]
+        out = j.groupby(["doc_id_a", "doc_id_b"], as_index=False).size()
+        out.columns = ["doc_a", "doc_b", "n"]
+        return out.astype({"doc_a": "int64", "doc_b": "int64", "n": "int64"})
+
+    parts = _sharded_groupby(win, ["wh"], per_shingle)
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.groupby(["doc_a", "doc_b"], as_index=False)["n"].sum()
+        # mirror: containment is evaluated in BOTH directions
+        m = o.rename(columns={"doc_a": "doc_b", "doc_b": "doc_a"})
+        out = pd.concat([o, m[["doc_a", "doc_b", "n"]]], ignore_index=True)
+        out["kind"] = 0
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "n": "int64", "kind": "int64"})
+
+    pair_schema = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("n", pa.int64()), ("kind", pa.int64()),
+    ])
+    pairs = _sharded_groupby(parts, ["doc_a", "doc_b"], per_pair,
+                             empty_schema=None)
+
+    def attach_size(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g[g["kind"] == 1].set_index("doc_a")["n"]
+        p = g[g["kind"] == 0]
+        if not len(p):
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64"),
+                "size_a": pd.Series([], dtype="int64"),
+                "cont_pct": pd.Series([], dtype="int64"),
+            })
+        size_a = sz.reindex(p["doc_a"]).to_numpy(np.int64)
+        ov = p["n"].to_numpy(np.int64)
+        keep = 100 * ov >= CONT_MIN_PCT * size_a
+        out = pd.DataFrame({
+            "doc_a": p["doc_a"].to_numpy(np.int64)[keep],
+            "doc_b": p["doc_b"].to_numpy(np.int64)[keep],
+            "n_shared": ov[keep],
+            "size_a": size_a[keep],
+            "cont_pct": (100 * ov[keep]) // size_a[keep],
+        })
+        return out.astype({c: "int64" for c in out.columns})
+
+    out_schema = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("n_shared", pa.int64()), ("size_a", pa.int64()),
+        ("cont_pct", pa.int64()),
+    ])
+    res = _sharded_groupby(pairs.union(sizes), ["doc_a"], attach_size,
+                           empty_schema=out_schema).to_pandas()
+    cols = ["doc_a", "doc_b", "n_shared", "size_a", "cont_pct"]
+    if not len(res):
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    return res.sort_values(["doc_a", "doc_b"]).reset_index(
+        drop=True).astype({c: "int64" for c in cols})[cols]
+
+
+def sql_containment_pairs() -> str:
+    w = CONT_W
+    return f"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {CONT_QUOTE_OFFSET},
+           substring(text, 1, {CONT_QUOTE_CHARS})
+    FROM documents WHERE doc_id % {CONT_QUOTE_EVERY} = 0
+),
+filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM aug
+),
+win AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(toks) - {w - 2}),
+                                 j -> array_to_string(toks[j:j + {w - 1}], ' ')))
+               AS sh
+    FROM filt
+    WHERE len(toks) >= {w}
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS size FROM win GROUP BY 1),
+capped AS (
+    SELECT doc_id, sh FROM (
+        SELECT doc_id, sh,
+               row_number() OVER (PARTITION BY sh ORDER BY doc_id) AS rk
+        FROM win
+    ) WHERE rk <= {CONT_FP_CAP}
+),
+ov AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+    FROM capped a JOIN capped b USING (sh)
+    WHERE a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT ov.doc_a, ov.doc_b, ov.n_shared, sz.size AS size_a,
+       ((100 * ov.n_shared) // sz.size)::BIGINT AS cont_pct
+FROM ov JOIN sz ON sz.doc_id = ov.doc_a
+WHERE 100 * ov.n_shared >= {CONT_MIN_PCT} * sz.size
+ORDER BY doc_a, doc_b
+"""

@@ -95,6 +95,7 @@ FUZZ_ENTRIES = [
     "langid_kappa",
     "map_mrr_eval",
     "stem_terms",
+    "containment_pairs",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
