@@ -8710,6 +8710,26 @@ QUERIES["containment_pairs"] = (q_containment_pairs, _sql_containment_pairs())
 
 
 # --------------------------------------------------------------------------
+# content-defined chunking (FastCDC-family) + duplicated-chunk counts
+
+
+def q_cdc_chunks(sf_dir: str):
+    """See curation.cdc_chunks_ds."""
+    from .curation import cdc_chunks_ds
+
+    return cdc_chunks_ds(sf_dir)
+
+
+def _sql_cdc_chunks() -> str:
+    from .curation import sql_cdc_chunks
+
+    return sql_cdc_chunks()
+
+
+QUERIES["cdc_chunks"] = (q_cdc_chunks, _sql_cdc_chunks())
+
+
+# --------------------------------------------------------------------------
 # per-source KL divergence vs corpus unigram distribution
 
 

@@ -4198,3 +4198,251 @@ FROM ov JOIN sz ON sz.doc_id = ov.doc_a
 WHERE 100 * ov.n_shared >= {CONT_MIN_PCT} * sz.size
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (FastCDC-family, token-level): boundaries
+# where the token hash hits a mask, so an insertion only reshapes the
+# chunks around the edit — the backup/dedup primitive fixed-size
+# chunking lacks.  Per-doc chunk stats + corpus-wide duplicated-chunk
+# counts (chunk identity = md5 of the space-joined token run, which
+# DuckDB reproduces exactly).
+
+CDC_D = 16  # boundary when md5_u64(term) % CDC_D == 0 (~16-token chunks)
+
+
+def _md5_batch(texts: pa.Array | pa.ChunkedArray):
+    """(hex digests as pa.StringArray, first-8-bytes-LE uint64) per
+    string — the u64 word is DuckDB's md5_number_upper (see
+    distinct._md5_u64)."""
+    import hashlib
+
+    from ..functions.tokenize import _string_buffers
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    data, offsets = _string_buffers(texts)
+    mv = memoryview(data)
+    hexes = []
+    u64 = np.empty(len(texts), np.uint64)
+    for i in range(len(texts)):
+        d = hashlib.md5(mv[offsets[i]: offsets[i + 1]]).digest()
+        hexes.append(d.hex())
+        u64[i] = int.from_bytes(d[:8], "little")
+    return pa.array(hexes, pa.utf8()), u64
+
+
+def cdc_chunks_ds(source: str | rd.Dataset, *, augment: bool = True) -> pd.DataFrame:
+    """Per doc: ``doc_id, n_tokens, n_chunks, max_chunk, dup_chunks``
+    where chunks are content-defined token runs (boundary AFTER any
+    token whose md5 word % ``CDC_D`` == 0) and ``dup_chunks`` counts
+    this doc's distinct chunk strings that also occur in >= 1 OTHER doc.
+
+    Shape: chunking is per-batch vectorized (dictionary-encode the
+    tokens, md5 only the batch vocabulary, segmented cumsum for chunk
+    ids, ListArray + binary_join for chunk strings — no per-token
+    Python); ONE chunk-hash exchange marks cross-doc duplicates (md5
+    hex is the group identity, the u64 word only routes shards); ONE
+    doc-sharded join merges dup counts into the per-doc stats.  Uses
+    the substring-dup clone augmentation so the synthetic corpus
+    exercises the duplicate path."""
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+    if augment:
+        docs = docs.map_batches(_substr_augment, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        toks, _td, row_idx, _h1, _h2 = _batch_tokens(batch)
+        n = len(toks)
+        n_tokens = np.bincount(row_idx, minlength=nrows).astype(np.int64) \
+            if n else np.zeros(nrows, np.int64)
+        if n:
+            enc = pc.dictionary_encode(toks)
+            _hex, vocab_u64 = _md5_batch(enc.dictionary)
+            tok_h = vocab_u64[enc.indices.to_numpy(zero_copy_only=False)]
+            b = (tok_h % np.uint64(CDC_D) == 0).astype(np.int64)
+            cum = np.cumsum(b)
+            before = cum - b  # boundaries strictly before i (global)
+            doc_start = np.searchsorted(row_idx, row_idx, "left")
+            chunk_id = before - before[doc_start]
+            # chunk starts: first token of doc, or token after a boundary
+            is_start = np.empty(n, bool)
+            is_start[0] = True
+            is_start[1:] = (row_idx[1:] != row_idx[:-1]) | (b[:-1] == 1)
+            starts = np.flatnonzero(is_start)
+            offsets = np.empty(len(starts) + 1, np.int32)
+            offsets[:-1] = starts
+            offsets[-1] = n
+            clen = np.diff(offsets).astype(np.int64)
+            chunk_row = row_idx[starts]
+            la = pa.ListArray.from_arrays(pa.array(offsets),
+                                          toks.combine_chunks()
+                                          if isinstance(toks, pa.ChunkedArray)
+                                          else toks)
+            cs = pc.binary_join(la, " ")
+            chex, cu64 = _md5_batch(cs)
+            n_chunks = np.bincount(chunk_row, minlength=nrows).astype(
+                np.int64)
+            max_chunk = np.zeros(nrows, np.int64)
+            np.maximum.at(max_chunk, chunk_row, clen)
+            # distinct (chunk hex, doc) pairs for the duplicate exchange
+            pair = pa.table({
+                "chex": chex,
+                "doc": pa.array(doc_ids[chunk_row], pa.int64()),
+                "ch": pa.array(cu64.view(np.int64), pa.int64()),
+            }).group_by(["chex", "doc"]).aggregate([("ch", "min")])
+            chunk_rows = pa.table({
+                "doc_id": pair["doc"],
+                "n_tokens": pa.nulls(pair.num_rows, pa.int64()).fill_null(0),
+                "n_chunks": pa.nulls(pair.num_rows, pa.int64()).fill_null(0),
+                "max_chunk": pa.nulls(pair.num_rows, pa.int64()).fill_null(0),
+                "chex": pair["chex"],
+                "ch": pair["ch_min"],
+                "kind": pa.nulls(pair.num_rows, pa.int64()).fill_null(1),
+            })
+        else:
+            n_chunks = np.zeros(nrows, np.int64)
+            max_chunk = np.zeros(nrows, np.int64)
+            chunk_rows = None
+        stat_rows = pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_chunks": pa.array(n_chunks, pa.int64()),
+            "max_chunk": pa.array(max_chunk, pa.int64()),
+            "chex": pa.nulls(nrows, pa.utf8()).fill_null(""),
+            "ch": pa.nulls(nrows, pa.int64()).fill_null(0),
+            "kind": pa.nulls(nrows, pa.int64()).fill_null(0),
+        })
+        if chunk_rows is None:
+            return stat_rows
+        return pa.concat_tables([stat_rows, chunk_rows])
+
+    rows = docs.map_batches(per_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    stats = rows.filter(expr="kind == 0")
+    chunks = rows.filter(expr="kind == 1")
+
+    def per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["chex", "doc_id"])
+        nd = g.groupby("chex")["doc_id"].transform("size")
+        d = g[nd > 1]
+        out = d.groupby("doc_id", as_index=False).size()
+        out.columns = ["doc_id", "dup"]
+        return out.astype({"doc_id": "int64", "dup": "int64"})
+
+    dup = _sharded_groupby(chunks, ["ch"], per_hash, empty_schema=None)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["kind"] == 0]
+        # a doc's duplicate chunks are spread over many hash shards:
+        # SUM the per-shard partials before the per-doc lookup
+        d = g[g["kind"] != 0].groupby("doc_id")["dup"].sum()
+        out = pd.DataFrame({
+            "doc_id": s["doc_id"].to_numpy(np.int64),
+            "n_tokens": s["n_tokens"].to_numpy(np.int64),
+            "n_chunks": s["n_chunks"].to_numpy(np.int64),
+            "max_chunk": s["max_chunk"].to_numpy(np.int64),
+            "dup_chunks": d.reindex(s["doc_id"]).fillna(0).to_numpy(
+                np.int64),
+        })
+        return out.astype({c: "int64" for c in out.columns})
+
+    def tag_stats(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+            "n_chunks": t["n_chunks"], "max_chunk": t["max_chunk"],
+            "dup": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+            "kind": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+        })
+
+    def tag_dup(t: pa.Table) -> pa.Table:
+        z = pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+        return pa.table({
+            "doc_id": t["doc_id"], "n_tokens": z, "n_chunks": z,
+            "max_chunk": z, "dup": t["dup"],
+            "kind": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+        })
+
+    u = stats.map_batches(tag_stats, batch_format="pyarrow",
+                          zero_copy_batch=True).union(
+        dup.map_batches(tag_dup, batch_format="pyarrow",
+                        zero_copy_batch=True))
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("n_chunks", pa.int64()), ("max_chunk", pa.int64()),
+        ("dup_chunks", pa.int64()),
+    ])
+    res = _sharded_groupby(u, ["doc_id"], merge,
+                           empty_schema=out_schema).to_pandas()
+    cols = ["doc_id", "n_tokens", "n_chunks", "max_chunk", "dup_chunks"]
+    if not len(res):
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    return res.sort_values("doc_id").reset_index(drop=True).astype(
+        {c: "int64" for c in cols})[cols]
+
+
+def sql_cdc_chunks() -> str:
+    return f"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {SUBSTR_CLONE_OFFSET}, text FROM documents
+    WHERE doc_id % {SUBSTR_CLONE_EVERY} = 0
+),
+filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM aug
+),
+tok AS (
+    SELECT doc_id, unnest(toks) AS term,
+           unnest(range(1, len(toks) + 1)) AS pos
+    FROM filt
+),
+b AS (
+    SELECT doc_id, pos, term,
+           (CASE WHEN md5_number_upper(term)::HUGEINT % {CDC_D} = 0
+                 THEN 1 ELSE 0 END) AS bd
+    FROM tok
+),
+c AS (
+    SELECT doc_id, pos, term,
+           coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS chunk_id
+    FROM b
+),
+chunks AS (
+    SELECT doc_id, chunk_id,
+           array_to_string(list(term ORDER BY pos), ' ') AS cs,
+           count(*)::BIGINT AS clen
+    FROM c GROUP BY 1, 2
+),
+st AS (
+    SELECT doc_id, count(*)::BIGINT AS n_chunks,
+           max(clen)::BIGINT AS max_chunk
+    FROM chunks GROUP BY 1
+),
+ntok AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tok GROUP BY 1),
+ch AS (SELECT DISTINCT doc_id, md5(cs) AS h FROM chunks),
+nd AS (SELECT h, count(*)::BIGINT AS ndocs FROM ch GROUP BY 1),
+dup AS (
+    SELECT ch.doc_id, count(*)::BIGINT AS dup_chunks
+    FROM ch JOIN nd USING (h) WHERE nd.ndocs > 1 GROUP BY 1
+)
+SELECT a.doc_id,
+       coalesce(ntok.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(st.n_chunks, 0)::BIGINT AS n_chunks,
+       coalesce(st.max_chunk, 0)::BIGINT AS max_chunk,
+       coalesce(dup.dup_chunks, 0)::BIGINT AS dup_chunks
+FROM aug a
+LEFT JOIN ntok ON a.doc_id = ntok.doc_id
+LEFT JOIN st ON a.doc_id = st.doc_id
+LEFT JOIN dup ON a.doc_id = dup.doc_id
+"""

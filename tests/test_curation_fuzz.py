@@ -96,6 +96,7 @@ FUZZ_ENTRIES = [
     "map_mrr_eval",
     "stem_terms",
     "containment_pairs",
+    "cdc_chunks",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
