@@ -8730,6 +8730,54 @@ QUERIES["cdc_chunks"] = (q_cdc_chunks, _sql_cdc_chunks())
 
 
 # --------------------------------------------------------------------------
+# BFS hop distances over the term co-occurrence graph
+
+
+def q_term_bfs(sf_dir: str):
+    """See curation.term_bfs_df."""
+    from .curation import term_bfs_df
+
+    return term_bfs_df(sf_dir)
+
+
+def _sql_term_bfs() -> str:
+    from .curation import BFS_TOP_VOCAB
+
+    return f"""
+WITH RECURSIVE {_SQL_TOKS_LIST},
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM filt),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+topv AS (SELECT term FROM dfc ORDER BY df DESC, term LIMIT {BFS_TOP_VOCAB}),
+tv AS (SELECT t.doc_id, t.term FROM tok t JOIN topv USING (term)),
+edges AS (
+    SELECT DISTINCT a.term AS src, b.term AS dst
+    FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term <> b.term
+),
+degs AS (
+    SELECT t.term, count(e.dst)::BIGINT AS deg
+    FROM topv t LEFT JOIN edges e ON e.src = t.term
+    GROUP BY 1
+),
+src AS (
+    SELECT term FROM dfc ORDER BY df DESC, term LIMIT 1
+),
+bfs AS (
+    SELECT term, 0 AS d FROM src
+    UNION
+    SELECT e.dst, b.d + 1
+    FROM bfs b JOIN edges e ON e.src = b.term
+    WHERE b.d < {BFS_TOP_VOCAB}
+),
+md AS (SELECT term, min(d)::BIGINT AS dist FROM bfs GROUP BY 1)
+SELECT degs.term, degs.deg, coalesce(md.dist, -1)::BIGINT AS dist
+FROM degs LEFT JOIN md USING (term)
+"""
+
+
+QUERIES["term_bfs"] = (q_term_bfs, _sql_term_bfs())
+
+
+# --------------------------------------------------------------------------
 # per-source KL divergence vs corpus unigram distribution
 
 

@@ -4446,3 +4446,54 @@ LEFT JOIN ntok ON a.doc_id = ntok.doc_id
 LEFT JOIN st ON a.doc_id = st.doc_id
 LEFT JOIN dup ON a.doc_id = dup.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances from the top-df term over the co-occurrence graph
+# (single-source shortest paths, unweighted) — the traversal
+# representative of the graph family (PageRank = spectral, triangles =
+# local counting, HITS = bipartite, BFS = reachability).
+
+BFS_TOP_VOCAB = PR_TOP_VOCAB
+
+
+def term_bfs_df(
+    source: str | rd.Dataset, *, top_vocab: int = BFS_TOP_VOCAB
+) -> pd.DataFrame:
+    """``term, deg, dist`` — unweighted hop distance from the top-df
+    term (df desc, term asc) to every top-``top_vocab`` vocabulary term
+    over the co-occurrence graph; ``dist = -1`` marks unreachable terms.
+
+    Shape: the same two bounded passes as :func:`pagerank_terms` (df
+    top-k + V x V boolean-matmul adjacency partials); the BFS itself is
+    a <= V-round frontier sweep on the tiny driver-side matrix.  The
+    SQL oracle runs a depth-capped recursive CTE and takes min(dist)
+    per node."""
+    docs = _docs(source)
+    out_cols = ["term", "deg", "dist"]
+    cand = top_vocab_df(docs, top_vocab)
+    if not len(cand):
+        return pd.DataFrame({
+            "term": pd.Series([], dtype=object),
+            "deg": pd.Series([], dtype="int64"),
+            "dist": pd.Series([], dtype="int64"),
+        })
+    vocab_terms = cand["term"].tolist()
+    adj = cooc_adjacency(docs, vocab_terms)
+    nv = len(vocab_terms)
+    deg = adj.sum(axis=1).astype(np.int64)
+    dist = np.full(nv, -1, np.int64)
+    dist[0] = 0  # source: vocabulary rank 1 (df desc, term asc)
+    frontier = np.zeros(nv, bool)
+    frontier[0] = True
+    d = 0
+    while frontier.any():
+        d += 1
+        nxt = (adj[frontier].any(axis=0)) & (dist < 0)
+        dist[nxt] = d
+        frontier = nxt
+    return pd.DataFrame({
+        "term": vocab_terms,
+        "deg": deg,
+        "dist": dist,
+    }).astype({"deg": "int64", "dist": "int64"})[out_cols]

@@ -97,6 +97,7 @@ FUZZ_ENTRIES = [
     "stem_terms",
     "containment_pairs",
     "cdc_chunks",
+    "term_bfs",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
