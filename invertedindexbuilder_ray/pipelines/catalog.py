@@ -8778,6 +8778,187 @@ QUERIES["term_bfs"] = (q_term_bfs, _sql_term_bfs())
 
 
 # --------------------------------------------------------------------------
+# one-way ANOVA F (fixed-point) of customer account balance across
+# market segments — completes the hypothesis-test family (KS, MWU,
+# OLS/corr, now variance decomposition).  Per-group floor divisions are
+# applied IDENTICALLY on both engines (all operands non-negative after
+# the greatest(ssb, 0) clamp, so DuckDB truncation == Python floor).
+
+
+def q_anova_acctbal(sf_dir: str):
+    """Per segment: exact integer moments (n, s_cents, q_cents2) plus
+    the shared fixed-point between/within sums of squares and
+    F*1e6 = 1e6·ssb·(N−k) // (ssw·(k−1)); moments combine on the
+    driver as Python ints (a 100-TB sum of squared cents overflows
+    int64), groups are the bounded 5-segment domain."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "customer.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["c_mktsegment", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = round_half_away(
+            b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        t = pa.table({
+            "seg": b["c_mktsegment"],
+            "x": pa.array(x, pa.int64()),
+            "xx": pa.array(x * x, pa.int64()),
+        })
+        g = t.group_by(["seg"]).aggregate(
+            [("x", "count"), ("x", "sum"), ("xx", "sum")]
+        )
+        return pa.table({
+            "seg": g["seg"],
+            "n": g["x_count"].cast(pa.int64()),
+            "s": g["x_sum"].cast(pa.int64()),
+            "q": g["xx_sum"].cast(pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    groups = {}
+    for seg, grp in parts.groupby("seg"):
+        groups[seg] = (
+            int(grp["n"].sum()),
+            sum(int(v) for v in grp["s"]),
+            sum(int(v) for v in grp["q"]),
+        )
+    k = len(groups)
+    nn = sum(n for n, _s, _q in groups.values())
+    ss = sum(s for _n, s, _q in groups.values())
+    qq = sum(q for _n, _s, q in groups.values())
+    sb = sum((s * s) // n for n, s, _q in groups.values() if n)
+    ssb = max(sb - (ss * ss) // nn, 0) if nn else 0
+    ssw = qq - sb
+    f_x1e6 = (
+        (1_000_000 * ssb * (nn - k)) // (ssw * (k - 1))
+        if ssw > 0 and k > 1 and nn > k else 0
+    )
+    rows = [
+        {"c_mktsegment": seg, "n": n, "s_cents": s, "q_cents2": q,
+         "ssb_fp": ssb, "ssw_fp": ssw, "f_x1e6": f_x1e6}
+        for seg, (n, s, q) in sorted(groups.items())
+    ]
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != "c_mktsegment":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_ANOVA_ACCTBAL = """
+WITH q AS (
+    SELECT c_mktsegment AS seg,
+           CAST(round(c_acctbal * 100) AS HUGEINT) AS x
+    FROM customer
+),
+m AS (
+    SELECT seg, count(*)::HUGEINT AS n, sum(x) AS s, sum(x*x) AS qq
+    FROM q GROUP BY 1
+),
+t AS (
+    SELECT count(*)::HUGEINT AS k, sum(n) AS nn, sum(s) AS ss,
+           sum(qq) AS sqq, sum((s*s) // n) AS sb
+    FROM m
+),
+f AS (
+    SELECT k, nn,
+           greatest(sb - (ss*ss) // nn, 0) AS ssb,
+           (sqq - sb) AS ssw
+    FROM t
+)
+SELECT m.seg AS c_mktsegment, m.n::BIGINT AS n, m.s::BIGINT AS s_cents,
+       m.qq::BIGINT AS q_cents2, f.ssb::BIGINT AS ssb_fp,
+       f.ssw::BIGINT AS ssw_fp,
+       (CASE WHEN f.ssw > 0 AND f.k > 1 AND f.nn > f.k
+             THEN (1000000 * f.ssb * (f.nn - f.k)) // (f.ssw * (f.k - 1))
+             ELSE 0 END)::BIGINT AS f_x1e6
+FROM m, f
+ORDER BY 1
+"""
+
+QUERIES["anova_acctbal"] = (q_anova_acctbal, SQL_ANOVA_ACCTBAL)
+
+
+# --------------------------------------------------------------------------
+# chi-square independence test of the (lang, source) contingency table
+# (bounded 3x4 domain).  Per-cell statistic in pure integers:
+# chi2_cell_fp = 1e6 * (N*O - R*C)^2 // (N * R * C); every operand is
+# non-negative, so DuckDB // == Python //.
+
+
+def q_chi2_lang_source(sf_dir: str):
+    """Per cell: observed count, row/col totals, and the fixed-point
+    cell contribution; chi2_x1e6 (the table statistic) repeats on every
+    row.  One streaming count pass — the contingency table is
+    domain-bounded, so partials are tiny and combine as Python ints."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"lang": b["lang"], "source": b["source"]}).group_by(
+            ["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table({
+            "lang": g["lang"], "source": g["source"],
+            "n": g["count_all"].cast(pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    obs = parts.groupby(["lang", "source"])["n"].sum()
+    cells = {kk: int(v) for kk, v in obs.items()}
+    nn = sum(cells.values())
+    rtot, ctot = {}, {}
+    for (lg, sc), v in cells.items():
+        rtot[lg] = rtot.get(lg, 0) + v
+        ctot[sc] = ctot.get(sc, 0) + v
+    contribs = {}
+    for (lg, sc), o in cells.items():
+        r, c = rtot[lg], ctot[sc]
+        d = nn * o - r * c
+        contribs[(lg, sc)] = (1_000_000 * d * d) // (nn * r * c)
+    chi2 = sum(contribs.values())
+    rows = [
+        {"lang": lg, "source": sc, "n": cells[(lg, sc)],
+         "row_total": rtot[lg], "col_total": ctot[sc],
+         "cell_fp": contribs[(lg, sc)], "chi2_x1e6": chi2}
+        for (lg, sc) in sorted(cells)
+    ]
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c not in ("lang", "source"):
+            out[c] = out[c].astype("int64")
+    return out
+
+
+SQL_CHI2_LANG_SOURCE = """
+WITH o AS (
+    SELECT lang, source, count(*)::HUGEINT AS n
+    FROM documents GROUP BY 1, 2
+),
+r AS (SELECT lang, sum(n) AS rt FROM o GROUP BY 1),
+c AS (SELECT source, sum(n) AS ct FROM o GROUP BY 1),
+t AS (SELECT sum(n) AS nn FROM o),
+cell AS (
+    SELECT o.lang, o.source, o.n, r.rt, c.ct,
+           (1000000 * (t.nn*o.n - r.rt*c.ct) * (t.nn*o.n - r.rt*c.ct))
+               // (t.nn * r.rt * c.ct) AS fp
+    FROM o JOIN r USING (lang) JOIN c USING (source), t
+)
+SELECT lang, source, n::BIGINT AS n, rt::BIGINT AS row_total,
+       ct::BIGINT AS col_total, fp::BIGINT AS cell_fp,
+       (SELECT sum(fp) FROM cell)::BIGINT AS chi2_x1e6
+FROM cell
+ORDER BY 1, 2
+"""
+
+QUERIES["chi2_lang_source"] = (q_chi2_lang_source, SQL_CHI2_LANG_SOURCE)
+
+
+# --------------------------------------------------------------------------
 # per-source KL divergence vs corpus unigram distribution
 
 

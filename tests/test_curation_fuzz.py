@@ -98,6 +98,7 @@ FUZZ_ENTRIES = [
     "containment_pairs",
     "cdc_chunks",
     "term_bfs",
+    "chi2_lang_source",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,

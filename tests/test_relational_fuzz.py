@@ -46,6 +46,7 @@ FUZZ_ENTRIES = [
     "copurchase_pairs",
     "benford_digits",
     "qty_discount_ols",
+    "anova_acctbal",
 ]
 
 _LINE = st.tuples(
@@ -151,6 +152,9 @@ def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
                 "c_nationkey": pa.array([i % 4 for i in range(10)], pa.int64()),
                 "c_acctbal": pa.array(
                     [i * 7.25 - 20.0 for i in range(10)], pa.float64()
+                ),
+                "c_mktsegment": pa.array(
+                    [f"SEG{i % 3}" for i in range(10)], pa.string()
                 ),
             }
         ),
