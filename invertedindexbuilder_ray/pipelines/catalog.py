@@ -11210,3 +11210,65 @@ def _sql_soundex() -> str:
 
 
 QUERIES["soundex_blocking"] = (q_soundex_blocking, _sql_soundex())
+
+
+# --------------------------------------------------------------------------
+# graph-structure tier (graphops.py): k-core decomposition + Adamic-Adar
+# link prediction over the PMI-positive term association graph
+
+
+def q_term_kcore(sf_dir: str):
+    """See graphops.term_kcore_df: k-core numbers of the vocabulary in
+    the PMI-positive association graph (recursive-peel SQL pairing)."""
+    from .graphops import term_kcore_df
+
+    return term_kcore_df(sf_dir)
+
+
+def _sql_term_kcore() -> str:
+    from .graphops import sql_term_kcore
+
+    return sql_term_kcore()
+
+
+QUERIES["term_kcore"] = (q_term_kcore, _sql_term_kcore())
+
+
+def q_link_prediction_aa(sf_dir: str):
+    """See graphops.link_prediction_aa_df: top-k missing-edge candidates
+    by fixed-point Adamic-Adar score."""
+    from .graphops import link_prediction_aa_df
+
+    return link_prediction_aa_df(sf_dir)
+
+
+def _sql_link_prediction_aa() -> str:
+    from .graphops import sql_link_prediction_aa
+
+    return sql_link_prediction_aa()
+
+
+QUERIES["link_prediction_aa"] = (q_link_prediction_aa, _sql_link_prediction_aa())
+
+
+# --------------------------------------------------------------------------
+# supervised-ML tier (classify.py): multinomial Naive Bayes language
+# classifier — distributed fit on the deterministic train split,
+# broadcast model, streaming held-out scoring; confusion matrix is the
+# hash-compared result
+
+
+def q_nb_lang_confusion(sf_dir: str):
+    """See classify.nb_lang_confusion_df."""
+    from .classify import nb_lang_confusion_df
+
+    return nb_lang_confusion_df(sf_dir)
+
+
+def _sql_nb_lang_confusion() -> str:
+    from .classify import sql_nb_lang_confusion
+
+    return sql_nb_lang_confusion()
+
+
+QUERIES["nb_lang_confusion"] = (q_nb_lang_confusion, _sql_nb_lang_confusion())

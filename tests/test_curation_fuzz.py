@@ -99,6 +99,9 @@ FUZZ_ENTRIES = [
     "cdc_chunks",
     "term_bfs",
     "chi2_lang_source",
+    "term_kcore",
+    "link_prediction_aa",
+    "nb_lang_confusion",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
