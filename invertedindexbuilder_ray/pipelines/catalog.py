@@ -11272,3 +11272,220 @@ def _sql_nb_lang_confusion() -> str:
 
 
 QUERIES["nb_lang_confusion"] = (q_nb_lang_confusion, _sql_nb_lang_confusion())
+
+
+# --------------------------------------------------------------------------
+# DBSCAN over quantized embeddings — density clustering with DETERMINISTIC
+# border assignment (classic DBSCAN borders are scan-order-dependent; here
+# a border joins the MIN cluster label among its core neighbors, and a
+# cluster's label is the MIN vec_id of its core component — documented
+# deviation that makes the op engine-independent and SQL-pairable)
+
+DBSCAN_EPS2 = 1_400_000  # on the CORESET_GRID-quantized integer L2 metric
+DBSCAN_MINPTS = 4        # neighborhood count INCLUDING the point itself
+DBSCAN_MAX_BROADCAST = 500_000
+
+
+def q_dbscan_embed(sf_dir: str):
+    """``vec_id, role, cluster`` — DBSCAN(eps2, minPts) on the
+    CORESET_GRID-quantized embeddings: ``core`` points have >= minPts
+    neighbors at integer squared distance <= eps2 (self included),
+    clusters are connected components of the core-core eps-graph
+    labeled by min vec_id, ``border`` points attach to the min label
+    among their core neighbors, ``noise`` gets cluster -1.
+
+    Exactness: coordinates quantized as coreset_sample (round(x*1024)),
+    so every distance is an exact integer on both engines; the float64
+    matmul used for speed is exact (|q| < 2^13 -> every intermediate
+    < 2^53).  Component labels are min-vec_id (order-free).
+
+    Shape: TWO streaming scans against a broadcast quantized matrix
+    (``ray.put`` once) — scan 1 counts neighbors per point (core
+    flags), scan 2 emits core-core edges + border->core pairs; the
+    driver reduce is union-find over the (declared-quadratic) eps-graph
+    edges.  The loud ``DBSCAN_MAX_BROADCAST`` bound marks where the
+    SRP-banded prefilter (dedup.embedding_dedup_pairs) must replace the
+    broadcast — same two-scan shape over banded candidate pairs."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+    cols = ["vec_id", "role", "cluster"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "role": pd.Series([], dtype=object),
+             "cluster": pd.Series([], dtype="int64")}
+        )[cols]
+
+    n = ds.count()
+    if n == 0:
+        return _empty()
+    if n > DBSCAN_MAX_BROADCAST:
+        raise RuntimeError(
+            f"dbscan_embed: {n} vectors exceed the "
+            f"{DBSCAN_MAX_BROADCAST}-row broadcast bound — use the "
+            "SRP-banded pair path (dedup.embedding_dedup_pairs) to "
+            "generate the eps-graph instead"
+        )
+
+    def collect_q(b: pa.Table) -> pa.Table:
+        ids, q = _quant_embeddings(b)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "q": pa.array([r.tolist() for r in q], pa.list_(pa.int64()))}
+        )
+
+    allq = ds.map_batches(
+        collect_q, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    ids = allq["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack([np.asarray(v, np.int64) for v in allq["q"]])
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    matf = mat.astype(np.float64)
+    sq = (matf * matf).sum(axis=1)
+    ref = ray.put((ids, matf, sq))
+
+    def _d2(qb: np.ndarray, matf: np.ndarray, sq: np.ndarray) -> np.ndarray:
+        qf = qb.astype(np.float64)
+        return (qf * qf).sum(axis=1)[:, None] + sq[None, :] - 2.0 * (qf @ matf.T)
+
+    def count_nbrs(b: pa.Table, ref=ref) -> pa.Table:
+        bids, qb = _quant_embeddings(b)
+        gids, gmat, gsq = ray.get(ref)
+        nbr = _d2(qb, gmat, gsq) <= DBSCAN_EPS2
+        return pa.table(
+            {"vec_id": pa.array(bids, pa.int64()),
+             "is_core": pa.array(
+                 nbr.sum(axis=1) >= DBSCAN_MINPTS, pa.bool_())}
+        )
+
+    flags = ds.map_batches(
+        count_nbrs, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().sort_values("vec_id", kind="mergesort")
+    core_ids = flags.loc[flags["is_core"], "vec_id"].to_numpy(np.int64)
+    core_mask_global = np.isin(ids, core_ids)
+    cref = ray.put(core_mask_global)
+
+    def emit_pairs(b: pa.Table, ref=ref, cref=cref) -> pa.Table:
+        """kind 0 rows: core-core edges (a < b); kind 1 rows: EVERY
+        (border, core-neighbor) pair — the min LABEL reduce needs all
+        of them (label(min neighbor id) != min(neighbor labels))."""
+        bids, qb = _quant_embeddings(b)
+        gids, gmat, gsq = ray.get(ref)
+        gcore = ray.get(cref)
+        nbr = _d2(qb, gmat, gsq) <= DBSCAN_EPS2
+        pos = np.searchsorted(gids, bids)
+        nbr[np.arange(len(bids)), pos] = False  # drop self
+        row_core = gcore[pos]
+        hit = nbr & gcore[None, :]
+        ri, ci = np.nonzero(hit)
+        a = bids[ri]
+        bcol = gids[ci]
+        is_edge = row_core[ri]
+        keep = (~is_edge) | (a < bcol)  # edges once (a<b); borders all
+        return pa.table(
+            {"kind": pa.array(
+                np.where(is_edge[keep], 0, 1).astype(np.int8), pa.int8()),
+             "a": pa.array(a[keep], pa.int64()),
+             "b": pa.array(bcol[keep], pa.int64())}
+        )
+
+    pairs = ds.map_batches(
+        emit_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    edges = pairs[pairs["kind"] == 0]
+    borders = pairs[pairs["kind"] == 1]
+
+    # union-find over core-core edges; component label = min vec_id
+    parent = np.arange(len(core_ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ea = np.searchsorted(core_ids, edges["a"].to_numpy(np.int64))
+    eb = np.searchsorted(core_ids, edges["b"].to_numpy(np.int64))
+    for i, j in zip(ea, eb):
+        ri, rj = find(int(i)), find(int(j))
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    roots = np.array([find(i) for i in range(len(core_ids))], np.int64)
+    lbl = (
+        pd.Series(core_ids).groupby(roots).transform("min").to_numpy(np.int64)
+        if len(core_ids)
+        else np.zeros(0, np.int64)
+    )
+
+    cluster = np.full(len(ids), -1, np.int64)
+    role = np.full(len(ids), "noise", dtype=object)
+    cpos = np.searchsorted(ids, core_ids)
+    cluster[cpos] = lbl
+    role[cpos] = "core"
+    if len(borders):
+        blab = borders.copy()
+        blab["lbl"] = lbl[np.searchsorted(core_ids, blab["b"].to_numpy(np.int64))]
+        bmin = blab.groupby("a", as_index=False)["lbl"].min()
+        bpos = np.searchsorted(ids, bmin["a"].to_numpy(np.int64))
+        cluster[bpos] = bmin["lbl"].to_numpy(np.int64)
+        role[bpos] = "border"
+    out = pd.DataFrame({"vec_id": ids, "role": role, "cluster": cluster})
+    return out.astype({"vec_id": "int64", "cluster": "int64"})[cols]
+
+
+def _sql_dbscan_embed() -> str:
+    g = CORESET_GRID
+    d2 = ("list_sum(list_transform(range(1, len(a.q) + 1), "
+          "j -> (a.q[j] - b.q[j]) * (a.q[j] - b.q[j])))")
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED (
+    SELECT vec_id,
+           [CAST(round(x * {g}) AS BIGINT) FOR x IN CAST(embedding AS DOUBLE[])]
+               AS q
+    FROM embeddings
+),
+nbr AS MATERIALIZED (
+    SELECT a.vec_id AS u, b.vec_id AS v
+    FROM e a JOIN e b ON {d2} <= {DBSCAN_EPS2}
+),
+cnt AS (SELECT u AS vec_id, count(*)::BIGINT AS c FROM nbr GROUP BY 1),
+core AS MATERIALIZED (
+    SELECT vec_id FROM cnt WHERE c >= {DBSCAN_MINPTS}
+),
+cedges AS MATERIALIZED (
+    SELECT n.u AS a, n.v AS b
+    FROM nbr n
+    JOIN core x ON x.vec_id = n.u
+    JOIN core y ON y.vec_id = n.v
+    WHERE n.u <> n.v
+),
+reach(node, r) AS (
+    SELECT vec_id, vec_id FROM core
+    UNION
+    SELECT reach.node, c.b FROM reach JOIN cedges c ON c.a = reach.r
+),
+lbl AS (SELECT node AS vec_id, min(r)::BIGINT AS cluster
+        FROM reach GROUP BY 1),
+border AS (
+    SELECT n.u AS vec_id, min(l.cluster)::BIGINT AS cluster
+    FROM nbr n
+    JOIN lbl l ON l.vec_id = n.v
+    WHERE n.u != n.v AND n.u NOT IN (SELECT vec_id FROM core)
+    GROUP BY 1
+)
+SELECT e.vec_id,
+       CASE WHEN l.vec_id IS NOT NULL THEN 'core'
+            WHEN b.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       coalesce(l.cluster, b.cluster, -1)::BIGINT AS cluster
+FROM e
+LEFT JOIN lbl l USING (vec_id)
+LEFT JOIN border b USING (vec_id)
+"""
+
+
+QUERIES["dbscan_embed"] = (q_dbscan_embed, _sql_dbscan_embed())
