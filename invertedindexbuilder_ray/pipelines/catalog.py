@@ -11489,3 +11489,63 @@ LEFT JOIN border b USING (vec_id)
 
 
 QUERIES["dbscan_embed"] = (q_dbscan_embed, _sql_dbscan_embed())
+
+
+def q_events_xcorr(sf_dir: str):
+    """Lagged cross-correlation of click vs purchase hourly counts on a
+    dense hour grid.  See temporal.xcorr_hourly (exact integer moments,
+    one float Pearson expression per lag)."""
+    from .temporal import xcorr_hourly
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["ts", "event_type"])
+    return xcorr_hourly(ev)
+
+
+def _sql_events_xcorr() -> str:
+    from .temporal import sql_xcorr_hourly
+
+    return sql_xcorr_hourly()
+
+
+QUERIES["events_xcorr"] = (q_events_xcorr, _sql_events_xcorr())
+
+
+def q_events_changepoint(sf_dir: str):
+    """Best mean-shift split points of the hourly event-count series
+    (binary-segmentation step): integer-scaled between-segment score.
+    See temporal.changepoint_hourly."""
+    from .temporal import changepoint_hourly
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["ts"])
+    return changepoint_hourly(ev)
+
+
+def _sql_events_changepoint() -> str:
+    from .temporal import SQL_CHANGEPOINT
+
+    return SQL_CHANGEPOINT
+
+
+QUERIES["events_changepoint"] = (q_events_changepoint, _sql_events_changepoint())
+
+
+def q_events_haar(sf_dir: str):
+    """Unnormalized Haar wavelet detail-energy spectrum of the hourly
+    count series (1024-slot fixed grid, 10 levels, all-integer).  See
+    temporal.haar_hourly."""
+    from .temporal import haar_hourly
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["ts"])
+    return haar_hourly(ev)
+
+
+def _sql_events_haar() -> str:
+    from .temporal import sql_haar_hourly
+
+    return sql_haar_hourly()
+
+
+QUERIES["events_haar"] = (q_events_haar, _sql_events_haar())

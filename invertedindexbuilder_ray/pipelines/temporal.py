@@ -1366,3 +1366,284 @@ SELECT n::BIGINT AS n_hours, s::BIGINT AS s_stat,
        END AS z
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation between two event-type hourly series.  Extends the
+# ACF shape (acf_hourly above) to TWO series on a DENSE hour grid: the
+# grid spans [min_h, max_h] of the union of both types' events, missing
+# hours count 0 (the natural semantics for co-movement of sparse series;
+# the ACF's observed-hours-only pairing would silently skip zero hours
+# of one series whenever the other fired).  Five moments accumulate as
+# exact Python ints (HUGEINT in SQL), so the Pearson r at each lag is
+# one float expression over identical integers — bit-identical.
+
+XCORR_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+def xcorr_hourly(
+    events: rd.Dataset,
+    *,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> "pd.DataFrame":
+    """Lagged Pearson cross-correlation of ``type_a``'s hourly counts
+    against ``type_b``'s at ``XCORR_LAGS`` (positive lag = b trails a).
+
+    Shape (100 TB): ONE streaming filter+count pass per type (the
+    ``_hourly_counts`` partial-unique combine); only (hour, count)
+    partials reach the driver, bounded by ``CUSUM_MAX_HOURS``."""
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away
+
+    def only(t: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b[type_col], t))
+
+        return f
+
+    h_a, c_a = _hourly_counts(
+        events.map_batches(only(type_a), batch_format="pyarrow"), ts=ts
+    )
+    h_b, c_b = _hourly_counts(
+        events.map_batches(only(type_b), batch_format="pyarrow"), ts=ts
+    )
+    rows = []
+    if len(h_a) or len(h_b):
+        mn = int(min([x[0] for x in (h_a, h_b) if len(x)]))
+        mx = int(max([x[-1] for x in (h_a, h_b) if len(x)]))
+        t_len = mx - mn + 1
+        if t_len > CUSUM_MAX_HOURS:
+            raise ValueError(
+                f"xcorr_hourly: {t_len} grid hours exceeds {CUSUM_MAX_HOURS}"
+            )
+        a = np.zeros(t_len, object)
+        b = np.zeros(t_len, object)
+        a[h_a - mn] = c_a
+        b[h_b - mn] = c_b
+        for lag in XCORR_LAGS:
+            if lag >= 0:
+                x, y = a[: t_len - lag], b[lag:]
+            else:
+                x, y = a[-lag:], b[: t_len + lag]
+            n = len(x)
+            if n == 0:
+                rows.append((lag, 0, 0, 0, 0, 0, 0, None))
+                continue
+            sx, sy = int(x.sum()), int(y.sum())
+            sxx, syy = int((x * x).sum()), int((y * y).sum())
+            sxy = int((x * y).sum())
+            vb = float(n * sxx - sx * sx)
+            vc = float(n * syy - sy * sy)
+            r = (
+                float(round_half_away(
+                    np.array([float(n * sxy - sx * sy) / np.sqrt(vb * vc)]), 9
+                )[0])
+                if vb * vc > 0 else None
+            )
+            rows.append((lag, n, sx, sy, sxx, syy, sxy, r))
+    else:
+        rows = [(lag, 0, 0, 0, 0, 0, 0, None) for lag in XCORR_LAGS]
+    out = pd.DataFrame(
+        rows,
+        columns=["lag", "n_pairs", "sx", "sy", "sxx", "syy", "sxy", "xcorr"],
+    )
+    for col in ("lag", "n_pairs", "sx", "sy", "sxx", "syy", "sxy"):
+        out[col] = out[col].astype("int64")
+    out["xcorr"] = out["xcorr"].astype("float64")
+    return out
+
+
+def sql_xcorr_hourly(type_a: str = "click", type_b: str = "purchase") -> str:
+    lags = ", ".join(f"({lag})" for lag in XCORR_LAGS)
+    return f"""
+WITH ab AS (
+    SELECT epoch_us(ts) // 3600000000 AS h, event_type
+    FROM events WHERE event_type IN ('{type_a}', '{type_b}')
+),
+bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM ab),
+grid AS (
+    SELECT unnest(range(mn, mx + 1)) AS h FROM bounds WHERE mn IS NOT NULL
+),
+ca AS (SELECT h, count(*)::HUGEINT AS c FROM ab
+       WHERE event_type = '{type_a}' GROUP BY 1),
+cb AS (SELECT h, count(*)::HUGEINT AS c FROM ab
+       WHERE event_type = '{type_b}' GROUP BY 1),
+a AS (SELECT g.h, coalesce(ca.c, 0) AS c FROM grid g LEFT JOIN ca USING (h)),
+b AS (SELECT g.h, coalesce(cb.c, 0) AS c FROM grid g LEFT JOIN cb USING (h)),
+lags(lag) AS (VALUES {lags}),
+p AS (
+    SELECT l.lag, a.c AS x, b.c AS y
+    FROM lags l JOIN a ON TRUE JOIN b ON b.h = a.h + l.lag
+),
+m AS (
+    SELECT lag, count(*)::HUGEINT AS n,
+           sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+           sum(x*x)::HUGEINT AS sxx, sum(y*y)::HUGEINT AS syy,
+           sum(x*y)::HUGEINT AS sxy
+    FROM p GROUP BY lag
+)
+SELECT l.lag::BIGINT AS lag,
+       coalesce(m.n, 0)::BIGINT AS n_pairs,
+       coalesce(m.sx, 0)::BIGINT AS sx, coalesce(m.sy, 0)::BIGINT AS sy,
+       coalesce(m.sxx, 0)::BIGINT AS sxx, coalesce(m.syy, 0)::BIGINT AS syy,
+       coalesce(m.sxy, 0)::BIGINT AS sxy,
+       CASE WHEN (m.n*m.sxx - m.sx*m.sx)::DOUBLE
+                 * (m.n*m.syy - m.sy*m.sy)::DOUBLE > 0
+            THEN round((m.n*m.sxy - m.sx*m.sy)::DOUBLE
+                       / sqrt((m.n*m.sxx - m.sx*m.sx)::DOUBLE
+                              * (m.n*m.syy - m.sy*m.sy)::DOUBLE), 9)
+       END AS xcorr
+FROM lags l LEFT JOIN m USING (lag)
+ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Single best-split changepoint over the dense hourly count series:
+# binary-segmentation step 1.  Between-segment "explained variance"
+# score(k) = floor(sl^2 * SCALE / nl) + floor(sr^2 * SCALE / nr) is a
+# DEFINED all-integer semantic (positive operands, so DuckDB's
+# truncating // equals numpy/Python floor) — maximizing it over k is
+# exactly maximizing sl^2/nl + sr^2/nr up to the quantization, and the
+# rank key is pure int (score desc, split_hour asc).
+
+CHANGEPOINT_SCALE = 10**6
+CHANGEPOINT_TOP_K = 5
+
+
+def changepoint_hourly(events: rd.Dataset, *, ts: str = "ts") -> "pd.DataFrame":
+    """Top-``CHANGEPOINT_TOP_K`` mean-shift split points of the hourly
+    event-count series (dense grid, missing hours = 0).  ``split_hour``
+    is the first epoch-hour of the RIGHT segment.
+
+    Shape (100 TB): the distributed part is the hourly count
+    aggregation; the score scan is a driver loop over the bounded
+    series (CUSUM_MAX_HOURS), exact Python-int arithmetic."""
+    import pandas as pd
+
+    cols = ["split_hour", "n_left", "n_right", "sum_left", "sum_right",
+            "score"]
+    h, c = _hourly_counts(events, ts=ts)
+    if len(h) == 0:
+        out = pd.DataFrame(columns=cols)
+        return out.astype({k: "int64" for k in cols})
+    mn = int(h[0])
+    t_len = int(h[-1]) - mn + 1
+    grid = np.zeros(t_len, object)
+    grid[h - mn] = c
+    total = int(grid.sum())
+    cum = np.cumsum(grid)
+    rows = []
+    for k in range(1, t_len):
+        sl = int(cum[k - 1])
+        sr = total - sl
+        score = (sl * sl * CHANGEPOINT_SCALE) // k + (
+            sr * sr * CHANGEPOINT_SCALE
+        ) // (t_len - k)
+        rows.append((mn + k, k, t_len - k, sl, sr, score))
+    rows.sort(key=lambda r: (-r[5], r[0]))
+    rows = rows[:CHANGEPOINT_TOP_K]
+    if rows and rows[0][5] >= 2**63:
+        raise ValueError("changepoint_hourly: score exceeds int64")
+    out = pd.DataFrame(rows, columns=cols)
+    return out.astype({k: "int64" for k in cols})
+
+
+SQL_CHANGEPOINT = f"""
+WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+grid AS (
+    SELECT unnest(range(mn, mx + 1)) AS h FROM bounds WHERE mn IS NOT NULL
+),
+cnt AS (SELECT h, count(*)::HUGEINT AS c FROM e GROUP BY 1),
+hc AS (SELECT g.h, coalesce(cnt.c, 0) AS c FROM grid g LEFT JOIN cnt USING (h)),
+idx AS (SELECT h, c, row_number() OVER (ORDER BY h)::HUGEINT AS rn FROM hc),
+tot AS (SELECT sum(c)::HUGEINT AS s, count(*)::HUGEINT AS t FROM hc),
+pre AS (SELECT rn, h, sum(c) OVER (ORDER BY rn)::HUGEINT AS sl FROM idx),
+sc AS (
+    SELECT p.h + 1 AS split_hour, p.rn AS nl, tot.t - p.rn AS nr,
+           p.sl, tot.s - p.sl AS sr
+    FROM pre p, tot WHERE p.rn < tot.t
+)
+SELECT split_hour::BIGINT AS split_hour,
+       nl::BIGINT AS n_left, nr::BIGINT AS n_right,
+       sl::BIGINT AS sum_left, sr::BIGINT AS sum_right,
+       ((sl*sl*{CHANGEPOINT_SCALE}) // nl
+        + (sr*sr*{CHANGEPOINT_SCALE}) // nr)::BIGINT AS score
+FROM sc
+ORDER BY score DESC, split_hour ASC
+LIMIT {CHANGEPOINT_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unnormalized Haar wavelet energy spectrum of the hourly count series:
+# pad the dense grid (anchored at min hour) to a FIXED 1024 slots, then
+# 10 levels of pairwise (sum, difference); energy_k = sum(d^2) over the
+# level's detail coefficients.  All-integer (differences of counts), so
+# bit-exact; the level recursion unrolls to 10 chained GROUP BY CTEs in
+# SQL with per-level distinct index names (DuckDB alias-vs-source
+# binding in GROUP BY is ambiguous otherwise).
+
+HAAR_LEN = 1024
+HAAR_LEVELS = 10
+
+
+def haar_hourly(events: rd.Dataset, *, ts: str = "ts") -> "pd.DataFrame":
+    """Per-level Haar detail energy of the hourly count series: rows
+    ``(level, n_coeffs, energy)`` for level 1 (finest, 2-hour pairs)
+    through 10 (coarsest).  Raises if the observed span exceeds
+    ``HAAR_LEN`` hours — the declared bound of the fixed transform."""
+    import pandas as pd
+
+    h, c = _hourly_counts(events, ts=ts)
+    mn = int(h[0]) if len(h) else 0
+    if len(h) and int(h[-1]) - mn + 1 > HAAR_LEN:
+        raise ValueError(
+            f"haar_hourly: span {int(h[-1]) - mn + 1} exceeds {HAAR_LEN}"
+        )
+    v = np.zeros(HAAR_LEN, object)
+    if len(h):
+        v[h - mn] = c
+    rows = []
+    for level in range(1, HAAR_LEVELS + 1):
+        d = v[0::2] - v[1::2]
+        v = v[0::2] + v[1::2]
+        energy = int((d * d).sum())
+        rows.append((level, len(d), energy))
+    out = pd.DataFrame(rows, columns=["level", "n_coeffs", "energy"])
+    return out.astype({"level": "int64", "n_coeffs": "int64",
+                       "energy": "int64"})
+
+
+def sql_haar_hourly() -> str:
+    parts = [f"""
+WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events),
+bounds AS (SELECT coalesce(min(h), 0) AS mn FROM e),
+cnt AS (SELECT h, count(*)::HUGEINT AS c FROM e GROUP BY 1),
+l0 AS (
+    SELECT g.i0, coalesce(cnt.c, 0) AS v
+    FROM (SELECT unnest(range(0, {HAAR_LEN})) AS i0,
+                 unnest(range(0, {HAAR_LEN})) + mn AS h
+          FROM bounds) g
+    LEFT JOIN cnt USING (h)
+)"""]
+    for k in range(1, HAAR_LEVELS + 1):
+        parts.append(f""",
+l{k} AS (
+    SELECT i{k - 1} // 2 AS i{k},
+           sum(v)::HUGEINT AS v,
+           sum(CASE WHEN i{k - 1} % 2 = 0 THEN v ELSE -v END)::HUGEINT AS d
+    FROM l{k - 1} GROUP BY i{k - 1} // 2
+)"""
+        )
+    sels = [
+        f"SELECT {k}::BIGINT AS level, count(*)::BIGINT AS n_coeffs,"
+        f" coalesce(sum(d*d), 0)::BIGINT AS energy FROM l{k}"
+        for k in range(1, HAAR_LEVELS + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(sels) + "\nORDER BY level"
