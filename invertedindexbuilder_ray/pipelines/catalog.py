@@ -11549,3 +11549,42 @@ def _sql_events_haar() -> str:
 
 
 QUERIES["events_haar"] = (q_events_haar, _sql_events_haar())
+
+
+def q_f2_sketch(sf_dir: str):
+    """AMS F2 (second frequency moment) sketch of the user_id stream
+    plus the exact F2.  See distinct.f2_sketch (AMS 1996)."""
+    from .distinct import f2_sketch
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["user_id"])
+    return f2_sketch(ev)
+
+
+def _sql_f2_sketch() -> str:
+    from .distinct import sql_f2_sketch
+
+    return sql_f2_sketch()
+
+
+QUERIES["f2_sketch"] = (q_f2_sketch, _sql_f2_sketch())
+
+
+def q_decision_stump(sf_dir: str):
+    """Depth-1 CART split of l_quantity predicting l_returnflag='R'
+    (quantized weighted Gini, integer rank key).  See
+    classify.decision_stump."""
+    from .classify import decision_stump
+
+    path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
+    li = read_parquet_sized(path, columns=["l_quantity", "l_returnflag"])
+    return decision_stump(li)
+
+
+def _sql_decision_stump() -> str:
+    from .classify import SQL_DECISION_STUMP
+
+    return SQL_DECISION_STUMP
+
+
+QUERIES["decision_stump"] = (q_decision_stump, _sql_decision_stump())

@@ -43,6 +43,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -332,4 +333,106 @@ SELECT te.lang AS lang_true, p.lang_pred, count(*)::BIGINT AS n_docs
 FROM te JOIN pred p USING (doc_id)
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (depth-1 CART split) — the simplest trained classifier
+# family member: find the l_quantity threshold that best separates
+# returned (l_returnflag = 'R') lineitems by weighted Gini impurity.
+# With integer class counts, the side impurity n_s - (pos^2 + neg^2)/n_s
+# is quantized as score_s = floor((n_s^2 - pos_s^2 - neg_s^2) * SCALE /
+# n_s); minimizing score_left + score_right over thresholds is exactly
+# minimizing weighted Gini up to the quantization, and the rank key is
+# pure int (score asc, threshold asc).  Positive operands: DuckDB's
+# truncating // == floor.
+
+STUMP_SCALE = 10**6
+STUMP_TOP_K = 5
+
+
+def decision_stump(lineitem: rd.Dataset) -> "pd.DataFrame":
+    """Top-``STUMP_TOP_K`` split thresholds t (predicting on
+    ``l_quantity <= t``) by ascending quantized weighted-Gini score.
+    Columns: threshold, n_left, pos_left, n_right, pos_right, score.
+
+    Shape (100 TB): one streaming pass of per-batch (quantity, label)
+    Arrow group_by partials; only the <=2*|distinct quantities| partial
+    rows reach the driver (l_quantity is a bounded integer grid)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = pc.cast(batch["l_quantity"], pa.int64())
+        is_r = pc.cast(pc.equal(batch["l_returnflag"], "R"), pa.int64())
+        t = pa.table({"q": q, "pos": is_r})
+        g = t.group_by("q").aggregate([("pos", "sum"), ("pos", "count")])
+        return pa.table(
+            {
+                "q": g["q"],
+                "pos": pc.cast(g["pos_sum"], pa.int64()),
+                "n": pc.cast(g["pos_count"], pa.int64()),
+            }
+        )
+
+    parts = lineitem.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cols = ["threshold", "n_left", "pos_left", "n_right", "pos_right",
+            "score"]
+    if not len(parts):
+        return pd.DataFrame(columns=cols).astype(
+            {k: "int64" for k in cols}
+        )
+    agg = parts.groupby("q", as_index=False)[["pos", "n"]].sum()
+    agg = agg.sort_values("q").reset_index(drop=True)
+    qv = agg["q"].to_numpy(np.int64)
+    cpos = np.cumsum(agg["pos"].to_numpy(np.int64).astype(object))
+    cn = np.cumsum(agg["n"].to_numpy(np.int64).astype(object))
+    n_tot, pos_tot = int(cn[-1]), int(cpos[-1])
+    rows = []
+    for i in range(len(qv) - 1):  # splitting after the max leaves no right
+        nl, pl = int(cn[i]), int(cpos[i])
+        nr, pr = n_tot - nl, pos_tot - pl
+        score = (
+            (nl * nl - pl * pl - (nl - pl) ** 2) * STUMP_SCALE
+        ) // nl + ((nr * nr - pr * pr - (nr - pr) ** 2) * STUMP_SCALE) // nr
+        rows.append((int(qv[i]), nl, pl, nr, pr, score))
+    rows.sort(key=lambda r: (r[5], r[0]))
+    rows = rows[:STUMP_TOP_K]
+    if rows and max(r[5] for r in rows) >= 2**63:
+        raise ValueError("decision_stump: score exceeds int64")
+    return pd.DataFrame(rows, columns=cols).astype(
+        {k: "int64" for k in cols}
+    )
+
+
+SQL_DECISION_STUMP = f"""
+WITH cnt AS (
+    SELECT l_quantity::BIGINT AS q,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::HUGEINT
+               AS pos,
+           count(*)::HUGEINT AS n
+    FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(pos) AS pos_tot, sum(n) AS n_tot,
+               max(q) AS q_max FROM cnt),
+cum AS (
+    SELECT q, sum(pos) OVER (ORDER BY q) AS pl,
+           sum(n) OVER (ORDER BY q) AS nl
+    FROM cnt
+),
+sc AS (
+    SELECT c.q AS threshold, c.nl, c.pl,
+           t.n_tot - c.nl AS nr, t.pos_tot - c.pl AS pr
+    FROM cum c, tot t WHERE c.q < t.q_max
+)
+SELECT threshold::BIGINT AS threshold,
+       nl::BIGINT AS n_left, pl::BIGINT AS pos_left,
+       nr::BIGINT AS n_right, pr::BIGINT AS pos_right,
+       (((nl*nl - pl*pl - (nl-pl)*(nl-pl)) * {STUMP_SCALE}) // nl
+        + ((nr*nr - pr*pr - (nr-pr)*(nr-pr)) * {STUMP_SCALE}) // nr
+       )::BIGINT AS score
+FROM sc
+ORDER BY score ASC, threshold ASC
+LIMIT {STUMP_TOP_K}
 """

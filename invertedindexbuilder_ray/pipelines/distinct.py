@@ -30,6 +30,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 HLL_P = 12
@@ -270,4 +271,114 @@ SELECT rank::BIGINT AS rank,
              ELSE ({k - 1}::HUGEINT * {1 << 64}) // s.hk END)::BIGINT AS est
 FROM mins CROSS JOIN s
 ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 (second frequency moment) sketch — Alon, Matias & Szegedy 1996
+# (public algorithm, Gödel-prize streaming classic).  F2 = sum_v c_v^2
+# measures stream skew/self-join size WITHOUT the per-key shuffle: each
+# of R estimators keeps one signed counter S_r = sum_events sign_r(v) =
+# sum_v c_v * sign_r(v), E[S_r^2] = F2.  The counter is ADDITIVE, so
+# per-block partials merge by sum — no key space moves at all (the
+# lightest sketch in the family: R plain integers).
+#
+# sign_r(v) = bit 63 of the multiply-shift hash (v * A_r + B_r) mod
+# 2^64, with odd A_r < 2^61 so the DuckDB HUGEINT replication never
+# overflows int128.  The exact F2 travels alongside via the sharded
+# per-key count (the one honest shuffle, for the oracle comparison).
+
+F2_R = 16
+# deterministic odd multipliers < 2^61 and offsets < 2^62, derived from
+# the public splitmix64 constants — inlined as literals in the SQL
+F2_A = tuple(
+    ((0x9E3779B97F4A7C15 * (r + 1)) % (1 << 61)) | 1 for r in range(F2_R)
+)
+F2_B = tuple((0xBF58476D1CE4E5B9 * (r + 1)) % (1 << 62) for r in range(F2_R))
+
+
+def f2_sketch(events: rd.Dataset, *, key: str = "user_id") -> "pd.DataFrame":
+    """R-row AMS F2 sketch of the ``key`` stream plus the exact F2:
+    columns ``(r, s, est, f2)`` where ``est = s^2`` and ``f2`` is the
+    exact second moment (identical on every row).
+
+    Shape (100 TB): the sketch is one streaming pass emitting R ints
+    per block; only the exact-F2 oracle column costs a (sharded,
+    per-key-count) exchange."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    a = np.array(F2_A, np.uint64)[:, None]
+    b = np.array(F2_B, np.uint64)[:, None]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = pc.cast(batch[key], pa.int64()).to_numpy(zero_copy_only=False)
+        u = u.astype(np.uint64)[None, :]
+        with np.errstate(over="ignore"):
+            h = u * a + b
+        signs = np.where((h >> np.uint64(63)).astype(bool), -1, 1)
+        return pa.table(
+            {
+                "r": pa.array(np.arange(F2_R, dtype=np.int64)),
+                "s": pa.array(signs.sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    parts = events.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    s = (
+        parts.groupby("r", as_index=False)["s"].sum()
+        if len(parts)
+        else pd.DataFrame({"r": range(F2_R), "s": [0] * F2_R})
+    )
+    s["s"] = s["s"].astype("int64")
+    s = s.sort_values("r").reset_index(drop=True)
+
+    def shard_f2(g: "pd.DataFrame") -> "pd.DataFrame":
+        c = g.groupby(key).size().to_numpy(np.int64).astype(object)
+        return pd.DataFrame({"f2p": [int((c * c).sum())]})
+
+    f2parts = _sharded_groupby(
+        events, [key], shard_f2,
+        empty_schema=pa.schema([("f2p", pa.int64())]),
+    ).to_pandas()
+    f2 = int(f2parts["f2p"].sum()) if len(f2parts) else 0
+    out = pd.DataFrame(
+        {
+            "r": s["r"],
+            "s": s["s"],
+            "est": (s["s"].astype(object) * s["s"].astype(object)).astype(
+                "int64"
+            ),
+            "f2": np.int64(f2),
+        }
+    )
+    return out.astype({"r": "int64", "s": "int64", "est": "int64",
+                       "f2": "int64"})
+
+
+def sql_f2_sketch(key: str = "user_id", table: str = "events") -> str:
+    m64 = 1 << 64
+    rows = ", ".join(
+        f"({r}, {F2_A[r]}::HUGEINT, {F2_B[r]}::HUGEINT)" for r in range(F2_R)
+    )
+    return f"""
+WITH params(r, a, b) AS (VALUES {rows}),
+s AS (
+    SELECT p.r,
+           coalesce(sum(CASE WHEN (({key}::HUGEINT * p.a + p.b) % {m64})
+                                  >= {1 << 63} THEN -1 ELSE 1 END), 0)::BIGINT
+               AS s
+    FROM params p LEFT JOIN {table} ON TRUE
+    GROUP BY p.r
+),
+f2 AS (
+    SELECT coalesce(sum(c * c), 0)::BIGINT AS f2
+    FROM (SELECT count(*)::HUGEINT AS c FROM {table} GROUP BY {key})
+)
+SELECT s.r::BIGINT AS r, s.s, (s.s::HUGEINT * s.s)::BIGINT AS est, f2.f2
+FROM s CROSS JOIN f2
+ORDER BY r
 """
