@@ -11588,3 +11588,42 @@ def _sql_decision_stump() -> str:
 
 
 QUERIES["decision_stump"] = (q_decision_stump, _sql_decision_stump())
+
+
+def q_bootstrap_mean_ci(sf_dir: str):
+    """Deterministic hash-resampled bootstrap of mean doc length with
+    95% CI order stats.  See validate.bootstrap_mean_ci."""
+    from .validate import bootstrap_mean_ci
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    docs = read_parquet_sized(path, columns=["doc_id", "n_chars"])
+    return bootstrap_mean_ci(docs)
+
+
+def _sql_bootstrap() -> str:
+    from .validate import sql_bootstrap_mean_ci
+
+    return sql_bootstrap_mean_ci()
+
+
+QUERIES["bootstrap_mean_ci"] = (q_bootstrap_mean_ci, _sql_bootstrap())
+
+
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival curve over user lifetimes (7-day censor
+    horizon, sequential fixed-point product).  See
+    temporal.kaplan_meier."""
+    from .temporal import kaplan_meier
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["user_id", "ts"])
+    return kaplan_meier(ev)
+
+
+def _sql_km() -> str:
+    from .temporal import SQL_KAPLAN_MEIER
+
+    return SQL_KAPLAN_MEIER
+
+
+QUERIES["kaplan_meier"] = (q_kaplan_meier, _sql_km())

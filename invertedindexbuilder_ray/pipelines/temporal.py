@@ -1647,3 +1647,116 @@ l{k} AS (
         for k in range(1, HAAR_LEVELS + 1)
     ]
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(sels) + "\nORDER BY level"
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator over user lifetimes (time-to-churn):
+# duration = whole days between a user's first and last event; a user
+# still active within KM_CENSOR_DAYS of the stream's end is CENSORED
+# (they may still be alive).  S(t) multiplies (n_risk - d)/n_risk over
+# event times <= t; the product is evaluated as a SEQUENTIAL fixed-point
+# integer recurrence (floor at every step, ascending t), so both
+# engines produce the identical int64 curve — a recursive CTE in SQL,
+# the same loop over the bounded distinct-duration table on the driver.
+
+KM_CENSOR_US = 7 * 86_400_000_000  # active within 7 days of max ts
+KM_DAY_US = 86_400_000_000
+KM_SCALE = 10**9
+
+
+def kaplan_meier(events: rd.Dataset, *, key: str = "user_id",
+                 ts: str = "ts") -> "pd.DataFrame":
+    """KM survival curve: one row per distinct duration with
+    ``(duration_days, n_risk, n_events, n_censored, s_fp)``.
+
+    Shape (100 TB): one streaming max pass (censor horizon), then a
+    hash-sharded per-user min/max aggregate whose shard outputs are
+    per-duration (d, c) partials — only the bounded distinct-duration
+    table reaches the driver."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    def max_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(us.max())], pa.int64())})
+
+    mx = events.map_batches(max_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    cols = ["duration_days", "n_risk", "n_events", "n_censored", "s_fp"]
+    if not len(mx):
+        return pd.DataFrame(columns=cols).astype(
+            {c: "int64" for c in cols})
+    horizon = int(mx["m"].max())
+
+    def shard_km(g: "pd.DataFrame") -> "pd.DataFrame":
+        us = g[ts].astype("int64")
+        per = us.groupby(g[key]).agg(["min", "max"])
+        t = ((per["max"] - per["min"]) // KM_DAY_US).to_numpy(np.int64)
+        cens = ((horizon - per["max"].to_numpy(np.int64)) < KM_CENSOR_US)
+        out = pd.DataFrame({"t": t, "cens": cens.astype(np.int64)})
+        agg = out.groupby("t", as_index=False).agg(
+            d=("cens", lambda s: int((1 - s).sum())),
+            c=("cens", "sum"),
+        )
+        return agg.astype({"t": "int64", "d": "int64", "c": "int64"})
+
+    parts = _sharded_groupby(
+        events, [key], shard_km,
+        empty_schema=pa.schema(
+            [("t", pa.int64()), ("d", pa.int64()), ("c", pa.int64())]
+        ),
+    ).to_pandas()
+    agg = parts.groupby("t", as_index=False)[["d", "c"]].sum()
+    agg = agg.sort_values("t").reset_index(drop=True)
+    tot = (agg["d"] + agg["c"]).to_numpy(np.int64)
+    n_risk = np.cumsum(tot[::-1])[::-1]
+    s = KM_SCALE
+    rows = []
+    for i in range(len(agg)):
+        nr, d = int(n_risk[i]), int(agg["d"][i])
+        s = (s * (nr - d)) // nr
+        rows.append((int(agg["t"][i]), nr, d, int(agg["c"][i]), s))
+    return pd.DataFrame(rows, columns=cols).astype(
+        {c: "int64" for c in cols})
+
+
+SQL_KAPLAN_MEIER = f"""
+WITH RECURSIVE mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+u AS (
+    SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+    FROM events GROUP BY 1
+),
+d AS (
+    SELECT (u.l - u.f) // {KM_DAY_US} AS t,
+           CASE WHEN (mx.m - u.l) < {KM_CENSOR_US} THEN 1 ELSE 0 END
+               AS cens
+    FROM u, mx
+),
+agg AS (
+    SELECT t, sum(1 - cens)::HUGEINT AS d, sum(cens)::HUGEINT AS c
+    FROM d GROUP BY t
+),
+r AS (
+    SELECT t, d, c,
+           sum(d + c) OVER (ORDER BY t DESC)::HUGEINT AS n_risk
+    FROM agg
+),
+ord AS (
+    SELECT row_number() OVER (ORDER BY t) AS rn, t, d, c, n_risk FROM r
+),
+rec AS (
+    SELECT rn, t, d, c, n_risk,
+           ({KM_SCALE}::HUGEINT * (n_risk - d)) // n_risk AS s
+    FROM ord WHERE rn = 1
+    UNION ALL
+    SELECT o.rn, o.t, o.d, o.c, o.n_risk,
+           (rec.s * (o.n_risk - o.d)) // o.n_risk
+    FROM ord o JOIN rec ON o.rn = rec.rn + 1
+)
+SELECT t::BIGINT AS duration_days, n_risk::BIGINT AS n_risk,
+       d::BIGINT AS n_events, c::BIGINT AS n_censored, s::BIGINT AS s_fp
+FROM rec ORDER BY t
+"""

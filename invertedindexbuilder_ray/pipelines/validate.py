@@ -427,3 +427,129 @@ SELECT e.digit::BIGINT AS digit, coalesce(m.n, 0)::BIGINT AS n,
 FROM e LEFT JOIN m USING (digit) CROSS JOIN t
 ORDER BY e.digit
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap: B hash-resampled replicates of the mean doc
+# length.  Classic resampling inference with NO RNG — draw (b, i) picks
+# doc rank ((k*A + C) mod 2^64) mod N with k = b*m + i, so both engines
+# generate the identical multiset of doc_ids (the dense-doc_id contract
+# is loudly checked: every draw must match exactly one document).  The
+# 95% CI is the (1, 62) order-stat pair of the 64 replicate sums
+# (floor/ceil of the 2.5/97.5 percentile ranks of B=64).
+
+BOOT_B = 64
+BOOT_M = 1000
+BOOT_A = 0x9E3779B97F4A7C15  # splitmix64 gamma (public constant)
+BOOT_C = 0xBF58476D1CE4E5B9
+BOOT_SCALE = 10**6
+_M64 = 1 << 64
+
+
+def bootstrap_mean_ci(docs: rd.Dataset, *, val_col: str = "n_chars",
+                      id_col: str = "doc_id") -> pd.DataFrame:
+    """Per-replicate bootstrap sums of ``val_col`` plus the 95% CI order
+    stats: columns ``(b, n_draws, sum_chars, mean_fp, ci_lo_sum,
+    ci_hi_sum)``.
+
+    Shape (100 TB): the 64k-draw multiset is generated once on the
+    driver (constant size), sorted by target doc_id, and broadcast into
+    ONE streaming ``map_batches`` pass that emits B-row partial sums
+    per block — no shuffle, nothing unbounded at the driver.  Requires
+    dense doc_ids [0, N): violated draws match nothing and the final
+    coverage assertion raises."""
+    n = docs.count()
+    if n == 0:
+        cols = ["b", "n_draws", "sum_chars", "mean_fp", "ci_lo_sum",
+                "ci_hi_sum"]
+        return pd.DataFrame(columns=cols).astype({c: "int64" for c in cols})
+    k = np.arange(BOOT_B * BOOT_M, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        did = ((k * np.uint64(BOOT_A) + np.uint64(BOOT_C)) % np.uint64(n)
+               ).astype(np.int64)
+    b_of = (k // np.uint64(BOOT_M)).astype(np.int64)
+    order = np.argsort(did, kind="stable")
+    did_sorted, b_sorted = did[order], b_of[order]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        vals = pc.cast(batch[val_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lo = np.searchsorted(did_sorted, ids, "left")
+        hi = np.searchsorted(did_sorted, ids, "right")
+        cnt = hi - lo
+        sel = np.flatnonzero(cnt > 0)
+        sums = np.zeros(BOOT_B, np.int64)
+        draws = np.zeros(BOOT_B, np.int64)
+        if len(sel):
+            c = cnt[sel]
+            total = int(c.sum())
+            starts = np.repeat(lo[sel], c)
+            offs = np.arange(total) - np.repeat(
+                np.cumsum(c) - c, c)
+            draw_idx = starts + offs
+            bb = b_sorted[draw_idx]
+            vv = np.repeat(vals[sel], c)
+            np.add.at(sums, bb, vv)
+            np.add.at(draws, bb, 1)
+        return pa.table(
+            {"b": pa.array(np.arange(BOOT_B, dtype=np.int64)),
+             "s": pa.array(sums), "c": pa.array(draws)}
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    agg = parts.groupby("b", as_index=False)[["s", "c"]].sum()
+    agg = agg.sort_values("b").reset_index(drop=True)
+    if int(agg["c"].sum()) != BOOT_B * BOOT_M:
+        raise ValueError(
+            "bootstrap_mean_ci: draw coverage "
+            f"{int(agg['c'].sum())} != {BOOT_B * BOOT_M} — doc_ids are "
+            "not dense [0, N)"
+        )
+    by_s = agg.sort_values(["s", "b"]).reset_index(drop=True)
+    lo, hi = int(by_s["s"][1]), int(by_s["s"][BOOT_B - 2])
+    out = pd.DataFrame(
+        {
+            "b": agg["b"].astype("int64"),
+            "n_draws": agg["c"].astype("int64"),
+            "sum_chars": agg["s"].astype("int64"),
+            "mean_fp": (agg["s"].astype(object) * BOOT_SCALE
+                        // BOOT_M).astype("int64"),
+            "ci_lo_sum": np.int64(lo),
+            "ci_hi_sum": np.int64(hi),
+        }
+    )
+    return out
+
+
+def sql_bootstrap_mean_ci() -> str:
+    return f"""
+WITH n AS (SELECT count(*)::HUGEINT AS n FROM documents),
+draws AS (
+    SELECT k // {BOOT_M} AS b,
+           ((k::HUGEINT * {BOOT_A}::HUGEINT + {BOOT_C}::HUGEINT)
+            % {_M64}) % n.n AS did
+    FROM (SELECT unnest(range(0, {BOOT_B * BOOT_M})) AS k), n
+),
+j AS (
+    SELECT d.b, doc.n_chars
+    FROM draws d JOIN documents doc ON doc.doc_id = d.did
+),
+per AS (
+    SELECT b, count(*)::HUGEINT AS c, sum(n_chars)::HUGEINT AS s
+    FROM j GROUP BY b
+),
+ci AS (
+    SELECT (SELECT s FROM per ORDER BY s, b OFFSET 1 LIMIT 1) AS lo,
+           (SELECT s FROM per ORDER BY s, b OFFSET {BOOT_B - 2} LIMIT 1)
+               AS hi
+)
+SELECT b::BIGINT AS b, c::BIGINT AS n_draws, s::BIGINT AS sum_chars,
+       (s * {BOOT_SCALE} // {BOOT_M})::BIGINT AS mean_fp,
+       ci.lo::BIGINT AS ci_lo_sum, ci.hi::BIGINT AS ci_hi_sum
+FROM per, ci
+ORDER BY b
+"""
