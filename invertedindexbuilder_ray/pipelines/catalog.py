@@ -11627,3 +11627,140 @@ def _sql_km() -> str:
 
 
 QUERIES["kaplan_meier"] = (q_kaplan_meier, _sql_km())
+
+
+def q_markov_entropy(sf_dir: str):
+    """Conditional next-event entropy H(next|current) per event type,
+    exact fixed-point integers.  See temporal.markov_entropy."""
+    from .temporal import markov_entropy
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["user_id", "ts", "event_type", "event_id"])
+    return markov_entropy(ev)
+
+
+def _sql_markov_entropy() -> str:
+    from .temporal import SQL_MARKOV_ENTROPY
+
+    return SQL_MARKOV_ENTROPY
+
+
+QUERIES["markov_entropy"] = (q_markov_entropy, _sql_markov_entropy())
+
+
+def q_table_profile(sf_dir: str):
+    """Column profiling (n/nulls/exact ndv/min/max) of orders with
+    canonical int64 keys.  See validate.table_profile."""
+    from .validate import table_profile
+
+    path = os.path.join(sf_dir, "orders.parquet") if os.path.isdir(sf_dir) else sf_dir
+    orders = read_parquet_sized(
+        path,
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+                 "o_orderstatus", "o_orderpriority"],
+    )
+    return table_profile(orders)
+
+
+def _sql_table_profile() -> str:
+    from .validate import sql_table_profile
+
+    return sql_table_profile()
+
+
+QUERIES["table_profile"] = (q_table_profile, _sql_table_profile())
+
+
+# --- Rendezvous (highest-random-weight) shard assignment -------------------
+# The cluster-layout primitive behind the sharded query tier: each doc
+# goes to argmax_s hash(doc, s) — adding/removing a shard moves only
+# 1/S of the keys (Thaler & Ravishankar 1998, public algorithm).  Odd
+# multipliers < 2^61 keep the DuckDB HUGEINT replication of the mod-2^64
+# multiply-shift exact; ties (never observed, but defined) break to the
+# smallest shard id in both engines.
+
+HRW_SHARDS = 16
+HRW_A = tuple(
+    ((0x9E3779B97F4A7C15 * (s + 101)) % (1 << 61)) | 1
+    for s in range(HRW_SHARDS)
+)
+HRW_B = tuple(
+    (0xBF58476D1CE4E5B9 * (s + 101)) % (1 << 62) for s in range(HRW_SHARDS)
+)
+
+
+def q_shard_assignment(sf_dir: str):
+    """Per-shard doc counts + id range under rendezvous hashing: rows
+    ``(shard, n_docs, min_doc, max_doc)``.  One streaming pass emitting
+    16-row partials; no shuffle."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    docs = read_parquet_sized(path, columns=["doc_id"])
+    a = np.array(HRW_A, np.uint64)[:, None]
+    b = np.array(HRW_B, np.uint64)[:, None]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        u = ids.astype(np.uint64)[None, :]
+        with np.errstate(over="ignore"):
+            h = u * a + b
+        shard = np.argmax(h, axis=0).astype(np.int64)  # first max = min s
+        out_s, out_n, out_mn, out_mx = [], [], [], []
+        for s in np.unique(shard):
+            sel = ids[shard == s]
+            out_s.append(int(s))
+            out_n.append(len(sel))
+            out_mn.append(int(sel.min()))
+            out_mx.append(int(sel.max()))
+        return pa.table(
+            {"shard": pa.array(out_s, pa.int64()),
+             "n": pa.array(out_n, pa.int64()),
+             "mn": pa.array(out_mn, pa.int64()),
+             "mx": pa.array(out_mx, pa.int64())}
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            columns=["shard", "n_docs", "min_doc", "max_doc"]
+        ).astype({c: "int64" for c in
+                  ("shard", "n_docs", "min_doc", "max_doc")})
+    agg = parts.groupby("shard", as_index=False).agg(
+        n_docs=("n", "sum"), min_doc=("mn", "min"), max_doc=("mx", "max")
+    )
+    agg = agg.sort_values("shard").reset_index(drop=True)
+    return agg.astype({c: "int64" for c in agg.columns})
+
+
+def _sql_shard_assignment() -> str:
+    m64 = 1 << 64
+    rows = ", ".join(
+        f"({s}, {HRW_A[s]}::HUGEINT, {HRW_B[s]}::HUGEINT)"
+        for s in range(HRW_SHARDS)
+    )
+    return f"""
+WITH params(s, a, b) AS (VALUES {rows}),
+h AS (
+    SELECT d.doc_id, p.s,
+           ((d.doc_id::HUGEINT * p.a + p.b) % {m64}) AS hv
+    FROM documents d CROSS JOIN params p
+),
+pick AS (
+    SELECT doc_id, s,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY hv DESC, s ASC
+           ) AS rn
+    FROM h
+)
+SELECT s::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+FROM pick WHERE rn = 1
+GROUP BY s ORDER BY s
+"""
+
+
+QUERIES["shard_assignment"] = (q_shard_assignment, _sql_shard_assignment())

@@ -1760,3 +1760,80 @@ SELECT t::BIGINT AS duration_days, n_risk::BIGINT AS n_risk,
        d::BIGINT AS n_events, c::BIGINT AS n_censored, s::BIGINT AS s_fp
 FROM rec ORDER BY t
 """
+
+
+# ---------------------------------------------------------------------------
+# Conditional next-event entropy H(next | current) per from_type — the
+# information-theoretic summary of the transition table (how predictable
+# is a user's next action given the current one).  Pure integers: with
+# Lx the deterministic fixed-point log2 (textpipe._log2_fp_ext),
+# h_num = sum_b n_ab * (Lx(n_a) - Lx(n_ab)) is an exact int64 and
+# h_fp = h_num // n_a its per-transition average (DuckDB truncating //
+# == floor on the nonnegative operands).
+
+
+def markov_entropy(ds: rd.Dataset) -> "pd.DataFrame":
+    """Rows ``(from_type, n_total, h_num, h_fp)`` over per-user adjacent
+    event pairs (the event_transitions stream).  h_fp ~ entropy in bits
+    * 1e9."""
+    from .textpipe import _log2_fp_ext
+
+    tr = event_transitions(ds)
+    if not len(tr):
+        import pandas as pd
+
+        return pd.DataFrame(
+            columns=["from_type", "n_total", "h_num", "h_fp"]
+        ).astype({"n_total": "int64", "h_num": "int64", "h_fp": "int64"})
+    n = tr["n"].to_numpy(np.int64)
+    tot = tr["total_from"].to_numpy(np.int64)
+    term = n.astype(object) * (_log2_fp_ext(tot) - _log2_fp_ext(n)).astype(
+        object
+    )
+    tr = tr.assign(term=term)
+    agg = tr.groupby("from_type", as_index=False, dropna=False).agg(
+        n_total=("total_from", "first"), h_num=("term", "sum")
+    )
+    agg["h_num"] = agg["h_num"].astype("int64")
+    agg["n_total"] = agg["n_total"].astype("int64")
+    agg["h_fp"] = (
+        agg["h_num"].astype(object) // agg["n_total"].astype(object)
+    ).astype("int64")
+    return agg.sort_values("from_type").reset_index(drop=True)[
+        ["from_type", "n_total", "h_num", "h_fp"]
+    ]
+
+
+def _sql_lx(col: str) -> str:
+    """DuckDB replication of textpipe._log2_fp_ext for k >= 1."""
+    s = f"greatest(length(bin({col}))::BIGINT - 16, 0)"
+    return (
+        f"(CAST(round(log2(({col}) >> {s}) * 1000000000) AS BIGINT)"
+        f" + {s} * 1000000000)"
+    )
+
+
+SQL_MARKOV_ENTROPY = f"""
+WITH seq AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+p AS (
+    SELECT from_type, to_type, count(*)::BIGINT AS n
+    FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT from_type, sum(n)::BIGINT AS total_from FROM p GROUP BY 1),
+terms AS (
+    SELECT p.from_type, t.total_from,
+           p.n * ({_sql_lx("t.total_from")} - {_sql_lx("p.n")}) AS term
+    FROM p JOIN t ON p.from_type IS NOT DISTINCT FROM t.from_type
+)
+SELECT from_type, total_from::BIGINT AS n_total,
+       sum(term)::BIGINT AS h_num,
+       (sum(term) // total_from)::BIGINT AS h_fp
+FROM terms GROUP BY from_type, total_from
+ORDER BY from_type
+"""

@@ -553,3 +553,177 @@ SELECT b::BIGINT AS b, c::BIGINT AS n_draws, s::BIGINT AS sum_chars,
 FROM per, ci
 ORDER BY b
 """
+
+
+# ---------------------------------------------------------------------------
+# Generic column profiling (the data-engineering "describe" an ingest
+# tier runs before committing a 100-TB load): per column n / nulls /
+# exact distinct / min / max.  Numeric-ish columns canonicalize to an
+# INJECTIVE int64 key (ids as-is, money in half-away cents, dates as
+# epoch-us) so min/max/ndv are integer-exact; string columns carry
+# min_str/max_str instead.  Exact ndv shards values by an int64 hash
+# (``dedup._sharded_groupby``) and counts nunique of the VALUE inside
+# each shard — collision-proof, only per-shard partial counts reach the
+# driver.
+
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "ts"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_key(batch: pa.Table, col: str, kind: str) -> tuple:
+    """(key64 int64 array or None, sval string array) for one column."""
+    from ..functions.hashing import term_hash
+    from ..functions.rounding import round_half_away
+
+    arr = batch[col]
+    if kind == "int":
+        k = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
+        return k, k.astype("U")
+    if kind == "cents":
+        v = arr.to_numpy(zero_copy_only=False)
+        k = round_half_away(v * 100.0, 0).astype(np.int64)
+        return k, k.astype("U")
+    if kind == "ts":
+        k = pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False)
+        return k, k.astype("U")
+    sval = arr.to_numpy(zero_copy_only=False).astype("U")
+    k = term_hash(pa.array(sval)).view(np.int64)
+    return k, sval
+
+
+def table_profile(orders: rd.Dataset) -> pd.DataFrame:
+    """Profile of the orders table: rows ``(column, n, n_null,
+    n_distinct, min_key, max_key, min_str, max_str)`` — min/max_key for
+    numeric-canonical columns (NULL for strings), min/max_str for
+    string columns (NULL otherwise)."""
+    kinds = dict(_PROFILE_COLS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for col, kind in _PROFILE_COLS:
+            n_null = batch[col].null_count
+            nn = batch.num_rows - n_null
+            if nn == 0:
+                rows.append((col, 0, n_null, None, None, None, None))
+                continue
+            b = batch.filter(pc.is_valid(batch[col])) if n_null else batch
+            k, sval = _profile_key(b, col, kind)
+            if kind == "str":
+                vals = sval.tolist()
+                rows.append((col, nn, n_null, None, None,
+                             min(vals), max(vals)))
+            else:
+                rows.append((col, nn, n_null, int(k.min()), int(k.max()),
+                             None, None))
+        return pa.table(
+            {
+                "column": pa.array([r[0] for r in rows], pa.utf8()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "n_null": pa.array([r[2] for r in rows], pa.int64()),
+                "min_key": pa.array([r[3] for r in rows], pa.int64()),
+                "max_key": pa.array([r[4] for r in rows], pa.int64()),
+                "min_str": pa.array([r[5] for r in rows], pa.utf8()),
+                "max_str": pa.array([r[6] for r in rows], pa.utf8()),
+            }
+        )
+
+    stats = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+
+    def ndv_pairs(batch: pa.Table) -> pa.Table:
+        cols, ks, svals = [], [], []
+        for col, kind in _PROFILE_COLS:
+            b = (batch.filter(pc.is_valid(batch[col]))
+                 if batch[col].null_count else batch)
+            if b.num_rows == 0:
+                continue
+            k, sval = _profile_key(b, col, kind)
+            _, idx = np.unique(k, return_index=True)
+            cols.extend([col] * len(idx))
+            ks.append(k[idx])
+            svals.append(sval[idx])
+        if not cols:
+            return pa.table({"column": pa.array([], pa.utf8()),
+                             "k": pa.array([], pa.int64()),
+                             "sval": pa.array([], pa.utf8())})
+        return pa.table(
+            {"column": pa.array(cols, pa.utf8()),
+             "k": pa.array(np.concatenate(ks).astype(np.int64)),
+             "sval": pa.array(np.concatenate(svals).astype("U"))}
+        )
+
+    def shard_ndv(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("column", as_index=False)["sval"].nunique()
+        out = out.rename(columns={"sval": "ndv"})
+        return out.astype({"ndv": "int64"})
+
+    pairs = orders.map_batches(
+        ndv_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ndv_parts = _sharded_groupby(
+        pairs, ["k"], shard_ndv,
+        empty_schema=pa.schema([("column", pa.utf8()), ("ndv", pa.int64())]),
+    ).to_pandas()
+    ndv = (ndv_parts.groupby("column")["ndv"].sum() if len(ndv_parts)
+           else pd.Series(dtype="int64"))
+
+    rows = []
+    for col, kind in _PROFILE_COLS:
+        sub = stats[stats["column"] == col]
+        n = int(sub["n"].sum())
+        n_null = int(sub["n_null"].sum())
+        if kind == "str":
+            mn = sub["min_str"].dropna().min() if n else None
+            mx = sub["max_str"].dropna().max() if n else None
+            rows.append((col, n, n_null, int(ndv.get(col, 0)),
+                         None, None, mn, mx))
+        else:
+            mn = int(sub["min_key"].min()) if n else None
+            mx = int(sub["max_key"].max()) if n else None
+            rows.append((col, n, n_null, int(ndv.get(col, 0)),
+                         mn, mx, None, None))
+    out = pd.DataFrame(
+        rows,
+        columns=["column", "n", "n_null", "n_distinct", "min_key",
+                 "max_key", "min_str", "max_str"],
+    )
+    for c in ("n", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def sql_table_profile() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "int":
+            key = col
+        elif kind == "cents":
+            key = f"CAST(round({col} * 100) AS BIGINT)"
+        elif kind == "ts":
+            key = f"epoch_us({col})"
+        else:
+            key = None
+        if key is not None:
+            parts.append(f"""
+SELECT '{col}' AS "column", count({col})::BIGINT AS n,
+       (count(*) - count({col}))::BIGINT AS n_null,
+       count(DISTINCT {key})::BIGINT AS n_distinct,
+       min({key})::BIGINT AS min_key, max({key})::BIGINT AS max_key,
+       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+FROM orders""")
+        else:
+            parts.append(f"""
+SELECT '{col}' AS "column", count({col})::BIGINT AS n,
+       (count(*) - count({col}))::BIGINT AS n_null,
+       count(DISTINCT {col})::BIGINT AS n_distinct,
+       NULL::BIGINT AS min_key, NULL::BIGINT AS max_key,
+       min({col}) AS min_str, max({col}) AS max_str
+FROM orders""")
+    return "\nUNION ALL".join(parts) + "\nORDER BY \"column\""
