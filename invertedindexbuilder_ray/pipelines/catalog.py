@@ -11764,3 +11764,42 @@ GROUP BY s ORDER BY s
 
 
 QUERIES["shard_assignment"] = (q_shard_assignment, _sql_shard_assignment())
+
+
+def q_boilerplate_lines(sf_dir: str):
+    """Per-source boilerplate line detection (>=10% doc share, per-doc
+    distinct, deterministic footer augmentation).  See
+    curation.boilerplate_lines_df."""
+    from .curation import boilerplate_lines_df
+
+    return boilerplate_lines_df(sf_dir)
+
+
+def _sql_boilerplate() -> str:
+    from .curation import SQL_BOILERPLATE
+
+    return SQL_BOILERPLATE
+
+
+QUERIES["boilerplate_lines"] = (q_boilerplate_lines, _sql_boilerplate())
+
+
+def q_trimmed_mean_price(sf_dir: str):
+    """Fixed-k trimmed mean retail price per brand (robust location,
+    bounded per-block candidate shipping).  See
+    quantiles.trimmed_mean_by_brand."""
+    from .quantiles import trimmed_mean_by_brand
+
+    path = os.path.join(sf_dir, "part.parquet") if os.path.isdir(sf_dir) else sf_dir
+    part = read_parquet_sized(
+        path, columns=["p_brand", "p_retailprice", "p_partkey"])
+    return trimmed_mean_by_brand(part)
+
+
+def _sql_trimmed_mean() -> str:
+    from .quantiles import SQL_TRIMMED_MEAN
+
+    return SQL_TRIMMED_MEAN
+
+
+QUERIES["trimmed_mean_price"] = (q_trimmed_mean_price, _sql_trimmed_mean())

@@ -4497,3 +4497,157 @@ def term_bfs_df(
         "deg": deg,
         "dist": dist,
     }).astype({"deg": "int64", "dist": "int64"})[out_cols]
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line detection — the CCNet/RefinedWeb-style template
+# filter: a LINE shared by >= 10% of a source's documents is navigation
+# chrome / footer boilerplate, not content.  The synthetic corpus is
+# single-line, so (pii_scan pattern) every 3rd doc deterministically
+# gains a per-source footer line, replicated in the SQL oracle.
+
+BOILER_EVERY = 3
+BOILER_MAX_LINE = 64  # body lines are longer; candidates are bounded
+BOILER_MIN_SHARE_PPM = 100_000  # >= 10% of the source's docs
+
+
+def _boiler_augment(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    footer = pc.binary_join_element_wise(
+        pa.array(["\nfooter "] * n, pa.string()),
+        pc.cast(batch["source"], pa.string()),
+        "",
+    )
+    empty = pa.array([""] * n, pa.string())
+    text = pc.binary_join_element_wise(
+        pc.cast(batch["text"], pa.string()),
+        pc.if_else(pa.array(ids % BOILER_EVERY == 0), footer, empty),
+        "",
+    )
+    return pa.table({"doc_id": batch["doc_id"], "text": text,
+                     "source": batch["source"]})
+
+
+def boilerplate_lines_df(
+    source: str | rd.Dataset, *, augment: bool = True
+) -> pd.DataFrame:
+    """Rows ``(source, line, n_docs, share_ppm)`` for candidate lines
+    (1..BOILER_MAX_LINE chars) present in >= 10% of a source's docs
+    (per-doc distinct; floor-ppm threshold on both engines).
+
+    Shape (100 TB): per-source doc counts are a streaming partial sum;
+    candidate (line-hash)-sharded counting keeps every (source, line)
+    group in ONE shard, and the share threshold is applied INSIDE the
+    shard (the bounded source->doc-count map is captured by the shard
+    fn), so only actual boilerplate survivors reach the driver."""
+    import os
+
+    from ..functions.hashing import term_hash
+    from ..sources.util import read_parquet_sized
+    from .dedup import _sharded_groupby
+
+    if isinstance(source, rd.Dataset):
+        ds = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        ds = read_parquet_sized(path, columns=["doc_id", "text", "source"])
+    if augment:
+        ds = ds.map_batches(_boiler_augment, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"]})
+        g = t.group_by("source").aggregate([([], "count_all")])
+        return pa.table({"source": g["source"],
+                         "nd": pc.cast(g["count_all"], pa.int64())})
+
+    sp = ds.map_batches(src_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    if not len(sp):
+        return pd.DataFrame(
+            columns=["source", "line", "n_docs", "share_ppm"]
+        ).astype({"n_docs": "int64", "share_ppm": "int64"})
+    src_docs = sp.groupby("source")["nd"].sum().to_dict()
+
+    def cand_lines(b: pa.Table) -> pa.Table:
+        la = pc.split_pattern(pc.cast(b["text"], pa.string()), "\n")
+        flat = pc.list_flatten(la)
+        lens = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(la), dtype=np.int64), lens)
+        src = b["source"].to_numpy(zero_copy_only=False)[parent]
+        ll = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = (ll >= 1) & (ll <= BOILER_MAX_LINE)
+        lines = flat.to_numpy(zero_copy_only=False)[keep]
+        df = pd.DataFrame({"parent": parent[keep], "source": src[keep],
+                           "line": lines}).drop_duplicates()
+        kh = term_hash(
+            pc.binary_slice(
+                pc.cast(pa.array(df["line"].astype(str)), pa.binary()),
+                0, 16,
+            )
+        ).view(np.int64)
+        return pa.table(
+            {"kh": pa.array(kh),
+             "source": pa.array(df["source"].astype(str)),
+             "line": pa.array(df["line"].astype(str))}
+        )
+
+    def shard_count(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["source", "line"], as_index=False).size()
+        cnt = cnt.rename(columns={"size": "n_docs"})
+        nd = cnt["source"].map(src_docs).astype("int64")
+        share = (cnt["n_docs"].astype(object) * 1_000_000 // nd.astype(
+            object)).astype("int64")
+        cnt["share_ppm"] = share
+        out = cnt[cnt["share_ppm"] >= BOILER_MIN_SHARE_PPM]
+        return out.astype({"n_docs": "int64", "share_ppm": "int64"})
+
+    parts = _sharded_groupby(
+        ds.map_batches(cand_lines, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["kh"], shard_count,
+        empty_schema=pa.schema(
+            [("source", pa.utf8()), ("line", pa.utf8()),
+             ("n_docs", pa.int64()), ("share_ppm", pa.int64())]
+        ),
+    ).to_pandas()
+    out = parts.sort_values(["source", "line"]).reset_index(drop=True)
+    return out[["source", "line", "n_docs", "share_ppm"]].astype(
+        {"n_docs": "int64", "share_ppm": "int64"})
+
+
+SQL_BOILERPLATE = f"""
+WITH aug AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % {BOILER_EVERY} = 0
+                THEN text || chr(10) || 'footer ' || source
+                ELSE text END AS text
+    FROM documents
+),
+dp AS (SELECT source, count(*)::BIGINT AS nd FROM aug GROUP BY 1),
+l1 AS (
+    SELECT DISTINCT doc_id, source, line FROM (
+        SELECT doc_id, source,
+               unnest(string_split(text, chr(10))) AS line
+        FROM aug
+    )
+),
+cand AS (
+    SELECT source, line FROM l1
+    WHERE length(line) BETWEEN 1 AND {BOILER_MAX_LINE}
+),
+cnt AS (
+    SELECT source, line, count(*)::BIGINT AS n_docs
+    FROM cand GROUP BY 1, 2
+)
+SELECT c.source, c.line, c.n_docs,
+       (c.n_docs * 1000000 // d.nd)::BIGINT AS share_ppm
+FROM cnt c JOIN dp d USING (source)
+WHERE c.n_docs * 1000000 // d.nd >= {BOILER_MIN_SHARE_PPM}
+ORDER BY c.source, c.line
+"""

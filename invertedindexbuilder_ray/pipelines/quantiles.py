@@ -29,6 +29,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _BIAS = 1 << 63
@@ -440,3 +441,117 @@ def exact_order_stats_grouped(
     for gname, n_g in totals.items():
         out[gname] = (n_g, [t["value"] for t in targets if t["g"] == gname])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fixed-k trimmed mean per group — the robust-location aggregate: drop
+# the TRIM_K lowest and TRIM_K highest prices per brand (total order
+# (cents, partkey) makes the trim deterministic under ties) and average
+# the rest.  Fixed k (not a fraction) keeps the distributed shape
+# bounded: global bottom/top-k is contained in the union of per-block
+# bottom/top-k candidates, so each block ships at most 2k rows per
+# group plus an (n, sum) partial.
+
+TRIM_K = 10
+TRIM_SCALE = 10**6
+
+
+def trimmed_mean_by_brand(part: rd.Dataset) -> pd.DataFrame:
+    """Rows ``(p_brand, n, trimmed_sum, trimmed_n, mean_fp)`` over
+    brands with more than 2*TRIM_K parts (price in half-away cents)."""
+    from ..functions.rounding import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = round_half_away(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"brand": batch["p_brand"].to_numpy(zero_copy_only=False),
+             "cents": cents,
+             "pk": pc.cast(batch["p_partkey"], pa.int64()).to_numpy(
+                 zero_copy_only=False)}
+        )
+        stats = df.groupby("brand", as_index=False).agg(
+            n=("cents", "size"), s=("cents", "sum"))
+        srt = df.sort_values(["brand", "cents", "pk"])
+        cand = pd.concat(
+            [srt.groupby("brand").head(TRIM_K),
+             srt.groupby("brand").tail(TRIM_K)]
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "brand": pa.array(
+                    list(stats["brand"].astype(str))
+                    + list(cand["brand"].astype(str))),
+                "n": pa.array(
+                    list(stats["n"].astype(np.int64))
+                    + [0] * len(cand), type=pa.int64()),
+                "s": pa.array(
+                    list(stats["s"].astype(np.int64))
+                    + [0] * len(cand), type=pa.int64()),
+                "cents": pa.array(
+                    [0] * len(stats) + list(cand["cents"]),
+                    type=pa.int64()),
+                "pk": pa.array(
+                    [-1] * len(stats) + list(cand["pk"]),
+                    type=pa.int64()),
+            }
+        )
+
+    parts = part.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cols = ["p_brand", "n", "trimmed_sum", "trimmed_n", "mean_fp"]
+    if not len(parts):
+        return pd.DataFrame(columns=cols).astype(
+            {c: "int64" for c in cols[1:]})
+    stats = parts[parts["pk"] < 0].groupby("brand", as_index=False)[
+        ["n", "s"]].sum()
+    cand = parts[parts["pk"] >= 0]
+    rows = []
+    for _, st in stats.iterrows():
+        brand, n, s = st["brand"], int(st["n"]), int(st["s"])
+        if n <= 2 * TRIM_K:
+            continue
+        c = cand[cand["brand"] == brand].sort_values(["cents", "pk"])
+        bot = int(c["cents"].head(TRIM_K).sum())
+        top = int(c["cents"].tail(TRIM_K).sum())
+        tsum, tn = s - bot - top, n - 2 * TRIM_K
+        rows.append((brand, n, tsum, tn, tsum * TRIM_SCALE // tn))
+    out = pd.DataFrame(rows, columns=cols).sort_values(
+        "p_brand").reset_index(drop=True)
+    return out.astype({c: "int64" for c in cols[1:]})
+
+
+SQL_TRIMMED_MEAN = f"""
+WITH p AS (
+    SELECT p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+           p_partkey
+    FROM part
+),
+r AS (
+    SELECT p_brand, cents,
+           row_number() OVER (
+               PARTITION BY p_brand ORDER BY cents, p_partkey
+           ) AS ra,
+           row_number() OVER (
+               PARTITION BY p_brand ORDER BY cents DESC, p_partkey DESC
+           ) AS rd
+    FROM p
+),
+agg AS (
+    SELECT p_brand, count(*)::HUGEINT AS n, sum(cents)::HUGEINT AS total,
+           sum(CASE WHEN ra <= {TRIM_K} THEN cents ELSE 0 END)::HUGEINT
+               AS bot,
+           sum(CASE WHEN rd <= {TRIM_K} THEN cents ELSE 0 END)::HUGEINT
+               AS top
+    FROM r GROUP BY 1
+    HAVING count(*) > {2 * TRIM_K}
+)
+SELECT p_brand, n::BIGINT AS n,
+       (total - bot - top)::BIGINT AS trimmed_sum,
+       (n - {2 * TRIM_K})::BIGINT AS trimmed_n,
+       ((total - bot - top) * {TRIM_SCALE} // (n - {2 * TRIM_K}))::BIGINT
+           AS mean_fp
+FROM agg ORDER BY p_brand
+"""

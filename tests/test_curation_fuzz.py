@@ -102,6 +102,9 @@ FUZZ_ENTRIES = [
     "term_kcore",
     "link_prediction_aa",
     "nb_lang_confusion",
+    "boilerplate_lines",
+    "bootstrap_mean_ci",
+    "shard_assignment",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
