@@ -11803,3 +11803,39 @@ def _sql_trimmed_mean() -> str:
 
 
 QUERIES["trimmed_mean_price"] = (q_trimmed_mean_price, _sql_trimmed_mean())
+
+
+def q_isotonic_hourly(sf_dir: str):
+    """Quantized isotonic (monotone) regression of hour-of-day counts
+    via the minimax closed form.  See temporal.isotonic_hourly."""
+    from .temporal import isotonic_hourly
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ev = read_parquet_sized(path, columns=["ts"])
+    return isotonic_hourly(ev)
+
+
+def _sql_isotonic() -> str:
+    from .temporal import SQL_ISOTONIC
+
+    return SQL_ISOTONIC
+
+
+QUERIES["isotonic_hourly"] = (q_isotonic_hourly, _sql_isotonic())
+
+
+def q_source_set_cover(sf_dir: str):
+    """Greedy vocabulary set cover over sources (bitmask-count shape,
+    exact integer greedy).  See curation.source_set_cover_df."""
+    from .curation import source_set_cover_df
+
+    return source_set_cover_df(sf_dir)
+
+
+def _sql_set_cover() -> str:
+    from .curation import sql_source_set_cover
+
+    return sql_source_set_cover()
+
+
+QUERIES["source_set_cover"] = (q_source_set_cover, _sql_set_cover())

@@ -4651,3 +4651,170 @@ FROM cnt c JOIN dp d USING (source)
 WHERE c.n_docs * 1000000 // d.nd >= {BOILER_MIN_SHARE_PPM}
 ORDER BY c.source, c.line
 """
+
+
+# ---------------------------------------------------------------------------
+# Greedy vocabulary set cover over sources — the data-selection shape
+# ("which K sources cover the most distinct vocabulary?", the classic
+# submodular-maximization greedy with its 1-1/e guarantee).  The scale
+# trick: the greedy never needs per-term data, only the count of terms
+# per SOURCE-BITMASK (<= 2^n_sources rows) — one term-sharded bit_or
+# exchange, then exact driver arithmetic the SQL replicates with K
+# chained argmax CTEs.
+
+SETCOVER_ROUNDS = 4
+SETCOVER_MAX_SOURCES = 32  # bitmask must fit int64 (and the SQL unrolls)
+
+
+def source_set_cover_df(source: str | rd.Dataset) -> pd.DataFrame:
+    """Rows ``(round, source, gain, covered)``: the SETCOVER_ROUNDS
+    greedy picks (gain = newly covered distinct terms, covered =
+    running total), ties to source asc."""
+    import os
+
+    from ..functions.hashing import term_hash
+    from ..sources.util import read_parquet_sized
+    from .dedup import _sharded_groupby
+
+    if isinstance(source, rd.Dataset):
+        ds = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source) else source
+        )
+        ds = read_parquet_sized(path, columns=["doc_id", "text", "source"])
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"source": pc.unique(b["source"])})
+
+    srcs = sorted(
+        ds.map_batches(src_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .to_pandas()["source"].unique().tolist()
+    )
+    if len(srcs) > SETCOVER_MAX_SOURCES:
+        raise ValueError(
+            f"source_set_cover: {len(srcs)} sources exceeds the bitmask "
+            f"bound {SETCOVER_MAX_SOURCES}"
+        )
+    sid = {s: i for i, s in enumerate(srcs)}
+
+    def term_src(b: pa.Table) -> pa.Table:
+        toks, _td, row_idx, h1, _h2 = _batch_tokens(b)
+        if not len(toks):
+            return pa.table(
+                {"kh": pa.array([], pa.int64()),
+                 "term": pa.array([], pa.utf8()),
+                 "bit": pa.array([], pa.int64())}
+            )
+        src = b["source"].to_numpy(zero_copy_only=False)[row_idx]
+        bits = np.array([1 << sid[s] for s in src], np.int64)
+        df = pd.DataFrame(
+            {"kh": h1.view(np.int64),
+             "term": toks.to_numpy(zero_copy_only=False),
+             "bit": bits}
+        ).drop_duplicates()
+        return pa.table(
+            {"kh": pa.array(df["kh"].to_numpy(np.int64)),
+             "term": pa.array(df["term"].astype(str)),
+             "bit": pa.array(df["bit"].to_numpy(np.int64))}
+        )
+
+    def shard_masks(g: pd.DataFrame) -> pd.DataFrame:
+        masks = g.groupby("term")["bit"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy(np.int64)))
+        )
+        out = masks.reset_index(name="mask").groupby(
+            "mask", as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype(
+            {"mask": "int64", "n": "int64"})
+
+    parts = _sharded_groupby(
+        ds.map_batches(term_src, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["kh"], shard_masks,
+        empty_schema=pa.schema([("mask", pa.int64()), ("n", pa.int64())]),
+    ).to_pandas()
+    cols = ["round", "source", "gain", "covered"]
+    if not srcs:
+        return pd.DataFrame(columns=cols).astype(
+            {"round": "int64", "gain": "int64", "covered": "int64"})
+    if len(parts):
+        mc = parts.groupby("mask", as_index=False)["n"].sum()
+        masks = mc["mask"].to_numpy(np.int64)
+        ns = mc["n"].to_numpy(np.int64)
+    else:
+        # token-less corpus: the greedy still picks (gain-0) sources,
+        # matching the SQL's LEFT JOIN semantics
+        masks, ns = np.empty(0, np.int64), np.empty(0, np.int64)
+    selected, sel_mask, covered, rows = set(), 0, 0, []
+    for rnd in range(1, SETCOVER_ROUNDS + 1):
+        best = None
+        for s in range(len(srcs)):
+            if s in selected:
+                continue
+            gain = int(ns[((masks >> s) & 1 == 1)
+                          & (masks & sel_mask == 0)].sum())
+            if best is None or gain > best[1]:
+                best = (s, gain)
+        if best is None:
+            break
+        s, gain = best
+        selected.add(s)
+        sel_mask |= 1 << s
+        covered += gain
+        rows.append((rnd, srcs[s], gain, covered))
+    return pd.DataFrame(rows, columns=cols).astype(
+        {"round": "int64", "gain": "int64", "covered": "int64"})
+
+
+def sql_source_set_cover() -> str:
+    toks = ("list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),"
+            " x -> len(x) <= 15)")
+    head = f"""
+WITH sids AS (
+    SELECT source, (dense_rank() OVER (ORDER BY source) - 1)::BIGINT
+               AS sid
+    FROM (SELECT DISTINCT source FROM documents)
+),
+ts AS (
+    SELECT DISTINCT t.term, s.sid
+    FROM (SELECT source, unnest({toks}) AS term FROM documents) t
+    JOIN sids s USING (source)
+),
+mc AS (
+    SELECT mask, count(*)::BIGINT AS n FROM (
+        SELECT term, sum(DISTINCT 1 << sid)::BIGINT AS mask
+        FROM ts GROUP BY term
+    ) GROUP BY mask
+)"""
+    parts = [head]
+    prev_excl = ""
+    sel_expr = "0"
+    for k in range(1, SETCOVER_ROUNDS + 1):
+        parts.append(f""",
+r{k} AS (
+    SELECT s.sid, s.source,
+           coalesce(sum(CASE WHEN ((m.mask >> s.sid) & 1) = 1
+                              AND (m.mask & ({sel_expr})) = 0
+                         THEN m.n ELSE 0 END), 0)::BIGINT AS gain
+    FROM sids s LEFT JOIN mc m ON TRUE
+    WHERE TRUE{prev_excl}
+    GROUP BY s.sid, s.source
+),
+p{k} AS (SELECT * FROM r{k} ORDER BY gain DESC, source ASC LIMIT 1)""")
+        prev_excl += f" AND s.sid != (SELECT sid FROM p{k})"
+        sel_expr += f" | (1 << (SELECT sid FROM p{k}))"
+    sels = "\nUNION ALL\n".join(
+        f"SELECT {k} AS round, source, gain FROM p{k}"
+        for k in range(1, SETCOVER_ROUNDS + 1)
+    )
+    return "".join(parts) + f""",
+picks AS ({sels})
+SELECT round::BIGINT AS round, source, gain,
+       sum(gain) OVER (ORDER BY round)::BIGINT AS covered
+FROM picks
+WHERE round <= (SELECT count(*) FROM sids)
+ORDER BY round
+"""

@@ -1837,3 +1837,89 @@ SELECT from_type, total_from::BIGINT AS n_total,
 FROM terms GROUP BY from_type, total_from
 ORDER BY from_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (monotone non-decreasing) regression of hour-of-day event
+# counts via the minimax formula fit(t) = max_{i<=t} min_{j>=t}
+# avg(c_i..c_j) (Robertson/Wright/Dykstra's closed form for PAVA —
+# public textbook result).  Averages are quantized FIRST to
+# floor(sum * 1e6 / len) so the max/min lattice runs over plain
+# integers (nonnegative counts: DuckDB truncating // == floor), making
+# the fit engine-independent; the minimax of any values is monotone in
+# t regardless of quantization.  O(24^2) pairs — trivial both sides.
+
+ISO_SCALE = 10**6
+ISO_HOURS = 24
+
+
+def isotonic_hourly(events: rd.Dataset, *, ts: str = "ts") -> "pd.DataFrame":
+    """Rows ``(hod, c, fit_fp)``: observed hour-of-day counts and their
+    quantized isotonic fit.  The distributed part is the count
+    aggregation; the 24-point lattice is driver arithmetic."""
+    import pandas as pd
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        us = pc.cast(b[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        uh, cnt = np.unique((us // 3_600_000_000) % ISO_HOURS,
+                            return_counts=True)
+        return pa.table(
+            {"h": pa.array(uh.astype(np.int64)),
+             "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    parts = events.map_batches(per_batch, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    c = np.zeros(ISO_HOURS, object)
+    if len(parts):
+        agg = parts.groupby("h")["c"].sum()
+        c[agg.index.to_numpy(np.int64)] = agg.to_numpy()
+    cum = np.cumsum(c)
+    a = np.full((ISO_HOURS, ISO_HOURS), None, object)  # a[i][j], i<=j
+    for i in range(ISO_HOURS):
+        for j in range(i, ISO_HOURS):
+            s = int(cum[j]) - (int(cum[i - 1]) if i else 0)
+            a[i][j] = s * ISO_SCALE // (j - i + 1)
+    fit = []
+    for t in range(ISO_HOURS):
+        best = None
+        for i in range(t + 1):
+            m = min(a[i][j] for j in range(t, ISO_HOURS))
+            best = m if best is None or m > best else best
+        fit.append(best)
+    out = pd.DataFrame(
+        {"hod": np.arange(ISO_HOURS, dtype=np.int64),
+         "c": [int(x) for x in c], "fit_fp": fit}
+    )
+    return out.astype({"hod": "int64", "c": "int64", "fit_fp": "int64"})
+
+
+SQL_ISOTONIC = f"""
+WITH e AS (SELECT (epoch_us(ts) // 3600000000) % {ISO_HOURS} AS h
+           FROM events),
+grid AS (SELECT unnest(range(0, {ISO_HOURS})) AS h),
+cnt AS (SELECT h, count(*)::BIGINT AS c FROM e GROUP BY 1),
+c AS (
+    SELECT g.h, coalesce(cnt.c, 0)::HUGEINT AS c
+    FROM grid g LEFT JOIN cnt USING (h)
+),
+cum AS (SELECT h, c, sum(c) OVER (ORDER BY h)::HUGEINT AS s FROM c),
+pairs AS (
+    SELECT i.h AS i, j.h AS j,
+           ((j.s - i.s + i.c) * {ISO_SCALE} // (j.h - i.h + 1)) AS afp
+    FROM cum i JOIN cum j ON j.h >= i.h
+),
+minj AS (
+    SELECT t.h AS t, p.i, min(p.afp) AS m
+    FROM grid t JOIN pairs p ON p.i <= t.h AND p.j >= t.h
+    GROUP BY 1, 2
+),
+fit AS (SELECT t, max(m) AS fit_fp FROM minj GROUP BY t)
+SELECT c.h::BIGINT AS hod, c.c::BIGINT AS c, fit.fit_fp::BIGINT AS fit_fp
+FROM c JOIN fit ON fit.t = c.h
+ORDER BY hod
+"""

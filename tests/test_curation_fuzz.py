@@ -105,6 +105,7 @@ FUZZ_ENTRIES = [
     "boilerplate_lines",
     "bootstrap_mean_ci",
     "shard_assignment",
+    "source_set_cover",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
