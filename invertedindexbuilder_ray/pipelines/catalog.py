@@ -11839,3 +11839,21 @@ def _sql_set_cover() -> str:
 
 
 QUERIES["source_set_cover"] = (q_source_set_cover, _sql_set_cover())
+
+
+def q_c4_line_filter(sf_dir: str):
+    """C4-style line-level cleaning signals (terminal punctuation /
+    min-words / javascript line rules; brace + lorem-ipsum page rules).
+    See curation.c4_line_filter_ds."""
+    from .curation import c4_line_filter_ds
+
+    return c4_line_filter_ds(sf_dir)
+
+
+def _sql_c4() -> str:
+    from .curation import sql_c4_line_filter
+
+    return sql_c4_line_filter()
+
+
+QUERIES["c4_line_filter"] = (q_c4_line_filter, _sql_c4())

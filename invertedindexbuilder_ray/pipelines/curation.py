@@ -4818,3 +4818,186 @@ FROM picks
 WHERE round <= (SELECT count(*) FROM sids)
 ORDER BY round
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020, public rules): keep a
+# line iff it ends in terminal punctuation, has >= C4_MIN_WORDS words and
+# does not mention "javascript"; keep the page iff it has >=
+# C4_MIN_KEPT_LINES kept lines and contains neither a curly brace nor the
+# phrase "lorem ipsum".  The synthetic corpus is single-line with no
+# punctuation, so (pii_scan pattern) every doc deterministically gains
+# structured extra lines — (doc_id % 4) complete sentences plus rule-
+# triggering lines on the 3/5/7/11 residues — replicated in the SQL
+# oracle so every rule actually fires at sf scale.
+
+C4_MIN_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def _c4_augment(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    id_str = pc.cast(batch["doc_id"], pa.string())
+    empty = pa.array([""] * n, pa.string())
+
+    def sentence(word: str) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pa.array([f"\ncomplete sentence number {word} for document "] * n,
+                     pa.string()),
+            id_str,
+            pa.array([" stands here."] * n, pa.string()),
+            "",
+        )
+
+    pieces = [pc.cast(batch["text"], pa.string())]
+    for j, word in enumerate(["one", "two", "three"], start=1):
+        pieces.append(
+            pc.if_else(pa.array(ids % 4 >= j), sentence(word), empty))
+    fixed = [
+        (3, "\nshort line"),
+        (5, "\nplease enable javascript to view this page."),
+        (7, "\nfunction() { return 0; }"),
+        (11, "\nlorem ipsum dolor sit amet."),
+    ]
+    for mod, line in fixed:
+        pieces.append(
+            pc.if_else(pa.array(ids % mod == 0),
+                       pa.array([line] * n, pa.string()), empty))
+    text = pc.binary_join_element_wise(*pieces, "")
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
+def c4_line_filter_ds(source: str | rd.Dataset, *, augment: bool = True) -> rd.Dataset:
+    """Per-doc C4 cleaning signals.
+
+    Columns: ``doc_id, n_lines, kept_lines, kept_chars, has_brace,
+    has_lorem, passes`` (all int64 — trivially hash-exact).  RE2 on both
+    sides: Arrow ``match_substring_regex`` / ``count_substring_regex``
+    vs DuckDB ``regexp_matches`` / ``regexp_extract_all``.
+
+    Shape (100 TB): pure per-batch streaming map (documents never span
+    batches); line explode + per-line regex are vectorized Arrow; the
+    per-doc reduce is a numpy segment sum over the list offsets.  Zero
+    exchange, zero driver state.
+    """
+    import os
+
+    from ..sources.util import read_parquet_sized
+
+    if isinstance(source, rd.Dataset):
+        ds = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        ds = read_parquet_sized(path, columns=["doc_id", "text"])
+    if augment:
+        ds = ds.map_batches(_c4_augment, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch["text"], pa.string())
+        la = pc.split_pattern(text, "\n")
+        flat = pc.list_flatten(la)
+        nlines = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+        nlines = nlines.astype(np.int64)
+        parent = np.repeat(np.arange(len(nlines), dtype=np.int64), nlines)
+
+        terminal = pc.match_substring_regex(flat, r"[.!?]$")
+        words = pc.count_substring_regex(flat, r"[a-z0-9]+")
+        js = pc.match_substring(flat, "javascript")
+        kept = (
+            terminal.to_numpy(zero_copy_only=False)
+            & (words.to_numpy(zero_copy_only=False) >= C4_MIN_WORDS)
+            & ~js.to_numpy(zero_copy_only=False)
+        )
+        ll = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        n = len(nlines)
+        kept_lines = np.bincount(parent[kept], minlength=n).astype(np.int64)
+        kept_chars = np.bincount(
+            parent[kept], weights=ll[kept].astype(np.float64), minlength=n
+        ).astype(np.int64)
+        has_brace = pc.match_substring(text, "{").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        has_lorem = pc.match_substring(text, "lorem ipsum").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        passes = (
+            (kept_lines >= C4_MIN_KEPT_LINES) & (has_brace == 0)
+            & (has_lorem == 0)
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_lines": pa.array(nlines),
+            "kept_lines": pa.array(kept_lines),
+            "kept_chars": pa.array(kept_chars),
+            "has_brace": pa.array(has_brace),
+            "has_lorem": pa.array(has_lorem),
+            "passes": pa.array(passes),
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_C4_AUGMENT = """
+c4aug AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 4 >= 1 THEN chr(10) ||
+                'complete sentence number one for document ' || doc_id ||
+                ' stands here.' ELSE '' END
+           || CASE WHEN doc_id % 4 >= 2 THEN chr(10) ||
+                'complete sentence number two for document ' || doc_id ||
+                ' stands here.' ELSE '' END
+           || CASE WHEN doc_id % 4 >= 3 THEN chr(10) ||
+                'complete sentence number three for document ' || doc_id ||
+                ' stands here.' ELSE '' END
+           || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'short line'
+              ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+                'please enable javascript to view this page.' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                'function() { return 0; }' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                'lorem ipsum dolor sit amet.' ELSE '' END
+           AS text
+    FROM documents
+)
+"""
+
+
+def sql_c4_line_filter() -> str:
+    return f"""
+WITH {SQL_C4_AUGMENT.strip()},
+lines AS (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM c4aug
+),
+sig AS (
+    SELECT doc_id,
+           (regexp_matches(line, '[.!?]$')
+            AND len(regexp_extract_all(line, '[a-z0-9]+')) >= {C4_MIN_WORDS}
+            AND NOT contains(line, 'javascript'))::INT AS kept,
+           length(line) AS ll
+    FROM lines
+),
+pd AS (
+    SELECT doc_id, count(*)::BIGINT AS n_lines,
+           sum(kept)::BIGINT AS kept_lines,
+           coalesce(sum(CASE WHEN kept = 1 THEN ll END), 0)::BIGINT
+               AS kept_chars
+    FROM sig GROUP BY 1
+),
+pg AS (
+    SELECT doc_id, contains(text, '{{')::BIGINT AS has_brace,
+           contains(text, 'lorem ipsum')::BIGINT AS has_lorem
+    FROM c4aug
+)
+SELECT pd.doc_id, n_lines, kept_lines, kept_chars, has_brace, has_lorem,
+       (kept_lines >= {C4_MIN_KEPT_LINES} AND has_brace = 0
+        AND has_lorem = 0)::BIGINT AS passes
+FROM pd JOIN pg ON pd.doc_id = pg.doc_id
+"""

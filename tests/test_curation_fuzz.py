@@ -106,6 +106,7 @@ FUZZ_ENTRIES = [
     "bootstrap_mean_ci",
     "shard_assignment",
     "source_set_cover",
+    "c4_line_filter",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
