@@ -11857,3 +11857,22 @@ def _sql_c4() -> str:
 
 
 QUERIES["c4_line_filter"] = (q_c4_line_filter, _sql_c4())
+
+
+def q_events_holt(sf_dir: str):
+    """Fixed-point Holt linear-trend smoothing of the hourly event-count
+    series (temporal.holt_hourly): power-of-two shift recurrence so the
+    negative trend accumulator floors identically on both engines."""
+    from .temporal import holt_hourly
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    return holt_hourly(read_parquet_sized(path, columns=["ts"]))
+
+
+def _sql_holt() -> str:
+    from .temporal import SQL_HOLT_HOURLY
+
+    return SQL_HOLT_HOURLY
+
+
+QUERIES["events_holt"] = (q_events_holt, _sql_holt())

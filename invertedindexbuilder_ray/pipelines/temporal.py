@@ -1923,3 +1923,87 @@ SELECT c.h::BIGINT AS hod, c.c::BIGINT AS c, fit.fit_fp::BIGINT AS fit_fp
 FROM c JOIN fit ON fit.t = c.h
 ORDER BY hod
 """
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend (double exponential) smoothing over the hourly
+# count series.  alpha = beta = 1/4 as power-of-two shifts: DuckDB `>>`
+# FLOORS like numpy even on negatives (the embed_pca_power invariant),
+# and the TREND accumulator genuinely goes negative, so `// 100`-style
+# division (which truncates in DuckDB) would diverge — shifts are the
+# only safe fixed-point divide here.
+
+HOLT_SCALE = 1000  # milli fixed point
+HOLT_SHIFT = 2     # alpha = beta = 1/4
+
+
+def holt_hourly(events: rd.Dataset, *, ts: str = "ts") -> "pd.DataFrame":
+    """Fixed-point Holt smoothing of the hourly event-count series.
+
+    Recurrence (all int64; >> floors on both engines):
+      t=1: f = l = x_1*S, b = 0
+      t>1: f   = l' + b'                       (one-step-ahead forecast)
+           l   = (x_t*S + 3*f) >> 2
+           b   = ((l - l') + 3*b') >> 2
+    Gap hours are skipped, not zero-filled (the cusum/ewma convention).
+    Columns: ``hour, n_events, level_milli, trend_milli,
+    forecast_milli`` — forecast is the value predicted BEFORE seeing
+    x_t, so (n_events*S - forecast) is the holdout residual.
+
+    Shape (100 TB): identical to ewma_hourly — per-block partial
+    (hour, count) uniques, a bounded (CUSUM_MAX_HOURS) driver combine,
+    then an O(hours) scalar recurrence that the SQL oracle unrolls as a
+    recursive CTE."""
+    import pandas as pd
+
+    h, c = _hourly_counts(events, ts=ts)
+    n = len(h)
+    lvl = np.empty(n, np.int64)
+    trd = np.empty(n, np.int64)
+    fct = np.empty(n, np.int64)
+    l = b = 0
+    for i in range(n):
+        if i == 0:
+            l = int(c[0]) * HOLT_SCALE
+            b = 0
+            f = l
+        else:
+            f = l + b
+            l_prev = l
+            l = (int(c[i]) * HOLT_SCALE + 3 * f) >> HOLT_SHIFT
+            b = ((l - l_prev) + 3 * b) >> HOLT_SHIFT
+        lvl[i], trd[i], fct[i] = l, b, f
+    return pd.DataFrame({
+        "hour": pd.Series(h, dtype="int64"),
+        "n_events": pd.Series(c, dtype="int64"),
+        "level_milli": pd.Series(lvl, dtype="int64"),
+        "trend_milli": pd.Series(trd, dtype="int64"),
+        "forecast_milli": pd.Series(fct, dtype="int64"),
+    })
+
+
+SQL_HOLT_HOURLY = f"""
+WITH RECURSIVE hc AS (
+    SELECT epoch_us(ts) // 3600000000 AS h, count(*)::BIGINT AS c
+    FROM events GROUP BY 1
+),
+o AS (SELECT h, c, row_number() OVER (ORDER BY h) AS rn FROM hc),
+rec AS (
+    SELECT rn, h, c,
+           (c * {HOLT_SCALE})::BIGINT AS l,
+           0::BIGINT AS b,
+           (c * {HOLT_SCALE})::BIGINT AS f
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.rn, o.h, o.c,
+           ((o.c * {HOLT_SCALE} + 3 * (rec.l + rec.b)) >> {HOLT_SHIFT}),
+           ((((o.c * {HOLT_SCALE} + 3 * (rec.l + rec.b)) >> {HOLT_SHIFT})
+             - rec.l + 3 * rec.b) >> {HOLT_SHIFT}),
+           (rec.l + rec.b)
+    FROM rec JOIN o ON o.rn = rec.rn + 1
+)
+SELECT h::BIGINT AS hour, c::BIGINT AS n_events,
+       l::BIGINT AS level_milli, b::BIGINT AS trend_milli,
+       f::BIGINT AS forecast_milli
+FROM rec ORDER BY hour
+"""
