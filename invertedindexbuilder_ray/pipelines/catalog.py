@@ -11876,3 +11876,21 @@ def _sql_holt() -> str:
 
 
 QUERIES["events_holt"] = (q_events_holt, _sql_holt())
+
+
+def q_source_quality_eb(sf_dir: str):
+    """Empirical-Bayes shrunk per-source mean document length
+    (hierarchical pooling, exact rational fixed point).  See
+    curation.source_quality_eb_df."""
+    from .curation import source_quality_eb_df
+
+    return source_quality_eb_df(sf_dir)
+
+
+def _sql_source_eb() -> str:
+    from .curation import sql_source_quality_eb
+
+    return sql_source_quality_eb()
+
+
+QUERIES["source_quality_eb"] = (q_source_quality_eb, _sql_source_eb())

@@ -5001,3 +5001,85 @@ SELECT pd.doc_id, n_lines, kept_lines, kept_chars, has_brace, has_lorem,
         AND has_lorem = 0)::BIGINT AS passes
 FROM pd JOIN pg ON pd.doc_id = pg.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrunk per-source quality: a source with 3 documents
+# should not outrank one with 30k on raw mean length.  Hierarchical
+# pooling: shrunk = (s + M * global_mean) / (n + M) with prior weight
+# M = EB_PRIOR_WEIGHT — kept EXACT as the rational
+# (s*N_tot + M*S_tot) / ((n+M)*N_tot) and emitted as a floored milli
+# fixed point (all terms non-negative, so DuckDB truncating `//` and
+# Python floor agree).
+
+EB_PRIOR_WEIGHT = 20
+
+
+def source_quality_eb_df(source: str | rd.Dataset) -> "pd.DataFrame":
+    """Rows ``(source, n_docs, sum_chars, raw_milli, shrunk_milli)``.
+
+    raw_milli    = s*1000 // n              (per-source mean n_chars)
+    shrunk_milli = (s*N_tot + M*S_tot)*1000 // ((n+M)*N_tot)
+
+    Shape (100 TB): per-batch Arrow group_by partials (source, n, s);
+    the driver combine is bounded by the number of SOURCES, not rows.
+    Exact Python-int arithmetic (HUGEINT in the oracle) — no floats.
+    """
+    import os
+
+    from ..sources.util import read_parquet_sized
+
+    if isinstance(source, rd.Dataset):
+        ds = source
+    else:
+        path = (
+            os.path.join(source, "documents.parquet")
+            if os.path.isdir(source)
+            else source
+        )
+        ds = read_parquet_sized(path, columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"source": b["source"], "c": b["n_chars"]}).group_by(
+            "source").aggregate([("c", "sum"), ([], "count_all")])
+        return pa.table({
+            "source": g["source"],
+            "s": pc.cast(g["c_sum"], pa.int64()),
+            "n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    cols = ["source", "n_docs", "sum_chars", "raw_milli", "shrunk_milli"]
+    if not len(parts):
+        return pd.DataFrame(columns=cols).astype(
+            {c: "int64" for c in cols[1:]})
+    agg = parts.groupby("source", as_index=False).agg(
+        n_docs=("n", "sum"), sum_chars=("s", "sum"))
+    n_tot = int(agg["n_docs"].sum())
+    s_tot = int(agg["sum_chars"].sum())
+    m = EB_PRIOR_WEIGHT
+    raw = [int(s) * 1000 // int(n)
+           for s, n in zip(agg["sum_chars"], agg["n_docs"])]
+    shr = [(int(s) * n_tot + m * s_tot) * 1000 // ((int(n) + m) * n_tot)
+           for s, n in zip(agg["sum_chars"], agg["n_docs"])]
+    out = agg.assign(raw_milli=raw, shrunk_milli=shr).sort_values(
+        "source").reset_index(drop=True)
+    return out[cols].astype({c: "int64" for c in cols[1:]})
+
+
+def sql_source_quality_eb() -> str:
+    m = EB_PRIOR_WEIGHT
+    return f"""
+WITH per AS (
+    SELECT source, count(*)::HUGEINT AS n, sum(n_chars)::HUGEINT AS s
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n)::HUGEINT AS n_tot, sum(s)::HUGEINT AS s_tot FROM per)
+SELECT source, n::BIGINT AS n_docs, s::BIGINT AS sum_chars,
+       (s * 1000 // n)::BIGINT AS raw_milli,
+       ((s * n_tot + {m} * s_tot) * 1000
+        // ((n + {m}) * n_tot))::BIGINT AS shrunk_milli
+FROM per, tot
+ORDER BY source
+"""

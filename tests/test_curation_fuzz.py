@@ -107,6 +107,7 @@ FUZZ_ENTRIES = [
     "shard_assignment",
     "source_set_cover",
     "c4_line_filter",
+    "source_quality_eb",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
