@@ -11894,3 +11894,21 @@ def _sql_source_eb() -> str:
 
 
 QUERIES["source_quality_eb"] = (q_source_quality_eb, _sql_source_eb())
+
+
+def q_ql_dirichlet(sf_dir: str):
+    """Dirichlet-smoothed query-likelihood top-k retrieval (the second
+    classical ranking model next to BM25), exact int64 scores via the
+    shifted fixed-point log2.  See ranking.ql_dirichlet_df."""
+    from .ranking import ql_dirichlet_df
+
+    return ql_dirichlet_df(sf_dir)
+
+
+def _sql_ql() -> str:
+    from .ranking import sql_ql_dirichlet
+
+    return sql_ql_dirichlet()
+
+
+QUERIES["ql_dirichlet"] = (q_ql_dirichlet, _sql_ql())

@@ -1011,3 +1011,165 @@ SELECT agg.term, agg.n_candidates, agg.n_relevant,
              ELSE 0 END)::BIGINT AS ap_x1e6
 FROM agg JOIN firstrel USING (term) JOIN ap USING (term)
 """
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty
+# 2001) — the second classical ranking model next to BM25.  Per doc:
+#
+#   score(q, d) = sum_t log (tf + MU * cf_t / C) / (dl + MU)
+#               = sum_t [ L'(tf*C + MU*cf_t) - L'((dl + MU) * C) ]
+#
+# with L' the shifted fixed-point log2 (textpipe._log2_fp_ext), so the
+# score is an exact int64 on both engines.  Probe terms with cf = 0 are
+# dropped from the query (standard practice: the smoothed probability is
+# undefined); candidates are docs matching >= 1 kept term.
+
+QL_MU = 2000
+QL_TOP_K = 20
+QL_TERMS = ("data", "table", "query")
+
+
+def ql_dirichlet_df(source: "str | rd.Dataset") -> pd.DataFrame:
+    """Top-``QL_TOP_K`` docs under Dirichlet query likelihood.
+
+    Columns: ``rank, doc_id, n_match, score_fp`` (all int64; rank under
+    the total order score_fp desc, doc_id asc).
+
+    Shape (100 TB): pass 1 streams tiny (term, count) partials (probe
+    cf + corpus token total C) to a bounded driver combine; pass 2 is a
+    per-batch candidate scorer emitting <= K rows per batch (partial
+    top-k under the total order), merged on the driver.  No shuffle, no
+    driver materialization of candidates.
+    """
+    from .textpipe import _log2_fp_ext
+
+    ds = _docs(source)
+    probe = set(QL_TERMS)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks, _td, _ri, _h1, _h2 = _batch_tokens(batch)
+        tv = toks.to_numpy(zero_copy_only=False)
+        terms, counts = ["\x00total"], [len(tv)]
+        if len(tv):
+            mask = np.isin(tv, list(probe))
+            ut, uc = np.unique(tv[mask], return_counts=True)
+            terms += list(ut)
+            counts += [int(x) for x in uc]
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "c": pa.array(counts, pa.int64())})
+
+    sp = ds.map_batches(stats_partial, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    agg = sp.groupby("term")["c"].sum()
+    c_tot = int(agg.get("\x00total", 0))
+    cf = {t: int(agg[t]) for t in QL_TERMS if t in agg and agg[t] > 0}
+    cols = ["rank", "doc_id", "n_match", "score_fp"]
+    if not cf or c_tot == 0:
+        return pd.DataFrame(columns=cols).astype("int64")
+    kept = sorted(cf)
+    n_q = len(kept)
+    cf_vec = np.array([cf[t] for t in kept], np.int64)
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        toks, token_doc, _ri, _h1, _h2 = _batch_tokens(batch)
+        tv = toks.to_numpy(zero_copy_only=False)
+        doc_ids = np.unique(
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        nd = len(doc_ids)
+        if nd == 0 or len(tv) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ["doc_id", "n_match", "score_fp"]})
+        # dl per doc (ALL kept tokens), tf per (doc, kept probe term)
+        drow = np.searchsorted(doc_ids, token_doc)
+        dl = np.bincount(drow, minlength=nd).astype(np.int64)
+        tf = np.zeros((nd, n_q), np.int64)
+        for j, t in enumerate(kept):
+            sel = tv == t
+            if sel.any():
+                tf[:, j] = np.bincount(drow[sel], minlength=nd)
+        n_match = (tf > 0).sum(axis=1).astype(np.int64)
+        cand = n_match > 0
+        if not cand.any():
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ["doc_id", "n_match", "score_fp"]})
+        num = tf[cand] * c_tot + QL_MU * cf_vec[None, :]
+        l_num = _log2_fp_ext(num.ravel()).reshape(num.shape)
+        l_den = _log2_fp_ext((dl[cand] + QL_MU) * c_tot)
+        score = l_num.sum(axis=1) - n_q * l_den
+        d = doc_ids[cand]
+        order = np.lexsort((d, -score))[:QL_TOP_K]
+        return pa.table({
+            "doc_id": pa.array(d[order], pa.int64()),
+            "n_match": pa.array(n_match[cand][order], pa.int64()),
+            "score_fp": pa.array(score[order], pa.int64()),
+        })
+
+    parts = ds.map_batches(score_partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return pd.DataFrame(columns=cols).astype("int64")
+    top = parts.sort_values(
+        ["score_fp", "doc_id"], ascending=[False, True]
+    ).head(QL_TOP_K).reset_index(drop=True)
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top[cols].astype("int64")
+
+
+def sql_ql_dirichlet() -> str:
+    terms = ", ".join(f"('{t}')" for t in QL_TERMS)
+    lfp = (
+        "CAST(round(log2({k} >> greatest(length(bin({k}))::BIGINT - 16, 0))"
+        " * 1000000000) AS BIGINT)"
+        " + greatest(length(bin({k}))::BIGINT - 16, 0) * 1000000000"
+    )
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+tot AS (SELECT count(*)::BIGINT AS c FROM tok),
+qt(term) AS (VALUES {terms}),
+cf AS (
+    SELECT t.term, count(*)::BIGINT AS cf
+    FROM tok t JOIN qt USING (term) GROUP BY 1
+),
+nq AS (SELECT count(*)::BIGINT AS n FROM cf),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+tfq AS (
+    SELECT t.doc_id, t.term, count(*)::BIGINT AS tf
+    FROM tok t JOIN cf USING (term) GROUP BY 1, 2
+),
+cand AS (SELECT doc_id, count(*)::BIGINT AS n_match FROM tfq GROUP BY 1),
+grid AS (
+    SELECT c.doc_id, c.n_match, f.term, f.cf, coalesce(t.tf, 0) AS tf
+    FROM cand c
+    CROSS JOIN cf f
+    LEFT JOIN tfq t ON t.doc_id = c.doc_id AND t.term = f.term
+),
+contrib AS (
+    SELECT doc_id, n_match,
+           {lfp.format(k="(tf * tot.c + " + str(QL_MU) + " * cf)")} AS l_num
+    FROM grid, tot
+),
+den AS (
+    SELECT d.doc_id,
+           {lfp.format(k="((d.dl + " + str(QL_MU) + ") * tot.c)")} AS l_den
+    FROM dl d, tot
+),
+scored AS (
+    SELECT c.doc_id, any_value(c.n_match) AS n_match,
+           (sum(c.l_num) - any_value(nq.n) * any_value(de.l_den))::BIGINT
+               AS score_fp
+    FROM contrib c JOIN den de ON c.doc_id = de.doc_id, nq
+    GROUP BY c.doc_id
+)
+SELECT rank, doc_id, n_match, score_fp FROM (
+    SELECT row_number() OVER (ORDER BY score_fp DESC, doc_id)::BIGINT AS rank,
+           doc_id, n_match, score_fp
+    FROM scored
+) WHERE rank <= {QL_TOP_K}
+"""

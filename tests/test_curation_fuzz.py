@@ -108,6 +108,7 @@ FUZZ_ENTRIES = [
     "source_set_cover",
     "c4_line_filter",
     "source_quality_eb",
+    "ql_dirichlet",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
