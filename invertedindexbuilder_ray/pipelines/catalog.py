@@ -11912,3 +11912,153 @@ def _sql_ql() -> str:
 
 
 QUERIES["ql_dirichlet"] = (q_ql_dirichlet, _sql_ql())
+
+
+# --------------------------------------------------------------------------
+# Contrastive negative sampling (training-pair construction): K
+# deterministic negatives per anchor doc, drawn by stepping through the
+# deterministic-shuffle rank space — uniform-looking, reproducible on
+# any cluster size, no RNG.  same_source flags in-domain negatives (a
+# contrastive trainer usually wants them excluded or down-weighted).
+
+NEG_K = 3
+NEG_EVERY = 10     # anchors: doc_id % NEG_EVERY == 0
+NEG_STEP = 48271   # MINSTD multiplier as the rank-space stride
+
+
+def q_negative_sampling(sf_dir: str):
+    """(anchor_id, j, neg_id, same_source) pairs, j = 1..NEG_K.
+
+    neg_rank_j = (r + j*STEP) % N over the injective multiply-hash rank
+    r (0-based; the deterministic_shuffle order), bumped by +1 on a
+    self-collision and dropped if still self (N == 1).
+
+    Shape (100 TB): the rank assignment is the two-level
+    histogram-exchange of deterministic_shuffle (fixed-size partials,
+    one bucketed exchange); negatives resolve with ONE partitioned hash
+    join of (N*K/EVERY) requests against the N-row rank table — no
+    broadcast of the corpus, no driver materialization."""
+    import pandas as pd
+
+    from .dedup import _join_partitions, _sharded_groupby
+    from .joins import partitioned_hash_join
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "source"])
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            salt = ids * np.uint64(SHUFFLE_MULT)
+        bucket = (salt >> np.uint64(64 - SHUFFLE_BUCKET_BITS)).astype(np.int64)
+        biased = (salt - np.uint64(1 << 63)).view(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"].cast(pa.int64()),
+            "source": b["source"],
+            "bucket": pa.array(bucket, pa.int64()),
+            "salt_b": pa.array(biased, pa.int64()),
+        })
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["bucket"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"bucket": g["bucket"], "c": g["count_all"].cast(pa.int64())}
+        )
+
+    parts = salted.map_batches(bucket_counts, batch_format="pyarrow").to_pandas()
+    out_cols = ["anchor_id", "j", "neg_id", "same_source"]
+    if not len(parts):
+        return pd.DataFrame(columns=out_cols).astype("int64")
+    hist = parts.groupby("bucket", as_index=False)["c"].sum()
+    hist = hist.sort_values("bucket", kind="mergesort")
+    n_total = int(hist["c"].sum())
+    base = dict(
+        zip(hist["bucket"], (hist["c"].cumsum() - hist["c"]).astype("int64"))
+    )
+    base_ref = ray.put(base)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)
+        g = g.sort_values(["bucket", "salt_b"], kind="mergesort")
+        local = g.groupby("bucket").cumcount().to_numpy()
+        pos = g["bucket"].map(b).to_numpy(dtype=np.int64) + local  # 0-based
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "source": g["source"].to_numpy(),
+            "pos": pos.astype(np.int64),
+        })
+
+    rschema = pa.schema([("doc_id", pa.int64()), ("source", pa.utf8()),
+                         ("pos", pa.int64())])
+    ranked = _sharded_groupby(salted, ["bucket"], assign,
+                              empty_schema=rschema)
+
+    def requests(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % NEG_EVERY == 0
+        a_id = np.repeat(ids[keep], NEG_K)
+        r = np.repeat(
+            b["pos"].to_numpy(zero_copy_only=False)[keep], NEG_K
+        ).astype(np.int64)
+        src = np.repeat(
+            b["source"].to_numpy(zero_copy_only=False)[keep], NEG_K)
+        j = np.tile(np.arange(1, NEG_K + 1, dtype=np.int64), int(keep.sum()))
+        nr = (r + j * NEG_STEP) % n_total
+        nr = np.where(nr == r, (r + j * NEG_STEP + 1) % n_total, nr)
+        ok = nr != r
+        return pa.table({
+            "anchor_id": pa.array(a_id[ok], pa.int64()),
+            "j": pa.array(j[ok], pa.int64()),
+            "a_source": pa.array(src[ok], pa.string()),
+            "nr": pa.array(nr[ok], pa.int64()),
+        })
+
+    req = ranked.map_batches(requests, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    joined = partitioned_hash_join(
+        req, ranked, left_on="nr", right_on="pos",
+        num_partitions=_join_partitions(n_total),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        same = pc.cast(pc.equal(b["a_source"], b["source"]), pa.int64())
+        return pa.table({
+            "anchor_id": b["anchor_id"],
+            "j": b["j"],
+            "neg_id": b["doc_id"],
+            "same_source": same,
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+SQL_NEGATIVE_SAMPLING = f"""
+WITH r AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               ORDER BY (doc_id::HUGEINT * {SHUFFLE_MULT})
+                        % 18446744073709551616
+           ) - 1 AS pos
+    FROM documents
+),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+js(j) AS (VALUES {", ".join(f"({j})" for j in range(1, NEG_K + 1))}),
+req AS (
+    SELECT a.doc_id AS anchor_id, js.j, a.source AS a_source, a.pos AS r,
+           CASE WHEN (a.pos + js.j * {NEG_STEP}) % n.n = a.pos
+                THEN (a.pos + js.j * {NEG_STEP} + 1) % n.n
+                ELSE (a.pos + js.j * {NEG_STEP}) % n.n END AS nr
+    FROM r a, n, js
+    WHERE a.doc_id % {NEG_EVERY} = 0
+)
+SELECT req.anchor_id, req.j::BIGINT AS j, t.doc_id AS neg_id,
+       (t.source = req.a_source)::BIGINT AS same_source
+FROM req JOIN r t ON t.pos = req.nr
+WHERE req.nr != req.r
+"""
+
+QUERIES["negative_sampling"] = (q_negative_sampling, SQL_NEGATIVE_SAMPLING)

@@ -109,6 +109,7 @@ FUZZ_ENTRIES = [
     "c4_line_filter",
     "source_quality_eb",
     "ql_dirichlet",
+    "negative_sampling",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
