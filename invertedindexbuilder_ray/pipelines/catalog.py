@@ -12062,3 +12062,21 @@ WHERE req.nr != req.r
 """
 
 QUERIES["negative_sampling"] = (q_negative_sampling, SQL_NEGATIVE_SAMPLING)
+
+
+def q_trigram_backoff(sf_dir: str):
+    """Per-doc trigram stupid-backoff LM score (Brants et al. 2007),
+    exact-integer fixed point at all three model levels.  See
+    curation.trigram_backoff_ds."""
+    from .curation import trigram_backoff_ds
+
+    return trigram_backoff_ds(sf_dir)
+
+
+def _sql_trigram() -> str:
+    from .curation import sql_trigram_backoff
+
+    return sql_trigram_backoff()
+
+
+QUERIES["trigram_backoff"] = (q_trigram_backoff, _sql_trigram())

@@ -5083,3 +5083,338 @@ SELECT source, n::BIGINT AS n_docs, s::BIGINT AS sum_chars,
 FROM per, tot
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Trigram LM scoring with stupid backoff (Brants et al. 2007 — THE
+# web-scale LM trick: no discounting state, just a fixed backoff
+# penalty), completing the unigram -> bigram -> trigram family.
+# alpha = 1/4 so the penalty -log2(alpha) = 2 bits is an EXACT integer
+# in the fixed point; every other term rides the same verified log
+# table as bigram_logprob.
+
+TRIGRAM_VOCAB = 4096
+BACKOFF_PENALTY_FP = 2 * ENTROPY_LOG_SCALE  # -log2(1/4) bits, exact
+
+
+def _batch_trigrams(batch: pa.Table):
+    """Adjacent kept-token triples within each doc: ``(a, b, c, doc)``."""
+    toks, token_doc, _r, _h1, _h2 = _batch_tokens(batch)
+    if len(toks) < 3:
+        e = pa.array([], pa.utf8())
+        return e, e, e, np.zeros(0, np.int64)
+    same = (token_doc[:-2] == token_doc[1:-1]) & (
+        token_doc[1:-1] == token_doc[2:])
+    idx = np.nonzero(same)[0]
+    return (
+        toks.take(pa.array(idx, pa.int64())),
+        toks.take(pa.array(idx + 1, pa.int64())),
+        toks.take(pa.array(idx + 2, pa.int64())),
+        token_doc[idx],
+    )
+
+
+def trigram_backoff_ds(source: str | rd.Dataset) -> rd.Dataset:
+    """Per-doc trigram stupid-backoff score.
+
+    Per trigram (a, b, c): the top-``TRIGRAM_VOCAB`` trigram model
+    (r3 = max(1, c(abc)*65535 // t(ab)), t(ab) = trigram-context total)
+    if present; else the bigram model (the bigram_logprob construction)
+    on (b, c) plus a 2-bit penalty; else the unigram model on c plus a
+    4-bit penalty (OOV unigram r = 1).  Columns: ``doc_id, n_trigrams,
+    n_hit3, n_hit2, nll_bits`` (nll NULL for docs with < 3 tokens).
+
+    Shape (100 TB): three bounded model passes (context-sharded
+    exchanges — a context's trigrams/bigrams live in ONE shard, so
+    per-shard ctx totals and top-k candidates are exact; fixed-size
+    rows to the driver), then one streaming scoring pass with the three
+    <=4096-entry models in the closure.  No unbounded state anywhere.
+    """
+    from .dedup import _sharded_groupby
+
+    docs = _docs(source)
+    l16 = np.int64(16 * ENTROPY_LOG_SCALE)
+    pen = np.int64(BACKOFF_PENALTY_FP)
+
+    # -- trigram model (context = (a, b)) --
+    def cnt3(batch: pa.Table) -> pa.Table:
+        a, b, c3, _td = _batch_trigrams(batch)
+        if not len(a):
+            return pa.table({
+                "a": pa.array([], pa.utf8()), "b": pa.array([], pa.utf8()),
+                "c3": pa.array([], pa.utf8()),
+                "ctxh": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            })
+        g = pa.table({"a": a, "b": b, "c3": c3}).group_by(
+            ["a", "b", "c3"]).aggregate([([], "count_all")])
+        # hash the context PER COLUMN and mix: pandas' categorize-path
+        # string hashing truncates at embedded NUL bytes (a "a\x00b"
+        # joined key hashes as just "a", array-dependently!), so a
+        # NUL-joined composite key must never reach pd.util.hash_array
+        ha = pd.util.hash_array(np.asarray(g["a"].to_pylist(), dtype=object))
+        hb = pd.util.hash_array(np.asarray(g["b"].to_pylist(), dtype=object))
+        with np.errstate(over="ignore"):
+            ch = (ha ^ (hb * np.uint64(0x9E3779B97F4A7C15))).view(np.int64)
+        return pa.table({
+            "a": g["a"], "b": g["b"], "c3": g["c3"],
+            "ctxh": pa.array(ch, pa.int64()),
+            "c": g["count_all"].cast(pa.int64()),
+        })
+
+    def shard_top3(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["a", "b", "c3"], as_index=False)["c"].sum()
+        t = s.groupby(["a", "b"], as_index=False)["c"].sum().rename(
+            columns={"c": "t"})
+        s = s.merge(t, on=["a", "b"])
+        s = s.sort_values(
+            ["c", "a", "b", "c3"], ascending=[False, True, True, True],
+            kind="mergesort",
+        ).head(TRIGRAM_VOCAB)
+        for col in ("c", "t"):
+            s[col] = s[col].astype("int64")
+        return s[["a", "b", "c3", "c", "t"]]
+
+    s3 = pa.schema([("a", pa.utf8()), ("b", pa.utf8()), ("c3", pa.utf8()),
+                    ("c", pa.int64()), ("t", pa.int64())])
+    cand3 = _sharded_groupby(
+        docs.map_batches(cnt3, batch_format="pyarrow", zero_copy_batch=True),
+        ["ctxh"], shard_top3, empty_schema=s3,
+    ).to_pandas()
+    if len(cand3):
+        top3 = cand3.sort_values(
+            ["c", "a", "b", "c3"], ascending=[False, True, True, True],
+            kind="mergesort",
+        ).head(TRIGRAM_VOCAB)
+        r3 = np.maximum(
+            1,
+            (top3["c"].to_numpy().astype(object) * UNIGRAM_RGRID)
+            // top3["t"].to_numpy().astype(object),
+        ).astype(np.int64)
+        key3 = pa.array(
+            [f"{a}\x00{b}\x00{c}" for a, b, c in
+             zip(top3["a"], top3["b"], top3["c3"])], pa.utf8())
+        contrib3 = l16 - _log2_fp(r3)
+    else:
+        key3 = pa.array([], pa.utf8())
+        contrib3 = np.zeros(0, np.int64)
+
+    # -- bigram model (bigram_logprob construction, +2-bit penalty) --
+    def cnt2(batch: pa.Table) -> pa.Table:
+        a, b, _pd = _batch_bigrams(batch)
+        if not len(a):
+            return pa.table({
+                "a": pa.array([], pa.utf8()), "b": pa.array([], pa.utf8()),
+                "ah": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            })
+        g = pa.table({"a": a, "b": b}).group_by(["a", "b"]).aggregate(
+            [([], "count_all")])
+        ah = pd.util.hash_array(
+            np.asarray(g["a"].to_pylist(), dtype=object)).view(np.int64)
+        return pa.table({
+            "a": g["a"], "b": g["b"], "ah": pa.array(ah, pa.int64()),
+            "c": g["count_all"].cast(pa.int64()),
+        })
+
+    def shard_top2(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["a", "b"], as_index=False)["c"].sum()
+        ctx = s.groupby("a")["c"].sum()
+        s["ctx"] = s["a"].map(ctx)
+        s = s.sort_values(
+            ["c", "a", "b"], ascending=[False, True, True], kind="mergesort"
+        ).head(BIGRAM_VOCAB)
+        for col in ("c", "ctx"):
+            s[col] = s[col].astype("int64")
+        return s[["a", "b", "c", "ctx"]]
+
+    s2 = pa.schema([("a", pa.utf8()), ("b", pa.utf8()), ("c", pa.int64()),
+                    ("ctx", pa.int64())])
+    cand2 = _sharded_groupby(
+        docs.map_batches(cnt2, batch_format="pyarrow", zero_copy_batch=True),
+        ["ah"], shard_top2, empty_schema=s2,
+    ).to_pandas()
+    if len(cand2):
+        top2 = cand2.sort_values(
+            ["c", "a", "b"], ascending=[False, True, True], kind="mergesort"
+        ).head(BIGRAM_VOCAB)
+        r2 = np.maximum(
+            1,
+            (top2["c"].to_numpy().astype(object) * UNIGRAM_RGRID)
+            // top2["ctx"].to_numpy().astype(object),
+        ).astype(np.int64)
+        key2 = pa.array(
+            [f"{a}\x00{b}" for a, b in zip(top2["a"], top2["b"])], pa.utf8())
+        contrib2 = l16 - _log2_fp(r2) + pen
+    else:
+        key2 = pa.array([], pa.utf8())
+        contrib2 = np.zeros(0, np.int64)
+
+    # -- unigram model (+4-bit penalty) --
+    vocab, total = _count_vocab(docs, UNIGRAM_VOCAB)
+    if total > 0 and len(vocab):
+        r1 = np.maximum(
+            1,
+            (vocab["c"].to_numpy().astype(object) * UNIGRAM_RGRID) // total,
+        ).astype(np.int64)
+        contrib1 = l16 - _log2_fp(r1) + 2 * pen
+    else:
+        contrib1 = np.zeros(0, np.int64)
+    key1 = pa.array(vocab["term"].tolist(), pa.utf8())
+    oov = np.int64(l16 + 2 * pen)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        a, b, c3, tridoc = _batch_trigrams(batch)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = np.zeros(len(doc_ids), np.int64)
+        s = np.zeros(len(doc_ids), np.int64)
+        h3 = np.zeros(len(doc_ids), np.int64)
+        h2 = np.zeros(len(doc_ids), np.int64)
+        if len(a):
+            k3 = pc.binary_join_element_wise(a, b, c3, "\x00")
+            i3 = pc.index_in(k3, value_set=key3).fill_null(-1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            k2 = pc.binary_join_element_wise(b, c3, "\x00")
+            i2 = pc.index_in(k2, value_set=key2).fill_null(-1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            i1 = pc.index_in(c3, value_set=key1).fill_null(-1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            uni = np.where(i1 >= 0,
+                           contrib1[np.maximum(i1, 0)] if len(contrib1)
+                           else oov, oov)
+            contrib = np.where(
+                i3 >= 0, contrib3[np.maximum(i3, 0)] if len(contrib3) else 0,
+                np.where(i2 >= 0,
+                         contrib2[np.maximum(i2, 0)] if len(contrib2) else 0,
+                         uni),
+            )
+            hit3 = (i3 >= 0).astype(np.int64)
+            hit2 = ((i3 < 0) & (i2 >= 0)).astype(np.int64)
+            per_doc = pa.table({
+                "doc_id": pa.array(tridoc, pa.int64()),
+                "c": pa.array(contrib, pa.int64()),
+                "h3": pa.array(hit3, pa.int64()),
+                "h2": pa.array(hit2, pa.int64()),
+            }).group_by("doc_id").aggregate(
+                [("c", "sum"), ("h3", "sum"), ("h2", "sum"),
+                 ([], "count_all")])
+            ud = per_doc["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            at = _align_to_rows(doc_ids, ud)
+            n[at] = per_doc["count_all"].to_numpy(zero_copy_only=False)
+            s[at] = per_doc["c_sum"].to_numpy(zero_copy_only=False)
+            h3[at] = per_doc["h3_sum"].to_numpy(zero_copy_only=False)
+            h2[at] = per_doc["h2_sum"].to_numpy(zero_copy_only=False)
+        pos = n > 0
+        nll = np.zeros(len(doc_ids), np.float64)
+        if pos.any():
+            nll[pos] = round_half_away(
+                s[pos].astype(np.float64)
+                / (n[pos] * ENTROPY_LOG_SCALE).astype(np.float64), 6)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_trigrams": pa.array(n, pa.int64()),
+            "n_hit3": pa.array(h3, pa.int64()),
+            "n_hit2": pa.array(h2, pa.int64()),
+            "nll_bits": pc.if_else(
+                pa.array(pos), pa.array(nll, pa.float64()),
+                pa.scalar(None, pa.float64())),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def sql_trigram_backoff() -> str:
+    s = ENTROPY_LOG_SCALE
+    l16 = 16 * s
+    pen = BACKOFF_PENALTY_FP
+    return f"""
+WITH filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tri AS (
+    SELECT doc_id,
+           unnest(toks[1:len(toks)-2]) AS a,
+           unnest(toks[2:len(toks)-1]) AS b,
+           unnest(toks[3:len(toks)]) AS c3
+    FROM filt WHERE len(toks) >= 3
+),
+cab3 AS (SELECT a, b, c3, count(*)::BIGINT AS c FROM tri GROUP BY 1, 2, 3),
+t3 AS (SELECT a, b, sum(c)::BIGINT AS t FROM cab3 GROUP BY 1, 2),
+top3 AS (
+    SELECT cab3.a, cab3.b, cab3.c3, cab3.c, t3.t
+    FROM cab3 JOIN t3 USING (a, b)
+    ORDER BY cab3.c DESC, cab3.a, cab3.b, cab3.c3 LIMIT {TRIGRAM_VOCAB}
+),
+model3 AS (
+    SELECT a, b, c3,
+           {l16} - CAST(round(log2(
+               greatest(1, (c::HUGEINT * {UNIGRAM_RGRID}) // t)::DOUBLE
+           ) * {s}) AS BIGINT) AS contrib
+    FROM top3
+),
+big AS (
+    SELECT doc_id,
+           unnest(toks[1:len(toks)-1]) AS a,
+           unnest(toks[2:len(toks)]) AS b
+    FROM filt WHERE len(toks) >= 2
+),
+cab AS (SELECT a, b, count(*)::BIGINT AS c FROM big GROUP BY 1, 2),
+ctx AS (SELECT a, sum(c)::BIGINT AS t FROM cab GROUP BY 1),
+topb AS (
+    SELECT cab.a, cab.b, cab.c, ctx.t
+    FROM cab JOIN ctx USING (a)
+    ORDER BY cab.c DESC, cab.a, cab.b LIMIT {BIGRAM_VOCAB}
+),
+model2 AS (
+    SELECT a, b,
+           {l16 + pen} - CAST(round(log2(
+               greatest(1, (c::HUGEINT * {UNIGRAM_RGRID}) // t)::DOUBLE
+           ) * {s}) AS BIGINT) AS contrib
+    FROM topb
+),
+tok AS (SELECT unnest(toks) AS term FROM filt),
+uc AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS t FROM uc),
+topu AS (
+    SELECT term, c FROM uc ORDER BY c DESC, term LIMIT {UNIGRAM_VOCAB}
+),
+model1 AS (
+    SELECT term,
+           {l16 + 2 * pen} - CAST(round(log2(
+               greatest(1, (c::HUGEINT * {UNIGRAM_RGRID}) // tot.t)::DOUBLE
+           ) * {s}) AS BIGINT) AS contrib
+    FROM topu, tot
+),
+scored AS (
+    SELECT tri.doc_id,
+           CASE WHEN m3.contrib IS NOT NULL THEN m3.contrib
+                WHEN m2.contrib IS NOT NULL THEN m2.contrib
+                ELSE coalesce(m1.contrib, {l16 + 2 * pen}) END AS contrib,
+           (m3.contrib IS NOT NULL)::BIGINT AS hit3,
+           (m3.contrib IS NULL AND m2.contrib IS NOT NULL)::BIGINT AS hit2
+    FROM tri
+    LEFT JOIN model3 m3
+           ON m3.a = tri.a AND m3.b = tri.b AND m3.c3 = tri.c3
+    LEFT JOIN model2 m2 ON m2.a = tri.b AND m2.b = tri.c3
+    LEFT JOIN model1 m1 ON m1.term = tri.c3
+),
+per AS (
+    SELECT doc_id, count(*)::BIGINT AS n, sum(contrib)::BIGINT AS sc,
+           sum(hit3)::BIGINT AS h3, sum(hit2)::BIGINT AS h2
+    FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(per.n, 0)::BIGINT AS n_trigrams,
+       coalesce(per.h3, 0)::BIGINT AS n_hit3,
+       coalesce(per.h2, 0)::BIGINT AS n_hit2,
+       CASE WHEN per.n > 0
+            THEN round(per.sc::DOUBLE / (per.n * {s})::DOUBLE, 6)
+       END AS nll_bits
+FROM documents d LEFT JOIN per USING (doc_id)
+"""

@@ -110,6 +110,7 @@ FUZZ_ENTRIES = [
     "source_quality_eb",
     "ql_dirichlet",
     "negative_sampling",
+    "trigram_backoff",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
