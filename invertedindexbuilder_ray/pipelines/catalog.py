@@ -12080,3 +12080,158 @@ def _sql_trigram() -> str:
 
 
 QUERIES["trigram_backoff"] = (q_trigram_backoff, _sql_trigram())
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quartile
+# codes) — the classic curation-adjacent analytics op, exact on both
+# engines: per-row cents via round-half-away, epoch-day recency (no
+# date_diff semantics risk), quartile thresholds via the exact
+# order-statistics machinery (DuckDB quantile_disc semantics).
+
+RFM_QS = [0.25, 0.5, 0.75]
+
+
+def q_rfm_segments(sf_dir: str):
+    """Per-customer ``(custkey, r_days, f_orders, m_cents, r_code,
+    f_code, m_code, rfm)`` with quartile codes 1..4 (value <= q1 -> 1,
+    ... > q3 -> 4).
+
+    Shape (100 TB): per-batch order partials -> ONE custkey-sharded
+    exchange builds the customer table (max date / count / cents sum
+    combine associatively); the three quartile thresholds come from
+    quantiles.exact_quantiles_disc (histogram refinement, fixed-size
+    driver state); coding is a streaming map with 9 scalar thresholds
+    in the closure."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+    from .quantiles import exact_quantiles_disc
+    from .tpch import _cents
+
+    path = os.path.join(sf_dir, "orders.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(
+        path, columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents(
+            b["o_totalprice"].to_numpy(zero_copy_only=False).astype(
+                np.float64))
+        t = pa.table({
+            "ck": b["o_custkey"].cast(pa.int64()),
+            "d": pc.cast(b["o_orderdate"], pa.int64()),
+            "m": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by("ck").aggregate(
+            [("d", "max"), ("m", "sum"), ([], "count_all")])
+        return pa.table({
+            "ck": g["ck"],
+            "dmax": g["d_max"],
+            "m": pc.cast(g["m_sum"], pa.int64()),
+            "f": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ck", as_index=False).agg(
+            dmax=("dmax", "max"), m=("m", "sum"), f=("f", "sum"))
+        for c in ("dmax", "m", "f"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cschema = pa.schema([("ck", pa.int64()), ("dmax", pa.int64()),
+                         ("m", pa.int64()), ("f", pa.int64())])
+    cust = _sharded_groupby(partials, ["ck"], combine,
+                            empty_schema=cschema)
+
+    # anchor: global max order date (tiny partial aggregate)
+    mx = partials.map_batches(
+        lambda b: pa.table({"d": pa.array(
+            [int(b["dmax"].to_numpy(zero_copy_only=False).max())
+             if b.num_rows else -(1 << 62)], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    if not len(mx) or not len(cust.take(1)):
+        return pd.DataFrame(columns=[
+            "custkey", "r_days", "f_orders", "m_cents", "r_code",
+            "f_code", "m_code", "rfm"]).astype("int64")
+    anchor_day = int(mx["d"].max()) // DAY_US
+
+    def add_r(b: pa.Table) -> pa.Table:
+        d = b["dmax"].to_numpy(zero_copy_only=False)
+        r = anchor_day - d // DAY_US
+        return b.append_column("r_days", pa.array(r, pa.int64()))
+
+    cust = cust.map_batches(add_r, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    thr = {}
+    for col in ("r_days", "f", "m"):
+        qdf = exact_quantiles_disc(cust, col, RFM_QS)
+        thr[col] = [int(v) for v in qdf["value"]]
+
+    def code(v: np.ndarray, t: list[int]) -> np.ndarray:
+        return (1 + (v > t[0]).astype(np.int64) + (v > t[1])
+                + (v > t[2])).astype(np.int64)
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = b["r_days"].to_numpy(zero_copy_only=False)
+        f = b["f"].to_numpy(zero_copy_only=False)
+        m = b["m"].to_numpy(zero_copy_only=False)
+        rc = code(r, thr["r_days"])
+        fc = code(f, thr["f"])
+        mc = code(m, thr["m"])
+        return pa.table({
+            "custkey": b["ck"],
+            "r_days": b["r_days"],
+            "f_orders": pa.array(f, pa.int64()),
+            "m_cents": pa.array(m, pa.int64()),
+            "r_code": pa.array(rc, pa.int64()),
+            "f_code": pa.array(fc, pa.int64()),
+            "m_code": pa.array(mc, pa.int64()),
+            "rfm": pa.array(rc * 100 + fc * 10 + mc, pa.int64()),
+        })
+
+    return cust.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+SQL_RFM_SEGMENTS = f"""
+WITH cust AS (
+    SELECT o_custkey AS custkey,
+           max(epoch_us(o_orderdate) // 86400000000) AS dmax,
+           count(*)::BIGINT AS f_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS m_cents
+    FROM orders GROUP BY 1
+),
+withr AS (
+    SELECT custkey, (SELECT max(dmax) FROM cust) - dmax AS r_days,
+           f_orders, m_cents
+    FROM cust
+),
+q AS (
+    SELECT quantile_disc(r_days, {RFM_QS}) AS rq,
+           quantile_disc(f_orders, {RFM_QS}) AS fq,
+           quantile_disc(m_cents, {RFM_QS}) AS mq
+    FROM withr
+)
+SELECT custkey, r_days::BIGINT AS r_days, f_orders, m_cents,
+       (1 + (r_days > rq[1])::INT + (r_days > rq[2])::INT
+          + (r_days > rq[3])::INT)::BIGINT AS r_code,
+       (1 + (f_orders > fq[1])::INT + (f_orders > fq[2])::INT
+          + (f_orders > fq[3])::INT)::BIGINT AS f_code,
+       (1 + (m_cents > mq[1])::INT + (m_cents > mq[2])::INT
+          + (m_cents > mq[3])::INT)::BIGINT AS m_code,
+       ((1 + (r_days > rq[1])::INT + (r_days > rq[2])::INT
+           + (r_days > rq[3])::INT) * 100
+        + (1 + (f_orders > fq[1])::INT + (f_orders > fq[2])::INT
+             + (f_orders > fq[3])::INT) * 10
+        + (1 + (m_cents > mq[1])::INT + (m_cents > mq[2])::INT
+             + (m_cents > mq[3])::INT))::BIGINT AS rfm
+FROM withr, q
+"""
+
+QUERIES["rfm_segments"] = (q_rfm_segments, SQL_RFM_SEGMENTS)
