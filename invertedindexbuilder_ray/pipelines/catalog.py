@@ -11159,18 +11159,21 @@ QUERIES["rbo_rankings"] = (q_rbo_rankings, _sql_rbo())
 
 # --------------------------------------------------------------------------
 # TPC-H relational tier (tpch.py): Q1/Q3/Q6/Q7/Q8/Q10/Q14/Q15/Q17/Q18/Q19
-# shapes with integer-exact monetary measures (see tpch.py module
-# docstring); Q2/Q9/Q11/Q16/Q20 need the partsupp table (absent from the
-# synthetic schema) and Q4/Q12/Q21 date/shipmode columns are covered by
-# order_priority_ct / the events family
+# literal shapes plus slim-schema adaptations of Q2/Q9/Q12/Q21 (no
+# partsupp / shipmode / receiptdate columns in the synthetic schema:
+# offers come from lineitem min-price, cost from p_retailprice, lateness
+# from shipdate-orderdate; see each docstring).  Q4 is order_priority_ct,
+# Q5 is revenue_by_nation, Q13 is custdist, Q22 is rich_inactive;
+# Q11/Q16/Q20 are partsupp-only and have no faithful adaptation.
 
 from .tpch import (  # noqa: E402
-    SQL_Q1, SQL_Q3, SQL_Q6, SQL_Q7, SQL_Q8, SQL_Q10, SQL_Q14, SQL_Q15,
-    SQL_Q17, SQL_Q18, SQL_Q19,
-    q1_pricing_summary, q3_unshipped, q6_forecast_revenue,
-    q7_volume_shipping, q8_market_share,
-    q10_returned_items, q14_promo_revenue, q15_top_supplier,
-    q17_small_qty_revenue, q18_large_orders, q19_disjunctive,
+    SQL_Q1, SQL_Q2, SQL_Q3, SQL_Q6, SQL_Q7, SQL_Q8, SQL_Q9, SQL_Q10,
+    SQL_Q12, SQL_Q14, SQL_Q15, SQL_Q17, SQL_Q18, SQL_Q19, SQL_Q21,
+    q1_pricing_summary, q2_min_offer, q3_unshipped, q6_forecast_revenue,
+    q7_volume_shipping, q8_market_share, q9_product_profit,
+    q10_returned_items, q12_latency_class, q14_promo_revenue,
+    q15_top_supplier, q17_small_qty_revenue, q18_large_orders,
+    q19_disjunctive, q21_late_supplier,
 )
 
 QUERIES["tpch_q1_pricing"] = (q1_pricing_summary, SQL_Q1)
@@ -11184,6 +11187,10 @@ QUERIES["tpch_q15_top_supplier"] = (q15_top_supplier, SQL_Q15)
 QUERIES["tpch_q17_small_qty"] = (q17_small_qty_revenue, SQL_Q17)
 QUERIES["tpch_q18_large_orders"] = (q18_large_orders, SQL_Q18)
 QUERIES["tpch_q19_disjunctive"] = (q19_disjunctive, SQL_Q19)
+QUERIES["tpch_q2_min_offer"] = (q2_min_offer, SQL_Q2)
+QUERIES["tpch_q9_profit"] = (q9_product_profit, SQL_Q9)
+QUERIES["tpch_q12_latency"] = (q12_latency_class, SQL_Q12)
+QUERIES["tpch_q21_late_supplier"] = (q21_late_supplier, SQL_Q21)
 
 
 # --------------------------------------------------------------------------

@@ -1449,3 +1449,488 @@ SELECT l_returnflag, l_linestatus,
 FROM m
 ORDER BY l_returnflag, l_linestatus
 """
+
+# ---------------------------------------------------------------- Q21
+
+Q21_LATE_DAYS = 60
+Q21_STATUS = "F"
+
+
+def q21_late_supplier(
+    sf_dir: str, *, dim_limit: int = DIM_BROADCAST_LIMIT
+) -> pd.DataFrame:
+    """Suppliers who were the SOLE late shipper on a multi-supplier
+    finished order (TPC-H Q21 shape; the slim schema has no
+    receipt/commit dates, so "late" is l_shipdate > o_orderdate +
+    60 days).  The EXISTS / NOT-EXISTS pair becomes one per-order
+    aggregate — n_distinct_suppliers >= 2 AND n_distinct_LATE_suppliers
+    == 1 — via sharded groupby on the order key; the only exchange is
+    the lineitem ⋈ filtered-orders partitioned join.  Per-shard partial
+    per-supplier counts combine on the driver (supplier is the smallest
+    scaling dim; partials are <= shards x suppliers-per-shard rows)."""
+    from .dedup import _join_partitions, _sharded_groupby
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]
+    ).map_batches(
+        lambda t: pa.table({
+            "k": pa.array(_i64(
+                t.filter(pc.equal(t["o_orderstatus"], Q21_STATUS))
+                ["o_orderkey"])),
+            "od": pa.array(
+                pc.cast(
+                    t.filter(pc.equal(t["o_orderstatus"], Q21_STATUS))
+                    ["o_orderdate"], pa.int64()
+                )
+            ),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: pa.table({
+            "k": pa.array(_i64(t["l_orderkey"])),
+            "sk": pa.array(_i64(t["l_suppkey"])),
+            "ship": pa.array(pc.cast(t["l_shipdate"], pa.int64())),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    from .joins import partitioned_hash_join
+
+    j = partitioned_hash_join(
+        li, orders, left_on="k", right_on="k",
+        num_partitions=_join_partitions(max(li.count(), 1)), how="inner",
+    )
+    late_us = Q21_LATE_DAYS * 86_400_000_000
+
+    def mark(t: pa.Table) -> pa.Table:
+        late = (
+            _i64(t["ship"]) > _i64(t["od"]) + np.int64(late_us)
+        ).astype(np.int64)
+        return pa.table({
+            "k": t["k"], "sk": t["sk"], "late": pa.array(late, pa.int64())
+        })
+
+    j = j.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        ns = g.groupby("k")["sk"].nunique()
+        lg = g[g["late"] == 1]
+        nl = lg.groupby("k")["sk"].nunique().reindex(ns.index, fill_value=0)
+        qual = ns.index[(ns >= 2) & (nl == 1)]
+        rows = lg[lg["k"].isin(qual)]
+        out = rows.groupby("sk", as_index=False).size()
+        out.columns = ["sk", "numwait"]
+        return out.astype({"sk": "int64", "numwait": "int64"})
+
+    schema = pa.schema([("sk", pa.int64()), ("numwait", pa.int64())])
+    parts = _sharded_groupby(j, ["k"], per_shard, empty_schema=schema)
+    acc: dict[int, int] = {}
+    for r in parts.take_all():
+        acc[int(r["sk"])] = acc.get(int(r["sk"]), 0) + int(r["numwait"])
+
+    sk_needed = np.sort(np.array(sorted(acc), np.int64))
+    srows = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: t.filter(pa.array(np.isin(_i64(t["s_suppkey"]), sk_needed))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    sname = {int(r["s_suppkey"]): r["s_name"] for r in srows}
+    out = pd.DataFrame({
+        "s_suppkey": pd.Series(sorted(acc), dtype="int64"),
+        "s_name": [sname[k] for k in sorted(acc)],
+        "numwait": pd.Series([acc[k] for k in sorted(acc)], dtype="int64"),
+    })
+    return out
+
+
+SQL_Q21 = f"""
+WITH j AS (
+    SELECT l_orderkey AS ok, l_suppkey AS sk,
+           (l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY) AS late
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = '{Q21_STATUS}'
+),
+o AS (
+    SELECT ok, count(DISTINCT sk) AS ns,
+           count(DISTINCT CASE WHEN late THEN sk END) AS nl
+    FROM j GROUP BY 1
+)
+SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+FROM j JOIN o USING (ok) JOIN supplier ON s_suppkey = j.sk
+WHERE j.late AND o.ns >= 2 AND o.nl = 1
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- Q9
+
+Q9_NAME_SUBSTR = "red"
+Q9_COST_PCT = 50  # cost modeled as 50% of p_retailprice per unit
+
+
+def q9_product_profit(
+    sf_dir: str, *, dim_limit: int = DIM_BROADCAST_LIMIT
+) -> pd.DataFrame:
+    """Product-type profit by supplier nation and order year (TPC-H Q9
+    shape; the slim schema has no partsupp, so unit cost is modeled as
+    {Q9_COST_PCT}% of p_retailprice — profit stays an exact integer at
+    1e4 scale: rev_e4 - qty * retail_cents * pct).  Two dim lookups
+    (name-filtered part -> retail_cents, supplier -> nationkey), one
+    fact-fact partitioned join for the order year, <= nations x years
+    groups combine on the driver as Python ints."""
+    from .dedup import _join_partitions
+    from .joins import partitioned_hash_join
+
+    d = _dir(sf_dir)
+    nat = read_parquet_sized(
+        os.path.join(d, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).take_all()
+    name_by_key = {int(r["n_nationkey"]): r["n_name"] for r in nat}
+
+    parts = read_parquet_sized(
+        os.path.join(d, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).map_batches(
+        lambda t: pa.table({
+            "p_partkey": pa.array(_i64(
+                t.filter(pc.match_substring(t["p_name"], Q9_NAME_SUBSTR))
+                ["p_partkey"])),
+            "retail_cents": pa.array(_cents(
+                t.filter(pc.match_substring(t["p_name"], Q9_NAME_SUBSTR))
+                ["p_retailprice"].to_numpy(zero_copy_only=False))),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        qty = round_half_away(
+            t["l_quantity"].to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        rev = _rev_e4(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({
+            "l_orderkey": pa.array(_i64(t["l_orderkey"])),
+            "l_partkey": pa.array(_i64(t["l_partkey"])),
+            "l_suppkey": pa.array(_i64(t["l_suppkey"])),
+            "qty": pa.array(qty), "rev": pa.array(rev),
+        })
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    li = _dim_lookup(li, "l_partkey", parts, "p_partkey", "retail_cents",
+                     "retail_cents", limit=dim_limit)
+    li = _dim_lookup(li, "l_suppkey", supp, "s_suppkey", "s_nationkey",
+                     "supp_nk", limit=dim_limit)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": pa.array(_i64(t["o_orderkey"])),
+            "o_year": pa.array(
+                _ts(t["o_orderdate"]).astype("datetime64[Y]")
+                .astype(np.int64) + 1970, pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = partitioned_hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        num_partitions=_join_partitions(max(li.count(), 1)), how="inner",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        profit = (
+            _i64(t["rev"])
+            - _i64(t["qty"]) * _i64(t["retail_cents"]) * Q9_COST_PCT
+        )
+        g = (
+            pa.table({
+                "supp_nk": t["supp_nk"], "o_year": t["o_year"],
+                "profit": pa.array(profit, pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            })
+            .group_by(["supp_nk", "o_year"])
+            .aggregate([("profit", "sum"), ("one", "sum")])
+        )
+        return pa.table({
+            "supp_nk": g["supp_nk"], "o_year": g["o_year"],
+            "profit": g["profit_sum"].cast(pa.int64()),
+            "n": g["one_sum"].cast(pa.int64()),
+        })
+
+    rows = j.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    acc: dict[tuple, list[int]] = {}
+    for r in rows:
+        e = acc.setdefault((int(r["supp_nk"]), int(r["o_year"])), [0, 0])
+        e[0] += int(r["profit"])
+        e[1] += int(r["n"])
+    keys = sorted(acc)
+    out = pd.DataFrame({
+        "nation": [name_by_key[k[0]] for k in keys],
+        "o_year": pd.Series([k[1] for k in keys], dtype="int64"),
+        "n_rows": pd.Series([acc[k][1] for k in keys], dtype="int64"),
+        "sum_profit_e4": pd.Series([acc[k][0] for k in keys], dtype="int64"),
+    })
+    out["sum_profit"] = round_half_away(
+        out["sum_profit_e4"].to_numpy(np.int64).astype(np.float64) / 1e4, 2
+    )
+    return out
+
+
+SQL_Q9 = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       count(*)::BIGINT AS n_rows,
+       sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+           * (100 - CAST(round(l_discount * 100) AS HUGEINT))
+           - CAST(round(l_quantity) AS HUGEINT)
+             * CAST(round(p_retailprice * 100) AS HUGEINT)
+             * {Q9_COST_PCT})::BIGINT AS sum_profit_e4,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                      * (100 - CAST(round(l_discount * 100) AS HUGEINT))
+                      - CAST(round(l_quantity) AS HUGEINT)
+                        * CAST(round(p_retailprice * 100) AS HUGEINT)
+                        * {Q9_COST_PCT}) AS DOUBLE) / 10000.0, 2)
+           AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%{Q9_NAME_SUBSTR}%'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- Q12
+
+Q12_FAST_DAYS = 30
+Q12_MED_DAYS = 90
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_latency_class(sf_dir: str) -> pd.DataFrame:
+    """High/low-priority line counts per shipping-latency class (TPC-H
+    Q12 shape; the slim schema has no shipmode/receiptdate, so the class
+    is days(l_shipdate - o_orderdate): FAST < {Q12_FAST_DAYS}, MED <=
+    {Q12_MED_DAYS}, else SLOW — ship timestamps are midnight-aligned so
+    the day diff is an exact integer).  One fact-fact partitioned join,
+    3-group Arrow partials, driver Python-int combine."""
+    from .dedup import _join_partitions
+    from .joins import partitioned_hash_join
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table({
+            "k": pa.array(_i64(t["o_orderkey"])),
+            "od": pa.array(pc.cast(t["o_orderdate"], pa.int64())),
+            "hi": pa.array(
+                pc.is_in(
+                    t["o_orderpriority"],
+                    value_set=pa.array(Q12_HIGH, pa.string()),
+                ).cast(pa.int64())
+            ),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table({
+            "k": pa.array(_i64(t["l_orderkey"])),
+            "ship": pa.array(pc.cast(t["l_shipdate"], pa.int64())),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = partitioned_hash_join(
+        li, orders, left_on="k", right_on="k",
+        num_partitions=_join_partitions(max(li.count(), 1)), how="inner",
+    )
+    day_us = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = (_i64(t["ship"]) - _i64(t["od"])) // day_us
+        cls = np.where(
+            d < Q12_FAST_DAYS, "FAST",
+            np.where(d <= Q12_MED_DAYS, "MED", "SLOW"),
+        )
+        hi = _i64(t["hi"])
+        g = (
+            pa.table({
+                "ship_class": pa.array(cls, pa.string()),
+                "hi": pa.array(hi, pa.int64()),
+                "lo": pa.array(1 - hi, pa.int64()),
+                "one": pa.array(np.ones(len(hi), np.int64)),
+            })
+            .group_by(["ship_class"])
+            .aggregate([("hi", "sum"), ("lo", "sum"), ("one", "sum")])
+        )
+        return pa.table({
+            "ship_class": g["ship_class"],
+            "hi": g["hi_sum"].cast(pa.int64()),
+            "lo": g["lo_sum"].cast(pa.int64()),
+            "n": g["one_sum"].cast(pa.int64()),
+        })
+
+    rows = j.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    acc: dict[str, list[int]] = {}
+    for r in rows:
+        e = acc.setdefault(r["ship_class"], [0, 0, 0])
+        e[0] += int(r["hi"])
+        e[1] += int(r["lo"])
+        e[2] += int(r["n"])
+    keys = sorted(acc)
+    return pd.DataFrame({
+        "ship_class": keys,
+        "high_line_count": pd.Series([acc[k][0] for k in keys], dtype="int64"),
+        "low_line_count": pd.Series([acc[k][1] for k in keys], dtype="int64"),
+        "n_rows": pd.Series([acc[k][2] for k in keys], dtype="int64"),
+    })
+
+
+SQL_Q12 = f"""
+SELECT CASE WHEN d < {Q12_FAST_DAYS} THEN 'FAST'
+            WHEN d <= {Q12_MED_DAYS} THEN 'MED'
+            ELSE 'SLOW' END AS ship_class,
+       sum(hi)::BIGINT AS high_line_count,
+       sum(1 - hi)::BIGINT AS low_line_count,
+       count(*)::BIGINT AS n_rows
+FROM (
+    SELECT datediff('day', o_orderdate, l_shipdate) AS d,
+           CASE WHEN o_orderpriority IN ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                THEN 1 ELSE 0 END AS hi
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- Q2
+
+Q2_SIZE = 15
+Q2_TYPE = "STANDARD"
+Q2_TOPK = 100
+
+
+def q2_min_offer(
+    sf_dir: str, *, dim_limit: int = DIM_BROADCAST_LIMIT
+) -> pd.DataFrame:
+    """Minimum-offer supplier per part (TPC-H Q2 shape; the slim schema
+    has no partsupp, so a supplier's offer for a part is min observed
+    round(l_extendedprice*100) over their lineitems).  The part filter
+    (size + type) collapses lineitem via a broadcast semi-join; ONE
+    sharded groupby computes per-(part, supplier) min AND the per-part
+    winner rows (both aggregates share the part-key shard); the few
+    winners enrich against supplier/nation on the driver and rank under
+    the Q2 total order (acctbal desc, nation, supplier, part)."""
+    from .dedup import _sharded_groupby
+
+    d = _dir(sf_dir)
+    pk_rows = read_parquet_sized(
+        os.path.join(d, "part.parquet"),
+        columns=["p_partkey", "p_size", "p_type"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.equal(t["p_size"], Q2_SIZE),
+                pc.equal(t["p_type"], Q2_TYPE),
+            )
+        ).select(["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    li = _dim_semi(li, "l_partkey", pk_rows, "p_partkey", limit=dim_limit)
+    li = li.map_batches(
+        lambda t: pa.table({
+            "pk": pa.array(_i64(t["l_partkey"])),
+            "sk": pa.array(_i64(t["l_suppkey"])),
+            "cents": pa.array(_cents(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False))),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        offers = g.groupby(["pk", "sk"], as_index=False)["cents"].min()
+        best = offers.groupby("pk")["cents"].transform("min")
+        out = offers[offers["cents"] == best]
+        out.columns = ["pk", "sk", "offer_cents"]
+        return out.astype(
+            {"pk": "int64", "sk": "int64", "offer_cents": "int64"}
+        )
+
+    schema = pa.schema(
+        [("pk", pa.int64()), ("sk", pa.int64()), ("offer_cents", pa.int64())]
+    )
+    winners = pd.DataFrame(
+        _sharded_groupby(li, ["pk"], per_shard, empty_schema=schema)
+        .take_all(),
+        columns=["pk", "sk", "offer_cents"],
+    )
+
+    sk_needed = np.sort(winners["sk"].unique().astype(np.int64))
+    srows = _read(
+        sf_dir, "supplier",
+        ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    ).map_batches(
+        lambda t: t.filter(pa.array(np.isin(_i64(t["s_suppkey"]), sk_needed))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    sup = {
+        int(r["s_suppkey"]): (
+            int(_cents(np.array([float(r["s_acctbal"])]))[0]),
+            r["s_name"], int(r["s_nationkey"]),
+        )
+        for r in srows
+    }
+    nat = read_parquet_sized(
+        os.path.join(d, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nname = {int(r["n_nationkey"]): r["n_name"] for r in nat}
+
+    out = pd.DataFrame({
+        "s_acctbal_cents": pd.Series(
+            [sup[s][0] for s in winners["sk"]], dtype="int64"),
+        "s_name": [sup[s][1] for s in winners["sk"]],
+        "n_name": [nname[sup[s][2]] for s in winners["sk"]],
+        "p_partkey": winners["pk"].astype("int64"),
+        "s_suppkey": winners["sk"].astype("int64"),
+        "offer_cents": winners["offer_cents"].astype("int64"),
+    })
+    out = out.sort_values(
+        ["s_acctbal_cents", "n_name", "s_name", "p_partkey", "s_suppkey"],
+        ascending=[False, True, True, True, True],
+    ).head(Q2_TOPK).reset_index(drop=True)
+    return out[["s_acctbal_cents", "s_name", "n_name", "p_partkey",
+                "s_suppkey", "offer_cents"]]
+
+
+SQL_Q2 = f"""
+WITH offers AS (
+    SELECT l_partkey AS pk, l_suppkey AS sk,
+           min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS offer_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size = {Q2_SIZE} AND p_type = '{Q2_TYPE}'
+    GROUP BY 1, 2
+),
+best AS (SELECT pk, min(offer_cents) AS mo FROM offers GROUP BY 1)
+SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+       s_name, n_name, pk AS p_partkey, sk AS s_suppkey, offer_cents
+FROM offers
+JOIN best USING (pk)
+JOIN supplier ON s_suppkey = sk
+JOIN nation ON n_nationkey = s_nationkey
+WHERE offer_cents = mo
+ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT {Q2_TOPK}
+"""
