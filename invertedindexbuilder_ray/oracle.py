@@ -296,3 +296,28 @@ def disjunctive_topk(idx: OracleIndex, terms: list[str], k: int) -> list[tuple[i
     for did in sorted(scores):  # ascending doc order, as DAAT would visit
         _to_rank_heap(hp, did, scores[did], k)
     return _out_rank_heap(hp)
+
+
+def and_not_topk(
+    idx: OracleIndex, pos_terms: list[str], neg_terms: list[str], k: int
+) -> list[tuple[int, float]]:
+    """Boolean AND-NOT top-k (an extension: the reference binary has no
+    NOT operator — src/query.c:232-300 dispatches only and/or).  Docs
+    matching ALL positive terms and NONE of the negative terms, scored
+    on the positive terms under the correct-mode conjunction."""
+    lists = _open_lists(idx, pos_terms)
+    if not lists:
+        return []
+    docs = set(dict(lists[0].plist))
+    for c in lists[1:]:
+        docs &= set(dict(c.plist))
+    for c in _open_lists(idx, neg_terms):
+        docs -= set(dict(c.plist))
+    hp = _RefHeap()
+    for did in sorted(docs):
+        score = sum(
+            idx.bm25(dict(c.plist)[did], c.length, idx.doc_lens[did])
+            for c in lists
+        )
+        _to_rank_heap(hp, did, score, k)
+    return _out_rank_heap(hp)

@@ -314,6 +314,67 @@ def q_bm25_or(sf_dir: str):
     return _bm25_all(sf_dir, conjunctive=False)
 
 
+ANDNOT_POS_TERMS = ["data", "join"]
+ANDNOT_NEG_TERMS = ["merge"]
+
+
+def q_bm25_and_not(sf_dir: str):
+    """Boolean AND-NOT through the real index + distributed query path
+    (query.py::QueryEngine.and_not): every doc matching ALL of
+    ``ANDNOT_POS_TERMS`` and NONE of ``ANDNOT_NEG_TERMS``, BM25-scored
+    on the positive terms only.  Same tie-proof all-matches shape as
+    bm25_all_and/or."""
+    from ..state.manifest import IndexManifest
+    from .query import ANDNOT, BatchQueryEngine
+
+    idx = index_for(sf_dir)
+    k = IndexManifest.load(idx).max_doc_id + 1
+    queries = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "terms": pa.array([" ".join(ANDNOT_POS_TERMS)], pa.string()),
+            "neg_terms": pa.array([" ".join(ANDNOT_NEG_TERMS)], pa.string()),
+            "k": pa.array([k], pa.int64()),
+            "mode": pa.array([ANDNOT], pa.int64()),
+        }
+    )
+    return (
+        rd.from_arrow(queries)
+        .map_batches(
+            BatchQueryEngine,
+            fn_constructor_kwargs={"index_dir": idx, "conformance": False},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "score": pa.array(
+                        round_half_away(
+                            t["score"].to_numpy(zero_copy_only=False), 6
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _sql_bm25_and_not() -> str:
+    pos = ", ".join(f"'{t}'" for t in ANDNOT_POS_TERMS)
+    neg = ", ".join(f"'{t}'" for t in ANDNOT_NEG_TERMS)
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(terms=pos)
+        + f"""SELECT doc_id, round(raw_score, 6) AS score FROM scores
+WHERE nmatched = {len(ANDNOT_POS_TERMS)}
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({neg}))"""
+    )
+
+
 def _sql_bm25(conjunctive: bool) -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     cond = f"nmatched = {len(BM25_QUERY_TERMS)}" if conjunctive else "nmatched >= 1"
@@ -1371,6 +1432,7 @@ QUERIES = {
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "bm25_all_and": (q_bm25_and, _sql_bm25(True)),
     "bm25_all_or": (q_bm25_or, _sql_bm25(False)),
+    "bm25_and_not": (q_bm25_and_not, _sql_bm25_and_not()),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),

@@ -34,6 +34,7 @@ from ..state.reader import IndexReader, PostingCursor
 
 CONJUNCTIVE = 0
 DISJUNCTIVE = 1
+ANDNOT = 2  # extension: all positive terms AND none of the negative terms
 
 
 def _total_topk(docs, scores, k: int) -> list[tuple[int, float]]:
@@ -279,6 +280,46 @@ class QueryEngine:
         return _out_rank_heap(hp)
 
     # ------------------------------------------------------------------
+    def and_not(
+        self, pos_terms: list[str], neg_terms: list[str], k: int
+    ) -> list[tuple[int, float]]:
+        """Boolean AND-NOT (an extension — the reference supports only
+        and/or, src/query.c:232-300): docs matching ALL positive terms
+        and NONE of the negative terms, BM25-scored on the positive
+        terms only.  Scores are bit-identical to the correct-mode
+        conjunction of ``pos_terms`` (same df-ascending accumulation
+        order); the exclusion is a vectorized sorted-membership probe
+        per negative list, the classic DAAT NOT.  Unknown negative
+        terms exclude nothing; unknown positive terms are dropped like
+        every other mode."""
+        lists = self._open_lists(pos_terms)
+        if not lists:
+            return []
+        r = self.reader
+        base_docs, base_tfs = lists[0].decode_all_remaining()
+        dls = r.docs.dl[base_docs].astype(np.float64)
+        total = bm25_components(base_tfs, dls, lists[0].df, r.n_docs, r.d_avr)
+        mask = np.ones(len(base_docs), dtype=bool)
+        for c in lists[1:]:
+            docs_i, tfs_i = c.decode_all_remaining()
+            pos = np.searchsorted(docs_i, base_docs)
+            sel = np.minimum(pos, max(len(docs_i) - 1, 0))
+            ok = (pos < len(docs_i)) & (docs_i[sel] == base_docs)
+            mask &= ok
+            contrib = bm25_components(
+                tfs_i[sel], dls, c.df, r.n_docs, r.d_avr
+            )
+            total = total + np.where(ok, contrib, 0.0)
+        for c in self._open_lists(neg_terms):
+            docs_i, _ = c.decode_all_remaining()
+            if not len(docs_i):
+                continue
+            pos = np.searchsorted(docs_i, base_docs)
+            sel = np.minimum(pos, len(docs_i) - 1)
+            mask &= ~((pos < len(docs_i)) & (docs_i[sel] == base_docs))
+        return self._topk(base_docs[mask], total[mask], k)
+
+    # ------------------------------------------------------------------
     def disjunctive(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         """Exhaustive union: bulk-decode each list (vectorized scoring),
         accumulate per-doc sums, rank via the reference heap in ascending
@@ -388,10 +429,18 @@ class QueryEngine:
 
     # ------------------------------------------------------------------
     def search(
-        self, query: str, k: int = 10, mode: int = CONJUNCTIVE, *, algorithm: str | None = None
+        self,
+        query: str,
+        k: int = 10,
+        mode: int = CONJUNCTIVE,
+        *,
+        algorithm: str | None = None,
+        neg_query: str = "",
     ) -> list[dict]:
         terms = self.parse_query(query)
-        if mode == CONJUNCTIVE:
+        if mode == ANDNOT:
+            ranked = self.and_not(terms, self.parse_query(neg_query), k)
+        elif mode == CONJUNCTIVE:
             ranked = self.conjunctive(terms, k)
         elif algorithm == "wand":
             ranked = self.wand(terms, k)
@@ -479,11 +528,18 @@ class BatchQueryEngine:
             if "mode" in cols
             else np.full(batch.num_rows, CONJUNCTIVE)
         )
+        # optional ANDNOT exclusion terms (mode=2 rows); absent -> ""
+        neg_col = (
+            batch["neg_terms"].to_pylist()
+            if "neg_terms" in cols
+            else [""] * batch.num_rows
+        )
         qidx, ranks, docs, urls, scores = [], [], [], [], []
         for i in range(batch.num_rows):  # per QUERY, not per row of data
             hits = self.engine.search(
                 terms_col[i], int(k_col[i]), int(mode_col[i]),
                 algorithm=self.algorithm,
+                neg_query=neg_col[i] or "",
             )
             for h in hits:
                 qidx.append(i)

@@ -111,3 +111,14 @@ def test_random_corpora_conformance(ray_session, tmp_path, seed):
         got_o = eng.wand(terms, k)
         want_o = oracle.disjunctive_topk(ora, terms, k)
         assert [d for d, _ in got_o] == [d for d, _ in want_o], (seed, terms)
+        neg = [rng.choice(vocab) for _ in range(rng.randint(0, 2))]
+        got_n = eng.and_not(terms, neg, k)
+        want_n = oracle.and_not_topk(ora, terms, neg, k)
+        assert [d for d, _ in got_n] == [d for d, _ in want_n], (seed, terms, neg)
+        np.testing.assert_allclose(
+            [s for _, s in got_n], [s for _, s in want_n], rtol=1e-9
+        )
+        # identity: empty exclusion == correct-mode conjunction
+        got_c = eng.and_not(terms, [], k)
+        want_c = oracle.conjunctive_topk(ora, terms, k, mode="correct")
+        assert [d for d, _ in got_c] == [d for d, _ in want_c], (seed, terms)
