@@ -1641,6 +1641,26 @@ FROM p LEFT JOIN m ON m.event_id = p.event_id AND m.rn = 1
 QUERIES["events_asof_prior_click"] = (q_events_asof_prior_click, SQL_EVENTS_ASOF)
 
 
+def q_conversion_attribution(sf_dir: str):
+    """See temporal.conversion_attribution: first/last/linear multi-touch
+    credit per touch type over the 24 h window before each purchase."""
+    from .temporal import conversion_attribution
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    return conversion_attribution(
+        read_parquet_sized(
+            path, columns=["event_id", "user_id", "ts", "event_type"]
+        )
+    )
+
+
+from .temporal import SQL_CONVERSION_ATTRIBUTION  # noqa: E402
+
+QUERIES["conversion_attribution"] = (
+    q_conversion_attribution, SQL_CONVERSION_ATTRIBUTION
+)
+
+
 def q_events_window_agg(sf_dir: str):
     """Range-join aggregate: for each event, count/min/max of the SAME
     user's event values in the following day ([ts, ts+1d), self-

@@ -2007,3 +2007,171 @@ SELECT h::BIGINT AS hour, c::BIGINT AS n_events,
        f::BIGINT AS forecast_milli
 FROM rec ORDER BY hour
 """
+
+
+# ---------------------------------------------------------------- multi-touch
+# conversion attribution: first / last / linear credit over the touches in a
+# fixed window before each conversion
+
+ATTR_CONV_TYPE = "purchase"
+ATTR_TOUCH_TYPES = ("click", "view")
+ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h
+ATTR_PPM = 1_000_000
+
+
+def conversion_attribution(events: rd.Dataset) -> "pd.DataFrame":
+    """Multi-touch attribution: for every conversion (``ATTR_CONV_TYPE``
+    event), credit the touch events (``ATTR_TOUCH_TYPES``) of the same
+    user in ``[conv_ts - window, conv_ts)``.  Three models per touch
+    type: first-touch (earliest ts, event_id asc tiebreak), last-touch
+    (latest ts, event_id desc tiebreak), and linear credit as the exact
+    integer ``count_type * 1e6 // n_touches`` ppm per conversion —
+    floor == trunc since both sides are positive, so DuckDB ``//``
+    reproduces it.
+
+    Shape: one user-sharded exchange (conversions and touches carry a
+    side flag into the same shard); in-shard the window slices come
+    from the shared rank-composed-key machinery (``_combined_keys``
+    with event_id as the right-side tie) and per-type counts are two
+    prefix-sum lookups — no per-conversion loop.  Partials are <=
+    |touch types| rows per shard, combined on the driver."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    type_map = {ATTR_CONV_TYPE: -1}
+    for i, t in enumerate(ATTR_TOUCH_TYPES):
+        type_map[t] = i
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"],
+            value_set=pa.array(list(type_map), pa.string()),
+        )
+        t = t.filter(keep)
+        codes = np.array(
+            [type_map[s] for s in t["event_type"].to_pylist()], np.int64
+        )
+        return pa.table({
+            "user_id": pa.array(_np(t["user_id"]).astype(np.int64)),
+            "ts": pa.array(
+                _np(_ts_int64(t["ts"].combine_chunks())).astype(np.int64)
+            ),
+            "event_id": pa.array(_np(t["event_id"]).astype(np.int64)),
+            "code": pa.array(codes, pa.int64()),
+        })
+
+    flat = events.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    ntypes = len(ATTR_TOUCH_TYPES)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        conv = g[g["code"] == -1]
+        touch = g[g["code"] >= 0]
+        ft = np.zeros(ntypes, np.int64)
+        lt = np.zeros(ntypes, np.int64)
+        lin = np.zeros(ntypes, np.int64)
+        if len(conv) and len(touch):
+            ck = conv["user_id"].to_numpy(np.int64)
+            cts = conv["ts"].to_numpy(np.int64)
+            tk = touch["user_id"].to_numpy(np.int64)
+            tts = touch["ts"].to_numpy(np.int64)
+            teid = touch["event_id"].to_numpy(np.int64)
+            tcode = touch["code"].to_numpy(np.int64)
+            order, comb, kid_l, U = _combined_keys(ck, cts, tk, tts, teid)
+            hi_bits = kid_l << np.uint64(32)
+            rank_lo = np.searchsorted(
+                U, cts - ATTR_WINDOW_US, side="left").astype(np.uint64)
+            rank_hi = np.searchsorted(U, cts, side="left").astype(np.uint64)
+            lo = np.searchsorted(comb, hi_bits | rank_lo, side="left")
+            hi = np.maximum(
+                np.searchsorted(comb, hi_bits | rank_hi, side="left"), lo
+            )
+            code_sorted = tcode[order]
+            has = hi > lo
+            first_c = code_sorted[np.minimum(lo, len(order) - 1)]
+            last_c = code_sorted[np.maximum(hi - 1, 0)]
+            ft += np.bincount(first_c[has], minlength=ntypes).astype(np.int64)
+            lt += np.bincount(last_c[has], minlength=ntypes).astype(np.int64)
+            n_t = (hi - lo).astype(np.int64)
+            for ci in range(ntypes):
+                cum = np.concatenate(
+                    [[0], np.cumsum(code_sorted == ci)]
+                ).astype(np.int64)
+                cnt = cum[hi] - cum[lo]
+                lin[ci] += int(
+                    (cnt[has] * ATTR_PPM // n_t[has]).sum()
+                )
+        return pd.DataFrame({
+            "event_type": list(ATTR_TOUCH_TYPES),
+            "first_touch": ft, "last_touch": lt, "linear_ppm": lin,
+        })
+
+    schema = pa.schema([
+        ("event_type", pa.string()), ("first_touch", pa.int64()),
+        ("last_touch", pa.int64()), ("linear_ppm", pa.int64()),
+    ])
+    parts = _sharded_groupby(flat, ["user_id"], per_shard,
+                             empty_schema=schema).take_all()
+    acc = {t: [0, 0, 0] for t in ATTR_TOUCH_TYPES}
+    for r in parts:
+        e = acc[r["event_type"]]
+        e[0] += int(r["first_touch"])
+        e[1] += int(r["last_touch"])
+        e[2] += int(r["linear_ppm"])
+    return pd.DataFrame({
+        "event_type": list(ATTR_TOUCH_TYPES),
+        "first_touch": pd.Series(
+            [acc[t][0] for t in ATTR_TOUCH_TYPES], dtype="int64"),
+        "last_touch": pd.Series(
+            [acc[t][1] for t in ATTR_TOUCH_TYPES], dtype="int64"),
+        "linear_ppm": pd.Series(
+            [acc[t][2] for t in ATTR_TOUCH_TYPES], dtype="int64"),
+    })
+
+
+SQL_CONVERSION_ATTRIBUTION = f"""
+WITH conv AS (
+    SELECT user_id, ts, event_id AS cid FROM events
+    WHERE event_type = '{ATTR_CONV_TYPE}'
+),
+touch AS (
+    SELECT user_id, ts, event_id, event_type FROM events
+    WHERE event_type IN ('{ATTR_TOUCH_TYPES[0]}', '{ATTR_TOUCH_TYPES[1]}')
+),
+j AS (
+    SELECT c.cid, t.event_type, t.ts, t.event_id
+    FROM conv c JOIN touch t
+      ON t.user_id = c.user_id AND t.ts < c.ts
+     AND t.ts >= c.ts - INTERVAL 24 HOUR
+),
+r AS (
+    SELECT cid, event_type,
+           row_number() OVER (PARTITION BY cid ORDER BY ts, event_id)
+               AS rn_first,
+           row_number() OVER (PARTITION BY cid ORDER BY ts DESC,
+                              event_id DESC) AS rn_last
+    FROM j
+),
+fl AS (
+    SELECT event_type,
+           sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END)::BIGINT AS ft,
+           sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END)::BIGINT AS lt
+    FROM r GROUP BY 1
+),
+per AS (SELECT cid, event_type, count(*)::BIGINT AS ct FROM j GROUP BY 1, 2),
+tot AS (SELECT cid, sum(ct)::BIGINT AS nt FROM per GROUP BY 1),
+lin AS (
+    SELECT event_type,
+           sum(ct * {ATTR_PPM} // nt)::BIGINT AS linear_ppm
+    FROM per JOIN tot USING (cid) GROUP BY 1
+)
+SELECT t.event_type,
+       coalesce(fl.ft, 0)::BIGINT AS first_touch,
+       coalesce(fl.lt, 0)::BIGINT AS last_touch,
+       coalesce(lin.linear_ppm, 0)::BIGINT AS linear_ppm
+FROM (VALUES ('{ATTR_TOUCH_TYPES[0]}'), ('{ATTR_TOUCH_TYPES[1]}'))
+     AS t(event_type)
+LEFT JOIN fl USING (event_type)
+LEFT JOIN lin USING (event_type)
+"""

@@ -46,6 +46,7 @@ FUZZ_ENTRIES = [
     "funnel_latency",
     "user_value_outliers",
     "value_sax",
+    "conversion_attribution",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
