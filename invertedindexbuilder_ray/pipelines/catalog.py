@@ -11250,12 +11250,14 @@ QUERIES["rbo_rankings"] = (q_rbo_rankings, _sql_rbo())
 
 from .tpch import (  # noqa: E402
     SQL_Q1, SQL_Q2, SQL_Q3, SQL_Q6, SQL_Q7, SQL_Q8, SQL_Q9, SQL_Q10,
-    SQL_Q12, SQL_Q14, SQL_Q15, SQL_Q17, SQL_Q18, SQL_Q19, SQL_Q21,
+    SQL_Q11, SQL_Q12, SQL_Q14, SQL_Q15, SQL_Q16, SQL_Q17, SQL_Q18,
+    SQL_Q19, SQL_Q20, SQL_Q21,
     q1_pricing_summary, q2_min_offer, q3_unshipped, q6_forecast_revenue,
     q7_volume_shipping, q8_market_share, q9_product_profit,
-    q10_returned_items, q12_latency_class, q14_promo_revenue,
-    q15_top_supplier, q17_small_qty_revenue, q18_large_orders,
-    q19_disjunctive, q21_late_supplier,
+    q10_returned_items, q11_important_parts, q12_latency_class,
+    q14_promo_revenue, q15_top_supplier, q16_part_supplier_cnt,
+    q17_small_qty_revenue, q18_large_orders, q19_disjunctive,
+    q20_excess_suppliers, q21_late_supplier,
 )
 
 QUERIES["tpch_q1_pricing"] = (q1_pricing_summary, SQL_Q1)
@@ -11273,6 +11275,9 @@ QUERIES["tpch_q2_min_offer"] = (q2_min_offer, SQL_Q2)
 QUERIES["tpch_q9_profit"] = (q9_product_profit, SQL_Q9)
 QUERIES["tpch_q12_latency"] = (q12_latency_class, SQL_Q12)
 QUERIES["tpch_q21_late_supplier"] = (q21_late_supplier, SQL_Q21)
+QUERIES["tpch_q11_important_parts"] = (q11_important_parts, SQL_Q11)
+QUERIES["tpch_q16_supplier_cnt"] = (q16_part_supplier_cnt, SQL_Q16)
+QUERIES["tpch_q20_excess_suppliers"] = (q20_excess_suppliers, SQL_Q20)
 
 
 # --------------------------------------------------------------------------

@@ -1473,26 +1473,23 @@ def q21_late_supplier(
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]
     ).map_batches(
-        lambda t: pa.table({
-            "k": pa.array(_i64(
-                t.filter(pc.equal(t["o_orderstatus"], Q21_STATUS))
-                ["o_orderkey"])),
-            "od": pa.array(
-                pc.cast(
-                    t.filter(pc.equal(t["o_orderstatus"], Q21_STATUS))
-                    ["o_orderdate"], pa.int64()
-                )
-            ),
-        }),
+        # NOTE: keep ChunkedArrays bare in pa.table() — wrapping one in
+        # pa.array() re-infers the type and an EMPTY batch (e.g. no 'F'
+        # orders in a block) comes out null-typed, which Acero rejects
+        # as a join payload
+        lambda t: (lambda f: pa.table({
+            "k": f["o_orderkey"].cast(pa.int64()),
+            "od": f["o_orderdate"].cast(pa.int64()),
+        }))(t.filter(pc.equal(t["o_orderstatus"], Q21_STATUS))),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
     ).map_batches(
         lambda t: pa.table({
-            "k": pa.array(_i64(t["l_orderkey"])),
-            "sk": pa.array(_i64(t["l_suppkey"])),
-            "ship": pa.array(pc.cast(t["l_shipdate"], pa.int64())),
+            "k": t["l_orderkey"].cast(pa.int64()),
+            "sk": t["l_suppkey"].cast(pa.int64()),
+            "ship": t["l_shipdate"].cast(pa.int64()),
         }),
         batch_format="pyarrow", zero_copy_batch=True,
     )
@@ -1729,22 +1726,21 @@ def q12_latency_class(sf_dir: str) -> pd.DataFrame:
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
     ).map_batches(
+        # bare ChunkedArrays (no pa.array re-inference: empty -> null type)
         lambda t: pa.table({
-            "k": pa.array(_i64(t["o_orderkey"])),
-            "od": pa.array(pc.cast(t["o_orderdate"], pa.int64())),
-            "hi": pa.array(
-                pc.is_in(
-                    t["o_orderpriority"],
-                    value_set=pa.array(Q12_HIGH, pa.string()),
-                ).cast(pa.int64())
-            ),
+            "k": t["o_orderkey"].cast(pa.int64()),
+            "od": t["o_orderdate"].cast(pa.int64()),
+            "hi": pc.is_in(
+                t["o_orderpriority"].combine_chunks(),
+                value_set=pa.array(Q12_HIGH, pa.string()),
+            ).cast(pa.int64()),
         }),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
         lambda t: pa.table({
-            "k": pa.array(_i64(t["l_orderkey"])),
-            "ship": pa.array(pc.cast(t["l_shipdate"], pa.int64())),
+            "k": t["l_orderkey"].cast(pa.int64()),
+            "ship": t["l_shipdate"].cast(pa.int64()),
         }),
         batch_format="pyarrow", zero_copy_batch=True,
     )
@@ -1933,4 +1929,313 @@ JOIN nation ON n_nationkey = s_nationkey
 WHERE offer_cents = mo
 ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey, s_suppkey
 LIMIT {Q2_TOPK}
+"""
+
+# ---------------------------------------------------------------- Q11
+
+Q11_NATION = "NATION_3"
+Q11_AVG_MULT = 2  # keep parts with value > Q11_AVG_MULT * average value
+
+
+def q11_important_parts(
+    sf_dir: str, *, dim_limit: int = DIM_BROADCAST_LIMIT
+) -> pd.DataFrame:
+    """High-value parts by shipped value from one nation's suppliers
+    (TPC-H Q11 shape; no partsupp in the slim schema, so a part's
+    "stock value" is the summed round(l_extendedprice*100) over
+    lineitems shipped by that nation's suppliers).  Q11's fixed
+    fraction does not survive scale (per-part share shrinks as the part
+    count grows), so the HAVING is value > {Q11_AVG_MULT}x the average
+    per-part value — integer cross-multiplied (val * n_parts >
+    {Q11_AVG_MULT} * total), no float threshold.  One sharded per-part
+    aggregate; a tiny (sum, count) partial pass sets the threshold; the
+    qualifying tail is the only driver-collected set."""
+    from .dedup import _sharded_groupby
+
+    d = _dir(sf_dir)
+    nat = read_parquet_sized(
+        os.path.join(d, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nk = [int(r["n_nationkey"]) for r in nat if r["n_name"] == Q11_NATION]
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: t.filter(
+            pa.array(np.isin(_i64(t["s_nationkey"]), np.array(nk, np.int64)))
+        ).select(["s_suppkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+    li = _dim_semi(li, "l_suppkey", supp, "s_suppkey", limit=dim_limit)
+    li = li.map_batches(
+        lambda t: pa.table({
+            "pk": pa.array(_i64(t["l_partkey"])),
+            "c": pa.array(_cents(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False))),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    per_part = _sharded_groupby(
+        li, ["pk"],
+        lambda df: df.groupby("pk", as_index=False).agg(val=("c", "sum")),
+        empty_schema=pa.schema([("pk", pa.int64()), ("val", pa.int64())]),
+    ).materialize()  # two consumers: threshold partials + tail filter
+
+    parts = per_part.map_batches(
+        lambda t: pa.table({
+            "s": pa.array([int(_i64(t["val"]).sum())], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    tot, n = _pysum([(r["s"], r["n"]) for r in parts], 2)
+    if n == 0:
+        return pd.DataFrame({
+            "p_partkey": pd.Series([], dtype="int64"),
+            "value_cents": pd.Series([], dtype="int64"),
+        })
+    rows = per_part.map_batches(
+        lambda t: t.filter(pa.array(
+            _i64(t["val"]) * n > Q11_AVG_MULT * tot
+        )),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    out = pd.DataFrame({
+        "p_partkey": pd.Series([int(r["pk"]) for r in rows], dtype="int64"),
+        "value_cents": pd.Series([int(r["val"]) for r in rows], dtype="int64"),
+    })
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+SQL_Q11 = f"""
+WITH f AS (
+    SELECT l_partkey AS pk,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_name = '{Q11_NATION}')
+),
+v AS (SELECT pk, sum(c)::BIGINT AS val FROM f GROUP BY 1),
+tot AS (SELECT sum(val)::HUGEINT AS t, count(*)::HUGEINT AS n FROM v)
+SELECT pk AS p_partkey, val AS value_cents
+FROM v, tot WHERE val::HUGEINT * n > {Q11_AVG_MULT} * t
+"""
+
+
+# ---------------------------------------------------------------- Q16
+
+Q16_EXCL_BRAND = "Brand#13"
+Q16_EXCL_TYPE_PREFIX = "PROMO"
+Q16_SIZES = (1, 5, 9, 15, 23, 30, 41, 50)
+Q16_BAD_SUPP_SUBSTR = "7"  # "complaints" proxy: s_name containing this
+
+
+def q16_part_supplier_cnt(
+    sf_dir: str, *, dim_limit: int = DIM_BROADCAST_LIMIT
+) -> pd.DataFrame:
+    """Distinct-supplier counts per part attribute class (TPC-H Q16
+    shape; lineitem stands in for partsupp, suppliers whose name
+    contains '{Q16_BAD_SUPP_SUBSTR}' stand in for the complaints
+    exclusion).  The filtered part dim collapses to a broadcast
+    partkey -> packed-attribute-code lookup (brand/type vocabularies
+    are bounded catalog domains, collected once); distinct (code,
+    suppkey) pairs dedup inside ONE pair-sharded exchange — each pair
+    lands in exactly one shard, so per-shard distinct counts are
+    additive."""
+    from .dedup import _sharded_groupby
+
+    d = _dir(sf_dir)
+    part = read_parquet_sized(
+        os.path.join(d, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.and_(
+                pc.invert(pc.equal(t["p_brand"], Q16_EXCL_BRAND)),
+                pc.invert(pc.starts_with(t["p_type"], Q16_EXCL_TYPE_PREFIX)),
+            ),
+            pc.is_in(t["p_size"],
+                     value_set=pa.array(Q16_SIZES, t["p_size"].type)),
+        )),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()  # small filtered dim: vocab pass + code lookup
+
+    vocab_rows = part.map_batches(
+        lambda t: pa.table({
+            "b": t["p_brand"], "y": t["p_type"],
+        }).group_by(["b", "y"]).aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    brands = sorted({r["b"] for r in vocab_rows})
+    types = sorted({r["y"] for r in vocab_rows})
+    b_idx = {b: i for i, b in enumerate(brands)}
+    y_idx = {y: i for i, y in enumerate(types)}
+    n_sizes = max(Q16_SIZES) + 1
+
+    def code_of(t: pa.Table) -> pa.Table:
+        b = np.array([b_idx[x] for x in t["p_brand"].to_pylist()], np.int64)
+        y = np.array([y_idx[x] for x in t["p_type"].to_pylist()], np.int64)
+        s = _i64(t["p_size"])
+        return pa.table({
+            "p_partkey": pa.array(_i64(t["p_partkey"])),
+            "code": pa.array(
+                (b * len(types) + y) * n_sizes + s, pa.int64()),
+        })
+
+    coded = part.map_batches(code_of, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    bad = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda t: t.filter(
+            pc.match_substring(t["s_name"], Q16_BAD_SUPP_SUBSTR)
+        ).select(["s_suppkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    bad_sk = np.sort(np.array([int(r["s_suppkey"]) for r in bad], np.int64))
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        lambda t: t.filter(pa.array(
+            ~np.isin(_i64(t["l_suppkey"]), bad_sk))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = _dim_lookup(li, "l_partkey", coded, "p_partkey", "code", "code",
+                     limit=dim_limit)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "code": t["code"].cast(pa.int64()),
+            "sk": t["l_suppkey"].cast(pa.int64()),
+        }).group_by(["code", "sk"]).aggregate([])
+
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["code", "sk"])
+        out = u.groupby("code", as_index=False).size()
+        out.columns = ["code", "supplier_cnt"]
+        return out.astype({"code": "int64", "supplier_cnt": "int64"})
+
+    parts = _sharded_groupby(
+        pairs, ["code", "sk"], per_shard,
+        empty_schema=pa.schema(
+            [("code", pa.int64()), ("supplier_cnt", pa.int64())]),
+    ).take_all()
+    acc: dict[int, int] = {}
+    for r in parts:
+        acc[int(r["code"])] = acc.get(int(r["code"]), 0) + int(r["supplier_cnt"])
+    codes = sorted(acc)
+    return pd.DataFrame({
+        "p_brand": [brands[c // n_sizes // len(types)] for c in codes],
+        "p_type": [types[(c // n_sizes) % len(types)] for c in codes],
+        "p_size": pd.Series([c % n_sizes for c in codes], dtype="int64"),
+        "supplier_cnt": pd.Series([acc[c] for c in codes], dtype="int64"),
+    })
+
+
+SQL_Q16 = f"""
+SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND p_type NOT LIKE '{Q16_EXCL_TYPE_PREFIX}%'
+  AND p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier
+      WHERE s_name LIKE '%{Q16_BAD_SUPP_SUBSTR}%')
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------- Q20
+
+Q20_NAME_PREFIX = "red"
+Q20_LO, Q20_HI = "1996-01-01", "1997-01-01"
+
+
+def q20_excess_suppliers(
+    sf_dir: str, *, dim_limit: int = DIM_BROADCAST_LIMIT
+) -> pd.DataFrame:
+    """Suppliers who shipped the majority of some '{Q20_NAME_PREFIX}%'
+    part's 1996 volume (TPC-H Q20 shape; shipped lineitem quantity
+    stands in for partsupp availqty, majority-of-part-volume for the
+    50%-of-availqty test).  ONE part-sharded exchange computes
+    per-(part, supplier) and per-part quantity together and emits the
+    qualifying suppliers; the distinct survivor set is a p99 tail
+    enriched against supplier/nation on the driver."""
+    from .dedup import _sharded_groupby
+
+    d = _dir(sf_dir)
+    pk_rows = read_parquet_sized(
+        os.path.join(d, "part.parquet"), columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.starts_with(t["p_name"], Q20_NAME_PREFIX)
+        ).select(["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    lo, hi = np.datetime64(Q20_LO), np.datetime64(Q20_HI)
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        sd = _ts(t["l_shipdate"])
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        return pa.table({
+            "pk": pa.array(_i64(t["l_partkey"])),
+            "sk": pa.array(_i64(t["l_suppkey"])),
+            "q": pa.array(round_half_away(
+                t["l_quantity"].to_numpy(zero_copy_only=False), 0
+            ).astype(np.int64)),
+        })
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    li = _dim_semi(li, "pk", pk_rows, "p_partkey", limit=dim_limit)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby(["pk", "sk"], as_index=False)["q"].sum()
+        tq = f.groupby("pk")["q"].transform("sum")
+        out = f[2 * f["q"] > tq][["sk"]].drop_duplicates()
+        return out.astype({"sk": "int64"})
+
+    rows = _sharded_groupby(
+        li, ["pk"], per_shard,
+        empty_schema=pa.schema([("sk", pa.int64())]),
+    ).take_all()
+    sks = np.sort(np.unique(np.array(
+        [int(r["sk"]) for r in rows], np.int64)))
+
+    srows = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pa.array(np.isin(_i64(t["s_suppkey"]), sks))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    nat = read_parquet_sized(
+        os.path.join(d, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).take_all()
+    nname = {int(r["n_nationkey"]): r["n_name"] for r in nat}
+    by_sk = {int(r["s_suppkey"]): r for r in srows}
+    return pd.DataFrame({
+        "s_suppkey": pd.Series(list(sks), dtype="int64"),
+        "s_name": [by_sk[k]["s_name"] for k in sks],
+        "n_name": [nname[int(by_sk[k]["s_nationkey"])] for k in sks],
+    })
+
+
+SQL_Q20 = f"""
+WITH f AS (
+    SELECT l_partkey AS pk, l_suppkey AS sk,
+           sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS q
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+      AND l_shipdate >= TIMESTAMP '{Q20_LO}'
+      AND l_shipdate < TIMESTAMP '{Q20_HI}'
+    GROUP BY 1, 2
+),
+tot AS (SELECT pk, sum(q)::BIGINT AS tq FROM f GROUP BY 1)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM f JOIN tot USING (pk)
+JOIN supplier ON s_suppkey = f.sk
+JOIN nation ON n_nationkey = s_nationkey
+WHERE 2 * f.q > tot.tq
 """

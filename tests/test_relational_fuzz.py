@@ -47,6 +47,10 @@ FUZZ_ENTRIES = [
     "benford_digits",
     "qty_discount_ols",
     "anova_acctbal",
+    "tpch_q11_important_parts",
+    "tpch_q12_latency",
+    "tpch_q16_supplier_cnt",
+    "tpch_q21_late_supplier",
 ]
 
 _LINE = st.tuples(
