@@ -91,11 +91,10 @@ def cmd_merge(args) -> int:
 
 
 def cmd_delete(args) -> int:
-    """Tombstone deletion + compaction (merge.delete_docs): doc ids from
-    --ids (comma-separated) and/or --ids-file (one id per line)."""
-    _init_ray(args.num_cpus)
-    from .pipelines.merge import delete_docs
-
+    """Tombstone deletion: --mark-only records query-time tombstones in
+    the index itself (merge.mark_deleted, no re-encode); the default
+    compacts into --out (merge.delete_docs).  Doc ids from --ids
+    (comma-separated) and/or --ids-file (one id per line)."""
     ids: list[int] = []
     if args.ids:
         ids.extend(int(x) for x in args.ids.split(",") if x.strip())
@@ -104,6 +103,17 @@ def cmd_delete(args) -> int:
             ids.extend(int(line) for line in f if line.strip())
     if not ids:
         raise SystemExit("delete: no tombstones given (--ids / --ids-file)")
+    if args.mark_only:
+        from .pipelines.merge import mark_deleted
+
+        n = mark_deleted(args.index, ids)  # pure file op: no Ray session
+        print(json.dumps({"index": args.index, "n_tombstones": n}))
+        return 0
+    if not args.out:
+        raise SystemExit("delete: --out is required unless --mark-only")
+    _init_ray(args.num_cpus)
+    from .pipelines.merge import delete_docs
+
     man = delete_docs(args.index, ids, args.out, resume=not args.no_resume)
     print(json.dumps({"n_docs": man.n_docs, **man.stats}))
     return 0
@@ -235,10 +245,15 @@ def main(argv: list[str] | None = None) -> int:
         help="tombstone doc ids out of an index (compaction without re-tokenizing)",
     )
     dl.add_argument("--index", required=True)
-    dl.add_argument("--out", required=True)
+    dl.add_argument("--out", default=None, help="output dir (required unless --mark-only)")
     dl.add_argument("--ids", default="", help="comma-separated doc ids")
     dl.add_argument("--ids-file", default=None, help="file with one doc id per line")
     dl.add_argument("--no-resume", action="store_true")
+    dl.add_argument(
+        "--mark-only", action="store_true",
+        help="query-time tombstones only (O(|ids|), no re-encode; stats keep "
+        "counting marked docs until a compaction — Lucene live-docs contract)",
+    )
     dl.set_defaults(fn=cmd_delete)
 
     rn = sub.add_parser(

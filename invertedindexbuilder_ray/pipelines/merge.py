@@ -497,3 +497,21 @@ def delete_docs(
     )
     out_man.save(out_dir)
     return out_man
+
+
+def mark_deleted(index_dir: str, doc_ids) -> int:
+    """Query-time tombstones: record ``doc_ids`` as deleted in
+    ``tombstones.bin`` (sorted int64, merged with any existing set,
+    atomic write) — O(|tombstones|), NO index re-encode.  Every
+    ``IndexReader`` opened afterwards excludes them from all query
+    modes; global BM25 stats (N, d_avr, df) intentionally still count
+    tombstoned docs until a ``delete_docs`` compaction rewrites the
+    index — the Lucene live-docs contract, documented on the reader.
+    Returns the total tombstone count after the merge."""
+    new = np.unique(np.asarray(
+        sorted(set(int(d) for d in doc_ids)), dtype=np.int64))
+    path = os.path.join(index_dir, "tombstones.bin")
+    if os.path.exists(path):
+        new = np.union1d(new, np.fromfile(path, dtype=np.int64))
+    mf.atomic_write_bytes(path, new.astype(np.int64).tobytes())
+    return int(len(new))

@@ -98,6 +98,22 @@ class QueryEngine:
         # dfs here (with reader.n_docs/d_avr overridden alongside) so a
         # shard's scores are bit-identical to the monolithic computation
         self.df_override: dict[str, int] = {}
+        # query-time tombstones (merge.mark_deleted): excluded from every
+        # mode's candidates; global stats (N, d_avr, df) still count them
+        # until a delete_docs compaction — the Lucene live-docs contract
+        t = self.reader.tombstones
+        self._tomb_set: frozenset = frozenset(t.tolist()) if len(t) else frozenset()
+
+    def _drop_tombstoned(self, docs, scores):
+        """Vectorized live-docs filter over candidate (docs, scores)."""
+        t = self.reader.tombstones
+        docs = np.asarray(docs, dtype=np.int64)
+        scores = np.asarray(scores, dtype=np.float64)
+        if not len(t) or not len(docs):
+            return docs, scores
+        pos = np.searchsorted(t, docs)
+        dead = (pos < len(t)) & (t[np.minimum(pos, len(t) - 1)] == docs)
+        return docs[~dead], scores[~dead]
 
     # ------------------------------------------------------------------
     def _bm25(self, tf: int, df: int, doc_id: int) -> float:
@@ -107,6 +123,7 @@ class QueryEngine:
         return float(idf * (1.2 + 1) * tf / (1.2 * ((1 - 0.75) + 0.75 * dl / r.d_avr) + tf))
 
     def _topk(self, docs, scores, k: int) -> list[tuple[int, float]]:
+        docs, scores = self._drop_tombstoned(docs, scores)
         if self.total_order_topk:
             return _total_topk(docs, scores, k)
         return _heap_topk(docs, scores, k)
@@ -213,12 +230,13 @@ class QueryEngine:
             if not matched and d > did:
                 did = d
             else:
-                score = sum(self._bm25(c.curr_freq, c.df, did) for c in lists)
-                if self.total_order_topk:
-                    cd.append(did)
-                    cs.append(score)
-                else:
-                    _to_rank_heap(hp, did, score, k)
+                if did not in self._tomb_set:  # live-docs filter
+                    score = sum(self._bm25(c.curr_freq, c.df, did) for c in lists)
+                    if self.total_order_topk:
+                        cd.append(did)
+                        cs.append(score)
+                    else:
+                        _to_rank_heap(hp, did, score, k)
                 did += 1
         if self.total_order_topk:
             return _total_topk(cd, cs, k)
@@ -268,12 +286,13 @@ class QueryEngine:
                     matched = False
                     break
             if matched:
-                score = sum(self._bm25(c.curr_freq, c.df, candidate) for c in lists)
-                if self.total_order_topk:
-                    cd.append(candidate)
-                    cs.append(score)
-                else:
-                    _to_rank_heap(hp, candidate, score, k)
+                if candidate not in self._tomb_set:  # live-docs filter
+                    score = sum(self._bm25(c.curr_freq, c.df, candidate) for c in lists)
+                    if self.total_order_topk:
+                        cd.append(candidate)
+                        cs.append(score)
+                    else:
+                        _to_rank_heap(hp, candidate, score, k)
                 candidate += 1
         if self.total_order_topk:
             return _total_topk(cd, cs, k)
@@ -401,7 +420,12 @@ class QueryEngine:
                 # block-max refinement: skip full scoring when the tight
                 # per-block bound already can't beat theta
                 bm_ub = sum(self._ub_block(c, pivot_doc) for c in at_pivot)
-                if not full or bm_ub > theta or (total and bm_ub >= theta):
+                if pivot_doc in self._tomb_set:
+                    # live-docs filter: never scored/inserted; theta stays a
+                    # valid lower bound for the tombstone-filtered exhaustive
+                    # run, so rank-identity with disjunctive() is preserved
+                    pass
+                elif not full or bm_ub > theta or (total and bm_ub >= theta):
                     # sum in df-ascending list order so the float result is
                     # bit-identical to the exhaustive path's accumulation
                     score = sum(

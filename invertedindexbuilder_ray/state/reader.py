@@ -309,6 +309,18 @@ class IndexReader:
         self.docs = DocTable.load(os.path.join(index_dir, "docs"), self.max_doc_id)
         self._mmaps: dict[int, np.memmap] = {}
 
+        # query-time tombstones (merge.mark_deleted): sorted doc_ids that
+        # every query mode excludes from results WITHOUT re-encoding the
+        # index.  Global stats (N, d_avr, df) intentionally still count
+        # tombstoned docs until a delete_docs() compaction — the Lucene
+        # live-docs contract.
+        tomb_path = os.path.join(index_dir, "tombstones.bin")
+        self.tombstones = (
+            np.fromfile(tomb_path, dtype=np.int64)
+            if os.path.exists(tomb_path)
+            else np.empty(0, np.int64)
+        )
+
     def _blob(self, pid: int) -> np.memmap:
         mm = self._mmaps.get(pid)
         if mm is None:

@@ -198,3 +198,66 @@ def test_delete_docs_byte_identical(ray_session, tmp_path):
     # resume: a second call must skip every partition
     man2 = delete_docs(base, tomb, out)
     assert all(p.get("skipped") for p in man2.partitions.values())
+
+
+def test_mark_deleted_query_time_tombstones(ray_session, tmp_path):
+    """mark_deleted: O(|tombstones|) live-docs file, NO re-encode.  Every
+    query mode excludes tombstoned docs while scores keep the PRE-delete
+    global stats (the Lucene live-docs contract — delete_docs is the
+    compaction that recomputes stats)."""
+    from invertedindexbuilder_ray.pipelines.merge import mark_deleted
+    from invertedindexbuilder_ray.sources.documents import load_documents
+
+    src = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    build_index(load_documents(src), idx, num_partitions=4)
+
+    queries = [("data the", 0), ("data", 0), ("data model", 1), ("the", 1)]
+    # pre-tombstone baselines (per conformance flag: quirk Q-C misses
+    # candidates that the correct mode finds, so candidate sets differ)
+    big, big_scores = {}, {True: {}, False: {}}
+    for conf in (True, False):
+        lv = QueryEngine(idx, conformance=conf, total_order_topk=True)
+        for q in queries:
+            res = lv.search(q[0], 10_000, q[1])
+            if conf:
+                big[q] = res
+            big_scores[conf][q] = {r["doc_id"]: r["score"] for r in res}
+
+    n1 = mark_deleted(idx, range(0, 400, 3))
+    assert n1 == len(set(range(0, 400, 3)))
+    n2 = mark_deleted(idx, [1, 2, 5, 3])  # second call must UNION (3 dup)
+    dead = set(range(0, 400, 3)) | {1, 2, 5}
+    assert n2 == len(dead)
+
+    # total-order engines: filter-then-topk == topk-then-filter exactly
+    qe = QueryEngine(idx, total_order_topk=True)
+    assert sorted(qe._tomb_set) == sorted(dead)
+    for terms, mode in queries:
+        got = qe.search(terms, 10, mode)
+        exp = [r for r in big[(terms, mode)] if r["doc_id"] not in dead][:10]
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in exp
+        ], (terms, mode)
+
+    # WAND stays rank-identical to the exhaustive union under tombstones
+    eng = QueryEngine(idx, conformance=False)
+    for terms in ("data model", "the data"):
+        tl = eng.parse_query(terms)
+        assert eng.wand(tl, 10) == eng.disjunctive(tl, 10)
+
+    # conformance-heap engine + correct-mode leapfrog + AND-NOT: no
+    # tombstoned doc ever surfaces, and every surfaced score matches the
+    # live index's score for that doc (stats unchanged by mark_deleted).
+    # Baselines per conformance flag: quirk Q-C misses candidates that the
+    # correct mode finds, so the candidate sets differ between the two.
+    for conf in (True, False):
+        e = QueryEngine(idx, conformance=conf)
+        for terms, mode in queries:
+            hits = e.search(terms, 10, mode)
+            assert hits, (terms, mode, conf)
+            for r in hits:
+                assert r["doc_id"] not in dead
+                assert r["score"] == big_scores[conf][(terms, mode)][r["doc_id"]]
+    hits = QueryEngine(idx).search("data", 10, 2, neg_query="model")
+    assert hits and all(r["doc_id"] not in dead for r in hits)
