@@ -363,6 +363,90 @@ def q_bm25_and_not(sf_dir: str):
     )
 
 
+TOMBSTONE_MOD, TOMBSTONE_RESIDUE = 10, 3
+
+
+def _tombstoned_index_for(sf_dir: str) -> str:
+    """A COPY of the shared index with every ``doc_id % 10 == 3``
+    tombstoned via ``merge.mark_deleted`` — a separate cache dir so the
+    live index the other bm25 entries share stays untouched.  The copy
+    is a plain file clone (no re-encode), mirroring a production
+    "clone manifest, add live-docs file" delete; re-marking the same
+    set is idempotent (mark_deleted unions)."""
+    import shutil
+
+    from ..state.manifest import IndexManifest
+    from .merge import mark_deleted
+
+    base = index_for(sf_dir)
+    out = base + "-tomb"
+    fp = IndexManifest.load(base).input_fingerprint
+    try:
+        fresh = IndexManifest.load(out).input_fingerprint == fp
+    except (OSError, ValueError, TypeError):
+        fresh = False
+    if not fresh:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(base, out)
+    max_doc = IndexManifest.load(out).max_doc_id
+    mark_deleted(out, range(TOMBSTONE_RESIDUE, max_doc + 1, TOMBSTONE_MOD))
+    return out
+
+
+def q_bm25_tombstoned(sf_dir: str):
+    """Disjunctive BM25 over a tombstoned index (query-time live-docs,
+    merge.mark_deleted): marked docs never surface, while N / d_avr / df
+    still count them — the Lucene live-docs contract the SQL replicates
+    by filtering CANDIDATES only, never the stats CTEs."""
+    from .query import DISJUNCTIVE, BatchQueryEngine
+
+    idx = _tombstoned_index_for(sf_dir)
+    from ..state.manifest import IndexManifest
+
+    k = IndexManifest.load(idx).max_doc_id + 1
+    queries = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "terms": pa.array([" ".join(BM25_QUERY_TERMS)], pa.string()),
+            "k": pa.array([k], pa.int64()),
+            "mode": pa.array([DISJUNCTIVE], pa.int64()),
+        }
+    )
+    return (
+        rd.from_arrow(queries)
+        .map_batches(
+            BatchQueryEngine,
+            fn_constructor_kwargs={"index_dir": idx, "conformance": False},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "score": pa.array(
+                        round_half_away(
+                            t["score"].to_numpy(zero_copy_only=False), 6
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _sql_bm25_tombstoned() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(terms=terms)
+        + "SELECT doc_id, round(raw_score, 6) AS score FROM scores\n"
+        + f"WHERE nmatched >= 1 AND doc_id % {TOMBSTONE_MOD} <> {TOMBSTONE_RESIDUE}"
+    )
+
+
 def _sql_bm25_and_not() -> str:
     pos = ", ".join(f"'{t}'" for t in ANDNOT_POS_TERMS)
     neg = ", ".join(f"'{t}'" for t in ANDNOT_NEG_TERMS)
@@ -1433,6 +1517,7 @@ QUERIES = {
     "bm25_all_and": (q_bm25_and, _sql_bm25(True)),
     "bm25_all_or": (q_bm25_or, _sql_bm25(False)),
     "bm25_and_not": (q_bm25_and_not, _sql_bm25_and_not()),
+    "bm25_tombstoned": (q_bm25_tombstoned, _sql_bm25_tombstoned()),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
