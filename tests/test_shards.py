@@ -243,3 +243,43 @@ def test_rolling_delta_served_as_shard(ray_session, webpages_medium, tmp_path):
         for mode in (CONJUNCTIVE, DISJUNCTIVE):
             got = live.search_terms(terms, 10, mode)
             assert got == _mono_truth(mono, terms, 10, mode), (q, mode)
+
+
+def test_sharded_respects_per_shard_tombstones(sharded_setup, tmp_path):
+    """Query-time tombstones (merge.mark_deleted) compose with the sharded
+    tier: each shard's reader loads its own tombstones.bin (LOCAL doc ids)
+    while the injected global stats triple — n_docs / d_avr from the
+    manifests, df from the lexicons — is untouched by marking, so the
+    sharded result is exactly the tombstone-filtered monolithic total-order
+    ranking at the UNCHANGED pre-delete scores."""
+    import shutil
+
+    from invertedindexbuilder_ray.pipelines.merge import mark_deleted
+    from invertedindexbuilder_ray.state.manifest import IndexManifest
+
+    shard_dirs, full = sharded_setup
+    copies, offsets, off = [], [], 0
+    for i, d in enumerate(shard_dirs):
+        c = str(tmp_path / f"tomb{i}")
+        shutil.copytree(d, c)
+        copies.append(c)
+        offsets.append(off)
+        off += IndexManifest.load(d).max_doc_id
+    # per-shard LOCAL tombstones: every 5th doc of shard 0, 7th of shard 1
+    local_dead = {0: list(range(0, 400, 5)), 1: list(range(0, 300, 7))}
+    dead_global = set()
+    for si, ids in local_dead.items():
+        mark_deleted(copies[si], ids)
+        dead_global |= {d + offsets[si] for d in ids}
+
+    mono = QueryEngine(full, conformance=False)
+    sharded = ShardedEngine(copies, conformance=False)
+    for q in QUERIES:
+        terms = mono.parse_query(q)
+        for mode in (CONJUNCTIVE, DISJUNCTIVE):
+            # filtered monolithic truth: full live ranking minus dead ids
+            k_all = mono.reader.max_doc_id + 1
+            full_rank = _mono_truth(mono, terms, k_all, mode)
+            want = [(d, s) for d, s in full_rank if d not in dead_global][:10]
+            got = sharded.search_terms(terms, 10, mode)
+            assert got == want, (q, mode)
