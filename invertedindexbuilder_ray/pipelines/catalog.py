@@ -437,6 +437,41 @@ def q_bm25_tombstoned(sf_dir: str):
     )
 
 
+def q_facet_counts(sf_dir: str):
+    """Faceted search (the Elasticsearch "aggregations on hits" shape):
+    per-(source, lang) match count and best rounded score over every doc
+    matching the disjunctive BM25 query — the match set comes from the
+    REAL index through the distributed BatchQueryEngine path, then one
+    partitioned hash join onto the documents facet columns and a tiny
+    groupby (facet cardinality is bounded, the join is the only
+    corpus-sized exchange)."""
+    from .joins import partitioned_hash_join
+
+    matches = _bm25_all(sf_dir, conjunctive=False)
+    path = (
+        os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    )
+    facets = read_parquet_sized(path, columns=["doc_id", "lang", "source"])
+    j = partitioned_hash_join(matches, facets, left_on="doc_id", right_on="doc_id")
+    return (
+        j.groupby(["source", "lang"])
+        .aggregate(Count(alias_name="n_matches"), Max("score", alias_name="best_score"))
+    )
+
+
+def _sql_facet_counts() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(terms=terms)
+        + """SELECT d.source, d.lang, count(*)::BIGINT AS n_matches,
+       max(round(s.raw_score, 6)) AS best_score
+FROM scores s JOIN documents d USING (doc_id)
+WHERE s.nmatched >= 1
+GROUP BY d.source, d.lang"""
+    )
+
+
 def _sql_bm25_tombstoned() -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     return (
@@ -1518,6 +1553,7 @@ QUERIES = {
     "bm25_all_or": (q_bm25_or, _sql_bm25(False)),
     "bm25_and_not": (q_bm25_and_not, _sql_bm25_and_not()),
     "bm25_tombstoned": (q_bm25_tombstoned, _sql_bm25_tombstoned()),
+    "facet_counts": (q_facet_counts, _sql_facet_counts()),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
@@ -8814,6 +8850,26 @@ def _sql_ndcg_eval() -> str:
 
 
 QUERIES["ndcg_eval"] = (q_ndcg_eval, _sql_ndcg_eval())
+
+
+# --------------------------------------------------------------------------
+# BM25F field-boosted ranking (title = first positions, weighted)
+
+
+def q_bm25f_fielded(sf_dir: str):
+    """See ranking.bm25f_df."""
+    from .ranking import bm25f_df
+
+    return bm25f_df(sf_dir)
+
+
+def _sql_bm25f_fielded() -> str:
+    from .ranking import sql_bm25f
+
+    return sql_bm25f()
+
+
+QUERIES["bm25f_fielded"] = (q_bm25f_fielded, _sql_bm25f_fielded())
 
 
 # --------------------------------------------------------------------------

@@ -1173,3 +1173,164 @@ SELECT rank, doc_id, n_match, score_fp FROM (
     FROM scored
 ) WHERE rank <= {QL_TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# BM25F: field-boosted ranking (title = first BM25F_TITLE_LEN token
+# positions, weight BM25F_W_TITLE; body = the rest).  The classic fielded
+# extension the reference's single-field scorer (src/query.c:129-151)
+# cannot express: per-field tfs and lengths fold into weighted
+# tf' = W*tf_title + tf_body and dl' = W*len_title + len_body, and the
+# standard BM25 formula runs on (tf', dl', avgdl') — so an index built
+# over weighted postings would serve this with the unmodified engine.
+# Position semantics match the positional tier: 1-based ordinal over ALL
+# alnum runs (a >15-char dropped run still occupies its position).
+
+BM25F_TERMS = ("data", "join", "merge")
+BM25F_TITLE_LEN = 8
+BM25F_W_TITLE = 3
+
+
+def bm25f_df(source: "str | rd.Dataset") -> rd.Dataset:
+    """All docs matching any of ``BM25F_TERMS`` with their field-boosted
+    BM25F score (columns ``doc_id, score`` — all-matches, tie-proof).
+
+    Shape (100 TB): pass 1 streams ONE tiny stats row per batch
+    (n_docs, sum of weighted dl, per-term weighted df) into a driver
+    aggregate; pass 2 re-tokenizes per batch and emits scored matches
+    with the global constants broadcast in the closure.  Documents never
+    span batches, so both passes are exact with ZERO shuffles."""
+    from ..functions.rounding import round_half_away
+    from ..functions.tokenize import tokenize_with_positions
+    from ray.data.aggregate import Sum
+
+    ds = _docs(source)
+    q = list(BM25F_TERMS)
+    n_q = len(q)
+    qarr = pa.array(q, pa.string())
+
+    def _weighted(batch: pa.Table):
+        """(uniq_docs, weighted dl per doc, weighted tf matrix nd x n_q)."""
+        terms, tdocs, pos = tokenize_with_positions(
+            batch["text"], batch["doc_id"].to_numpy(zero_copy_only=False)
+        )
+        if len(tdocs) == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty((0, n_q), np.int64))
+        uniq, drow = np.unique(tdocs, return_inverse=True)
+        nd = len(uniq)
+        w = np.where(pos <= BM25F_TITLE_LEN, BM25F_W_TITLE, 1).astype(np.int64)
+        dlf = np.bincount(drow, weights=w, minlength=nd).astype(np.int64)
+        tid = pc.index_in(terms, value_set=qarr).fill_null(-1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sel = tid >= 0
+        tf = np.bincount(
+            drow[sel] * n_q + tid[sel], weights=w[sel], minlength=nd * n_q
+        ).astype(np.int64).reshape(nd, n_q)
+        return uniq, dlf, tf
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        _u, dlf, tf = _weighted(batch)
+        row = {
+            "n_docs": [batch.num_rows],
+            "sum_dlf": [int(dlf.sum())],
+        }
+        dfs = (tf > 0).sum(axis=0)
+        for j in range(n_q):
+            row[f"df{j}"] = [int(dfs[j])]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in row.items()})
+
+    agg = ds.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(
+        Sum("n_docs", alias_name="n"),
+        Sum("sum_dlf", alias_name="sumdl"),
+        *[Sum(f"df{j}", alias_name=f"df{j}") for j in range(n_q)],
+    )
+    n = float(agg["n"] or 0)
+    sumdl = float(agg["sumdl"] or 0)
+    empty = pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+    if n == 0 or sumdl == 0:
+        return rd.from_arrow(empty.empty_table())
+    avgdl = sumdl / n
+    idf = np.array(
+        [
+            np.log2((n - float(agg[f"df{j}"] or 0) + 0.5)
+                    / (float(agg[f"df{j}"] or 0) + 0.5))
+            for j in range(n_q)
+        ],
+        np.float64,
+    )
+    live = [j for j in range(n_q) if (agg[f"df{j}"] or 0) > 0]
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        uniq, dlf, tf = _weighted(batch)
+        if len(uniq) == 0:
+            return empty.empty_table()
+        cand = tf.sum(axis=1) > 0
+        if not cand.any():
+            return empty.empty_table()
+        dlfc = dlf[cand].astype(np.float64)
+        den_norm = 1.2 * (0.25 + 0.75 * dlfc / avgdl)
+        score = np.zeros(int(cand.sum()), np.float64)
+        for j in live:  # fixed term order; same mult order as the SQL
+            tfj = tf[cand, j].astype(np.float64)
+            contrib = (idf[j] * 2.2) * tfj / (den_norm + tfj)
+            score += np.where(tfj > 0, contrib, 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq[cand], pa.int64()),
+                "score": pa.array(round_half_away(score, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def sql_bm25f() -> str:
+    terms = ", ".join(f"('{t}')" for t in BM25F_TERMS)
+    return f"""
+WITH tokp AS (
+    SELECT doc_id, unnest(tokens2) AS term,
+           unnest(range(1, len(tokens2) + 1))::BIGINT AS pos
+    FROM (
+        SELECT doc_id,
+               CASE WHEN ends_alnum
+                    THEN tokens[1:len(tokens)-1] ELSE tokens END AS tokens2
+        FROM (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens,
+                   regexp_matches(text, '[A-Za-z0-9]$') AS ends_alnum
+            FROM documents
+        )
+    )
+),
+wtok AS (
+    SELECT doc_id, term,
+           (CASE WHEN pos <= {BM25F_TITLE_LEN}
+                 THEN {BM25F_W_TITLE} ELSE 1 END)::BIGINT AS w
+    FROM tokp WHERE length(term) BETWEEN 1 AND 15
+),
+dl AS (SELECT doc_id, sum(w)::DOUBLE AS dlf FROM wtok GROUP BY 1),
+st AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+           (SELECT coalesce(sum(w), 0) FROM wtok)::DOUBLE AS sumdl
+),
+qt(term) AS (VALUES {terms}),
+tf AS (
+    SELECT doc_id, term, sum(w)::DOUBLE AS tff
+    FROM wtok JOIN qt USING (term) GROUP BY 1, 2
+),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+scores AS (
+    SELECT tf.doc_id,
+           sum(log2((st.n - df.df + 0.5) / (df.df + 0.5)) * 2.2 * tf.tff
+               / (1.2 * (0.25 + 0.75 * dl.dlf / (st.sumdl / st.n)) + tf.tff)
+              ) AS raw
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 6) AS score FROM scores
+"""
