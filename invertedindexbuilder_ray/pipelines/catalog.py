@@ -472,6 +472,141 @@ GROUP BY d.source, d.lang"""
     )
 
 
+SEARCH_PAGE = 10
+
+
+def q_search_after(sf_dir: str):
+    """Keyset pagination ("search_after"): page 2 of the disjunctive BM25
+    ranking under the deterministic page order (rounded score desc,
+    doc_id asc).  The cursor pass mirrors a live paging session: page 1
+    is a per-batch partial top-k merge; page 2 FILTERS by the keyset
+    predicate (score, doc_id) > cursor before its own partial top-k — no
+    OFFSET rescan, each request touches only survivors, which is why
+    this shape (unlike OFFSET) stays O(k) per page at any depth."""
+    import pandas as pd
+
+    def _partial_topk(n: int):
+        def part(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            docs = t["doc_id"].to_numpy(zero_copy_only=False)
+            scores = t["score"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((docs, -scores))[:n]
+            return t.take(pa.array(order))
+
+        return part
+
+    def _page(ds, n):
+        rows = (
+            ds.map_batches(_partial_topk(n), batch_format="pyarrow")
+            .to_pandas()
+        )
+        if not len(rows):
+            return rows
+        return rows.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(n).reset_index(drop=True)
+
+    page1 = _page(_bm25_all(sf_dir, conjunctive=False), SEARCH_PAGE)
+    if len(page1) < SEARCH_PAGE:  # corpus smaller than one page: empty page 2
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    c_score = float(page1["score"].iloc[-1])
+    c_doc = int(page1["doc_id"].iloc[-1])
+
+    def keyset(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((s < c_score) | ((s == c_score) & (d > c_doc))))
+
+    page2 = _page(
+        _bm25_all(sf_dir, conjunctive=False).map_batches(
+            keyset, batch_format="pyarrow"
+        ),
+        SEARCH_PAGE,
+    )
+    page2.insert(
+        0,
+        "rank",
+        np.arange(SEARCH_PAGE + 1, SEARCH_PAGE + 1 + len(page2), dtype=np.int64),
+    )
+    return page2[["rank", "doc_id", "score"]]
+
+
+def _sql_search_after() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(terms=terms)
+        + f""", ranked AS (
+    SELECT doc_id, round(raw_score, 6) AS score,
+           row_number() OVER (
+               ORDER BY round(raw_score, 6) DESC, doc_id)::BIGINT AS rank
+    FROM scores WHERE nmatched >= 1
+)
+SELECT rank, doc_id, score FROM ranked
+WHERE rank BETWEEN {SEARCH_PAGE + 1} AND {2 * SEARCH_PAGE}"""
+    )
+
+
+def q_collapse_by_source(sf_dir: str):
+    """Field collapsing (the Elasticsearch "collapse" / grouped-top-hit
+    shape): the single best match per source under (score desc, doc_id
+    asc) over the disjunctive BM25 match set.  One partitioned hash join
+    onto the source column, then per-batch partial best-per-source rows
+    (<= n_sources per batch, a bounded dimension) merged on the driver."""
+    import pandas as pd
+
+    from .joins import partitioned_hash_join
+
+    matches = _bm25_all(sf_dir, conjunctive=False)
+    path = (
+        os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    )
+    src = read_parquet_sized(path, columns=["doc_id", "source"])
+    j = partitioned_hash_join(matches, src, left_on="doc_id", right_on="doc_id")
+
+    def best_per_source(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        return pa.Table.from_pandas(
+            df.drop_duplicates("source", keep="first"), preserve_index=False
+        ).select(["source", "doc_id", "score"])
+
+    rows = (
+        j.map_batches(best_per_source, batch_format="pyarrow").to_pandas()
+    )
+    if not len(rows):
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    rows = rows.sort_values(["score", "doc_id"], ascending=[False, True])
+    return rows.drop_duplicates("source", keep="first").reset_index(drop=True)[
+        ["source", "doc_id", "score"]
+    ]
+
+
+def _sql_collapse_by_source() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(terms=terms)
+        + """, sel AS (
+    SELECT d.source, s.doc_id, round(s.raw_score, 6) AS score
+    FROM scores s JOIN documents d USING (doc_id)
+    WHERE s.nmatched >= 1
+)
+SELECT source, doc_id, score FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+    FROM sel
+) WHERE rn = 1"""
+    )
+
+
 def _sql_bm25_tombstoned() -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     return (
@@ -1554,6 +1689,8 @@ QUERIES = {
     "bm25_and_not": (q_bm25_and_not, _sql_bm25_and_not()),
     "bm25_tombstoned": (q_bm25_tombstoned, _sql_bm25_tombstoned()),
     "facet_counts": (q_facet_counts, _sql_facet_counts()),
+    "search_after": (q_search_after, _sql_search_after()),
+    "collapse_by_source": (q_collapse_by_source, _sql_collapse_by_source()),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
