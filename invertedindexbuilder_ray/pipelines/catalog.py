@@ -8173,12 +8173,150 @@ QUERIES["decayed_user_score"] = (q_decayed_user_score, _sql_decayed_user_score()
 
 
 # --------------------------------------------------------------------------
+# kNN classifier eval: leave-one-out majority vote over quantized
+# embeddings for a bounded eval subset.  The scalable shape is
+# broadcast-the-EVAL-set / stream-the-neighbors: the eval rows (a fixed
+# prefix of vec_ids) ship once via ray.put, every embeddings batch
+# computes exact integer squared distances against them and emits a
+# per-batch partial top-(K+1) per eval vector — <= |eval|*(K+1) rows per
+# batch to a bounded driver merge.  All distances/votes are integers
+# (round(x*1024) grid, same as coreset_sample) so both engines agree.
+
+KNN_CLS_EVAL_N = 64  # eval subset: vec_id < 64
+KNN_CLS_K = 5
+
+
+def q_knn_classify(sf_dir: str):
+    """Per-eval-vector kNN prediction: columns ``vec_id, true_label,
+    pred_label, correct`` (neighbor order (d2 asc, vec_id asc), self
+    excluded; vote ties break to the smallest label)."""
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away as _rha
+
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding", "label"])
+    ev = ds.filter(expr=f"vec_id < {KNN_CLS_EVAL_N}").take_all()
+    cols = ["vec_id", "true_label", "pred_label", "correct"]
+    if not ev:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    ev.sort(key=lambda r: int(r["vec_id"]))
+    eids = np.array([int(r["vec_id"]) for r in ev], np.int64)
+    elab = np.array([int(r["label"]) for r in ev], np.int64)
+    eq = _rha(
+        np.stack([np.asarray(r["embedding"], np.float64) for r in ev])
+        * CORESET_GRID,
+        0,
+    )
+    eref = ray.put(eq)
+    k1 = KNN_CLS_K + 1  # keep one extra slot: self may be among the k+1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"eval_id": pa.array([], pa.int64()),
+             "nbr_id": pa.array([], pa.int64()),
+             "nbr_label": pa.array([], pa.int64()),
+             "d2": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids, q = _quant_embeddings(batch)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = ray.get(eref)
+        # exact in float64: |xq| <= ~2^11, d <= 2^10 keeps every product
+        # and sum far below 2^53
+        cross = e @ q.T
+        d2 = (
+            (e * e).sum(axis=1)[:, None]
+            + (q * q).sum(axis=1)[None, :]
+            - 2.0 * cross
+        ).astype(np.int64)
+        take = min(k1, d2.shape[1])
+        # per eval row: top-take under (d2 asc, vec_id asc)
+        key = d2 * np.int64(1 << 24) + ids[None, :]
+        assert ids.max() < (1 << 24) and d2.max() < (1 << 38), "key overflow"
+        part = np.argpartition(key, take - 1, axis=1)[:, :take]
+        rows_e, rows_n, rows_l, rows_d = [], [], [], []
+        for i in range(len(eids)):
+            sel = part[i]
+            rows_e.append(np.full(take, eids[i], np.int64))
+            rows_n.append(ids[sel])
+            rows_l.append(lab[sel])
+            rows_d.append(d2[i, sel])
+        return pa.table(
+            {"eval_id": pa.array(np.concatenate(rows_e), pa.int64()),
+             "nbr_id": pa.array(np.concatenate(rows_n), pa.int64()),
+             "nbr_label": pa.array(np.concatenate(rows_l), pa.int64()),
+             "d2": pa.array(np.concatenate(rows_d), pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for i, eid in enumerate(eids):
+        g = parts[(parts["eval_id"] == eid) & (parts["nbr_id"] != eid)]
+        g = g.sort_values(["d2", "nbr_id"]).head(KNN_CLS_K)
+        votes = (
+            g.groupby("nbr_label").size().reset_index(name="cnt")
+            .sort_values(["cnt", "nbr_label"], ascending=[False, True])
+        )
+        pred = int(votes["nbr_label"].iloc[0])
+        out.append(
+            {"vec_id": int(eid), "true_label": int(elab[i]),
+             "pred_label": pred, "correct": int(pred == elab[i])}
+        )
+    return pd.DataFrame(out, columns=cols).astype("int64")
+
+
+def _sql_knn_classify() -> str:
+    g = CORESET_GRID
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, label::BIGINT AS label,
+           generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+           CAST(round(unnest(CAST(embedding AS DOUBLE[])) * {g}) AS BIGINT)
+               AS xq
+    FROM embeddings
+),
+d2 AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           sum((a.xq - b.xq) * (a.xq - b.xq))::BIGINT AS d2
+    FROM e a JOIN e b USING (dim)
+    WHERE a.vec_id < {KNN_CLS_EVAL_N} AND b.vec_id <> a.vec_id
+    GROUP BY 1, 2
+),
+nn AS (
+    SELECT ia, ib, d2,
+           row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn
+    FROM d2
+),
+lab AS (SELECT DISTINCT vec_id, label FROM e),
+votes AS (
+    SELECT nn.ia, l.label, count(*)::BIGINT AS cnt
+    FROM nn JOIN lab l ON l.vec_id = nn.ib
+    WHERE nn.rn <= {KNN_CLS_K}
+    GROUP BY 1, 2
+),
+pred AS (
+    SELECT ia AS vec_id, label AS pred_label,
+           row_number() OVER (PARTITION BY ia ORDER BY cnt DESC, label) AS rp
+    FROM votes
+)
+SELECT t.vec_id, t.label AS true_label, p.pred_label,
+       (t.label = p.pred_label)::BIGINT AS correct
+FROM lab t JOIN pred p USING (vec_id)
+WHERE p.rp = 1 AND t.vec_id < {KNN_CLS_EVAL_N}
+"""
+
+
+# --------------------------------------------------------------------------
 # coreset sampling: exact farthest-first traversal (Gonzalez k-center)
 # over the embeddings, on integer-quantized coordinates so every
 # distance — and therefore the argmax — is exact on both engines.
 
 CORESET_K = 8
 CORESET_GRID = 1024  # power of 2: x*1024 is an EXACT double scaling
+
+QUERIES["knn_classify"] = (q_knn_classify, _sql_knn_classify())
 
 
 def _quant_embeddings(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
