@@ -8011,6 +8011,98 @@ QUERIES["impact_postings"] = (q_impact_postings, _sql_impact_postings())
 
 
 # --------------------------------------------------------------------------
+# static index pruning (Carmel et al., SIGIR 2001): keep only the top
+# ceil(df/2) postings of each query term's list by (impact desc, doc asc)
+# and rank on the pruned lists — the classic serve-from-a-smaller-index
+# trade.  Entirely integer: the impact is impact_postings' fixed-point
+# BM25, the prune rank and the doc-level sum are int64, so both engines
+# agree bit-for-bit.
+
+PRUNE_TOP_K = 10
+
+
+def q_static_prune_rank(sf_dir: str):
+    """Top-``PRUNE_TOP_K`` docs by summed pruned impact (columns
+    ``rank, doc_id, sum_impact``; order sum desc, doc asc).
+
+    Shape: impact_postings' one term-sharded exchange, a bounded
+    3-term filter, per-term prune (query terms are a bounded set, so
+    the Ray groupby is over <= |query| keys), then a doc-hash-sharded
+    sum with per-shard partial top-k — only shard winners reach the
+    driver."""
+    import pandas as pd
+
+    from .curation import impact_postings_ds
+    from .dedup import _sharded_groupby
+
+    posts = impact_postings_ds(sf_dir)
+    qset = pa.array(list(BM25_QUERY_TERMS), pa.string())
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["term"], value_set=qset))
+
+    qp = posts.map_batches(filt, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["impact_fp", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        keep = np.arange(len(g)) < (int(g["df"].iloc[0]) + 1) // 2
+        return g.loc[keep, ["doc_id", "impact_fp"]]
+
+    pruned = qp.groupby("term").map_groups(prune, batch_format="pandas")
+
+    def shard_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby("doc_id")["impact_fp"].sum().reset_index()
+            .rename(columns={"impact_fp": "sum_impact"})
+        )
+        return s.sort_values(
+            ["sum_impact", "doc_id"], ascending=[False, True]
+        ).head(PRUNE_TOP_K)
+
+    parts = _sharded_groupby(pruned, ["doc_id"], shard_sum).to_pandas()
+    cols = ["rank", "doc_id", "sum_impact"]
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    top = (
+        parts.sort_values(["sum_impact", "doc_id"], ascending=[False, True])
+        .head(PRUNE_TOP_K)
+        .reset_index(drop=True)
+    )
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top[cols].astype("int64")
+
+
+def _sql_static_prune_rank() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH posts AS MATERIALIZED ({_sql_impact_postings()}),
+qp AS (SELECT * FROM posts WHERE term IN ({terms})),
+pruned AS (
+    SELECT doc_id, impact_fp FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY term ORDER BY impact_fp DESC, doc_id) AS rn
+        FROM qp
+    ) WHERE rn <= (df + 1) // 2
+),
+sums AS (
+    SELECT doc_id, sum(impact_fp)::BIGINT AS sum_impact
+    FROM pruned GROUP BY 1
+)
+SELECT rank, doc_id, sum_impact FROM (
+    SELECT row_number() OVER (
+        ORDER BY sum_impact DESC, doc_id)::BIGINT AS rank,
+        doc_id, sum_impact
+    FROM sums
+) WHERE rank <= {PRUNE_TOP_K}
+"""
+
+
+QUERIES["static_prune_rank"] = (q_static_prune_rank, _sql_static_prune_rank())
+
+
+# --------------------------------------------------------------------------
 # BPE apply: vocabulary segmentation fertility under the learned merges
 
 
