@@ -5460,6 +5460,79 @@ SQL_PROXIMITY_MATCH = (
 )
 
 
+# passage-window retrieval: the RAG chunk-scoring primitive — for every
+# doc containing a query term, the densest fixed-width position window
+# (max count of query-term occurrences in [p, p + PW_WINDOW - 1]).
+# Integer-exact; per batch the count is ONE searchsorted over composed
+# (doc_rank << 32 | pos) keys (a window can never cross a doc boundary).
+
+PW_WINDOW = 32
+PW_TERMS = ("data", "join", "merge")
+
+
+def q_passage_windows(sf_dir: str):
+    """Columns ``doc_id, best_window`` for docs matching any of
+    ``PW_TERMS`` (best_window = max query-term occurrences in any
+    ``PW_WINDOW``-position window)."""
+    from ..functions.tokenize import tokenize_with_positions
+
+    pw_set = pa.array(list(PW_TERMS), pa.string())
+    empty = pa.schema([("doc_id", pa.int64()), ("best_window", pa.int64())])
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        terms, tdocs, pos = tokenize_with_positions(
+            batch["text"], batch["doc_id"].to_numpy(zero_copy_only=False)
+        )
+        if len(tdocs) == 0:
+            return empty.empty_table()
+        sel = pc.is_in(terms, value_set=pw_set).to_numpy(zero_copy_only=False)
+        if not sel.any():
+            return empty.empty_table()
+        docs_q = tdocs[sel]
+        pos_q = pos[sel].astype(np.int64)
+        uniq, ranks = np.unique(docs_q, return_inverse=True)
+        keys = (ranks.astype(np.int64) << np.int64(32)) | pos_q
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        ranks = ranks[order]
+        # occurrences within [p, p + W - 1]: one vectorized searchsorted
+        cnt = np.searchsorted(keys, keys + PW_WINDOW, side="left") - np.arange(
+            len(keys)
+        )
+        starts = np.flatnonzero(np.r_[True, ranks[1:] != ranks[:-1]])
+        best = np.maximum.reduceat(cnt, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "best_window": pa.array(best.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return load_documents(sf_dir).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _sql_passage_windows() -> str:
+    terms = ", ".join(f"'{t}'" for t in PW_TERMS)
+    return (
+        "WITH "
+        + _SQL_TOKS_POS
+        + f""", q AS (
+    SELECT doc_id, pos FROM kept_pos WHERE term IN ({terms})
+),
+w AS (
+    SELECT a.doc_id, a.pos, count(*)::BIGINT AS cnt
+    FROM q a JOIN q b
+      ON b.doc_id = a.doc_id
+     AND b.pos BETWEEN a.pos AND a.pos + {PW_WINDOW - 1}
+    GROUP BY 1, 2
+)
+SELECT doc_id, max(cnt)::BIGINT AS best_window FROM w GROUP BY 1"""
+    )
+
+
+QUERIES["passage_windows"] = (q_passage_windows, _sql_passage_windows())
 QUERIES["positional_postings"] = (q_positional_postings, SQL_POSITIONAL_POSTINGS)
 QUERIES["phrase_match"] = (q_phrase_match, _sql_phrase_match())
 QUERIES["proximity_match"] = (q_proximity_match, SQL_PROXIMITY_MATCH)

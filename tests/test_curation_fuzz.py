@@ -111,6 +111,8 @@ FUZZ_ENTRIES = [
     "ql_dirichlet",
     "negative_sampling",
     "trigram_backoff",
+    "passage_windows",
+    "static_prune_rank",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
