@@ -9293,6 +9293,26 @@ QUERIES["ndcg_eval"] = (q_ndcg_eval, _sql_ndcg_eval())
 
 
 # --------------------------------------------------------------------------
+# query clarity (query-performance prediction over the QL top-R set)
+
+
+def q_query_clarity(sf_dir: str):
+    """See ranking.query_clarity_df."""
+    from .ranking import query_clarity_df
+
+    return query_clarity_df(sf_dir)
+
+
+def _sql_query_clarity() -> str:
+    from .ranking import sql_query_clarity
+
+    return sql_query_clarity()
+
+
+QUERIES["query_clarity"] = (q_query_clarity, _sql_query_clarity())
+
+
+# --------------------------------------------------------------------------
 # BM25F field-boosted ranking (title = first positions, weighted)
 
 

@@ -1334,3 +1334,140 @@ scores AS (
 )
 SELECT doc_id, round(raw, 6) AS score FROM scores
 """
+
+
+# --------------------------------------------------------------------------
+# Query clarity score (Cronen-Townsend, Zhou & Croft, SIGIR 2002) — the
+# classic query-performance predictor: KL divergence between the language
+# model of the retrieved set and the corpus LM.  Retrieved set = the
+# ql_dirichlet top-QL_TOP_K docs (same probe terms, same tokenizer), so
+# the whole chain is deterministic and integer:
+#
+#   clarity_fp = sum_w cnt_R(w) * ((L'(cnt_R(w) * C) - L'(T_R * cf(w))) // 1e6)
+#
+# with cnt_R(w) the term count inside the retrieved set, T_R its token
+# total, cf(w) the corpus count, C the corpus token total and L' the
+# shifted fixed-point log2 — i.e. T_R * KL(P_R || P_C) in millionths of a
+# bit, exactly computable on both engines.  High clarity = the retrieved
+# set's vocabulary is far from the corpus background = an easy query.
+
+
+def query_clarity_df(source: "str | rd.Dataset") -> pd.DataFrame:
+    """One row: ``n_rel_docs, vocab_r, tot_r, clarity_fp`` (all int64).
+
+    Shape (100 TB): the ql_dirichlet passes, then one pass collecting
+    the retrieved set's term counts (broadcast of <= QL_TOP_K doc ids;
+    partials are bounded by the retrieved set's vocabulary) and corpus
+    counts for exactly those terms (second bounded partial per batch),
+    combined on the driver."""
+    from .textpipe import _log2_fp_ext
+
+    ds = _docs(source)
+    top = ql_dirichlet_df(ds)
+    cols = ["n_rel_docs", "vocab_r", "tot_r", "clarity_fp"]
+    if not len(top):
+        return pd.DataFrame(columns=cols).astype("int64")
+    rel_ids = set(int(d) for d in top["doc_id"])
+
+    def r_counts(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, list(rel_ids))
+        empty = pa.table({"term": pa.array([], pa.utf8()),
+                          "cnt": pa.array([], pa.int64())})
+        if not keep.any():
+            return empty
+        sub = batch.filter(pa.array(keep))
+        toks, _td, _ri, _h1, _h2 = _batch_tokens(sub)
+        tv = toks.to_numpy(zero_copy_only=False)
+        if not len(tv):
+            return empty
+        ut, uc = np.unique(tv, return_counts=True)
+        return pa.table({"term": pa.array(ut, pa.utf8()),
+                         "cnt": pa.array(uc.astype(np.int64), pa.int64())})
+
+    rc = (
+        ds.map_batches(r_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    if not len(rc):
+        return pd.DataFrame(columns=cols).astype("int64")
+    rterm = rc.groupby("term")["cnt"].sum()
+    r_vocab = sorted(rterm.index)
+    tot_r = int(rterm.sum())
+
+    def c_counts(batch: pa.Table) -> pa.Table:
+        toks, _td, _ri, _h1, _h2 = _batch_tokens(batch)
+        tv = toks.to_numpy(zero_copy_only=False)
+        terms, counts = ["\x00total"], [len(tv)]
+        if len(tv):
+            mask = np.isin(tv, r_vocab)
+            ut, uc = np.unique(tv[mask], return_counts=True)
+            terms += list(ut)
+            counts += [int(x) for x in uc]
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    cc = (
+        ds.map_batches(c_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    cagg = cc.groupby("term")["cnt"].sum()
+    c_tot = int(cagg.get("\x00total", 0))
+    cnt_r = np.array([int(rterm[t]) for t in r_vocab], np.int64)
+    cf = np.array([int(cagg[t]) for t in r_vocab], np.int64)
+    if int(cnt_r.max()) * c_tot >= 2**63 or tot_r * int(cf.max()) >= 2**63:
+        # the HUGEINT SQL oracle is immune; widen to object ints here if a
+        # corpus ever exceeds ~10^15 tokens x top-set counts
+        raise ValueError("query_clarity: int64 domain exceeded")
+    l_num = _log2_fp_ext(cnt_r * c_tot)
+    l_den = _log2_fp_ext(tot_r * cf)
+    # >> not //: negative per-term KL contributions must floor identically
+    # on both engines (DuckDB // truncates; >> floors like numpy)
+    clarity = int(np.sum(cnt_r * ((l_num - l_den) >> 20)))
+    return pd.DataFrame(
+        [{
+            "n_rel_docs": len(rel_ids),
+            "vocab_r": len(r_vocab),
+            "tot_r": tot_r,
+            "clarity_fp": clarity,
+        }]
+    ).astype("int64")
+
+
+def sql_query_clarity() -> str:
+    lfp = (
+        "CAST(round(log2({k} >> greatest(length(bin({k}))::BIGINT - 16, 0))"
+        " * 1000000000) AS BIGINT)"
+        " + greatest(length(bin({k}))::BIGINT - 16, 0) * 1000000000"
+    )
+    return f"""
+WITH topd AS MATERIALIZED (
+    SELECT doc_id FROM ({sql_ql_dirichlet()})
+),
+filt AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> len(x) <= 15) AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM filt),
+tot AS (SELECT count(*)::BIGINT AS c FROM tok),
+rterm AS (
+    SELECT term, count(*)::BIGINT AS cnt
+    FROM tok JOIN topd USING (doc_id) GROUP BY 1
+),
+totr AS (SELECT sum(cnt)::BIGINT AS t FROM rterm),
+cf AS (
+    SELECT t.term, count(*)::BIGINT AS cf
+    FROM tok t JOIN (SELECT DISTINCT term FROM rterm) r USING (term)
+    GROUP BY 1
+)
+SELECT (SELECT count(*) FROM topd)::BIGINT AS n_rel_docs,
+       count(*)::BIGINT AS vocab_r,
+       any_value(totr.t) AS tot_r,
+       sum(r.cnt * ((({lfp.format(k="(r.cnt * tot.c)")})
+                     - ({lfp.format(k="(totr.t * cf.cf)")})) >> 20)
+          )::BIGINT AS clarity_fp
+FROM rterm r JOIN cf USING (term) CROSS JOIN totr CROSS JOIN tot
+HAVING count(*) > 0
+"""

@@ -113,6 +113,7 @@ FUZZ_ENTRIES = [
     "trigram_backoff",
     "passage_windows",
     "static_prune_rank",
+    "query_clarity",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
