@@ -29,6 +29,7 @@ merged docs table — asserted by ``tests/test_merge.py``.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -119,11 +120,12 @@ class _DecodePartition:
     (``ray.put``), read by every task — at 10^9+ docs per input these
     become per-index parquet side files instead of one array."""
 
-    def __init__(self, index_dirs, offsets, dl_refs, manifests):
+    def __init__(self, index_dirs, offsets, dl_refs, manifests, tomb_refs=None):
         self.index_dirs = index_dirs
         self.offsets = offsets
         self.dl_refs = dl_refs
         self.manifests = manifests
+        self.tomb_refs = tomb_refs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
@@ -133,11 +135,22 @@ class _DecodePartition:
             i = batch["index_i"][j].as_py()
             pid = batch["pid"][j].as_py()
             dl = ray.get(self.dl_refs[i])
-            out.append(
-                _partition_posting_rows(
-                    self.index_dirs[i], pid, self.offsets[i], dl, self.manifests[i]
-                )
+            t = _partition_posting_rows(
+                self.index_dirs[i], pid, self.offsets[i], dl, self.manifests[i]
             )
+            if self.tomb_refs is not None:
+                # Lucene merge semantics: query-time tombstones
+                # (merge.mark_deleted) are compacted away here — tomb is
+                # the input's sorted LOCAL set shifted by its doc offset,
+                # matching the rows' already-offset ids
+                tomb = ray.get(self.tomb_refs[i])
+                if len(tomb):
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                    pos = np.minimum(
+                        np.searchsorted(tomb, ids), len(tomb) - 1
+                    )
+                    t = t.filter(pa.array(~(tomb[pos] == ids)))
+            out.append(t)
         return pa.concat_tables(out)
 
 
@@ -194,6 +207,18 @@ def merge_indexes(
         offsets.append(acc if offset_doc_ids else 0)
         acc += m.max_doc_id
 
+    # query-time tombstones (mark_deleted) are COMPACTED AWAY by a merge —
+    # the Lucene merge contract: the output contains no marked doc and its
+    # stats count only survivors.  Local sorted sets, one per input.
+    tombs = []
+    for d in index_dirs:
+        tp = os.path.join(d, "tombstones.bin")
+        tombs.append(
+            np.fromfile(tp, dtype=np.int64)
+            if os.path.exists(tp)
+            else np.empty(0, np.int64)
+        )
+
     os.makedirs(out_dir, exist_ok=True)
     ckpt = os.path.join(out_dir, CKPT_DIR)
     docs_dir = os.path.join(out_dir, DOCS_DIR)
@@ -203,7 +228,13 @@ def merge_indexes(
             if os.path.isdir(pth):
                 shutil.rmtree(pth)
     fingerprint = ";".join(
-        f"{d}:{m.input_fingerprint}:{m.n_docs}" for d, m in zip(index_dirs, mans)
+        f"{d}:{m.input_fingerprint}:{m.n_docs}"
+        + (
+            ":t" + hashlib.md5(t.tobytes()).hexdigest()[:12]
+            if len(t)
+            else ""
+        )
+        for d, m, t in zip(index_dirs, mans, tombs)
     )
 
     # Stale-resume guard (mirrors build_index): resuming into an out_dir whose
@@ -232,23 +263,26 @@ def merge_indexes(
         if os.path.isdir(docs_dir):
             shutil.rmtree(docs_dir)
         parts = []
-        for d, off in zip(index_dirs, offsets):
+        for d, off, tomb in zip(index_dirs, offsets, tombs):
+
+            def shift(t: pa.Table, off=off, tomb=tomb) -> pa.Table:
+                ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                if len(tomb) and len(ids):
+                    # compact tombstoned docs out of the union (local ids)
+                    pos = np.minimum(np.searchsorted(tomb, ids), len(tomb) - 1)
+                    keep = ~(tomb[pos] == ids)
+                    t = t.filter(pa.array(keep))
+                    ids = ids[keep]
+                return t.set_column(
+                    t.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pa.array(ids + off, pa.int64()),
+                )
+
             src = rd.read_parquet(
                 os.path.join(d, DOCS_DIR), columns=["doc_id", "dl", "url"]
             )
-            parts.append(
-                src.map_batches(
-                    lambda t, off=off: t.set_column(
-                        t.schema.get_field_index("doc_id"),
-                        "doc_id",
-                        pa.array(
-                            t["doc_id"].to_numpy(zero_copy_only=False) + off,
-                            pa.int64(),
-                        ),
-                    ),
-                    batch_format="pyarrow",
-                )
-            )
+            parts.append(src.map_batches(shift, batch_format="pyarrow"))
         ds = parts[0]
         for extra in parts[1:]:
             ds = ds.union(extra)
@@ -278,10 +312,16 @@ def merge_indexes(
             for i in range(len(index_dirs))
             for pid in range(p)
         ]
+        tomb_refs = (
+            [ray.put(t + o) for t, o in zip(tombs, offsets)]
+            if any(len(t) for t in tombs)
+            else None
+        )
         rd.from_items(items).map_batches(
             _DecodePartition(
                 index_dirs, offsets, dl_refs,
                 [{"block_max": m.block_max, "max_doc_id": m.max_doc_id} for m in mans],
+                tomb_refs,
             ),
             batch_format="pyarrow",
             batch_size=1,

@@ -261,3 +261,63 @@ def test_mark_deleted_query_time_tombstones(ray_session, tmp_path):
                 assert r["score"] == big_scores[conf][(terms, mode)][r["doc_id"]]
     hits = QueryEngine(idx).search("data", 10, 2, neg_query="model")
     assert hits and all(r["doc_id"] not in dead for r in hits)
+
+
+def test_merge_compacts_tombstones(ray_session, tmp_path):
+    """Lucene merge contract: merge_indexes compacts query-time tombstones
+    (mark_deleted) away — byte-identical to a full rebuild over the
+    corpus minus the marked docs, with stats counting survivors only."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq2
+
+    from invertedindexbuilder_ray.pipelines.merge import mark_deleted
+    from invertedindexbuilder_ray.sources.documents import load_documents
+
+    src = "/root/testdata/sf0.001"
+    tbl = _pq2.read_table(src + "/documents.parquet")
+    half_a, half_b = tmp_path / "a", tmp_path / "b"
+    half_a.mkdir(); half_b.mkdir()
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    _pq2.write_table(tbl.filter(pa.array(ids < 250)), half_a / "documents.parquet")
+    _pq2.write_table(tbl.filter(pa.array(ids >= 250)), half_b / "documents.parquet")
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index(load_documents(str(half_a)), ia, num_partitions=4)
+    build_index(load_documents(str(half_b)), ib, num_partitions=4)
+
+    dead_a = [d for d in range(250) if d % 7 == 0]
+    dead_b = [d for d in range(250, 500) if d % 11 == 0]
+    mark_deleted(ia, dead_a)
+    mark_deleted(ib, dead_b)
+    dead = set(dead_a) | set(dead_b)
+
+    merged = str(tmp_path / "merged")
+    man = merge_indexes([ia, ib], merged, offset_doc_ids=False)
+
+    def filt(t: pa.Table) -> pa.Table:
+        i = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(i, list(dead))))
+
+    import numpy as np
+
+    ref = str(tmp_path / "ref")
+    ref_man = build_index(
+        load_documents(src).map_batches(filt, batch_format="pyarrow"),
+        ref,
+        num_partitions=4,
+    )
+    assert _blob_hashes(merged) == _blob_hashes(ref)
+    assert _lexicon_rows(merged) == _lexicon_rows(ref)
+    assert man.n_docs == ref_man.n_docs == 500 - len(dead)
+    assert man.sum_dl == ref_man.sum_dl
+    assert man.stats["total_postings"] == ref_man.stats["total_postings"]
+
+    # no tombstones file propagates to the merged output (fully compacted)
+    assert not os.path.exists(os.path.join(merged, "tombstones.bin"))
+    for terms, mode in [("data the", 0), ("data model", 1)]:
+        hits = QueryEngine(merged).search(terms, 10, mode)
+        assert hits and all(h["doc_id"] not in dead for h in hits)
+
+    # marking MORE docs must invalidate a resume into the same out_dir
+    mark_deleted(ia, [1])
+    with pytest.raises(ValueError, match="fingerprint"):
+        merge_indexes([ia, ib], merged, offset_doc_ids=False)
