@@ -119,6 +119,21 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Document UPDATE (merge.update_docs): mark the old versions deleted,
+    delta-index the new ones under the same doc_ids, compact to --out."""
+    _init_ray(args.num_cpus)
+    from .pipelines.merge import update_docs
+    from .sources.documents import load_documents
+
+    man = update_docs(
+        args.index, load_documents(args.docs), args.out,
+        resume=not args.no_resume,
+    )
+    print(json.dumps({"n_docs": man.n_docs, **man.stats}))
+    return 0
+
+
 def cmd_run(args) -> int:
     """Run any catalog pipeline over an sf-style table dir; write parquet
     or print.  `--list` enumerates the available pipelines."""
@@ -239,6 +254,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     mg.add_argument("--no-resume", action="store_true")
     mg.set_defaults(fn=cmd_merge)
+
+    up = sub.add_parser(
+        "update",
+        help="replace docs in place: mark old versions deleted + delta-index "
+        "the new versions (same doc_ids) + compact into --out",
+    )
+    up.add_argument("--index", required=True)
+    up.add_argument("--docs", required=True,
+                    help="dir with a documents.parquet of the NEW versions")
+    up.add_argument("--out", required=True)
+    up.add_argument("--no-resume", action="store_true")
+    up.set_defaults(fn=cmd_update)
 
     dl = sub.add_parser(
         "delete",

@@ -160,12 +160,15 @@ def extend_index(
     out_dir: str,
     *,
     delta_dir: str | None = None,
+    offset_doc_ids: bool = True,
     resume: bool = True,
 ) -> IndexManifest:
     """Rolling ingestion: index ``new_source`` as a delta (doc_ids local,
     i.e. the corpus slice AFTER the existing index's docs), then compact
     ``index_dir`` + delta into ``out_dir``.  The result is byte-identical
-    to rebuilding over the concatenated corpus (merge_indexes contract)."""
+    to rebuilding over the concatenated corpus (merge_indexes contract).
+    Pass ``offset_doc_ids=False`` when ``new_source`` already carries
+    globally unique ids (documents-table source)."""
     from .build import build_index
 
     base = IndexManifest.load(index_dir)
@@ -178,7 +181,42 @@ def extend_index(
         block_max=base.block_max,
         resume=resume,
     )
-    return merge_indexes([index_dir, delta_dir], out_dir, resume=resume)
+    return merge_indexes(
+        [index_dir, delta_dir], out_dir,
+        offset_doc_ids=offset_doc_ids, resume=resume,
+    )
+
+
+def update_docs(
+    index_dir: str,
+    new_versions: "rd.Dataset",
+    out_dir: str,
+    *,
+    doc_ids=None,
+    resume: bool = True,
+) -> IndexManifest:
+    """Document UPDATE = delete + re-add, completing the index CRUD
+    lifecycle (build / extend / mark_deleted / delete_docs / merge):
+    mark the old versions deleted in ``index_dir`` (query-time, O(|ids|)
+    — readers opened from here on already serve the delete), then index
+    ``new_versions`` (which carry the SAME doc_ids) as a delta and
+    compact; the merge drops the tombstoned old rows, so the output is
+    byte-identical to a rebuild over the corpus with those docs'
+    content replaced.  ``doc_ids`` defaults to the ids present in
+    ``new_versions`` (one bounded column scan)."""
+    if doc_ids is None:
+        doc_ids = [
+            int(r["doc_id"])
+            for b in new_versions.select_columns(["doc_id"]).iter_batches(
+                batch_format="pyarrow"
+            )
+            for r in b.to_pylist()
+        ]
+    mark_deleted(index_dir, doc_ids)
+    return extend_index(
+        index_dir, new_versions, out_dir,
+        offset_doc_ids=False, resume=resume,
+    )
 
 
 def merge_indexes(

@@ -321,3 +321,69 @@ def test_merge_compacts_tombstones(ray_session, tmp_path):
     mark_deleted(ia, [1])
     with pytest.raises(ValueError, match="fingerprint"):
         merge_indexes([ia, ib], merged, offset_doc_ids=False)
+
+
+def test_update_docs_replaces_content(ray_session, tmp_path):
+    """update_docs = mark old versions deleted + delta-index the new
+    versions under the SAME doc_ids + compact: byte-identical to a full
+    rebuild over the corpus with those docs' content replaced, and the
+    base index serves the delete immediately (live-docs)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq2
+
+    from invertedindexbuilder_ray.pipelines.merge import update_docs
+    from invertedindexbuilder_ray.sources.documents import load_documents
+    import ray.data as rd
+
+    src = "/root/testdata/sf0.001"
+    base = str(tmp_path / "base")
+    build_index(load_documents(src), base, num_partitions=4)
+
+    tbl = _pq2.read_table(src + "/documents.parquet")
+    upd_ids = [10, 20, 30]
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    sel = tbl.filter(pa.array(np.isin(ids, upd_ids)))
+    new_text = [t + " freshupdate token" for t in sel["text"].to_pylist()]
+    new_tbl = sel.set_column(
+        sel.schema.get_field_index("text"), "text",
+        pa.array(new_text, pa.string()),
+    )
+    nv_dir = tmp_path / "nv"
+    nv_dir.mkdir()
+    _pq2.write_table(new_tbl, nv_dir / "documents.parquet")
+
+    out = str(tmp_path / "updated")
+    man = update_docs(base, load_documents(str(nv_dir)), out)
+    assert man.n_docs == 500  # replaced, not grown
+
+    # base index (live-docs): old versions no longer surface
+    eng_base = QueryEngine(base)
+    for h in eng_base.search("data the", 500, 0):
+        assert h["doc_id"] not in upd_ids
+
+    # updated index: the new token hits exactly the replaced ids
+    hits = QueryEngine(out).search("freshupdate", 10, 0)
+    assert sorted(h["doc_id"] for h in hits) == upd_ids
+
+    # byte-identity vs a full rebuild over the modified corpus (swap the
+    # text in the RAW parquet: load_documents derives dl from text, so
+    # the replacement must happen before the source adapter runs)
+    rep = {10: 0, 20: 1, 30: 2}
+    all_txt = [
+        new_text[rep[int(d)]] if int(d) in rep else x
+        for d, x in zip(ids, tbl["text"].to_pylist())
+    ]
+    mod_tbl = tbl.set_column(
+        tbl.schema.get_field_index("text"), "text", pa.array(all_txt, pa.string())
+    )
+    mod_dir = tmp_path / "mod"
+    mod_dir.mkdir()
+    _pq2.write_table(mod_tbl, mod_dir / "documents.parquet")
+    ref = str(tmp_path / "ref")
+    ref_man = build_index(
+        load_documents(str(mod_dir)), ref, num_partitions=4
+    )
+    assert _blob_hashes(out) == _blob_hashes(ref)
+    assert _lexicon_rows(out) == _lexicon_rows(ref)
+    assert man.sum_dl == ref_man.sum_dl
