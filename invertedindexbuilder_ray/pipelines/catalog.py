@@ -671,13 +671,28 @@ FROM events GROUP BY 1, 2
 
 
 def q_lineitem_agg(sf_dir: str):
+    """Map-side combine: the exchange carries <= 6 partial rows per block
+    (per-batch Arrow group_by), not the 600k input rows — the
+    pre-aggregate-before-groupby pattern every wide aggregate here uses."""
     path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
 
-    def pre(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         disc_price = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return batch.append_column("disc_price", disc_price)
+        t = batch.append_column("disc_price", disc_price)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "qty_sum": g["l_quantity_sum"],
+                "disc_sum": g["disc_price_sum"],
+                "cnt": g["l_quantity_count"].cast(pa.int64()),
+            }
+        )
 
     agg = (
         read_parquet_sized(
@@ -687,25 +702,28 @@ def q_lineitem_agg(sf_dir: str):
                 "l_extendedprice", "l_discount",
             ],
         )
-        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty_raw"),
-            Sum("disc_price", alias_name="sum_disc_price_raw"),
-            Mean("l_quantity", alias_name="avg_qty_raw"),
-            Count(alias_name="count_order"),
+            Sum("qty_sum", alias_name="sum_qty_raw"),
+            Sum("disc_sum", alias_name="sum_disc_price_raw"),
+            Sum("cnt", alias_name="count_order"),
         )
     )
 
     def post(b: pa.Table) -> pa.Table:
+        cnt = b["count_order"].cast(pa.int64())
+        avg = pc.divide(
+            b["sum_qty_raw"].cast(pa.float64()), cnt.cast(pa.float64())
+        )
         return pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
                 "sum_qty": pc_round_half_away(b["sum_qty_raw"], 2),
                 "sum_disc_price": pc_round_half_away(b["sum_disc_price_raw"], 2),
-                "avg_qty": pc_round_half_away(b["avg_qty_raw"], 6),
-                "count_order": b["count_order"],
+                "avg_qty": pc_round_half_away(avg, 6),
+                "count_order": cnt,
             }
         )
 
