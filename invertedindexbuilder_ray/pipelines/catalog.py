@@ -452,7 +452,15 @@ def q_facet_counts(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
     )
     facets = read_parquet_sized(path, columns=["doc_id", "lang", "source"])
-    j = partitioned_hash_join(matches, facets, left_on="doc_id", right_on="doc_id")
+    j = partitioned_hash_join(
+        matches, facets, left_on="doc_id", right_on="doc_id",
+        # declared: skips the schema probe that would execute one block
+        # of the whole BatchQueryEngine pipeline just for sampling
+        left_schema=pa.schema([("doc_id", pa.int64()), ("score", pa.float64())]),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.string()), ("source", pa.string())]
+        ),
+    )
     return (
         j.groupby(["source", "lang"])
         .aggregate(Count(alias_name="n_matches"), Max("score", alias_name="best_score"))
@@ -565,7 +573,13 @@ def q_collapse_by_source(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
     )
     src = read_parquet_sized(path, columns=["doc_id", "source"])
-    j = partitioned_hash_join(matches, src, left_on="doc_id", right_on="doc_id")
+    j = partitioned_hash_join(
+        matches, src, left_on="doc_id", right_on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("score", pa.float64())]),
+        right_schema=pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string())]
+        ),
+    )
 
     def best_per_source(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -34,13 +34,24 @@ def partitioned_hash_join(
     num_partitions: int = 8,
     how: str = "inner",
     right_suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Join two Datasets on int64 key columns.
 
     Output columns: all left columns, then the right columns minus its
     key (name collisions get ``right_suffix``).  Row order is undefined.
+
+    ``left_schema`` / ``right_schema``: a caller that KNOWS a side's
+    output schema can declare it and skip the ``ds.schema()`` probe —
+    which otherwise EXECUTES one block of that side's whole upstream
+    pipeline (an actor-pool scorer pays ~1 s just to be sampled).  The
+    declared schema must match what the side actually produces; the pad
+    stage fails loudly if it doesn't.
     """
-    def _arrow_schema(ds: rd.Dataset) -> tuple[rd.Dataset, pa.Schema]:
+    def _arrow_schema(
+        ds: rd.Dataset, declared: pa.Schema | None
+    ) -> tuple[rd.Dataset, pa.Schema]:
         # ALWAYS normalize through an identity map (fuses, zero-copy):
         # pandas-block lineage needs Arrow blocks, and Ray's Project
         # operator (select_columns) can report a stale PRE-projection
@@ -51,6 +62,8 @@ def partitioned_hash_join(
         orig = ds
         ds = ds.map_batches(lambda t: t, batch_format="pyarrow",
                             zero_copy_batch=True)
+        if declared is not None:
+            return ds, declared
         s = ds.schema()
         if s is None:
             # all-empty dataset: the identity map yields no blocks to
@@ -64,8 +77,8 @@ def partitioned_hash_join(
             )
         return ds, s
 
-    left, lschema = _arrow_schema(left)
-    right, rschema = _arrow_schema(right)
+    left, lschema = _arrow_schema(left, left_schema)
+    right, rschema = _arrow_schema(right, right_schema)
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     out_rcols = {
