@@ -690,6 +690,11 @@ def q_lineitem_agg(sf_dir: str):
     pre-aggregate-before-groupby pattern every wide aggregate here uses."""
     path = os.path.join(sf_dir, "lineitem.parquet") if os.path.isdir(sf_dir) else sf_dir
 
+    # Ray's sort-based groupby crashes on NULL string keys (searchsorted
+    # over object arrays with None); DuckDB groups NULLs.  Sentinel-fill
+    # in the partial, restore after the tiny aggregate.
+    NULL_KEY = "\x00null\x00"
+
     def partial(batch: pa.Table) -> pa.Table:
         disc_price = pc.multiply(
             batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
@@ -700,8 +705,8 @@ def q_lineitem_agg(sf_dir: str):
         )
         return pa.table(
             {
-                "l_returnflag": g["l_returnflag"],
-                "l_linestatus": g["l_linestatus"],
+                "l_returnflag": g["l_returnflag"].fill_null(NULL_KEY),
+                "l_linestatus": g["l_linestatus"].fill_null(NULL_KEY),
                 "qty_sum": g["l_quantity_sum"],
                 "disc_sum": g["disc_price_sum"],
                 "cnt": g["l_quantity_count"].cast(pa.int64()),
@@ -730,10 +735,18 @@ def q_lineitem_agg(sf_dir: str):
         avg = pc.divide(
             b["sum_qty_raw"].cast(pa.float64()), cnt.cast(pa.float64())
         )
+
+        def unfill(col):
+            return pc.if_else(
+                pc.equal(col, pa.scalar(NULL_KEY)),
+                pa.scalar(None, pa.string()),
+                col,
+            )
+
         return pa.table(
             {
-                "l_returnflag": b["l_returnflag"],
-                "l_linestatus": b["l_linestatus"],
+                "l_returnflag": unfill(b["l_returnflag"]),
+                "l_linestatus": unfill(b["l_linestatus"]),
                 "sum_qty": pc_round_half_away(b["sum_qty_raw"], 2),
                 "sum_disc_price": pc_round_half_away(b["sum_disc_price_raw"], 2),
                 "avg_qty": pc_round_half_away(avg, 6),

@@ -21,6 +21,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 FUZZ_ENTRIES = [
+    "lineitem_agg",
     "lineitem_running_sum",
     "quantity_percent_rank",
     "lineitem_quantiles",
@@ -81,6 +82,9 @@ def _write_tables(tmpdir: str, lines: list[tuple], orders: list[tuple]) -> str:
                 ),
                 "l_discount": pa.array(
                     [((r[2] + r[0]) % 11) / 100.0 for r in lines], pa.float64()
+                ),
+                "l_linestatus": pa.array(
+                    ["OF"[r[1] % 2] for r in lines], pa.string()
                 ),
                 # coarse price grid: duplicate values are the median tie cases
                 "l_extendedprice": pa.array(
