@@ -480,6 +480,68 @@ GROUP BY d.source, d.lang"""
     )
 
 
+def q_score_explain(sf_dir: str):
+    """The "explain" debug surface every serving engine exposes: the
+    per-term BM25 breakdown (term, tf, df, contrib) of the top
+    conjunctive hit, read through the REAL index (lexicon lookup +
+    posting-cursor seek per term — the exact path a production explain
+    endpoint would take).  Top-1 selected under (rounded score desc,
+    doc_id asc) so both engines agree even when raw scores differ by an
+    ulp inside one rounding bucket."""
+    import pandas as pd
+
+    from .query import QueryEngine
+
+    idx = index_for(sf_dir)
+    eng = QueryEngine(idx, conformance=False)
+    terms = list(BM25_QUERY_TERMS)
+    ranked = eng.conjunctive(terms, eng.reader.max_doc_id + 1)
+    cols = ["term", "tf", "df", "contrib"]
+    if not ranked:
+        return pd.DataFrame(
+            {"term": pd.Series([], dtype="object"),
+             "tf": pd.Series([], dtype="int64"),
+             "df": pd.Series([], dtype="int64"),
+             "contrib": pd.Series([], dtype="float64")}
+        )
+    docs = np.array([d for d, _ in ranked], np.int64)
+    scores = round_half_away(np.array([s for _, s in ranked], np.float64), 6)
+    top = int(docs[np.lexsort((docs, -scores))[0]])
+    r = eng.reader
+    rows = []
+    for t in sorted(terms):
+        c = r.open_list(t)
+        if c is None or c.seek_geq(top) != top:
+            continue
+        idf = np.log2((r.n_docs - c.df + 0.5) / (c.df + 0.5))
+        den = 1.2 * (0.25 + 0.75 * r.doc_len(top) / r.d_avr) + c.curr_freq
+        rows.append(
+            {"term": t, "tf": int(c.curr_freq), "df": int(c.df),
+             "contrib": round_half_away(idf * 2.2 * c.curr_freq / den, 6)}
+        )
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _sql_score_explain() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(terms=terms)
+        + f""", top1 AS (
+    SELECT doc_id FROM scores
+    WHERE nmatched = {len(BM25_QUERY_TERMS)}
+    ORDER BY round(raw_score, 6) DESC, doc_id LIMIT 1
+)
+SELECT tf.term, tf.tf, df.df,
+       round(log2((st.n - df.df + 0.5) / (df.df + 0.5)) * 2.2 * tf.tf
+             / (1.2 * (0.25 + 0.75 * dl.dl / (st.sumdl / (st.n - 1))) + tf.tf),
+             6) AS contrib
+FROM tf JOIN top1 USING (doc_id) JOIN df USING (term) JOIN dl USING (doc_id)
+CROSS JOIN st
+WHERE tf.term IN ({terms})"""
+    )
+
+
 SEARCH_PAGE = 10
 
 
@@ -1735,6 +1797,7 @@ QUERIES = {
     "bm25_tombstoned": (q_bm25_tombstoned, _sql_bm25_tombstoned()),
     "facet_counts": (q_facet_counts, _sql_facet_counts()),
     "search_after": (q_search_after, _sql_search_after()),
+    "score_explain": (q_score_explain, _sql_score_explain()),
     "collapse_by_source": (q_collapse_by_source, _sql_collapse_by_source()),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
