@@ -715,6 +715,82 @@ def _sql_bm25(conjunctive: bool) -> str:
     )
 
 
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q_user_cohorts(sf_dir: str):
+    """Cohort retention matrix (the classic product-analytics shape):
+    users grouped by first-active week, counted in each later week they
+    return.  Columns ``cohort_week, week_offset, n_users`` (all int64).
+
+    Shape: per-batch Arrow distinct (user, week) pairs, ONE
+    user-sharded exchange (a user lives in exactly one shard, so the
+    per-shard first-week and per-(cohort, offset) distinct-user counts
+    are exact partials), bounded driver sum over the weeks x offsets
+    grid."""
+    import pandas as pd
+
+    from .dedup import _sharded_groupby
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["user_id", "ts"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        wk = pc.cast(
+            pc.divide(batch["ts"].cast(pa.int64()), WEEK_US), pa.int64()
+        )
+        t = pa.table(
+            {"user_id": batch["user_id"].cast(pa.int64()), "wk": wk}
+        )
+        g = t.group_by(["user_id", "wk"]).aggregate([])  # per-batch distinct
+        return g
+
+    pr = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "wk"])
+        cw = g.groupby("user_id")["wk"].transform("min")
+        out = (
+            pd.DataFrame(
+                {"cohort_week": cw.to_numpy(), "week_offset": (g["wk"] - cw).to_numpy()}
+            )
+            .groupby(["cohort_week", "week_offset"])
+            .size()
+            .reset_index(name="n_users")
+        )
+        return out
+
+    parts = _sharded_groupby(
+        pr, ["user_id"], per_shard,
+        empty_schema=pa.schema(
+            [("cohort_week", pa.int64()), ("week_offset", pa.int64()),
+             ("n_users", pa.int64())]
+        ),
+    ).to_pandas()
+    cols = ["cohort_week", "week_offset", "n_users"]
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    return (
+        parts.groupby(["cohort_week", "week_offset"])["n_users"]
+        .sum()
+        .reset_index()[cols]
+        .astype("int64")
+    )
+
+
+SQL_USER_COHORTS = f"""
+WITH uw AS (
+    SELECT DISTINCT user_id, (epoch_us(ts) // {WEEK_US})::BIGINT AS wk
+    FROM events
+),
+fw AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+SELECT f.cw AS cohort_week, (u.wk - f.cw)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM uw u JOIN fw f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_events_tumbling(sf_dir: str):
     path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
 
@@ -1800,6 +1876,7 @@ QUERIES = {
     "score_explain": (q_score_explain, _sql_score_explain()),
     "collapse_by_source": (q_collapse_by_source, _sql_collapse_by_source()),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+    "user_cohorts": (q_user_cohorts, SQL_USER_COHORTS),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -47,6 +47,7 @@ FUZZ_ENTRIES = [
     "user_value_outliers",
     "value_sax",
     "conversion_attribution",
+    "user_cohorts",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
