@@ -2176,6 +2176,98 @@ QUERIES["approx_distinct_hll"] = (
 )
 
 
+HLL_SET_MULT = 0x9E3779B97F4A7C15
+_HLL_SET_A, _HLL_SET_B = "click", "view"
+
+
+def q_hll_set_ops(sf_dir: str):
+    """Mergeable-sketch set algebra: per-event-type HLL register tables
+    over hashed user ids PLUS their elementwise-max union table — the
+    merge that makes HLL the distributed distinct-count sketch (union
+    registers = per-bucket max; |A ∩ B| follows on the driver by
+    inclusion-exclusion over ``distinct.hll_estimate``).  Columns
+    ``set_name ('a'|'b'|'union'), bucket, maxrank`` — pure integers, so
+    the driver hash gate covers the sketch bit-for-bit."""
+    import pandas as pd
+
+    from .distinct import _batch_registers
+
+    path = os.path.join(sf_dir, "events.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for label, typ in (("a", _HLL_SET_A), ("b", _HLL_SET_B)):
+            m = (
+                pc.equal(batch["event_type"], typ)
+                .fill_null(False)  # NULL event_type matches neither set
+                .to_numpy(zero_copy_only=False)
+            )
+            with np.errstate(over="ignore"):
+                h = uid[m].view(np.uint64) * np.uint64(HLL_SET_MULT)
+            t = _batch_registers(h)
+            parts.append(
+                t.append_column(
+                    "set_name", pa.array([label] * t.num_rows, pa.string())
+                )
+            )
+        return pa.concat_tables(parts)
+
+    # partials are bounded (<= 2 * 2^p rows per batch): driver max-merge
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cols = ["set_name", "bucket", "maxrank"]
+    if not len(parts):
+        return pd.DataFrame(
+            {"set_name": pd.Series([], dtype="object"),
+             "bucket": pd.Series([], dtype="int64"),
+             "maxrank": pd.Series([], dtype="int64")}
+        )
+    regs = parts.groupby(["set_name", "bucket"], as_index=False)["maxrank"].max()
+    union = regs.groupby("bucket", as_index=False)["maxrank"].max()
+    union.insert(0, "set_name", "union")
+    out = pd.concat([regs, union], ignore_index=True)[cols]
+    out["bucket"] = out["bucket"].astype("int64")
+    out["maxrank"] = out["maxrank"].astype("int64")
+    return out
+
+
+def _sql_hll_set_ops() -> str:
+    m64 = 1 << 64
+    wdiv = 1 << 52
+    return f"""
+WITH src AS (
+    SELECT user_id,
+           CASE WHEN event_type = '{_HLL_SET_A}' THEN 'a' ELSE 'b' END AS set_name
+    FROM events WHERE event_type IN ('{_HLL_SET_A}', '{_HLL_SET_B}')
+),
+hh AS (
+    SELECT set_name,
+           (user_id::HUGEINT * {HLL_SET_MULT}) % {m64}::HUGEINT AS h
+    FROM src
+),
+hw AS (
+    SELECT set_name, (h // {wdiv})::BIGINT AS bucket,
+           (h % {wdiv})::BIGINT AS w
+    FROM hh
+),
+regs AS (
+    SELECT set_name, bucket,
+           max(CASE WHEN w = 0 THEN 53
+                    ELSE 53 - length(bin(w)) END)::BIGINT AS maxrank
+    FROM hw GROUP BY 1, 2
+)
+SELECT set_name, bucket, maxrank FROM regs
+UNION ALL
+SELECT 'union' AS set_name, bucket, max(maxrank) FROM regs GROUP BY 2
+"""
+
+
+QUERIES["hll_set_ops"] = (q_hll_set_ops, _sql_hll_set_ops())
+
+
 def q_kmv_distinct(sf_dir: str):
     """K-minimum-values distinct sketch over md5(text) — the mergeable
     order-statistics counterpart to the HLL entry (supports union and

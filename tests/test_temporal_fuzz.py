@@ -48,6 +48,7 @@ FUZZ_ENTRIES = [
     "value_sax",
     "conversion_attribution",
     "user_cohorts",
+    "hll_set_ops",
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
