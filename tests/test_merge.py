@@ -387,3 +387,24 @@ def test_update_docs_replaces_content(ray_session, tmp_path):
     assert _blob_hashes(out) == _blob_hashes(ref)
     assert _lexicon_rows(out) == _lexicon_rows(ref)
     assert man.sum_dl == ref_man.sum_dl
+
+
+def test_cli_delete_mark_only(ray_session, tmp_path, capsys):
+    """`delete --mark-only` writes query-time tombstones without Ray or a
+    re-encode; a subsequent reader excludes the marked docs."""
+    import json as _json
+
+    from invertedindexbuilder_ray.cli import main
+    from invertedindexbuilder_ray.sources.documents import load_documents
+
+    idx = str(tmp_path / "idx")
+    build_index(load_documents("/root/testdata/sf0.001"), idx, num_partitions=4)
+    rc = main(["delete", "--index", idx, "--ids", "3,9,3", "--mark-only"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"index": idx, "n_tombstones": 2}
+    hits = QueryEngine(idx).search("the data", 500, 0)
+    assert hits and all(h["doc_id"] not in (3, 9) for h in hits)
+    # missing --out without --mark-only is a usage error
+    with pytest.raises(SystemExit, match="--out"):
+        main(["delete", "--index", idx, "--ids", "3"])
