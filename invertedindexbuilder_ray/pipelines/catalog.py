@@ -219,6 +219,135 @@ FROM documents
 """
 
 
+def q_dataset_card(sf_dir: str):
+    """One-row "dataset card" summary — the header block of a published
+    corpus datasheet: doc / token / vocabulary counts, dimension
+    cardinalities, exact-duplicate count.  Columns ``n_docs, n_tokens,
+    vocab_size, n_langs, n_sources, dup_docs`` (int64).
+
+    Shape: one cheap dimensions pass (bounded per-batch uniques), one
+    tokenize+md5 pass whose rows carry (kind, value) through a single
+    hash-sharded exchange — vocabulary and duplicate counts are exact
+    per shard (a term / digest lives in exactly one shard), then a
+    bounded driver sum."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from ..functions.tokenize import tokenize_to_postings
+    from .dedup import _sharded_groupby
+
+    path = os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["doc_id", "text", "lang", "source"])
+
+    def dims(batch: pa.Table) -> pa.Table:
+        langs = pc.unique(batch["lang"]).drop_null().to_pylist()
+        srcs = pc.unique(batch["source"]).drop_null().to_pylist()
+        return pa.table(
+            {
+                "kind": pa.array(
+                    ["lang"] * len(langs) + ["source"] * len(srcs) + ["docs"],
+                    pa.string(),
+                ),
+                "val": pa.array(
+                    [str(x) for x in langs] + [str(x) for x in srcs] + [""],
+                    pa.string(),
+                ),
+                "cnt": pa.array(
+                    [0] * (len(langs) + len(srcs)) + [batch.num_rows], pa.int64()
+                ),
+            }
+        )
+
+    dd = ds.map_batches(dims, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n_docs = int(dd.loc[dd["kind"] == "docs", "cnt"].sum()) if len(dd) else 0
+    n_langs = int(dd.loc[dd["kind"] == "lang", "val"].nunique()) if len(dd) else 0
+    n_sources = int(dd.loc[dd["kind"] == "source", "val"].nunique()) if len(dd) else 0
+
+    def rows(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        terms, _docs_col, tfs = tokenize_to_postings(
+            texts, batch["doc_id"].to_numpy(zero_copy_only=False)
+        )
+        tv = terms.to_numpy(zero_copy_only=False)
+        ut = np.unique(tv) if len(tv) else np.array([], object)
+        kinds = ["term"] * len(ut)
+        vals = [str(t) for t in ut]
+        hs = [
+            int.from_bytes(_hl.md5(v.encode()).digest()[:8], "little") - (1 << 63)
+            for v in vals
+        ]
+        cnts = [0] * len(ut)
+        digests = [
+            _hl.md5(t.encode() if t is not None else b"").hexdigest()
+            for t in texts.to_pylist()
+        ]
+        kinds += ["md5"] * len(digests)
+        vals += digests
+        hs += [int(d[:16], 16) - (1 << 63) for d in digests]
+        cnts += [0] * len(digests)
+        kinds.append("tokens")
+        vals.append("")
+        hs.append(0)
+        cnts.append(int(tfs.sum()) if len(tfs) else 0)
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "val": pa.array(vals, pa.string()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vocab": [int(g.loc[g["kind"] == "term", "val"].nunique())],
+                "dmd5": [int(g.loc[g["kind"] == "md5", "val"].nunique())],
+                "toks": [int(g.loc[g["kind"] == "tokens", "cnt"].sum())],
+            }
+        )
+
+    parts = _sharded_groupby(
+        ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"],
+        agg,
+        empty_schema=pa.schema(
+            [("vocab", pa.int64()), ("dmd5", pa.int64()), ("toks", pa.int64())]
+        ),
+    ).to_pandas()
+    vocab = int(parts["vocab"].sum()) if len(parts) else 0
+    dmd5 = int(parts["dmd5"].sum()) if len(parts) else 0
+    toks = int(parts["toks"].sum()) if len(parts) else 0
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": n_docs,
+                "n_tokens": toks,
+                "vocab_size": vocab,
+                "n_langs": n_langs,
+                "n_sources": n_sources,
+                "dup_docs": n_docs - dmd5,
+            }
+        ]
+    ).astype("int64")
+
+
+SQL_DATASET_CARD = (
+    "WITH "
+    + _SQL_TOKENS
+    + """SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM tok_kept)::BIGINT AS n_tokens,
+       (SELECT count(DISTINCT term) FROM tok_kept)::BIGINT AS vocab_size,
+       (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_langs,
+       (SELECT count(DISTINCT source) FROM documents)::BIGINT AS n_sources,
+       (SELECT count(*) - count(DISTINCT md5(text)) FROM documents)::BIGINT
+           AS dup_docs"""
+)
+
+
 def q_lang_counts(sf_dir: str):
     if os.path.isdir(sf_dir):
         path = os.path.join(sf_dir, "documents.parquet")
@@ -1865,6 +1994,7 @@ QUERIES = {
     "term_stats": (q_term_stats, SQL_TERM_STATS),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
     "lang_counts": (q_lang_counts, SQL_LANG_COUNTS),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "bm25_all_and": (q_bm25_and, _sql_bm25(True)),
@@ -8709,6 +8839,99 @@ def q_knn_classify(sf_dir: str):
     return pd.DataFrame(out, columns=cols).astype("int64")
 
 
+def q_knn_outliers(sf_dir: str):
+    """kNN-distance anomaly scores (Ramaswamy et al. 2000): for each
+    eval vector, the exact integer squared distance to its
+    ``KNN_CLS_K``-th nearest neighbor (self excluded) — the classic
+    density-based outlier signal for embedding-space data curation.
+    Same broadcast-eval / stream-neighbors shape as ``knn_classify``.
+    Columns ``vec_id, d2_k`` (int64)."""
+    import pandas as pd
+
+    from ..functions.rounding import round_half_away as _rha
+
+    path = os.path.join(sf_dir, "embeddings.parquet") if os.path.isdir(sf_dir) else sf_dir
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding", "label"])
+    ev = ds.filter(expr=f"vec_id < {KNN_CLS_EVAL_N}").take_all()
+    cols = ["vec_id", "d2_k"]
+    if not ev:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    ev.sort(key=lambda r: int(r["vec_id"]))
+    eids = np.array([int(r["vec_id"]) for r in ev], np.int64)
+    eq = _rha(
+        np.stack([np.asarray(r["embedding"], np.float64) for r in ev])
+        * CORESET_GRID,
+        0,
+    )
+    eref = ray.put(eq)
+    k1 = KNN_CLS_K + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"eval_id": pa.array([], pa.int64()),
+                          "nbr_id": pa.array([], pa.int64()),
+                          "d2": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        ids, q = _quant_embeddings(batch)
+        e = ray.get(eref)
+        cross = e @ q.T
+        d2 = (
+            (e * e).sum(axis=1)[:, None]
+            + (q * q).sum(axis=1)[None, :]
+            - 2.0 * cross
+        ).astype(np.int64)
+        take = min(k1, d2.shape[1])
+        part = np.argpartition(d2, take - 1, axis=1)[:, :take]
+        rows_e, rows_n, rows_d = [], [], []
+        for i in range(len(eids)):
+            sel = part[i]
+            rows_e.append(np.full(take, eids[i], np.int64))
+            rows_n.append(ids[sel])
+            rows_d.append(d2[i, sel])
+        return pa.table(
+            {"eval_id": pa.array(np.concatenate(rows_e), pa.int64()),
+             "nbr_id": pa.array(np.concatenate(rows_n), pa.int64()),
+             "d2": pa.array(np.concatenate(rows_d), pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for eid in eids:
+        g = parts[(parts["eval_id"] == eid) & (parts["nbr_id"] != eid)]
+        g = g.sort_values(["d2", "nbr_id"]).head(KNN_CLS_K)
+        if len(g) == KNN_CLS_K:
+            out.append({"vec_id": int(eid), "d2_k": int(g["d2"].iloc[-1])})
+    return pd.DataFrame(out, columns=cols).astype("int64")
+
+
+def _sql_knn_outliers() -> str:
+    g = CORESET_GRID
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id,
+           generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+           CAST(round(unnest(CAST(embedding AS DOUBLE[])) * {g}) AS BIGINT)
+               AS xq
+    FROM embeddings
+),
+d2 AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           sum((a.xq - b.xq) * (a.xq - b.xq))::BIGINT AS d2
+    FROM e a JOIN e b USING (dim)
+    WHERE a.vec_id < {KNN_CLS_EVAL_N} AND b.vec_id <> a.vec_id
+    GROUP BY 1, 2
+),
+nn AS (
+    SELECT ia, d2,
+           row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn,
+           count(*) OVER (PARTITION BY ia) AS n_nbrs
+    FROM d2
+)
+SELECT ia AS vec_id, d2 AS d2_k
+FROM nn WHERE rn = {KNN_CLS_K} AND n_nbrs >= {KNN_CLS_K}
+"""
+
+
 def _sql_knn_classify() -> str:
     g = CORESET_GRID
     return f"""
@@ -8759,6 +8982,7 @@ CORESET_K = 8
 CORESET_GRID = 1024  # power of 2: x*1024 is an EXACT double scaling
 
 QUERIES["knn_classify"] = (q_knn_classify, _sql_knn_classify())
+QUERIES["knn_outliers"] = (q_knn_outliers, _sql_knn_outliers())
 
 
 def _quant_embeddings(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:

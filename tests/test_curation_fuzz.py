@@ -114,6 +114,7 @@ FUZZ_ENTRIES = [
     "passage_windows",
     "static_prune_rank",
     "query_clarity",
+    "dataset_card",
 ]
 
 # printable ASCII with heavy alnum mix: exercises runs, separators, case,
