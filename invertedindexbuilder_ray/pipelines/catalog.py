@@ -749,6 +749,52 @@ WHERE rank BETWEEN {SEARCH_PAGE + 1} AND {2 * SEARCH_PAGE}"""
     )
 
 
+BM25_FILTER_SOURCE = "src3"
+
+
+def q_bm25_filtered(sf_dir: str):
+    """Filtered search (the metadata-predicate + relevance shape every
+    serving engine exposes): the disjunctive BM25 match set restricted
+    to docs with ``source = BM25_FILTER_SOURCE``.  Scores keep the
+    UNFILTERED global stats — the filter restricts candidates, not the
+    corpus model, exactly like the tombstone live-docs contract.  One
+    partitioned hash join against the predicate's doc ids (the
+    arbitrarily-selective filter side never broadcasts); all-matches
+    output keeps the comparison tie-proof."""
+    matches = _bm25_all(sf_dir, conjunctive=False)
+    path = (
+        os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
+    )
+    allowed = read_parquet_sized(path, columns=["doc_id", "source"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["source"], BM25_FILTER_SOURCE).fill_null(False)
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from .joins import partitioned_hash_join
+
+    j = partitioned_hash_join(
+        matches, allowed, left_on="doc_id", right_on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("score", pa.float64())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+    return j.map_batches(
+        lambda t: t.select(["doc_id", "score"]), batch_format="pyarrow"
+    )
+
+
+def _sql_bm25_filtered() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(terms=terms)
+        + f"""SELECT s.doc_id, round(s.raw_score, 6) AS score
+FROM scores s JOIN documents d USING (doc_id)
+WHERE s.nmatched >= 1 AND d.source = '{BM25_FILTER_SOURCE}'"""
+    )
+
+
 def q_collapse_by_source(sf_dir: str):
     """Field collapsing (the Elasticsearch "collapse" / grouped-top-hit
     shape): the single best match per source under (score desc, doc_id
@@ -2005,6 +2051,7 @@ QUERIES = {
     "search_after": (q_search_after, _sql_search_after()),
     "score_explain": (q_score_explain, _sql_score_explain()),
     "collapse_by_source": (q_collapse_by_source, _sql_collapse_by_source()),
+    "bm25_filtered": (q_bm25_filtered, _sql_bm25_filtered()),
     "events_tumbling": (q_events_tumbling, SQL_EVENTS_TUMBLING),
     "user_cohorts": (q_user_cohorts, SQL_USER_COHORTS),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
