@@ -1517,6 +1517,55 @@ def q_dedup_minhash(sf_dir: str):
     return minhash_dedup_pairs_cached(sf_dir, threshold=0.5)
 
 
+# Incremental delta-vs-corpus dedup (round-4 verdict item 2).  The sf
+# corpus has no natural "delta", so the entry synthesizes one the SQL
+# replicates: every 100th doc cloned verbatim at doc_id + DELTA_OFFSET —
+# guaranteed est_jaccard=1.0 matches against its source, so the entry is
+# never empty at sf0.001+ (the embedding_neardup_srp augmentation
+# precedent).  The engine leg goes through minhash_pairs_delta, which
+# reads corpus signatures from the durable parquet checkpoint — the
+# delta never re-sketches the corpus.
+DEDUP_DELTA_OFFSET = 10_000_000
+DEDUP_DELTA_EVERY = 100
+
+
+def q_dedup_minhash_delta(sf_dir: str):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..sources.documents import load_documents
+    from .dedup import minhash_pairs_delta
+
+    docs = load_documents(sf_dir)
+
+    def mk_delta(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % DEDUP_DELTA_EVERY == 0))
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], DEDUP_DELTA_OFFSET),
+                "url": t["url"],
+                "text": t["text"],
+                "dl": t["dl"],
+            }
+        )
+
+    delta = docs.map_batches(mk_delta, batch_format="pyarrow")
+    return minhash_pairs_delta(sf_dir, delta, threshold=0.5)
+
+
+SQL_DEDUP_MINHASH_DELTA = _sketch_sql.sql_minhash_pairs(
+    table="corpus_plus_delta",
+    prelude_ctes=f"""corpus_plus_delta AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {DEDUP_DELTA_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id % {DEDUP_DELTA_EVERY} = 0
+), """,
+    pair_where=f" AND doc_b >= {DEDUP_DELTA_OFFSET}",
+)
+
+
 def q_dedup_simhash(sf_dir: str):
     from .dedup import simhash_dedup_pairs
 
@@ -2059,6 +2108,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     # training-data ops; entries with sql=None get the driver's rows-only check
     "dedup_minhash": (q_dedup_minhash, _sketch_sql.sql_minhash_pairs()),
+    "dedup_minhash_delta": (q_dedup_minhash_delta, SQL_DEDUP_MINHASH_DELTA),
     "dedup_simhash": (q_dedup_simhash, _sketch_sql.sql_simhash_pairs()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

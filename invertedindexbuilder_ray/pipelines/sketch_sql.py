@@ -84,11 +84,21 @@ def _fold_expr(h_expr: str, sig_expr: str) -> str:
 
 
 def sql_minhash_pairs(
-    *, num_perm: int = 64, bands: int = 16, threshold: float = 0.5
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    table: str = "documents",
+    prelude_ctes: str = "",
+    pair_where: str = "",
 ) -> str:
     """Full MinHash-LSH near-dup pipeline in DuckDB: shingle fold, 64
     permutations, per-band FNV fold, band-bucket pairing, signature-
-    agreement verification.  Output: (doc_a, doc_b, est_jaccard, n_bands)."""
+    agreement verification.  Output: (doc_a, doc_b, est_jaccard, n_bands).
+
+    ``table``/``prelude_ctes`` let the delta-dedup oracle substitute an
+    augmentation CTE for the raw view; ``pair_where`` appends an extra
+    final-select predicate (e.g. ``AND doc_b >= <delta offset>``)."""
     a, b = _minhash_perms(num_perm)
     perm_rows = ", ".join(
         f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)" for j in range(num_perm)
@@ -101,7 +111,7 @@ def sql_minhash_pairs(
     for k in range(r):
         fold = _fold_expr(fold, f"max(CASE WHEN s.j % {r} = {k} THEN s.sig END)")
     return f"""
-WITH {_token_hash_ctes()},
+WITH {prelude_ctes}{_token_hash_ctes(table=table)},
 thm AS (
     -- xor-shift mix of the token hash before the shingle fold (exact
     -- replica of sketch._SHINGLE_MIX_MULT; see shingle_hashes for why)
@@ -128,7 +138,7 @@ pm AS (
 sigs AS MATERIALIZED (
     SELECT d.doc_id, p.j,
            coalesce(pm.sig, {U64_MAX}::HUGEINT) AS sig
-    FROM documents d CROSS JOIN perms p
+    FROM {table} d CROSS JOIN perms p
     LEFT JOIN pm ON pm.doc_id = d.doc_id AND pm.j = p.j
 ),
 bandh AS MATERIALIZED (
@@ -150,7 +160,7 @@ est AS (
     GROUP BY 1, 2, 3
 )
 SELECT doc_a, doc_b, round(e, 6) AS est_jaccard, n_bands
-FROM est WHERE e >= {threshold}
+FROM est WHERE e >= {threshold}{pair_where}
 """
 
 
