@@ -343,7 +343,7 @@ SQL_DATASET_CARD = (
        (SELECT count(DISTINCT term) FROM tok_kept)::BIGINT AS vocab_size,
        (SELECT count(DISTINCT lang) FROM documents)::BIGINT AS n_langs,
        (SELECT count(DISTINCT source) FROM documents)::BIGINT AS n_sources,
-       (SELECT count(*) - count(DISTINCT md5(text)) FROM documents)::BIGINT
+       (SELECT count(*) - count(DISTINCT md5(coalesce(text, ''))) FROM documents)::BIGINT
            AS dup_docs"""
 )
 
@@ -517,8 +517,10 @@ def _tombstoned_index_for(sf_dir: str) -> str:
     if not fresh:
         shutil.rmtree(out, ignore_errors=True)
         shutil.copytree(base, out)
+    # valid id domain is [0, max_doc_id) — max_doc_id is one past the
+    # largest doc_id and mark_deleted now rejects out-of-range ids
     max_doc = IndexManifest.load(out).max_doc_id
-    mark_deleted(out, range(TOMBSTONE_RESIDUE, max_doc + 1, TOMBSTONE_MOD))
+    mark_deleted(out, range(TOMBSTONE_RESIDUE, max_doc, TOMBSTONE_MOD))
     return out
 
 
@@ -580,7 +582,23 @@ def q_facet_counts(sf_dir: str):
     path = (
         os.path.join(sf_dir, "documents.parquet") if os.path.isdir(sf_dir) else sf_dir
     )
-    facets = read_parquet_sized(path, columns=["doc_id", "lang", "source"])
+    # Ray's sort groupby crashes on NULL string keys; DuckDB groups NULLs.
+    # Sentinel-fill the facet keys before the groupby, restore after (the
+    # q_lineitem_agg pattern — round-4 ADVICE item 1).
+    NULL_KEY = "\x00null\x00"
+
+    def fill_keys(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"].combine_chunks().fill_null(NULL_KEY),
+                "source": b["source"].combine_chunks().fill_null(NULL_KEY),
+            }
+        )
+
+    facets = read_parquet_sized(path, columns=["doc_id", "lang", "source"]).map_batches(
+        fill_keys, batch_format="pyarrow"
+    )
     j = partitioned_hash_join(
         matches, facets, left_on="doc_id", right_on="doc_id",
         # declared: skips the schema probe that would execute one block
@@ -590,10 +608,27 @@ def q_facet_counts(sf_dir: str):
             [("doc_id", pa.int64()), ("lang", pa.string()), ("source", pa.string())]
         ),
     )
-    return (
+    agg = (
         j.groupby(["source", "lang"])
         .aggregate(Count(alias_name="n_matches"), Max("score", alias_name="best_score"))
     )
+
+    def unfill(b: pa.Table) -> pa.Table:
+        def u(col):
+            return pc.if_else(
+                pc.equal(col, pa.scalar(NULL_KEY)), pa.scalar(None, pa.string()), col
+            )
+
+        return pa.table(
+            {
+                "source": u(b["source"]),
+                "lang": u(b["lang"]),
+                "n_matches": b["n_matches"],
+                "best_score": b["best_score"],
+            }
+        )
+
+    return agg.map_batches(unfill, batch_format="pyarrow")
 
 
 def _sql_facet_counts() -> str:
@@ -8902,8 +8937,15 @@ def q_knn_classify(sf_dir: str):
         ).astype(np.int64)
         take = min(k1, d2.shape[1])
         # per eval row: top-take under (d2 asc, vec_id asc)
+        # loud domain guard (not assert: stripped under -O, silently
+        # corrupting neighbor tie-breaks — round-4 ADVICE item 3)
+        if ids.max() >= (1 << 24) or d2.max() >= (1 << 38):
+            raise ValueError(
+                "knn_classify key composition overflow: needs vec_id < 2^24 "
+                f"and squared distance < 2^38, got max id {int(ids.max())}, "
+                f"max d2 {int(d2.max())}"
+            )
         key = d2 * np.int64(1 << 24) + ids[None, :]
-        assert ids.max() < (1 << 24) and d2.max() < (1 << 38), "key overflow"
         part = np.argpartition(key, take - 1, axis=1)[:, :take]
         rows_e, rows_n, rows_l, rows_d = [], [], [], []
         for i in range(len(eids)):

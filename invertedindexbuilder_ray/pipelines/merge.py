@@ -585,9 +585,22 @@ def mark_deleted(index_dir: str, doc_ids) -> int:
     modes; global BM25 stats (N, d_avr, df) intentionally still count
     tombstoned docs until a ``delete_docs`` compaction rewrites the
     index — the Lucene live-docs contract, documented on the reader.
-    Returns the total tombstone count after the merge."""
+    Returns the total tombstone count after the merge.
+
+    Ids outside ``[0, manifest.max_doc_id)`` are rejected loudly: they
+    could never match a posting, yet would inflate ``n_tombstones``,
+    perturb the merge resume fingerprint, and persist in
+    ``tombstones.bin`` with no effect (round-4 ADVICE item 4)."""
     new = np.unique(np.asarray(
         sorted(set(int(d) for d in doc_ids)), dtype=np.int64))
+    if len(new):
+        max_doc = mf.IndexManifest.load(index_dir).max_doc_id
+        bad = new[(new < 0) | (new >= max_doc)]
+        if len(bad):
+            raise ValueError(
+                f"mark_deleted: doc_ids outside [0, {max_doc}): "
+                f"{bad[:10].tolist()}{'...' if len(bad) > 10 else ''}"
+            )
     path = os.path.join(index_dir, "tombstones.bin")
     if os.path.exists(path):
         new = np.union1d(new, np.fromfile(path, dtype=np.int64))
