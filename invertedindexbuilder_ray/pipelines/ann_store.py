@@ -1,0 +1,248 @@
+"""Persisted ANN index artifact (round-4 verdict item 5).
+
+``ann_lsh`` / ``ann_ivf`` (similarity.py) re-derive the quantizer and
+re-assign every vector per invocation — the right shape for the catalog
+contract, the wrong shape for serving.  This module checkpoints the ANN
+index once, under the same manifest/_SUCCESS + input-fingerprint
+machinery as the inverted index (state/manifest.py) and the MinHash
+signature checkpoint (dedup.py), and serves queries from the artifact:
+
+* ``ann_build(sf_dir, kind=...)`` -> artifact dir containing
+
+  - ``meta.json``      — kind, derived constants (bits / stride / ap),
+                         n, dim, input fingerprint;
+  - ``codebook.npz``   — IVF: cids, cents, sup_pos (members re-derived
+                         by one O(sqrt N * N^(1/4)) matmul at open);
+                         LSH planes are pure ``_planes(dim, bits)`` —
+                         derived, not stored;
+  - ``assign/``        — parquet of (vec_id, embedding, bucket), written
+                         HIVE-PARTITIONED on ``bshard = bucket mod 32``
+                         so a query scan reads only the shards its probe
+                         buckets land in (partition pruning at the read,
+                         never a full-corpus scan when probes are few);
+  - ``_SUCCESS``       — completion marker with the fingerprint.
+
+  A complete artifact with a matching fingerprint is reused as-is — the
+  build-once / query-many serving contract.
+
+* ``ann_serve(sf_dir, kind=...)`` — same query surface and BIT-IDENTICAL
+  results to the inline ``ann_lsh``/``ann_ivf`` paths (asserted by
+  tests/test_ann_store.py and the ann_*_served catalog entries, which
+  reuse the inline entries' DuckDB oracles verbatim): the bucket per row
+  comes from the stored ``bucket`` column (``_probe_topk(bucket_col=)``)
+  and the probe sets from the persisted codebook.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..state import manifest as mf
+from .similarity import (
+    _bucket_of,
+    _emb_matrix,
+    _embeddings,
+    _ivf_codebook,
+    _ivf_query_probes,
+    _lsh_probe_sets,
+    _load_queries,
+    _planes,
+    _probe_topk,
+    lsh_bits_for,
+)
+
+ANN_BUCKET_SHARDS = 32
+
+
+def _ann_root() -> str:
+    return os.environ.get("IIB_ANN_CKPT_DIR", f"/tmp/iib_ann_ckpt_{os.getuid()}")
+
+
+def _fingerprint_embeddings(sf_dir: str) -> str:
+    path = (
+        os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.isdir(sf_dir)
+        else sf_dir
+    )
+    try:
+        st = os.stat(path)
+        return f"{path}:{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        return path
+
+
+def ann_build(
+    sf_dir: str,
+    *,
+    kind: str = "ivf",
+    n_centroids: int | None = None,
+    bits: int | None = None,
+    ckpt_root: str | None = None,
+) -> str:
+    """Build (or reuse) the persisted ANN artifact; returns its dir."""
+    if kind not in ("ivf", "lsh"):
+        raise ValueError(f"unknown ANN kind {kind!r}")
+    fp = _fingerprint_embeddings(sf_dir)
+    key = hashlib.md5(
+        f"{fp}|kind={kind}|nc={n_centroids}|bits={bits}".encode()
+    ).hexdigest()[:20]
+    d = os.path.join(ckpt_root or _ann_root(), key)
+    if mf.is_complete(d):
+        try:
+            with open(mf.marker_path(d)) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            meta = {}
+        if meta.get("fingerprint") == fp:
+            return d
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+
+    ds = _embeddings(sf_dir)
+    n = ds.count()  # parquet metadata
+    first = next(iter(ds.iter_batches(batch_format="pyarrow", batch_size=1)))
+    dim = len(first["embedding"][0].as_py()) if first.num_rows else 0
+
+    if kind == "lsh":
+        if bits is None:
+            bits = lsh_bits_for(n)
+        planes = _planes(dim, bits)  # derived from seed — not stored
+
+        def bucket_fn(mat_n: np.ndarray) -> np.ndarray:
+            return _bucket_of(mat_n, planes)
+
+        meta = {"kind": kind, "bits": bits, "n": n, "dim": dim}
+    else:
+        from .similarity import _ivf_bucket_fn
+
+        cb = _ivf_codebook(ds, n, n_centroids=n_centroids)
+        os.makedirs(d, exist_ok=True)
+        np.savez(
+            os.path.join(d, "codebook.npz"),
+            cids=cb["cids"],
+            cents=cb["cents"],
+            sup_pos=cb["sup_pos"],
+        )
+        bucket_fn = _ivf_bucket_fn(cb)
+        meta = {
+            "kind": kind,
+            "n": n,
+            "dim": dim,
+            "stride": int(cb["stride"]),
+            "ap": int(cb["ap"]),
+        }
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": batch["embedding"],
+                    "bucket": pa.array([], pa.int64()),
+                    "bshard": pa.array([], pa.int64()),
+                }
+            )
+        mat_n = _emb_matrix(batch)
+        b = bucket_fn(mat_n)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "embedding": batch["embedding"],
+                "bucket": pa.array(b, pa.int64()),
+                # mod of a possibly-negative bucket (-1 = unassigned IVF
+                # rows): Python/numpy % is non-negative for positive mod
+                "bshard": pa.array(b % ANN_BUCKET_SHARDS, pa.int64()),
+            }
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(d, "assign"), partition_cols=["bshard"]
+    )
+    mf.atomic_write_json(os.path.join(d, "meta.json"), meta)
+    mf.mark_complete(d, {"fingerprint": fp, **meta})
+    return d
+
+
+def _open_codebook(d: str, meta: dict) -> dict:
+    """Re-hydrate the IVF codebook: members come from one matmul over the
+    stored O(sqrt N) centroids — no corpus scan."""
+    z = np.load(os.path.join(d, "codebook.npz"))
+    cids, cents, sup_pos = z["cids"], z["cents"], z["sup_pos"]
+    supers = cents[sup_pos]
+    cassign = np.argmax(cents @ supers.T, axis=1)
+    members = [
+        np.flatnonzero(cassign == s).astype(np.int64)
+        for s in range(len(sup_pos))
+    ]
+    return {
+        "cids": cids,
+        "cents": cents,
+        "sup_pos": sup_pos,
+        "supers": supers,
+        "members": members,
+        "stride": meta["stride"],
+        "ap": meta["ap"],
+    }
+
+
+def ann_serve(
+    sf_dir: str,
+    *,
+    kind: str = "ivf",
+    n_queries: int = 5,
+    top_k: int = 10,
+    n_probe: int = 4,
+    probe_radius: int = 2,
+    ckpt_root: str | None = None,
+) -> rd.Dataset:
+    """Answer ANN queries from the persisted artifact (building it on
+    first use).  Results are bit-identical to the inline
+    ``ann_lsh``/``ann_ivf`` with the same parameters."""
+    d = ann_build(sf_dir, kind=kind, ckpt_root=ckpt_root)
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+
+    qids, qmat_n = _load_queries(_embeddings(sf_dir), n_queries)
+    if kind == "lsh":
+        planes = _planes(meta["dim"], meta["bits"])
+        probe_buckets = _lsh_probe_sets(
+            _bucket_of(qmat_n, planes), meta["bits"], probe_radius
+        )
+    else:
+        cb = _open_codebook(d, meta)
+        probe_buckets = _ivf_query_probes(cb, qmat_n, n_probe)
+
+    # partition pruning: only read the bucket shards some query probes
+    shards = sorted(
+        {int(b) % ANN_BUCKET_SHARDS for pb in probe_buckets for b in pb}
+    )
+    import glob as _glob
+
+    paths = [
+        f
+        for s in shards
+        for f in sorted(
+            _glob.glob(os.path.join(d, "assign", f"bshard={s}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        empty = pa.schema(
+            [
+                ("qid", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("sim", pa.float64()),
+                ("rank", pa.int64()),
+            ]
+        )
+        return rd.from_arrow(empty.empty_table())
+    assign_ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "bucket"])
+    return _probe_topk(
+        assign_ds, None, qids, qmat_n, probe_buckets, top_k, bucket_col="bucket"
+    )

@@ -1769,6 +1769,26 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh(sf_dir, n_queries=5, top_k=10)
 
 
+def q_ann_lsh_served(sf_dir: str):
+    """Same queries answered from the PERSISTED ANN artifact
+    (ann_store.py: fingerprinted codebook + hive-partitioned bucket
+    assignments, built once and reused) — bit-identical to q_ann_lsh, so
+    it shares that entry's SQL oracle verbatim."""
+    from .ann_store import ann_serve
+
+    return ann_serve(sf_dir, kind="lsh", n_queries=5, top_k=10)
+
+
+def q_ann_ivf_served(sf_dir: str):
+    """IVF twin of q_ann_lsh_served; shares SQL_ANN_IVF."""
+    from .ann_store import ann_serve
+
+    return ann_serve(
+        sf_dir, kind="ivf",
+        n_queries=IVF_N_QUERIES, top_k=IVF_TOP_K, n_probe=IVF_N_PROBE,
+    )
+
+
 EMB_DIM = 64  # all sf embeddings tables are list<float>[64]
 
 
@@ -2150,7 +2170,9 @@ QUERIES = {
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_srp": (q_embedding_neardup_srp, SQL_EMBEDDING_NEARDUP_SRP),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
+    "ann_lsh_served": (q_ann_lsh_served, _sql_ann_lsh()),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
+    "ann_ivf_served": (q_ann_ivf_served, SQL_ANN_IVF),
     "langid": (q_langid, _sql_langid()),
     "quality": (q_quality, SQL_QUALITY),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),

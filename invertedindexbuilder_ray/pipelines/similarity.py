@@ -115,11 +115,15 @@ def _probe_topk(
     qmat_n: np.ndarray,
     probe_buckets: list[np.ndarray],
     top_k: int,
+    *,
+    bucket_col: str | None = None,
 ) -> rd.Dataset:
     """Shared ANN tail: broadcast probe set, one scan, per-batch partial
     top-k, tiny per-query merge.  ``bucket_fn(mat_n) -> int64 buckets``
     runs inside each task; ``probe_buckets[i]`` is the SORTED bucket set
-    query i probes."""
+    query i probes.  With ``bucket_col`` set (serving from a persisted
+    ANN artifact, ann_store.py), each row's bucket is READ from that
+    column instead of recomputed — ``bucket_fn`` is ignored."""
     import ray
 
     pref = ray.put((qids, qmat_n, probe_buckets))
@@ -130,7 +134,14 @@ def _probe_topk(
         if batch.num_rows:
             mat_n = _emb_matrix(batch)
             vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            row_b = bucket_fn(mat_n)
+            if bucket_col is not None:
+                row_b = (
+                    batch[bucket_col]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+            else:
+                row_b = bucket_fn(mat_n)
             for qi in range(len(q_ids)):
                 pb = pbs[qi]
                 pos = np.searchsorted(pb, row_b)
@@ -201,10 +212,24 @@ def ann_lsh(
         bits = lsh_bits_for(ds.count())  # parquet metadata, no scan
     qids, qmat_n = _load_queries(ds, n_queries)
     planes = _planes(qmat_n.shape[1], bits)
+    probe_buckets = _lsh_probe_sets(
+        _bucket_of(qmat_n, planes), bits, probe_radius
+    )
 
-    qb = _bucket_of(qmat_n, planes)
+    # planes are tiny (dim x bits floats) — safe to ship in the closure
+    return _probe_topk(
+        ds, lambda m: _bucket_of(m, planes), qids, qmat_n, probe_buckets, top_k
+    )
+
+
+def _lsh_probe_sets(
+    qb: np.ndarray, bits: int, probe_radius: int
+) -> list[np.ndarray]:
+    """Multiprobe bucket sets per query (own bucket + all <=radius bit
+    flips), sorted — shared by the inline path and the persisted-artifact
+    serving path so both probe identically."""
     probe_buckets = []
-    for qi in range(len(qids)):
+    for qi in range(len(qb)):
         buckets = {int(qb[qi])}
         if probe_radius >= 1:
             buckets |= {int(qb[qi]) ^ (1 << b) for b in range(bits)}
@@ -215,11 +240,7 @@ def ann_lsh(
                 for b2 in range(b1 + 1, bits)
             }
         probe_buckets.append(np.array(sorted(buckets), np.int64))
-
-    # planes are tiny (dim x bits floats) — safe to ship in the closure
-    return _probe_topk(
-        ds, lambda m: _bucket_of(m, planes), qids, qmat_n, probe_buckets, top_k
-    )
+    return probe_buckets
 
 
 def ann_ivf(
@@ -251,10 +272,23 @@ def ann_ivf(
     vectors the O(sqrt(N)) codebook bytes live in the object store, and
     only the member lists of probed supers are touched per row group.
     """
-    import ray
-
     ds = _embeddings(sf_dir)
     n = ds.count()  # parquet metadata
+    cb = _ivf_codebook(ds, n, n_centroids=n_centroids)
+    qids, qmat_n = _load_queries(ds, n_queries)
+    probe_buckets = _ivf_query_probes(cb, qmat_n, n_probe)
+    return _probe_topk(
+        ds, _ivf_bucket_fn(cb), qids, qmat_n, probe_buckets, top_k
+    )
+
+
+def _ivf_codebook(
+    ds: rd.Dataset, n: int, *, n_centroids: int | None = None
+) -> dict:
+    """Two-level IVF codebook over ``ds``: cids/cents (cid ascending),
+    super positions, per-super member lists.  Deterministic (no RNG), so
+    a persisted codebook (ann_store.py) reproduces the inline path
+    bit-for-bit."""
     if n_centroids is None:
         n_centroids = ivf_centroids_for(n)
     stride = max(1, n // n_centroids)
@@ -291,24 +325,33 @@ def ann_ivf(
         np.flatnonzero(cassign == s).astype(np.int64)  # cid-asc positions
         for s in range(len(sup_pos))
     ]
+    return {
+        "cids": cids,
+        "cents": cents,
+        "sup_pos": sup_pos,
+        "supers": supers,
+        "members": members,
+        "stride": stride,
+        "ap": ap,
+    }
 
-    def _probe_supers(mat_n: np.ndarray) -> np.ndarray:
-        """Each row's ``ap`` nearest supers; stable argsort on -sims with
-        supers in scid order == (sim desc, scid asc)."""
-        ssims = mat_n @ supers.T
-        return np.sort(np.argsort(-ssims, axis=1, kind="stable")[:, :ap], axis=1)
 
-    def _candidates(probe_set: np.ndarray) -> np.ndarray:
-        cand = [members[s] for s in probe_set]
-        return np.unique(np.concatenate(cand)) if cand else np.empty(0, np.int64)
-
-    cref = ray.put((cents, supers, members))  # broadcast once, not per task
-
-    qids, qmat_n = _load_queries(ds, n_queries)
+def _ivf_query_probes(
+    cb: dict, qmat_n: np.ndarray, n_probe: int
+) -> list[np.ndarray]:
+    """Each query's ``n_probe`` nearest candidate centroids (positions,
+    sorted) via the two-level probe — shared by inline and serving."""
+    cents, supers, members, ap = (
+        cb["cents"], cb["supers"], cb["members"], cb["ap"],
+    )
+    if not len(qmat_n):
+        return []
+    ssims = qmat_n @ supers.T
+    qsup = np.sort(np.argsort(-ssims, axis=1, kind="stable")[:, :ap], axis=1)
     probe_buckets = []
-    qsup = _probe_supers(qmat_n) if len(qids) else np.empty((0, ap), np.int64)
-    for qi in range(len(qids)):
-        cand = _candidates(qsup[qi])
+    for qi in range(len(qmat_n)):
+        cand = [members[s] for s in qsup[qi]]
+        cand = np.unique(np.concatenate(cand)) if cand else np.empty(0, np.int64)
         if not len(cand):
             probe_buckets.append(np.empty(0, np.int64))
             continue
@@ -316,6 +359,16 @@ def ann_ivf(
         # probe order: sim desc, cid asc (cand is cid-ascending positions)
         sel = cand[np.lexsort((cand, -sims))[: min(n_probe, len(cand))]]
         probe_buckets.append(np.array(sorted(int(c) for c in sel), np.int64))
+    return probe_buckets
+
+
+def _ivf_bucket_fn(cb: dict):
+    """Row -> assigned centroid position (-1 for empty cells), broadcast
+    once via ray.put; identical math to the persisted assignment pass."""
+    import ray
+
+    cref = ray.put((cb["cents"], cb["supers"], cb["members"]))
+    ap = cb["ap"]
 
     def bucket_fn(mat_n: np.ndarray) -> np.ndarray:
         c, sup, mem = ray.get(cref)
@@ -332,4 +385,4 @@ def ann_ivf(
             out[rows] = cand[np.argmax(sims, axis=1)]  # first-max -> cid asc
         return out
 
-    return _probe_topk(ds, bucket_fn, qids, qmat_n, probe_buckets, top_k)
+    return bucket_fn

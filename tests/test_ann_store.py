@@ -1,0 +1,72 @@
+"""Persisted ANN artifact (round-4 verdict item 5): build-once /
+query-many serving that is bit-identical to the inline ann_lsh/ann_ivf
+paths, with a fingerprinted resume that skips the build entirely."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def ann_root(tmp_path, monkeypatch):
+    root = str(tmp_path / "ann_ckpt")
+    monkeypatch.setenv("IIB_ANN_CKPT_DIR", root)
+    return root
+
+
+def _df(ds):
+    return (
+        ds.to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("kind", ["lsh", "ivf"])
+def test_served_identical_to_inline(ray_session, ann_root, kind):
+    from invertedindexbuilder_ray.pipelines import ann_store, similarity
+
+    inline = similarity.ann_lsh if kind == "lsh" else similarity.ann_ivf
+    a = _df(inline(SF))
+    b = _df(ann_store.ann_serve(SF, kind=kind))
+    assert len(a) > 0
+    assert a.equals(b)
+    # artifact layout: marker + bucket-sharded assignment parquet
+    dirs = os.listdir(ann_root)
+    assert len(dirs) == 1
+    d = os.path.join(ann_root, dirs[0])
+    assert os.path.exists(os.path.join(d, "_SUCCESS"))
+    assert any(f.startswith("bshard=") for f in os.listdir(os.path.join(d, "assign")))
+
+
+def test_build_once_query_twice_skips_build(ray_session, ann_root, monkeypatch):
+    from invertedindexbuilder_ray.pipelines import ann_store
+
+    first = _df(ann_store.ann_serve(SF, kind="ivf"))
+
+    # second query must reuse the artifact: ban the quantizer derivation
+    def banned(*a, **k):  # pragma: no cover
+        raise AssertionError("codebook was re-derived on a warm artifact")
+
+    monkeypatch.setattr(ann_store, "_ivf_codebook", banned)
+    second = _df(ann_store.ann_serve(SF, kind="ivf"))
+    assert first.equals(second)
+
+
+def test_stale_fingerprint_rebuilds(ray_session, ann_root, tmp_path):
+    """A changed input (different fingerprint) must not satisfy the old
+    artifact key — build keys on content stat, not just path."""
+    import shutil
+
+    from invertedindexbuilder_ray.pipelines import ann_store
+
+    # copy the sf dir so we can touch the embeddings file
+    d2 = tmp_path / "sfcopy"
+    d2.mkdir()
+    shutil.copy(os.path.join(SF, "embeddings.parquet"), d2 / "embeddings.parquet")
+    p1 = ann_store.ann_build(str(d2), kind="lsh")
+    os.utime(d2 / "embeddings.parquet", (0, 0))  # new mtime => new fingerprint
+    p2 = ann_store.ann_build(str(d2), kind="lsh")
+    assert p1 != p2
