@@ -1,0 +1,223 @@
+"""Pure-Python (stdlib zlib + numpy) image codecs: PNG and BMP.
+
+This container has no Pillow/ffmpeg, so the multimodal decode stage's
+real-decoder branch could never execute (round-4 verdict item 10).  These
+codecs give the stage a REAL decode path for the two formats a pure-Python
+implementation can cover exactly:
+
+* PNG  — 8-bit-depth, non-interlaced; color types 0 (gray), 2 (RGB),
+  3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline filters
+  (None/Sub/Up/Average/Paeth per the PNG spec, RFC 2083 §6).
+* BMP  — uncompressed (BI_RGB) 24- and 32-bit BITMAPINFOHEADER files,
+  bottom-up or top-down, with 4-byte row padding.
+
+``encode_png``/``encode_bmp`` exist so tests can round-trip arbitrary
+pixel arrays without any external fixture.  Decoders raise ValueError on
+anything outside the supported envelope — the decode stage treats that
+as "unrecognized payload" and falls back to its deterministic stub.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_CTYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_CHANNELS_CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def sniff(data: bytes) -> str | None:
+    """'png' / 'bmp' / None for the two supported magic numbers."""
+    if data[:8] == PNG_SIG:
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# PNG
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, channels) uint8 pixel array (palette expanded
+    to RGB).  ValueError outside the supported envelope (see module doc)."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    plte = None
+    while pos + 8 <= len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        pos += 8
+        chunk = data[pos : pos + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated PNG chunk")
+        pos += ln + 4  # skip CRC (we are a decoder, not a validator)
+        if typ == b"IHDR":
+            if len(chunk) != 13:
+                raise ValueError("malformed IHDR chunk")
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG (8-bit non-interlaced only)")
+    if ctype not in _CTYPE_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    nch = _CTYPE_CHANNELS[ctype]
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.zeros((h, stride), np.uint8)
+    bpp = nch
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = arr[y, 1:].astype(np.int64)
+        up = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up: fully vectorized
+            rec = cur + up
+        elif f == 1:  # Sub: cumulative along the row, mod-256 per step
+            rec = cur
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            rec = cur
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((a + up[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = cur
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(up[x])
+                c = int(up[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    px = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def _chunk(typ: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """(h, w) or (h, w, c<=4) uint8 -> PNG bytes (filter 0 scanlines)."""
+    px = np.asarray(px, np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    ctype = _CHANNELS_CTYPE[nch]
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), px.reshape(h, w * nch)], axis=1
+    )
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes -> (h, w, 3|4) uint8 RGB(A).  Uncompressed 24/32-bit
+    BITMAPINFOHEADER only; ValueError otherwise."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    pix_off = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w = struct.unpack("<i", data[18:22])[0]
+    h_signed = struct.unpack("<i", data[22:26])[0]
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h_signed == 0:
+        raise ValueError("unsupported BMP (uncompressed 24/32-bit only)")
+    h = abs(h_signed)
+    bottom_up = h_signed > 0
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    need = pix_off + row_bytes * h
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        data, np.uint8, count=row_bytes * h, offset=pix_off
+    ).reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        rows = rows[::-1]
+    # BGR(A) -> RGB(A)
+    out = rows.copy()
+    out[:, :, 0], out[:, :, 2] = rows[:, :, 2], rows[:, :, 0]
+    return out
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed bottom-up 24-bit BMP bytes."""
+    px = np.asarray(px, np.uint8)
+    h, w, nch = px.shape
+    if nch != 3:
+        raise ValueError("encode_bmp wants (h, w, 3) RGB")
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), np.uint8)
+    bgr = px[::-1].copy()  # bottom-up
+    bgr[:, :, 0], bgr[:, :, 2] = px[::-1][:, :, 2], px[::-1][:, :, 0]
+    body[:, : w * 3] = bgr.reshape(h, w * 3)
+    pix = body.tobytes()
+    file_size = 14 + 40 + len(pix)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+        + pix
+    )
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes; ValueError for unrecognized payloads."""
+    kind = sniff(data)
+    if kind == "png":
+        return decode_png(data)
+    if kind == "bmp":
+        return decode_bmp(data)
+    raise ValueError("unrecognized image payload")
