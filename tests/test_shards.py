@@ -266,7 +266,12 @@ def test_sharded_respects_per_shard_tombstones(sharded_setup, tmp_path):
         offsets.append(off)
         off += IndexManifest.load(d).max_doc_id
     # per-shard LOCAL tombstones: every 5th doc of shard 0, 7th of shard 1
-    local_dead = {0: list(range(0, 400, 5)), 1: list(range(0, 300, 7))}
+    # (bounded by each shard's max_doc_id — mark_deleted rejects ids
+    # outside the shard's own [0, max_doc_id) domain since round 5)
+    local_dead = {
+        0: list(range(0, min(400, IndexManifest.load(copies[0]).max_doc_id), 5)),
+        1: list(range(0, min(300, IndexManifest.load(copies[1]).max_doc_id), 7)),
+    }
     dead_global = set()
     for si, ids in local_dead.items():
         mark_deleted(copies[si], ids)
