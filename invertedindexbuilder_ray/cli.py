@@ -134,6 +134,30 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Rolling ingest (pipelines/ingest.py): delta-vs-corpus near-dedup
+    through the durable signature checkpoint, extend_index with the
+    survivors, roll the checkpoint forward; prints the JSON report
+    (carry its corpus_fingerprint into the next chained ingest)."""
+    _init_ray(args.num_cpus)
+    from .pipelines.ingest import ingest_delta
+    from .sources.documents import load_documents
+
+    rep = ingest_delta(
+        args.index,
+        args.corpus,
+        load_documents(args.delta),
+        args.out,
+        threshold=args.threshold,
+        dedup=not args.no_dedup,
+        resume=not args.no_resume,
+        corpus_fingerprint=args.fingerprint,
+    )
+    man = rep.pop("manifest")
+    print(json.dumps({"n_docs": man.n_docs, **rep}))
+    return 0
+
+
 def cmd_run(args) -> int:
     """Run any catalog pipeline over an sf-style table dir; write parquet
     or print.  `--list` enumerates the available pipelines."""
@@ -266,6 +290,28 @@ def main(argv: list[str] | None = None) -> int:
     up.add_argument("--out", required=True)
     up.add_argument("--no-resume", action="store_true")
     up.set_defaults(fn=cmd_update)
+
+    ig = sub.add_parser(
+        "ingest",
+        help="rolling ingest: near-dedup the delta against the corpus "
+        "(durable signature checkpoint — the corpus is never re-sketched), "
+        "extend the index with the survivors, roll the checkpoint forward",
+    )
+    ig.add_argument("--index", required=True)
+    ig.add_argument("--corpus", required=True,
+                    help="dir with the EXISTING corpus documents.parquet")
+    ig.add_argument("--delta", required=True,
+                    help="dir with a documents.parquet of NEW docs "
+                    "(globally-unique ids after the corpus range)")
+    ig.add_argument("--out", required=True)
+    ig.add_argument("--threshold", type=float, default=0.5)
+    ig.add_argument("--no-dedup", action="store_true",
+                    help="skip the dedup pass (plain extend_index)")
+    ig.add_argument("--fingerprint", default="",
+                    help="corpus_fingerprint from a previous ingest report "
+                    "(chained ingest against the rolled checkpoint)")
+    ig.add_argument("--no-resume", action="store_true")
+    ig.set_defaults(fn=cmd_ingest)
 
     dl = sub.add_parser(
         "delete",
