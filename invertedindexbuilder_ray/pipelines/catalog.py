@@ -14,6 +14,7 @@ against an independent implementation, not just the Python oracle.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 
 import numpy as np
@@ -384,7 +385,7 @@ SQL_TOP_TERMS = (
 )
 
 
-def _bm25_all(sf_dir: str, conjunctive: bool):
+def _bm25_all(sf_dir: str, conjunctive: bool, *, index_dir: str | None = None):
     """Score ALL matching docs through the real index + the DISTRIBUTED
     query path: the query rides a Dataset into the ``BatchQueryEngine``
     actor pool (reader loads in the actor, not the driver), so the
@@ -393,11 +394,12 @@ def _bm25_all(sf_dir: str, conjunctive: bool):
 
     Returns every match (no top-k) so the comparison is tie-proof; top-k
     semantics are pytest-verified against the oracle separately.
+    ``index_dir`` overrides the shared cached index (ingested variant).
     """
     from ..state.manifest import IndexManifest
     from .query import CONJUNCTIVE, DISJUNCTIVE, BatchQueryEngine
 
-    idx = index_for(sf_dir)
+    idx = index_dir or index_for(sf_dir)
     k = IndexManifest.load(idx).max_doc_id + 1
     queries = pa.table(
         {
@@ -565,6 +567,134 @@ def q_bm25_tombstoned(sf_dir: str):
             ),
             batch_format="pyarrow",
         )
+    )
+
+
+# --- driver-checked rolling ingest (pipelines/ingest.py) ----------------
+# A deterministic delta per sf dir: for every doc_id % INGEST_EVERY == 0,
+# one verbatim CLONE (near-dup against its source, est_jaccard = 1.0 —
+# dropped by the dedup pass) and one NOVEL doc whose tokens are id-salted
+# so no 3-shingle is shared between any two novel docs (jaccard 0 — always
+# kept) but which contains all three BM25 query terms (so the additions
+# are visible to the query oracle).  The SQL replicates exactly the
+# EXPECTED outcome — corpus + novel docs, no clones; the engine leg runs
+# the real ingest_delta (sketch, banding, drop, extend_index, checkpoint
+# roll) and RAISES if the drop set deviates from that expectation, so a
+# dedup regression surfaces as a loud error, not a silent hash mismatch.
+INGEST_EVERY = 50
+INGEST_CLONE_OFF = 1_000_000
+
+
+def _novel_id_sql(n_expr: str = "(SELECT count(*) FROM documents)") -> str:
+    return f"{n_expr} + doc_id // {INGEST_EVERY}"
+
+
+def _ingested_index_for(sf_dir: str) -> str:
+    """Cached ingest output per sf dir: base index + the deterministic
+    delta through the REAL ingest_delta path (validated drop set)."""
+    import shutil
+
+    from ..state import manifest as mf
+    from ..state.manifest import IndexManifest
+    from .ingest import ingest_delta
+
+    base = index_for(sf_dir)
+    out = base + "-ingested"
+    fp = IndexManifest.load(base).input_fingerprint
+    src_marker = os.path.join(out, "_INGEST_SRC")
+    try:
+        with open(src_marker) as f:
+            fresh = json.load(f).get("base_fp") == fp
+    except (OSError, ValueError):
+        fresh = False
+    if fresh:
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + ".delta", ignore_errors=True)
+
+    base_n = IndexManifest.load(base).max_doc_id
+
+    def mk_delta(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = t.filter(pa.array(ids % INGEST_EVERY == 0))
+        sid = sel["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        novel_txt = [
+            f"d{i}a d{i}b d{i}c data d{i}d merge d{i}e join d{i}f"
+            for i in sid
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [sid + INGEST_CLONE_OFF, base_n + sid // INGEST_EVERY]
+                    ),
+                    pa.int64(),
+                ),
+                "url": pa.array(
+                    [f"doc:{i + INGEST_CLONE_OFF}" for i in sid]
+                    + [f"doc:{base_n + i // INGEST_EVERY}" for i in sid],
+                    pa.string(),
+                ),
+                "text": pa.concat_arrays(
+                    [
+                        sel["text"].combine_chunks(),
+                        pa.array(novel_txt, pa.string()),
+                    ]
+                ),
+                "dl": pa.array(
+                    np.concatenate(
+                        [
+                            sel["dl"].to_numpy(zero_copy_only=False),
+                            np.array([len(s) for s in novel_txt], np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    delta = load_documents(sf_dir).map_batches(mk_delta, batch_format="pyarrow")
+    rep = ingest_delta(base, sf_dir, delta, out)
+    dropped = rep["dropped_ids"]
+    n_clones = rep["n_delta"] // 2
+    if len(dropped) != n_clones or any(d < INGEST_CLONE_OFF for d in dropped):
+        raise ValueError(
+            "ingest entry invariant broken: expected exactly the "
+            f"{n_clones} clones dropped, got {dropped[:10]}... "
+            "(dedup behavior changed — fix before trusting the SQL oracle)"
+        )
+    mf.atomic_write_json(src_marker, {"base_fp": fp})
+    return out
+
+
+def q_bm25_after_ingest(sf_dir: str):
+    """Disjunctive BM25 over the index produced by the FULL rolling-ingest
+    pipeline (delta dedup via the signature checkpoint -> drop clones ->
+    extend_index with the novel docs): scores must equal a from-scratch
+    BM25 over corpus + novel docs — the merge contract and the drop set,
+    both driver-hash-checked in one entry."""
+    return _bm25_all(sf_dir, conjunctive=False, index_dir=_ingested_index_for(sf_dir))
+
+
+def _sql_bm25_after_ingest() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    novel_text = (
+        "'d'||doc_id||'a d'||doc_id||'b d'||doc_id||'c data "
+        "d'||doc_id||'d merge d'||doc_id||'e join d'||doc_id||'f'"
+    )
+    aug = f"""corpus_plus_ingest AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT {_novel_id_sql()} AS doc_id, {novel_text} AS text
+    FROM documents WHERE doc_id % {INGEST_EVERY} = 0
+), """
+    return (
+        "WITH "
+        + aug
+        + _SQL_BM25_BASE.replace("FROM documents", "FROM corpus_plus_ingest").format(
+            terms=terms
+        )
+        + "SELECT doc_id, round(raw_score, 6) AS score FROM scores WHERE nmatched >= 1"
     )
 
 
@@ -2151,6 +2281,7 @@ QUERIES = {
     "bm25_all_or": (q_bm25_or, _sql_bm25(False)),
     "bm25_and_not": (q_bm25_and_not, _sql_bm25_and_not()),
     "bm25_tombstoned": (q_bm25_tombstoned, _sql_bm25_tombstoned()),
+    "bm25_after_ingest": (q_bm25_after_ingest, _sql_bm25_after_ingest()),
     "facet_counts": (q_facet_counts, _sql_facet_counts()),
     "search_after": (q_search_after, _sql_search_after()),
     "score_explain": (q_score_explain, _sql_score_explain()),
