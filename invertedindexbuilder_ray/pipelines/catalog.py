@@ -1862,6 +1862,49 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_embedding_neardup_delta(sf_dir: str):
+    """Incremental embedding near-dup (dedup.embedding_pairs_delta): the
+    SRP-banded delta path over a clone-every-100th delta — pairs CREATED
+    by the delta only (corpus-vs-corpus dropped in-worker via the
+    band-carry flag), exact at the high threshold by the SRP recall
+    guarantee.  The embedding twin of dedup_minhash_delta."""
+    from .dedup import embedding_pairs_delta
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = read_parquet_sized(path, columns=["vec_id", "embedding"])
+
+    def mk_delta(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        d = b.filter(pa.array(ids % EMB_AUG_EVERY == 0))
+        return d.set_column(
+            d.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(d["vec_id"], EMB_AUG_OFFSET),
+        )
+
+    delta = ds.map_batches(mk_delta, batch_format="pyarrow")
+    return embedding_pairs_delta(
+        sf_dir, delta, threshold=EMB_NEARDUP_HI_THRESHOLD
+    )
+
+
+SQL_EMBEDDING_NEARDUP_DELTA = f"""
+WITH aug AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {EMB_AUG_OFFSET} AS vec_id, embedding
+    FROM embeddings WHERE vec_id % {EMB_AUG_EVERY} = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {EMB_NEARDUP_HI_THRESHOLD}
+  AND b.vec_id >= {EMB_AUG_OFFSET}
+"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Connected components over the EXACT n-gram-Jaccard near-dup pairs —
     SQL-checkable end to end (the pair set is deterministic and the
@@ -2300,6 +2343,7 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_srp": (q_embedding_neardup_srp, SQL_EMBEDDING_NEARDUP_SRP),
+    "embedding_neardup_delta": (q_embedding_neardup_delta, SQL_EMBEDDING_NEARDUP_DELTA),
     "ann_lsh": (q_ann_lsh, _sql_ann_lsh()),
     "ann_lsh_served": (q_ann_lsh_served, _sql_ann_lsh()),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),

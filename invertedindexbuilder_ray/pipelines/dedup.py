@@ -1352,6 +1352,62 @@ def _emb_lsh_params(threshold: float, n: int) -> tuple[int, int] | None:
     return None
 
 
+class _SrpKeys:
+    """Actor-pool stage: embeddings -> SRP band-key rows (bkey, shard,
+    doc_id).  ``carry`` forwards an extra int64 column (delta flag)
+    through the explode."""
+
+    def __init__(self, w: int, r: int, carry: str | None = None) -> None:
+        self.w, self.r, self.carry = w, r, carry
+        self._H: dict[int, np.ndarray] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w, r = self.w, self.r
+        if batch.num_rows == 0:
+            cols = {
+                "bkey": pa.array([], pa.int64()),
+                "shard": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+            if self.carry is not None:
+                cols[self.carry] = pa.array([], pa.int64())
+            return pa.table(cols)
+        from .similarity import _emb_matrix
+
+        mat = _emb_matrix(batch)
+        d = mat.shape[1]
+        H = self._H.get(d)
+        if H is None:
+            H = np.random.RandomState(EMB_LSH_SEED).standard_normal((d, w * r))
+            self._H[d] = H
+        bits = (mat @ H) >= 0
+        weights = np.uint64(1) << np.arange(w, dtype=np.uint64)
+        keys = (bits.reshape(len(mat), r, w) * weights).sum(
+            axis=2, dtype=np.uint64
+        )
+        band = np.arange(r, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            x = keys * np.uint64(0x9E3779B97F4A7C15) + band[None, :] * np.uint64(
+                0xD1B54A32D192ED03
+            )
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+        hk = x.ravel()
+        ids = np.repeat(
+            batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64), r
+        )
+        cols = {
+            "bkey": pa.array(hk.view(np.int64), pa.int64()),
+            "shard": pa.array((hk % np.uint64(N_SHARDS)).astype(np.int64)),
+            "doc_id": pa.array(ids, pa.int64()),
+        }
+        if self.carry is not None:
+            cv = batch[self.carry].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[self.carry] = pa.array(np.repeat(cv, r), pa.int64())
+        return pa.table(cols)
+
+
 def _embedding_pairs_lsh(
     ds: rd.Dataset, threshold: float, w: int, r: int
 ) -> rd.Dataset:
@@ -1359,57 +1415,11 @@ def _embedding_pairs_lsh(
     verify.  Explode volume is N*r rows of (int64 key, int64 id) — vs the
     grid's N*(N/block_rows) rows carrying full embedding payloads — and
     the verify join touches each embedding once per surviving pair."""
-    from .joins import partitioned_hash_join
-    from .similarity import _emb_matrix
-
-    class _Srp:
-        def __init__(self) -> None:
-            self._H: dict[int, np.ndarray] = {}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table(
-                    {
-                        "bkey": pa.array([], pa.int64()),
-                        "shard": pa.array([], pa.int64()),
-                        "doc_id": pa.array([], pa.int64()),
-                    }
-                )
-            mat = _emb_matrix(batch)
-            d = mat.shape[1]
-            H = self._H.get(d)
-            if H is None:
-                H = np.random.RandomState(EMB_LSH_SEED).standard_normal((d, w * r))
-                self._H[d] = H
-            bits = (mat @ H) >= 0
-            weights = np.uint64(1) << np.arange(w, dtype=np.uint64)
-            keys = (bits.reshape(len(mat), r, w) * weights).sum(
-                axis=2, dtype=np.uint64
-            )
-            band = np.arange(r, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                x = keys * np.uint64(0x9E3779B97F4A7C15) + band[None, :] * np.uint64(
-                    0xD1B54A32D192ED03
-                )
-                x ^= x >> np.uint64(33)
-                x *= np.uint64(0xFF51AFD7ED558CCD)
-                x ^= x >> np.uint64(33)
-            hk = x.ravel()
-            ids = np.repeat(
-                batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64), r
-            )
-            return pa.table(
-                {
-                    "bkey": pa.array(hk.view(np.int64), pa.int64()),
-                    "shard": pa.array((hk % np.uint64(N_SHARDS)).astype(np.int64)),
-                    "doc_id": pa.array(ids, pa.int64()),
-                }
-            )
-
     from ..sources.util import actor_pool
 
     sig = ds.map_batches(
-        _Srp, batch_format="pyarrow", zero_copy_batch=True,
+        _SrpKeys, fn_constructor_kwargs={"w": w, "r": r},
+        batch_format="pyarrow", zero_copy_batch=True,
         concurrency=actor_pool(),
     )
     raw = sig.groupby("shard").map_groups(
@@ -1422,6 +1432,17 @@ def _embedding_pairs_lsh(
         lambda g: g[["doc_a", "doc_b"]].drop_duplicates(),
         empty_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     ).materialize()
+    return _emb_verify_pairs(pairs, ds, threshold)
+
+
+def _emb_verify_pairs(
+    pairs: rd.Dataset, ds: rd.Dataset, threshold: float
+) -> rd.Dataset:
+    """Exact-cosine verification of candidate pairs against the embedding
+    table — hybrid broadcast/partitioned (see the inline comments); shared
+    by the self-join and delta paths."""
+    from .joins import partitioned_hash_join
+    from .similarity import _emb_matrix
 
     def emb_bytes(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1560,6 +1581,85 @@ def _embedding_pairs_lsh(
 
     return j2.map_batches(verify, batch_format="pyarrow").union(
         rd.from_arrow(_EMB_PAIRS_SCHEMA.empty_table())
+    )
+
+
+def embedding_pairs_delta(
+    corpus: str | rd.Dataset,
+    delta: rd.Dataset,
+    *,
+    threshold: float = 0.95,
+) -> rd.Dataset:
+    """Incremental embedding near-dup: exact-at-threshold pairs CREATED by
+    ingesting ``delta`` — delta-vs-corpus + delta-vs-delta, never
+    corpus-vs-corpus (dropped in-worker via the band-carry flag before any
+    shuffle, the minhash_pairs_delta shape).  SRP-banded prefilter only
+    (recall-guaranteed at high thresholds); the corpus pays one linear
+    re-key matmul per call — cheap next to the quadratic-ish candidate +
+    verify work, which scales with the delta.  Raises for thresholds below
+    the SRP regime (use the grid path via a full embedding_dedup_pairs run
+    there).  Requires disjoint vec_ids (the ingest contract)."""
+    from ..sources.util import actor_pool
+
+    if isinstance(corpus, rd.Dataset):
+        ds_c = corpus
+        n_c = ds_c.count()
+    else:
+        import os
+
+        path = (
+            os.path.join(corpus, "embeddings.parquet")
+            if os.path.isdir(corpus)
+            else corpus
+        )
+        ds_c = read_parquet_sized(path, columns=["vec_id", "embedding"])
+        n_c = ds_c.count()  # parquet metadata
+    n = n_c + delta.count()
+    params = _emb_lsh_params(threshold, n)
+    if params is None:
+        raise ValueError(
+            f"embedding_pairs_delta: threshold {threshold} is below the SRP "
+            f"prefilter regime (band budget {EMB_LSH_MAX_BANDS}); run "
+            "embedding_dedup_pairs(method='grid') over the union instead"
+        )
+    w, r = params
+
+    def tag(flag: int):
+        def add(b: pa.Table) -> pa.Table:
+            return b.select(["vec_id", "embedding"]).append_column(
+                "is_delta", pa.array(np.full(b.num_rows, flag, np.int64))
+            )
+
+        return add
+
+    union = ds_c.map_batches(tag(0), batch_format="pyarrow").union(
+        delta.map_batches(tag(1), batch_format="pyarrow")
+    )
+    sig = union.map_batches(
+        _SrpKeys,
+        fn_constructor_kwargs={"w": w, "r": r, "carry": "is_delta"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=actor_pool(),
+    )
+    raw = sig.groupby("shard").map_groups(
+        lambda g: _bucket_pairs(
+            g, key="bkey", max_bucket=None, flag_col="is_delta"
+        ),
+        batch_format="pandas",
+    )
+    pairs = _sharded_groupby(
+        raw,
+        ["doc_a", "doc_b"],
+        lambda g: g[["doc_a", "doc_b"]].drop_duplicates(),
+        empty_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+    ).materialize()
+    return _emb_verify_pairs(
+        pairs,
+        union.map_batches(
+            lambda b: b.select(["vec_id", "embedding"]), batch_format="pyarrow"
+        ),
+        threshold,
     )
 
 

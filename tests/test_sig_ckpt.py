@@ -155,3 +155,54 @@ def test_delta_sketches_only_the_delta(ray_session, ckpt_root, monkeypatch):
     delta = _mk_delta(load_documents(SF), 10_000_000, 20)
     out = dedup.minhash_pairs_delta(SF, delta, threshold=0.5)
     assert out.count() > 0
+
+
+def test_embedding_pairs_delta_matches_full_run(ray_session):
+    """Embedding twin of the minhash delta: SRP-banded delta pairs equal
+    the full-union run filtered to delta-touching pairs (exact at the
+    threshold by the recall guarantee)."""
+    import pyarrow.compute as pc
+
+    from invertedindexbuilder_ray.pipelines import dedup
+    from invertedindexbuilder_ray.sources.util import read_parquet_sized
+
+    OFF = 1_000_000
+    ds = read_parquet_sized(
+        SF + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def mk(b):
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        d = b.filter(pa.array(ids % 20 == 0))
+        return d.set_column(
+            d.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(d["vec_id"], OFF),
+        )
+
+    delta = ds.map_batches(mk, batch_format="pyarrow")
+    got = (
+        dedup.embedding_pairs_delta(SF, delta, threshold=0.92)
+        .to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    full = dedup.embedding_dedup_pairs(
+        ds.union(delta), threshold=0.92, method="lsh"
+    ).to_pandas()
+    want = (
+        full[(full.vec_a >= OFF) | (full.vec_b >= OFF)]
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_embedding_pairs_delta_rejects_low_threshold(ray_session):
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines import dedup
+
+    empty = rd.from_arrow(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))})
+    )
+    with pytest.raises(ValueError, match="SRP"):
+        dedup.embedding_pairs_delta(SF, empty, threshold=0.1)
