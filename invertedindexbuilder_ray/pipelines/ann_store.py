@@ -192,6 +192,94 @@ def _open_codebook(d: str, meta: dict) -> dict:
     }
 
 
+def _artifact_bucket_fn(d: str, meta: dict):
+    """The frozen quantizer's row->bucket function (for extending the
+    artifact with new vectors — FAISS ``add`` semantics: the codebook /
+    planes never change after build)."""
+    if meta["kind"] == "lsh":
+        planes = _planes(meta["dim"], meta["bits"])
+        return lambda mat_n: _bucket_of(mat_n, planes)
+    from .similarity import _ivf_bucket_fn
+
+    return _ivf_bucket_fn(_open_codebook(d, meta))
+
+
+def ann_extend(
+    artifact_dir: str,
+    new_vectors: rd.Dataset,
+) -> dict:
+    """Append ``new_vectors`` (vec_id, embedding) to a persisted ANN
+    artifact under its FROZEN quantizer: one assignment pass with the
+    stored codebook/planes, parquet files appended into the existing
+    bucket shards (write_parquet appends into a directory), marker
+    updated with the new count and a chained fingerprint.  Queries served
+    afterwards see old + new vectors; the quantizer is never re-derived
+    (the standard IVF "add" contract — rebuild via ann_build when list
+    skew warrants it).  Requires vec_ids disjoint from the artifact's."""
+    with open(os.path.join(artifact_dir, "meta.json")) as f:
+        meta = json.load(f)
+    bucket_fn = _artifact_bucket_fn(artifact_dir, meta)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": batch["embedding"],
+                    "bucket": pa.array([], pa.int64()),
+                    "bshard": pa.array([], pa.int64()),
+                }
+            )
+        mat_n = _emb_matrix(batch)
+        b = bucket_fn(mat_n)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "embedding": batch["embedding"],
+                "bucket": pa.array(b, pa.int64()),
+                "bshard": pa.array(b % ANN_BUCKET_SHARDS, pa.int64()),
+            }
+        )
+
+    n_new = new_vectors.count()
+    new_vectors.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(artifact_dir, "assign"), partition_cols=["bshard"]
+    )
+    with open(mf.marker_path(artifact_dir)) as f:
+        marker = json.load(f)
+    meta["n"] = int(meta["n"]) + int(n_new)
+    marker["n"] = meta["n"]
+    marker["fingerprint"] = f"{marker.get('fingerprint', '')}+extend:{n_new}"
+    mf.atomic_write_json(os.path.join(artifact_dir, "meta.json"), meta)
+    mf.atomic_write_json(mf.marker_path(artifact_dir), marker)
+    return {"artifact": artifact_dir, "n_added": int(n_new), "n_total": meta["n"]}
+
+
+def ann_query_artifact(
+    artifact_dir: str,
+    qids: np.ndarray,
+    qmat_n: np.ndarray,
+    *,
+    top_k: int = 10,
+    n_probe: int = 4,
+    probe_radius: int = 2,
+) -> rd.Dataset:
+    """Answer normalized query vectors against a persisted (possibly
+    extended) artifact — probe sets from the stored quantizer, buckets
+    from the stored column, partition-pruned scan."""
+    with open(os.path.join(artifact_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if meta["kind"] == "lsh":
+        planes = _planes(meta["dim"], meta["bits"])
+        probe_buckets = _lsh_probe_sets(
+            _bucket_of(qmat_n, planes), meta["bits"], probe_radius
+        )
+    else:
+        cb = _open_codebook(artifact_dir, meta)
+        probe_buckets = _ivf_query_probes(cb, qmat_n, n_probe)
+    return _scan_and_score(artifact_dir, qids, qmat_n, probe_buckets, top_k)
+
+
 def ann_serve(
     sf_dir: str,
     *,
@@ -218,6 +306,16 @@ def ann_serve(
     else:
         cb = _open_codebook(d, meta)
         probe_buckets = _ivf_query_probes(cb, qmat_n, n_probe)
+    return _scan_and_score(d, qids, qmat_n, probe_buckets, top_k)
+
+
+def _scan_and_score(
+    d: str,
+    qids: np.ndarray,
+    qmat_n: np.ndarray,
+    probe_buckets: list,
+    top_k: int,
+) -> rd.Dataset:
 
     # partition pruning: only read the bucket shards some query probes
     shards = sorted(

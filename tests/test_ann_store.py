@@ -70,3 +70,57 @@ def test_stale_fingerprint_rebuilds(ray_session, ann_root, tmp_path):
     os.utime(d2 / "embeddings.parquet", (0, 0))  # new mtime => new fingerprint
     p2 = ann_store.ann_build(str(d2), kind="lsh")
     assert p1 != p2
+
+
+def test_ann_extend_frozen_quantizer(ray_session, ann_root):
+    """FAISS-add semantics: extend appends vectors under the frozen
+    quantizer; served results equal the inline probe over the union with
+    the SAME codebook (never a rebuilt one)."""
+    import pyarrow as pa
+
+    from invertedindexbuilder_ray.pipelines import ann_store, similarity
+
+    d = ann_store.ann_build(SF, kind="ivf")
+    import json as _json
+    import os as _os
+
+    meta = _json.load(open(_os.path.join(d, "meta.json")))
+    n0 = meta["n"]
+
+    # delta: clones of every 10th vector at +OFF ids
+    OFF = 1_000_000
+    src = similarity._embeddings(SF)
+    import pyarrow.compute as pc
+
+    def mk(b):
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        sel = b.filter(pa.array(ids % 10 == 0))
+        return sel.set_column(
+            sel.schema.get_field_index("vec_id"), "vec_id",
+            pc.add(sel["vec_id"], OFF),
+        )
+
+    delta = src.map_batches(mk, batch_format="pyarrow")
+    rep = ann_store.ann_extend(d, delta)
+    assert rep["n_added"] > 0 and rep["n_total"] == n0 + rep["n_added"]
+
+    qids, qmat_n = similarity._load_queries(src, 5)
+    got = (
+        ann_store.ann_query_artifact(d, qids, qmat_n, top_k=10)
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    # expectation: inline probe over the UNION with the artifact's frozen
+    # codebook (derived from the original corpus only)
+    cb = ann_store._open_codebook(d, meta)
+    probe = similarity._ivf_query_probes(cb, qmat_n, 4)
+    union = src.union(delta)
+    want = (
+        similarity._probe_topk(
+            union, similarity._ivf_bucket_fn(cb), qids, qmat_n, probe, 10
+        )
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got.equals(want)
+    # clones of the query vectors now dominate the neighbor lists
+    assert (got["vec_id"] >= OFF).any()
