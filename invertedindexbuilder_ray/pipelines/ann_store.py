@@ -255,6 +255,30 @@ def ann_extend(
     return {"artifact": artifact_dir, "n_added": int(n_new), "n_total": meta["n"]}
 
 
+def ann_mark_deleted(artifact_dir: str, vec_ids) -> int:
+    """Query-time tombstones for the ANN artifact — the live-docs contract
+    the index tier uses (merge.mark_deleted): ``vec_ids`` are recorded in
+    ``tombstones.bin`` (sorted int64, unioned, atomic write) and every
+    subsequent query excludes them; the stored assignments and quantizer
+    are untouched (no rewrite).  Compaction = rebuild via ``ann_build``
+    over the filtered corpus.  Returns the total tombstone count."""
+    new = np.unique(np.asarray(sorted({int(v) for v in vec_ids}), np.int64))
+    if len(new) and int(new[0]) < 0:
+        raise ValueError(f"ann_mark_deleted: negative vec_id {int(new[0])}")
+    path = os.path.join(artifact_dir, "tombstones.bin")
+    if os.path.exists(path):
+        new = np.union1d(new, np.fromfile(path, dtype=np.int64))
+    mf.atomic_write_bytes(path, new.astype(np.int64).tobytes())
+    return int(len(new))
+
+
+def _load_tombstones(artifact_dir: str) -> np.ndarray:
+    path = os.path.join(artifact_dir, "tombstones.bin")
+    if os.path.exists(path):
+        return np.fromfile(path, dtype=np.int64)
+    return np.empty(0, np.int64)
+
+
 def ann_query_artifact(
     artifact_dir: str,
     qids: np.ndarray,
@@ -341,6 +365,22 @@ def _scan_and_score(
         )
         return rd.from_arrow(empty.empty_table())
     assign_ds = rd.read_parquet(paths, columns=["vec_id", "embedding", "bucket"])
+    tombs = _load_tombstones(d)
+    if len(tombs):
+        import ray
+
+        tref = ray.put(tombs)  # sorted; broadcast once
+
+        def drop_dead(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            dead = ray.get(tref)
+            ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(dead, ids)
+            hit = (pos < len(dead)) & (dead[np.minimum(pos, len(dead) - 1)] == ids)
+            return b.filter(pa.array(~hit))
+
+        assign_ds = assign_ds.map_batches(drop_dead, batch_format="pyarrow")
     return _probe_topk(
         assign_ds, None, qids, qmat_n, probe_buckets, top_k, bucket_col="bucket"
     )

@@ -124,3 +124,35 @@ def test_ann_extend_frozen_quantizer(ray_session, ann_root):
     assert got.equals(want)
     # clones of the query vectors now dominate the neighbor lists
     assert (got["vec_id"] >= OFF).any()
+
+
+def test_ann_tombstones_exclude_at_query_time(ray_session, ann_root):
+    """ann_mark_deleted: marked vectors never surface; assignments and
+    quantizer untouched (live-docs contract, no rewrite)."""
+    import numpy as np
+
+    from invertedindexbuilder_ray.pipelines import ann_store, similarity
+
+    d = ann_store.ann_build(SF, kind="lsh")
+    src = similarity._embeddings(SF)
+    qids, qmat_n = similarity._load_queries(src, 3)
+    before = (
+        ann_store.ann_query_artifact(d, qids, qmat_n, top_k=5)
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert len(before) > 0
+    victim = int(before.loc[0, "vec_id"])
+    n1 = ann_store.ann_mark_deleted(d, [victim])
+    n2 = ann_store.ann_mark_deleted(d, [victim, victim + 1])  # union, dedup
+    assert (n1, n2) == (1, 2)
+    after = (
+        ann_store.ann_query_artifact(d, qids, qmat_n, top_k=5)
+        .to_pandas()
+    )
+    assert victim not in set(after["vec_id"])
+    assert (victim + 1) not in set(after["vec_id"])
+    # expectation: same probe over the artifact scan minus the dead ids
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ann_store.ann_mark_deleted(d, [-5])
