@@ -13,8 +13,10 @@ implementation can cover exactly:
 
 ``encode_png``/``encode_bmp`` exist so tests can round-trip arbitrary
 pixel arrays without any external fixture.  Decoders raise ValueError on
-anything outside the supported envelope — the decode stage treats that
-as "unrecognized payload" and falls back to its deterministic stub.
+anything outside the supported envelope; the decode stage maps that to
+the (0, 0, 0) undecodable sentinel for payloads whose magic ``sniff``-ed
+as an image (same as the Pillow branch), and only un-sniffed payloads
+take the deterministic hash stub.
 """
 
 from __future__ import annotations
@@ -30,11 +32,21 @@ _CTYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _CHANNELS_CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}
 
 
+_BMP_HEADER_SIZES = (12, 40, 52, 56, 64, 108, 124)
+
+
 def sniff(data: bytes) -> str | None:
-    """'png' / 'bmp' / None for the two supported magic numbers."""
+    """'png' / 'bmp' / None.  The 2-byte BMP magic alone would reclassify
+    arbitrary payloads starting with 'BM' (e.g. text), so BMP detection
+    also requires a plausible DIB header size at offset 14 — payloads
+    failing that stay on the caller's stub path."""
     if data[:8] == PNG_SIG:
         return "png"
-    if data[:2] == b"BM":
+    if (
+        data[:2] == b"BM"
+        and len(data) >= 18
+        and int.from_bytes(data[14:18], "little") in _BMP_HEADER_SIZES
+    ):
         return "bmp"
     return None
 
@@ -124,7 +136,12 @@ def decode_png(data: bytes) -> np.ndarray:
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        px = plte[px[:, :, 0]]
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            # keep the contractual ValueError (a bare fancy-index would
+            # raise IndexError, which callers' fallbacks don't catch)
+            raise ValueError("palette index exceeds PLTE size")
+        px = plte[idx]
     return px
 
 

@@ -85,8 +85,15 @@ def ann_build(
     n_centroids: int | None = None,
     bits: int | None = None,
     ckpt_root: str | None = None,
+    rebuild: bool = False,
 ) -> str:
-    """Build (or reuse) the persisted ANN artifact; returns its dir."""
+    """Build (or reuse) the persisted ANN artifact; returns its dir.
+
+    An artifact whose fingerprint was legitimately ADVANCED by
+    ``ann_extend`` (``<fp>+extend:...``) is never silently destroyed:
+    serving it requires ``ann_query_artifact``; rebuilding over the raw
+    source (discarding extensions and tombstones) requires an explicit
+    ``rebuild=True``."""
     if kind not in ("ivf", "lsh"):
         raise ValueError(f"unknown ANN kind {kind!r}")
     fp = _fingerprint_embeddings(sf_dir)
@@ -100,8 +107,16 @@ def ann_build(
                 meta = json.load(f)
         except (OSError, ValueError):
             meta = {}
-        if meta.get("fingerprint") == fp:
+        marker_fp = str(meta.get("fingerprint", ""))
+        if marker_fp == fp:
             return d
+        if marker_fp.startswith(f"{fp}+extend:") and not rebuild:
+            raise RuntimeError(
+                f"ANN artifact at {d} has been extended beyond the raw "
+                "source (ann_extend); serve it via ann_query_artifact, or "
+                "pass rebuild=True to DISCARD the extension and tombstones "
+                "and rebuild from the source"
+            )
     if os.path.isdir(d):
         shutil.rmtree(d)
 
@@ -242,11 +257,16 @@ def ann_extend(
         )
 
     n_new = new_vectors.count()
+    with open(mf.marker_path(artifact_dir)) as f:
+        marker = json.load(f)
+    # invalidate the completion marker for the duration of the mutation: a
+    # crash mid-append must leave an INCOMPLETE artifact (rebuilt on next
+    # ann_build), never a complete-looking one whose fingerprint still
+    # claims bit-identity with the pre-extend build
+    os.remove(mf.marker_path(artifact_dir))
     new_vectors.map_batches(assign, batch_format="pyarrow").write_parquet(
         os.path.join(artifact_dir, "assign"), partition_cols=["bshard"]
     )
-    with open(mf.marker_path(artifact_dir)) as f:
-        marker = json.load(f)
     meta["n"] = int(meta["n"]) + int(n_new)
     marker["n"] = meta["n"]
     marker["fingerprint"] = f"{marker.get('fingerprint', '')}+extend:{n_new}"
@@ -291,6 +311,11 @@ def ann_query_artifact(
     """Answer normalized query vectors against a persisted (possibly
     extended) artifact — probe sets from the stored quantizer, buckets
     from the stored column, partition-pruned scan."""
+    if not mf.is_complete(artifact_dir):
+        raise RuntimeError(
+            f"ANN artifact at {artifact_dir} is incomplete (interrupted "
+            "build or extend); rebuild it with ann_build(..., rebuild=True)"
+        )
     with open(os.path.join(artifact_dir, "meta.json")) as f:
         meta = json.load(f)
     if meta["kind"] == "lsh":

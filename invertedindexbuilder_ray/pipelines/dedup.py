@@ -208,30 +208,35 @@ def minhash_signature_ckpt(
 
     Path sources fingerprint from file stat (cheap); Dataset sources must
     pass ``input_fingerprint`` explicitly (a content pass is the caller's
-    budget decision — see build._fingerprint)."""
-    import hashlib
+    budget decision — see build._fingerprint).
+
+    A path source given an explicit ``input_fingerprint`` that does NOT
+    match the file's own stat fingerprint is a DERIVED label (chained
+    ingest: corpus + prior survivors).  Sketching the raw file could not
+    reproduce that content, so when no complete checkpoint exists under
+    the derived label this RAISES instead of silently building mislabeled
+    signatures (would forget prior survivors forever)."""
     import json
     import os
-    import shutil
 
     from ..state import manifest as mf
 
-    if not input_fingerprint:
-        if isinstance(source, str):
-            from .build import _fingerprint
+    derived = False
+    if isinstance(source, str):
+        from .build import _fingerprint
 
-            input_fingerprint = _fingerprint(_source_parquet_path(source))
-        else:
-            raise ValueError(
-                "minhash_signature_ckpt: Dataset sources need an explicit "
-                "input_fingerprint for a durable, resumable checkpoint "
-                "(path sources fingerprint from file stat automatically)"
-            )
-    root = ckpt_root or _sig_ckpt_root()
-    key = hashlib.md5(
-        f"{input_fingerprint}|num_perm={num_perm}|k={k}".encode()
-    ).hexdigest()[:20]
-    d = os.path.join(root, key)
+        stat_fp = _fingerprint(_source_parquet_path(source))
+        if not input_fingerprint:
+            input_fingerprint = stat_fp
+        elif input_fingerprint != stat_fp:
+            derived = True
+    elif not input_fingerprint:
+        raise ValueError(
+            "minhash_signature_ckpt: Dataset sources need an explicit "
+            "input_fingerprint for a durable, resumable checkpoint "
+            "(path sources fingerprint from file stat automatically)"
+        )
+    d = _sig_ckpt_dir(input_fingerprint, num_perm, k, ckpt_root)
     if mf.is_complete(d):
         try:
             with open(mf.marker_path(d)) as f:
@@ -240,11 +245,68 @@ def minhash_signature_ckpt(
             meta = {}
         if meta.get("fingerprint") == input_fingerprint:
             return d
+    if derived:
+        raise RuntimeError(
+            "minhash_signature_ckpt: no checkpoint exists for the derived "
+            f"fingerprint {input_fingerprint!r} and it cannot be rebuilt "
+            "from the raw source (it labels corpus + prior ingest "
+            "survivors).  Re-run the ingest chain from the plain corpus "
+            "fingerprint, or restore the checkpoint directory."
+        )
+    _write_sig_ckpt(
+        minhash_signature_ds(source, num_perm=num_perm, k=k),
+        input_fingerprint,
+        num_perm=num_perm,
+        k=k,
+        ckpt_root=ckpt_root,
+    )
+    return d
+
+
+def _sig_ckpt_dir(
+    fingerprint: str, num_perm: int, k: int, ckpt_root: str | None
+) -> str:
+    """THE key derivation for signature checkpoints — shared by build and
+    the ingest roll-forward so the two can never silently diverge."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{fingerprint}|num_perm={num_perm}|k={k}".encode()
+    ).hexdigest()[:20]
+    return os.path.join(ckpt_root or _sig_ckpt_root(), key)
+
+
+def _write_sig_ckpt(
+    sigs: rd.Dataset,
+    fingerprint: str,
+    *,
+    num_perm: int,
+    k: int,
+    ckpt_root: str | None,
+) -> str:
+    """Write a (doc_id, sig) dataset as the checkpoint for ``fingerprint``
+    (wipes any stale/interrupted dir first, marks complete after)."""
+    import os
+    import shutil
+
+    from ..state import manifest as mf
+
+    import json
+
+    d = _sig_ckpt_dir(fingerprint, num_perm, k, ckpt_root)
+    if mf.is_complete(d):
+        try:
+            with open(mf.marker_path(d)) as f:
+                if json.load(f).get("fingerprint") == fingerprint:
+                    return d
+        except (OSError, ValueError):
+            pass
     if os.path.isdir(d):  # stale or interrupted write: wipe and rebuild
         shutil.rmtree(d)
-    minhash_signature_ds(source, num_perm=num_perm, k=k).write_parquet(d)
+    sigs.write_parquet(d)
     mf.mark_complete(
-        d, {"fingerprint": input_fingerprint, "num_perm": num_perm, "k": k}
+        d, {"fingerprint": fingerprint, "num_perm": num_perm, "k": k}
     )
     return d
 
@@ -665,6 +727,7 @@ def minhash_pairs_delta(
     threshold: float = 0.5,
     corpus_fingerprint: str = "",
     ckpt_root: str | None = None,
+    delta_sigs: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Incremental dedup: near-dup pairs CREATED by ingesting ``delta``
     into an already-deduped corpus — delta-vs-corpus plus delta-vs-delta,
@@ -691,7 +754,8 @@ def minhash_pairs_delta(
             input_fingerprint=corpus_fingerprint,
         )
     )
-    delta_sigs = minhash_signature_ds(delta, num_perm=num_perm, k=k).materialize()
+    if delta_sigs is None:
+        delta_sigs = minhash_signature_ds(delta, num_perm=num_perm, k=k).materialize()
 
     def tag(flag: int):
         def add(b: pa.Table) -> pa.Table:

@@ -67,18 +67,45 @@ def ingest_delta(
     from ..state.manifest import IndexManifest
 
     base_max = IndexManifest.load(index_dir).max_doc_id
+    # one execution of the delta pipeline for the whole ingest (it feeds
+    # the id check, the sketch, the drop pass AND the index build); an
+    # ingest batch is bounded by contract, and Ray spills if it is not
+    delta_m = delta_ds.materialize()
+    n_delta = delta_m.count()
+
+    # id discipline, checked UNCONDITIONALLY (near-dup or not, dedup or
+    # not): a delta id inside the corpus range would silently merge two
+    # different docs under one id in extend_index (no validation there)
+    if n_delta:
+        min_id = min(
+            int(b["doc_id"].to_numpy(zero_copy_only=False).min())
+            for b in delta_m.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        )
+        if min_id < base_max:
+            raise ValueError(
+                "ingest_delta id discipline violated: delta doc_ids must "
+                f"all be >= the base index's max_doc_id ({base_max}); "
+                f"smallest delta id is {min_id}"
+            )
+
     dropped_ids = np.empty(0, np.int64)
     n_pairs = 0
-    if dedup:
+    delta_sigs = None
+    if dedup and n_delta:
+        delta_sigs = minhash_signature_ds(
+            delta_m, num_perm=num_perm, k=k
+        ).materialize()  # sketched ONCE, reused for the checkpoint roll
         pairs = minhash_pairs_delta(
             corpus_source,
-            delta_ds,
+            delta_m,
             num_perm=num_perm,
             bands=bands,
             k=k,
             threshold=threshold,
             ckpt_root=ckpt_root,
             corpus_fingerprint=corpus_fingerprint,
+            delta_sigs=delta_sigs,
         ).materialize()  # tiny: near-dup pairs only
         n_pairs = pairs.count()
         if n_pairs:
@@ -88,12 +115,12 @@ def ingest_delta(
                 if b.num_rows
             ]
             dropped_ids = np.unique(np.concatenate(parts)).astype(np.int64)
-            if len(dropped_ids) and int(dropped_ids[0]) < base_max:
-                raise ValueError(
-                    "ingest_delta id discipline violated: delta doc_ids "
-                    f"must all be >= the base index's max_doc_id ({base_max}); "
-                    f"a near-dup pair's later side is {int(dropped_ids[0])}"
-                )
+
+    def drop_dead(b: pa.Table, *, dead: np.ndarray) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(dead, ids)
+        hit = (pos < len(dead)) & (dead[np.minimum(pos, len(dead) - 1)] == ids)
+        return b.filter(pa.array(~hit))
 
     if len(dropped_ids):
         import ray
@@ -101,28 +128,30 @@ def ingest_delta(
         dref = ray.put(dropped_ids)  # broadcast once (tiny: near-dups only)
 
         def drop(b: pa.Table) -> pa.Table:
-            dead = ray.get(dref)
-            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(dead, ids)
-            hit = (pos < len(dead)) & (dead[np.minimum(pos, len(dead) - 1)] == ids)
-            return b.filter(pa.array(~hit))
+            return drop_dead(b, dead=ray.get(dref))
 
-        survivors = delta_ds.map_batches(drop, batch_format="pyarrow")
+        survivors = delta_m.map_batches(drop, batch_format="pyarrow")
+        survivor_sigs = (
+            delta_sigs.map_batches(drop, batch_format="pyarrow")
+            if delta_sigs is not None
+            else None
+        )
     else:
-        survivors = delta_ds
+        survivors = delta_m
+        survivor_sigs = delta_sigs
 
     man = extend_index(
         index_dir, survivors, out_dir, offset_doc_ids=False, resume=resume
     )
 
-    n_delta = delta_ds.count()
     next_fp = ""
     if dedup:
         # roll the signature checkpoint forward: corpus ckpt + survivor
-        # signatures -> ckpt keyed by the UPDATED corpus fingerprint
-        # (corpus file + out_dir manifest), so the next delta reuses it
+        # signatures (filtered from the one sketch pass above, never
+        # re-sketched) -> ckpt keyed by the UPDATED corpus fingerprint,
+        # so the next delta reuses it
         next_fp = _extend_sig_ckpt(
-            corpus_source, survivors, out_dir,
+            corpus_source, survivor_sigs, out_dir,
             num_perm=num_perm, k=k, ckpt_root=ckpt_root,
             corpus_fingerprint=corpus_fingerprint,
         )
@@ -138,7 +167,7 @@ def ingest_delta(
 
 def _extend_sig_ckpt(
     corpus_source: str,
-    survivors: rd.Dataset,
+    survivor_sigs: "rd.Dataset | None",
     out_dir: str,
     *,
     num_perm: int,
@@ -146,14 +175,16 @@ def _extend_sig_ckpt(
     ckpt_root: str | None,
     corpus_fingerprint: str = "",
 ) -> str:
-    """Write corpus-ckpt signatures + survivor signatures under a new
-    fingerprint derived from (corpus stat, new index manifest) — sketch
-    compute O(|survivors|); the corpus side is a parquet copy-through.
-    Returns the NEW fingerprint (chain it into the next ingest_delta)."""
+    """Write corpus-ckpt signatures + the (already-sketched) survivor
+    signatures under a new fingerprint derived from (corpus fingerprint,
+    new index manifest).  Key derivation and the write itself go through
+    dedup's shared helpers (_sig_ckpt_dir/_write_sig_ckpt) so build and
+    roll-forward can never silently diverge.  Returns the NEW fingerprint
+    (chain it into the next ingest_delta)."""
     from ..state.manifest import IndexManifest
 
     from .build import _fingerprint
-    from .dedup import _read_sig_ckpt
+    from .dedup import _read_sig_ckpt, _write_sig_ckpt
 
     man = IndexManifest.load(out_dir)
     base_fp = corpus_fingerprint or _fingerprint(_corpus_path(corpus_source))
@@ -162,30 +193,11 @@ def _extend_sig_ckpt(
         corpus_source, num_perm=num_perm, k=k, ckpt_root=ckpt_root,
         input_fingerprint=corpus_fingerprint,
     )
-    merged = _read_sig_ckpt(base_ckpt).union(
-        minhash_signature_ds(survivors, num_perm=num_perm, k=k)
-    )
-
-    import hashlib
-
-    from ..state import manifest as mf
-
-    root = ckpt_root or os.environ.get(
-        "IIB_SIG_CKPT_DIR", f"/tmp/iib_sig_ckpt_{os.getuid()}"
-    )
-    key = hashlib.md5(
-        f"{new_fp}|num_perm={num_perm}|k={k}".encode()
-    ).hexdigest()[:20]
-    d = os.path.join(root, key)
-    if mf.is_complete(d):
-        return new_fp
-    import shutil
-
-    if os.path.isdir(d):
-        shutil.rmtree(d)
-    merged.write_parquet(d)
-    mf.mark_complete(
-        d, {"fingerprint": new_fp, "num_perm": num_perm, "k": k}
+    merged = _read_sig_ckpt(base_ckpt)
+    if survivor_sigs is not None:
+        merged = merged.union(survivor_sigs)
+    _write_sig_ckpt(
+        merged, new_fp, num_perm=num_perm, k=k, ckpt_root=ckpt_root
     )
     return new_fp
 

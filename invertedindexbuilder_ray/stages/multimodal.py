@@ -124,7 +124,7 @@ class DecodeImageStub:
         heights, widths, channels, decoders = [], [], [], []
         for i in range(batch.num_rows):  # buffer slices, no .as_py()
             payload = mv[offsets[i] : offsets[i + 1]]
-            if self._codec.sniff(bytes(payload[:8])) is not None:
+            if self._codec.sniff(bytes(payload[:18])) is not None:
                 try:  # REAL decode: vendored pure-Python PNG/BMP codec
                     px = self._codec.decode(bytes(payload))
                     heights.append(px.shape[0])

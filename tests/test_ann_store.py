@@ -156,3 +156,46 @@ def test_ann_tombstones_exclude_at_query_time(ray_session, ann_root):
 
     with _pt.raises(ValueError):
         ann_store.ann_mark_deleted(d, [-5])
+
+
+def test_ann_build_refuses_to_destroy_extended_artifact(ray_session, ann_root):
+    """ann_build must not silently rmtree an artifact whose fingerprint
+    was advanced by ann_extend (review finding: extension + tombstones
+    were destroyed with no error); rebuild=True is the explicit opt-in."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.pipelines import ann_store, similarity
+
+    d = ann_store.ann_build(SF, kind="lsh")
+    src = similarity._embeddings(SF)
+    one = src.limit(1).to_pandas()
+    delta = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([999_999], pa.int64()),
+                "embedding": pa.array(
+                    [list(one.loc[0, "embedding"])], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    ann_store.ann_extend(d, delta)
+    with pytest.raises(RuntimeError, match="extended"):
+        ann_store.ann_build(SF, kind="lsh")
+    d2 = ann_store.ann_build(SF, kind="lsh", rebuild=True)
+    assert d2 == d
+    assert not os.path.exists(os.path.join(d, "tombstones.bin"))
+
+
+def test_incomplete_artifact_rejected(ray_session, ann_root):
+    """Query against an artifact missing its completion marker (crash mid
+    extend) must raise, never serve half-mutated data."""
+    from invertedindexbuilder_ray.pipelines import ann_store, similarity
+
+    d = ann_store.ann_build(SF, kind="lsh")
+    src = similarity._embeddings(SF)
+    qids, qmat_n = similarity._load_queries(src, 2)
+    os.remove(os.path.join(d, "_SUCCESS"))
+    with pytest.raises(RuntimeError, match="incomplete"):
+        ann_store.ann_query_artifact(d, qids, qmat_n)

@@ -105,7 +105,10 @@ def test_rejects():
     with pytest.raises(ValueError):
         ic.decode_bmp(b"BM" + b"\x00" * 10)
     assert ic.sniff(b"\x89PNG\r\n\x1a\n123") == "png"
-    assert ic.sniff(b"BM123") == "bmp"
+    real_bmp = ic.encode_bmp(np.zeros((2, 2, 3), np.uint8))
+    assert ic.sniff(real_bmp[:18]) == "bmp"
+    # bare 'BM' magic without a plausible DIB header is NOT a BMP
+    assert ic.sniff(b"BM123") is None
     assert ic.sniff(b"RIFF") is None
 
 
@@ -135,3 +138,44 @@ def test_decode_stage_pure_tier(ray_session):
     assert tuple(out.loc[0, ["height", "width", "channels"]]) == (11, 4, 3)
     assert tuple(out.loc[1, ["height", "width", "channels"]]) == (6, 10, 3)
     assert tuple(out.loc[2, ["height", "width", "channels"]]) == (0, 0, 0)
+
+
+def test_palette_index_overflow_is_valueerror():
+    """Corrupt palette PNG (pixel index beyond PLTE) must raise the
+    contractual ValueError, not IndexError (review finding: IndexError
+    escaped the decode stage's fallback)."""
+    pal = np.zeros((2, 3), np.uint8)
+    idx = np.full((3, 3), 200, np.uint8)
+    scan = np.concatenate([np.zeros((3, 1), np.uint8), idx], axis=1)
+    data = (
+        ic.PNG_SIG
+        + ic._chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 3, 0, 0, 0))
+        + ic._chunk(b"PLTE", pal.tobytes())
+        + ic._chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + ic._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette"):
+        ic.decode_png(data)
+
+
+def test_bm_prefixed_text_stays_on_stub_path(ray_session):
+    """'BM'-prefixed non-image payloads must NOT sniff as BMP (review
+    finding: 2-byte magic reclassified arbitrary text onto the sentinel
+    path, breaking the stub tier's stable-pseudo-dims invariant)."""
+    import ray.data as rd
+
+    from invertedindexbuilder_ray.stages.multimodal import decode_images
+
+    payload = b"BMW review: the 3 series remains the benchmark..."
+    assert ic.sniff(payload) is None
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0], pa.int64()),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+    )
+    out = decode_images(ds).to_pandas()
+    assert list(out.decoder) == ["stub"]
+    assert int(out.height[0]) >= 64  # hash dims, not the 0-sentinel

@@ -171,3 +171,19 @@ def test_cli_ingest(ray_session, ckpt_root, tmp_path, capsys):
     assert rep["n_dropped"] == 1 and rep["dropped_ids"] == [1000]
     assert rep["n_docs"] == 501
     assert rep["corpus_fingerprint"]
+
+
+def test_ingest_id_discipline_without_neardup(ray_session, ckpt_root, tmp_path):
+    """The id check must fire for ANY colliding delta id — including docs
+    with no near-dup pair, and with dedup=False (review finding: only
+    near-dup later-sides were checked)."""
+    from invertedindexbuilder_ray.pipelines.build import build_index
+    from invertedindexbuilder_ray.pipelines.ingest import ingest_delta
+
+    base = str(tmp_path / "base")
+    build_index(_docs_table(), base, num_partitions=2)
+    bad = _delta_ds([(42, "totally unrelated novel words nowhere else")])
+    with pytest.raises(ValueError, match="id discipline"):
+        ingest_delta(base, SF, bad, str(tmp_path / "o1"))
+    with pytest.raises(ValueError, match="id discipline"):
+        ingest_delta(base, SF, bad, str(tmp_path / "o2"), dedup=False)

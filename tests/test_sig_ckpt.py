@@ -206,3 +206,15 @@ def test_embedding_pairs_delta_rejects_low_threshold(ray_session):
     )
     with pytest.raises(ValueError, match="SRP"):
         dedup.embedding_pairs_delta(SF, empty, threshold=0.1)
+
+
+def test_derived_fingerprint_never_rebuilds_mislabeled(ray_session, ckpt_root):
+    """A chained (derived) fingerprint whose checkpoint is gone must RAISE,
+    not silently re-sketch only the raw corpus under the derived label
+    (review finding: prior ingest survivors would be forgotten forever)."""
+    from invertedindexbuilder_ray.pipelines import dedup
+
+    with pytest.raises(RuntimeError, match="derived fingerprint"):
+        dedup.minhash_signature_ckpt(
+            SF, input_fingerprint="somefile:1:2+ingest:abc:501"
+        )
