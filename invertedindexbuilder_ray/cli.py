@@ -158,6 +158,21 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_gc(args) -> int:
+    """Prune stale signature / ANN checkpoint cache entries (state/gc.py);
+    pure filesystem work — no Ray session needed."""
+    from .state.gc import default_roots, gc_ckpt_root
+
+    roots = args.roots or default_roots()
+    out = {}
+    for root in roots:
+        out[root] = gc_ckpt_root(
+            root, max_age_days=args.max_age_days, dry_run=args.dry_run
+        )
+    print(json.dumps({"dry_run": args.dry_run, "removed": out}))
+    return 0
+
+
 def cmd_run(args) -> int:
     """Run any catalog pipeline over an sf-style table dir; write parquet
     or print.  `--list` enumerates the available pipelines."""
@@ -328,6 +343,17 @@ def main(argv: list[str] | None = None) -> int:
         "counting marked docs until a compaction — Lucene live-docs contract)",
     )
     dl.set_defaults(fn=cmd_delete)
+
+    gc = sub.add_parser(
+        "gc",
+        help="prune stale signature/ANN checkpoint caches (LRU-by-creation "
+        "via the _SUCCESS marker mtime; caches are re-created on demand)",
+    )
+    gc.add_argument("--max-age-days", type=float, default=7.0)
+    gc.add_argument("--dry-run", action="store_true")
+    gc.add_argument("roots", nargs="*", help="checkpoint roots (default: "
+                    "IIB_SIG_CKPT_DIR and IIB_ANN_CKPT_DIR)")
+    gc.set_defaults(fn=cmd_gc)
 
     rn = sub.add_parser(
         "run", help="run a catalog pipeline (dedup/similarity/text/clean/...) over a table dir"

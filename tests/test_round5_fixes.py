@@ -140,3 +140,40 @@ def test_mark_deleted_rejects_out_of_range(ray_session, tmp_path):
 
     assert not os.path.exists(os.path.join(idx, "tombstones.bin"))
     assert mark_deleted(idx, [0, max_doc - 1]) == 2
+
+
+def test_gc_ckpt_root(tmp_path, capsys):
+    """state/gc: old complete entries and old interrupted writes go; young
+    ones stay; dry_run touches nothing; CLI `gc` reports JSON."""
+    import json as _json
+    import os
+    import time
+
+    from invertedindexbuilder_ray.cli import main
+    from invertedindexbuilder_ray.state import manifest as mf
+    from invertedindexbuilder_ray.state.gc import gc_ckpt_root
+
+    root = tmp_path / "ckpts"
+    old_done = root / "aa"
+    old_interrupted = root / "bb"
+    young = root / "cc"
+    for d in (old_done, old_interrupted, young):
+        d.mkdir(parents=True)
+        (d / "part.parquet").write_bytes(b"x")
+    mf.mark_complete(str(old_done))
+    mf.mark_complete(str(young))
+    stale = time.time() - 10 * 86400
+    os.utime(mf.marker_path(str(old_done)), (stale, stale))
+    os.utime(old_interrupted, (stale, stale))
+
+    would = gc_ckpt_root(str(root), max_age_days=7, dry_run=True)
+    assert sorted(would) == [str(old_done), str(old_interrupted)]
+    assert old_done.exists() and old_interrupted.exists()
+
+    assert main(["gc", "--max-age-days", "7", str(root)]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(rep["removed"][str(root)]) == [str(old_done), str(old_interrupted)]
+    assert not old_done.exists() and not old_interrupted.exists()
+    assert young.exists()
+    # nonexistent root is a no-op
+    assert gc_ckpt_root(str(tmp_path / "nope")) == []
