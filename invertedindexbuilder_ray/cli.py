@@ -214,11 +214,13 @@ def cmd_run(args) -> int:
 
 def cmd_query(args) -> int:
     _init_ray(args.num_cpus)
-    from .pipelines.query import CONJUNCTIVE, DISJUNCTIVE, QueryEngine
+    from .pipelines.query import CNF, CONJUNCTIVE, DISJUNCTIVE, QueryEngine
 
     if not args.shards and not args.index:
         raise SystemExit("query needs --index or --shards")
-    mode = CONJUNCTIVE if args.mode == "and" else DISJUNCTIVE
+    mode = {"and": CONJUNCTIVE, "or": DISJUNCTIVE, "cnf": CNF}[args.mode]
+    if mode == CNF and args.shards:
+        raise SystemExit("cnf mode is not implemented for --shards yet")
     if args.shards:
         from .pipelines.shards import ShardedEngine
 
@@ -380,7 +382,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     q.add_argument("--terms", required=True)
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--mode", choices=["and", "or"], default="and")
+    q.add_argument("--mode", choices=["and", "or", "cnf"], default="and",
+                   help="cnf: ';'-separated OR groups, e.g. 'data join; merge'")
     q.add_argument("--algorithm", choices=["wand"], default=None)
     q.add_argument("--conformance", action="store_true", default=True)
     q.add_argument("--correct", dest="conformance", action="store_false")

@@ -570,6 +570,70 @@ def q_bm25_tombstoned(sf_dir: str):
     )
 
 
+# --- Boolean CNF ranking (query.py::cnf) --------------------------------
+CNF_GROUPS = [["data", "join"], ["merge", "spark"]]
+
+
+def q_bm25_cnf(sf_dir: str):
+    """Boolean CNF — (data OR join) AND (merge OR spark) — scored through
+    the real index + the distributed BatchQueryEngine path (mode=3), all
+    matches (tie-proof full-match comparison, the _bm25_all shape)."""
+    from ..state.manifest import IndexManifest
+    from .query import CNF, BatchQueryEngine
+
+    idx = index_for(sf_dir)
+    k = IndexManifest.load(idx).max_doc_id + 1
+    terms = "; ".join(" ".join(g) for g in CNF_GROUPS)
+    queries = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "terms": pa.array([terms], pa.string()),
+            "k": pa.array([k], pa.int64()),
+            "mode": pa.array([CNF], pa.int64()),
+        }
+    )
+    return (
+        rd.from_arrow(queries)
+        .map_batches(
+            BatchQueryEngine,
+            fn_constructor_kwargs={"index_dir": idx, "conformance": False},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "score": pa.array(
+                        round_half_away(
+                            t["score"].to_numpy(zero_copy_only=False), 6
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _sql_bm25_cnf() -> str:
+    all_terms = sorted({t for g in CNF_GROUPS for t in g})
+    terms = ", ".join(f"'{t}'" for t in all_terms)
+    exists = " AND ".join(
+        "EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = s.doc_id AND tf.term IN ("
+        + ", ".join(f"'{t}'" for t in g)
+        + "))"
+        for g in CNF_GROUPS
+    )
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(terms=terms)
+        + f"""SELECT s.doc_id, round(s.raw_score, 6) AS score
+FROM scores s WHERE {exists}"""
+    )
+
+
 # --- driver-checked rolling ingest (pipelines/ingest.py) ----------------
 # A deterministic delta per sf dir: for every doc_id % INGEST_EVERY == 0,
 # one verbatim CLONE (near-dup against its source, est_jaccard = 1.0 —
@@ -2325,6 +2389,7 @@ QUERIES = {
     "bm25_and_not": (q_bm25_and_not, _sql_bm25_and_not()),
     "bm25_tombstoned": (q_bm25_tombstoned, _sql_bm25_tombstoned()),
     "bm25_after_ingest": (q_bm25_after_ingest, _sql_bm25_after_ingest()),
+    "bm25_cnf": (q_bm25_cnf, _sql_bm25_cnf()),
     "facet_counts": (q_facet_counts, _sql_facet_counts()),
     "search_after": (q_search_after, _sql_search_after()),
     "score_explain": (q_score_explain, _sql_score_explain()),

@@ -35,6 +35,7 @@ from ..state.reader import IndexReader, PostingCursor
 CONJUNCTIVE = 0
 DISJUNCTIVE = 1
 ANDNOT = 2  # extension: all positive terms AND none of the negative terms
+CNF = 3     # extension: conjunction of disjunction groups "(a b); (c d)"
 
 
 def _total_topk(docs, scores, k: int) -> list[tuple[int, float]]:
@@ -368,6 +369,72 @@ class QueryEngine:
             sums = np.bincount(inv, weights=scores_cat)
         return self._topk(uniq, sums, k)
 
+    def cnf(self, groups: list[list[str]], k: int) -> list[tuple[int, float]]:
+        """Boolean CNF ranking — conjunction of disjunction groups, e.g.
+        ``(data OR join) AND (merge OR spark)``.  Generalizes both engine
+        modes: singleton groups == conjunctive, one group == disjunctive.
+
+        Semantics (the Lucene BooleanQuery SHOULD-inside-MUST shape): a
+        doc qualifies iff every group has >= 1 matching term; its score is
+        the sum of BM25 contributions of ALL its matching terms across all
+        groups (a term listed in several groups is deduped and scores
+        once).  Terms missing from the lexicon drop silently (the
+        reference's unknown-term rule); a group whose every term is
+        missing can never be satisfied -> empty result.
+
+        Fully vectorized: one bulk decode per distinct term (the
+        disjunctive path's machinery), per-(doc, group) coverage via a
+        sorted unique over composed int64 keys, never a per-row loop.
+        Ranking goes through the engine's selection semantics (_topk),
+        so conformance and total-order serving both work."""
+        if not groups:
+            return []
+        term_groups: dict[str, set[int]] = {}
+        for gi, g in enumerate(groups):
+            for t in g:
+                term_groups.setdefault(t, set()).add(gi)
+        lists = self._open_lists(list(term_groups))
+        covered = {gi for c in lists for gi in term_groups[c.term]}
+        if len(covered) < len(groups):
+            return []  # some group has no indexed term: unsatisfiable
+        r = self.reader
+        docs_all, score_all, gid_all = [], [], []
+        for c in lists:
+            docs, tfs = c.decode_all_remaining()
+            dls = r.docs.dl[docs]
+            score_all.append(
+                bm25_components(tfs, dls.astype(np.float64), c.df, r.n_docs, r.d_avr)
+            )
+            docs_all.append(docs)
+            gid_all.append((docs, sorted(term_groups[c.term])))
+        docs_cat = np.concatenate(docs_all)
+        scores_cat = np.concatenate(score_all)
+        uniq, inv = np.unique(docs_cat, return_inverse=True)
+        sums = np.bincount(inv, weights=scores_cat, minlength=len(uniq))
+        # coverage: distinct (doc, group) pairs -> groups matched per doc
+        pair_parts = [
+            docs * np.int64(len(groups)) + np.int64(gi)
+            for docs, gis in gid_all
+            for gi in gis
+        ]
+        pairs = np.unique(np.concatenate(pair_parts))
+        n_matched = np.bincount(
+            np.searchsorted(uniq, pairs // np.int64(len(groups))),
+            minlength=len(uniq),
+        )
+        keep = n_matched == len(groups)
+        return self._topk(uniq[keep], sums[keep], k)
+
+    def parse_cnf(self, query: str) -> list[list[str]]:
+        """'data join; merge spark' -> [['data', 'join'], ['merge', 'spark']]
+        (';' separates AND groups; whitespace separates OR terms).  Group
+        tokens go through the engine's own query scanner (parse_query)."""
+        return [
+            toks
+            for g in query.split(";")
+            if (toks := self.parse_query(g))
+        ]
+
     def wand(self, terms: list[str], k: int) -> list[tuple[int, float]]:
         """Block-max WAND — rank-identical to :meth:`disjunctive`.
 
@@ -461,6 +528,13 @@ class QueryEngine:
         algorithm: str | None = None,
         neg_query: str = "",
     ) -> list[dict]:
+        if mode == CNF:
+            ranked = self.cnf(self.parse_cnf(query), k)
+            return [
+                {"rank": i + 1, "doc_id": doc, "url": self.reader.url(doc),
+                 "score": score}
+                for i, (doc, score) in enumerate(ranked)
+            ]
         terms = self.parse_query(query)
         if mode == ANDNOT:
             ranked = self.and_not(terms, self.parse_query(neg_query), k)
