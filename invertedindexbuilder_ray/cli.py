@@ -219,8 +219,6 @@ def cmd_query(args) -> int:
     if not args.shards and not args.index:
         raise SystemExit("query needs --index or --shards")
     mode = {"and": CONJUNCTIVE, "or": DISJUNCTIVE, "cnf": CNF}[args.mode]
-    if mode == CNF and args.shards:
-        raise SystemExit("cnf mode is not implemented for --shards yet")
     if args.shards:
         from .pipelines.shards import ShardedEngine
 

@@ -68,7 +68,7 @@ from __future__ import annotations
 
 from ..oracle import tokenize as oracle_tokenize
 from ..state.manifest import IndexManifest
-from .query import CONJUNCTIVE, _total_topk
+from .query import CNF, CONJUNCTIVE, _total_topk
 
 
 def _make_searcher():
@@ -106,7 +106,10 @@ def _make_searcher():
             algorithm: str | None = None,
         ) -> list[tuple[int, float]]:
             eng = self.engine
-            local = self.term_dfs(terms)
+            flat = (
+                [t for g in terms for t in g] if mode == CNF else terms
+            )
+            local = self.term_dfs(flat)
             if mode == CONJUNCTIVE and any(
                 t in dfs and t not in local for t in terms
             ):
@@ -118,7 +121,12 @@ def _make_searcher():
             r.n_docs, r.d_avr = n_docs, d_avr
             eng.df_override = dfs
             try:
-                if mode == CONJUNCTIVE:
+                if mode == CNF:
+                    # groups-of-terms payload; per-doc coverage is local,
+                    # so a group with no term in this shard correctly
+                    # yields [] here (its docs live in other shards)
+                    ranked = eng.cnf(terms, k)
+                elif mode == CONJUNCTIVE:
                     ranked = eng.conjunctive(terms, k)
                 elif algorithm == "wand" and r.block_max:
                     # block-max WAND with globally rescaled bounds —
@@ -180,8 +188,13 @@ class ShardedEngine:
         union scan (identical results, more scored blocks)."""
         import ray
 
+        # CNF mode carries groups-of-terms; everything term-level below
+        # (df prepass, overrides) works on the flattened set
+        flat = (
+            [t for g in terms for t in g] if mode == CNF else list(terms)
+        )
         # phase 1: global df per term (lexicon lookups only, cached)
-        missing = [t for t in set(terms) if t not in self._df_cache]
+        missing = [t for t in set(flat) if t not in self._df_cache]
         if missing:
             dfs_list = ray.get(
                 [a.term_dfs.remote(missing) for a in self.actors]
@@ -189,7 +202,7 @@ class ShardedEngine:
             for t in missing:
                 self._df_cache[t] = sum(d.get(t, 0) for d in dfs_list)
         dfs = {
-            t: self._df_cache[t] for t in set(terms) if self._df_cache[t] > 0
+            t: self._df_cache[t] for t in set(flat) if self._df_cache[t] > 0
         }
         # phase 2: per-shard top-k under the GLOBAL stats triple
         results = ray.get(
@@ -214,6 +227,13 @@ class ShardedEngine:
         mode: int = CONJUNCTIVE,
         algorithm: str | None = None,
     ):
+        if mode == CNF:
+            groups = [
+                toks
+                for g in query.split(";")
+                if (toks := oracle_tokenize(g + " ", drop_trailing=True))
+            ]
+            return self.search_terms(groups, k, mode, algorithm)
         return self.search_terms(
             oracle_tokenize(query + " ", drop_trailing=True), k, mode, algorithm
         )

@@ -288,3 +288,30 @@ def test_sharded_respects_per_shard_tombstones(sharded_setup, tmp_path):
             want = [(d, s) for d, s in full_rank if d not in dead_global][:10]
             got = sharded.search_terms(terms, 10, mode)
             assert got == want, (q, mode)
+
+
+def test_sharded_cnf_matches_monolithic(sharded_setup):
+    """CNF composes over shards: per-doc group coverage is shard-local and
+    scores use the injected global stats, so the scatter-gather result is
+    the monolithic total-order CNF top-k exactly — including the case
+    where one group has no term at all in some shard."""
+    from invertedindexbuilder_ray.pipelines.query import CNF
+
+    shard_dirs, full = sharded_setup
+    mono = QueryEngine(full, conformance=False, total_order_topk=True)
+    sharded = ShardedEngine(shard_dirs, conformance=False)
+    cases = [
+        "the data; join merge",
+        "vector; the",
+        "data; missingzzz",        # unsatisfiable group -> empty
+        "the of and; a to in",     # hot ties
+    ]
+    for q in cases:
+        groups = mono.parse_cnf(q)
+        k_all = mono.reader.max_doc_id + 1
+        full_rank = mono.cnf(groups, k_all)
+        want = _total_topk(
+            [d for d, _ in full_rank], [s for _, s in full_rank], 10
+        )
+        got = sharded.search(q, 10, CNF)
+        assert got == want, q
