@@ -570,6 +570,63 @@ def q_bm25_tombstoned(sf_dir: str):
     )
 
 
+# --- minimum-should-match ranking (query.py::min_should_match) ----------
+MSM_THRESHOLD = 2  # >= 2 of the 3 standard query terms
+
+
+def q_bm25_msm(sf_dir: str):
+    """minimum_should_match — docs matching >= 2 of the 3 query terms,
+    scored on their matched terms — through the distributed
+    BatchQueryEngine path (mode=4, msm column); full-match output."""
+    from ..state.manifest import IndexManifest
+    from .query import MSM, BatchQueryEngine
+
+    idx = index_for(sf_dir)
+    k = IndexManifest.load(idx).max_doc_id + 1
+    queries = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "terms": pa.array([" ".join(BM25_QUERY_TERMS)], pa.string()),
+            "k": pa.array([k], pa.int64()),
+            "mode": pa.array([MSM], pa.int64()),
+            "msm": pa.array([MSM_THRESHOLD], pa.int64()),
+        }
+    )
+    return (
+        rd.from_arrow(queries)
+        .map_batches(
+            BatchQueryEngine,
+            fn_constructor_kwargs={"index_dir": idx, "conformance": False},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "score": pa.array(
+                        round_half_away(
+                            t["score"].to_numpy(zero_copy_only=False), 6
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _sql_bm25_msm() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return (
+        "WITH "
+        + _SQL_BM25_BASE.format(terms=terms)
+        + f"SELECT doc_id, round(raw_score, 6) AS score FROM scores "
+        f"WHERE nmatched >= {MSM_THRESHOLD}"
+    )
+
+
 # --- Boolean CNF ranking (query.py::cnf) --------------------------------
 CNF_GROUPS = [["data", "join"], ["merge", "spark"]]
 
@@ -2390,6 +2447,7 @@ QUERIES = {
     "bm25_tombstoned": (q_bm25_tombstoned, _sql_bm25_tombstoned()),
     "bm25_after_ingest": (q_bm25_after_ingest, _sql_bm25_after_ingest()),
     "bm25_cnf": (q_bm25_cnf, _sql_bm25_cnf()),
+    "bm25_msm": (q_bm25_msm, _sql_bm25_msm()),
     "facet_counts": (q_facet_counts, _sql_facet_counts()),
     "search_after": (q_search_after, _sql_search_after()),
     "score_explain": (q_score_explain, _sql_score_explain()),

@@ -36,6 +36,7 @@ CONJUNCTIVE = 0
 DISJUNCTIVE = 1
 ANDNOT = 2  # extension: all positive terms AND none of the negative terms
 CNF = 3     # extension: conjunction of disjunction groups "(a b); (c d)"
+MSM = 4     # extension: minimum-should-match (>= m of n terms; m via msm col)
 
 
 def _total_topk(docs, scores, k: int) -> list[tuple[int, float]]:
@@ -425,6 +426,43 @@ class QueryEngine:
         keep = n_matched == len(groups)
         return self._topk(uniq[keep], sums[keep], k)
 
+    def min_should_match(
+        self, terms: list[str], m: int, k: int
+    ) -> list[tuple[int, float]]:
+        """Count-threshold Boolean (the Elasticsearch minimum_should_match
+        shape): docs matching >= ``m`` of the n distinct query terms,
+        scored as the sum of their matched terms' BM25 — ``m=1`` is
+        bit-identical to disjunctive, ``m=n`` to the conjunctive match
+        set.  Same vectorized bulk-decode machinery as :meth:`cnf`;
+        coverage is a per-doc distinct-term count, so it composes over
+        document shards unchanged."""
+        if m <= 0:
+            raise ValueError(f"min_should_match: m must be >= 1, got {m}")
+        # dedupe preserving order: _open_lists df-sorts stably, so df ties
+        # keep the query's term order and float sums stay bit-identical to
+        # the disjunctive path at m=1
+        lists = self._open_lists(list(dict.fromkeys(terms)))
+        if len(lists) < m:
+            return []  # fewer indexed terms than the threshold
+        r = self.reader
+        docs_all, score_all = [], []
+        for c in lists:
+            docs, tfs = c.decode_all_remaining()
+            dls = r.docs.dl[docs]
+            score_all.append(
+                bm25_components(tfs, dls.astype(np.float64), c.df, r.n_docs, r.d_avr)
+            )
+            docs_all.append(docs)
+        docs_cat = np.concatenate(docs_all)
+        scores_cat = np.concatenate(score_all)
+        uniq, inv = np.unique(docs_cat, return_inverse=True)
+        sums = np.bincount(inv, weights=scores_cat, minlength=len(uniq))
+        # each list contributes each doc at most once -> bincount of inv IS
+        # the distinct-term match count
+        n_matched = np.bincount(inv, minlength=len(uniq))
+        keep = n_matched >= m
+        return self._topk(uniq[keep], sums[keep], k)
+
     def parse_cnf(self, query: str) -> list[list[str]]:
         """'data join; merge spark' -> [['data', 'join'], ['merge', 'spark']]
         (';' separates AND groups; whitespace separates OR terms).  Group
@@ -527,7 +565,15 @@ class QueryEngine:
         *,
         algorithm: str | None = None,
         neg_query: str = "",
+        msm: int = 1,
     ) -> list[dict]:
+        if mode == MSM:
+            ranked = self.min_should_match(self.parse_query(query), msm, k)
+            return [
+                {"rank": i + 1, "doc_id": doc, "url": self.reader.url(doc),
+                 "score": score}
+                for i, (doc, score) in enumerate(ranked)
+            ]
         if mode == CNF:
             ranked = self.cnf(self.parse_cnf(query), k)
             return [
@@ -632,12 +678,19 @@ class BatchQueryEngine:
             if "neg_terms" in cols
             else [""] * batch.num_rows
         )
+        # optional minimum-should-match threshold (mode=4 rows); absent -> 1
+        msm_col = (
+            batch["msm"].to_numpy(zero_copy_only=False)
+            if "msm" in cols
+            else np.ones(batch.num_rows, np.int64)
+        )
         qidx, ranks, docs, urls, scores = [], [], [], [], []
         for i in range(batch.num_rows):  # per QUERY, not per row of data
             hits = self.engine.search(
                 terms_col[i], int(k_col[i]), int(mode_col[i]),
                 algorithm=self.algorithm,
                 neg_query=neg_col[i] or "",
+                msm=int(msm_col[i]),
             )
             for h in hits:
                 qidx.append(i)

@@ -85,3 +85,36 @@ def test_cli_cnf_mode(ray_session, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "BM25" in out and "[1]" in out
+
+
+def test_msm_semantics(eng):
+    """minimum_should_match: m=1 bit-identical to disjunctive, m=n match
+    set equals conjunctive's, intermediate m keeps exactly the >=m-term
+    docs with their disjunctive scores."""
+    terms = ["data", "join", "merge"]
+    assert eng.min_should_match(terms, 1, 30) == eng.disjunctive(terms, 30)
+    conj = {d for d, _ in eng.conjunctive(terms, 10_000)}
+    assert {d for d, _ in eng.min_should_match(terms, 3, 10_000)} == conj
+    union = dict(eng.disjunctive(terms, 10_000))
+    per_term = [dict(eng.disjunctive([t], 10_000)) for t in terms]
+    got = dict(eng.min_should_match(terms, 2, 10_000))
+    for doc, score in got.items():
+        assert sum(doc in pt for pt in per_term) >= 2
+        assert score == union[doc]
+    for doc in union:
+        if sum(doc in pt for pt in per_term) >= 2:
+            assert doc in got
+    # m beyond the indexed-term count -> empty; m<=0 raises
+    assert eng.min_should_match(terms, 4, 5) == []
+    with pytest.raises(ValueError):
+        eng.min_should_match(terms, 0, 5)
+    # duplicate terms dedupe before counting
+    assert eng.min_should_match(["data", "data"], 2, 5) == []
+
+
+def test_msm_search_mode(eng):
+    from invertedindexbuilder_ray.pipelines.query import MSM
+
+    hits = eng.search("data join merge", 5, MSM, msm=2)
+    want = eng.min_should_match(["data", "join", "merge"], 2, 5)
+    assert [(h["doc_id"], h["score"]) for h in hits] == want
